@@ -1,0 +1,731 @@
+"""Numpy codecs for ggml block-quant formats.
+
+Decoders are bit-exact re-implementations of the *format semantics*
+(dequantize_row_* in reference ggml/src/ggml-quants.c); encoders follow the
+same storage layout with straightforward (non-search) scale selection, except
+where noted. All functions are vectorized over blocks.
+
+Data layout convention: quantized tensors are 1-D uint8 byte arrays covering
+``n_blocks * type_size`` bytes; float tensors are float32. A tensor of logical
+shape (..., ne0) is quantized row-wise along the last axis (ne0 must be a
+multiple of the block size), matching ggml row layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import (
+    GGML_TYPE_TRAITS,
+    GGMLType,
+    K_SCALE_SIZE,
+    KVALUES_IQ4NL,
+    KVALUES_MXFP4,
+    QK_K,
+)
+
+_IQ4NL = np.array(KVALUES_IQ4NL, dtype=np.float32)
+_MXFP4 = np.array(KVALUES_MXFP4, dtype=np.float32)
+
+
+def _f16(raw: np.ndarray) -> np.ndarray:
+    """View little-endian fp16 bytes (N,2) as float32 (N,)."""
+    return np.ascontiguousarray(raw).view(np.dtype("<f2")).astype(np.float32).reshape(raw.shape[0], -1)
+
+
+def _to_f16_bytes(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.dtype("<f2")).view(np.uint8)
+
+
+def _blocks(raw: np.ndarray, type_size: int) -> np.ndarray:
+    raw = np.frombuffer(raw.tobytes(), dtype=np.uint8) if not raw.flags.c_contiguous else raw
+    if raw.size % type_size != 0:
+        raise ValueError(f"byte size {raw.size} not a multiple of block type size {type_size}")
+    return raw.reshape(-1, type_size)
+
+
+def _e8m0_to_fp32_half(e: np.ndarray) -> np.ndarray:
+    """Decode E8M0 exponent byte to 0.5 * 2^(e-127) (ggml-impl.h:467-485)."""
+    e = e.astype(np.uint32)
+    bits = np.where(e < 2, np.uint32(0x00200000) << e, (e - 1) << np.uint32(23))
+    return bits.astype(np.uint32).view(np.float32)
+
+
+def _fp32_to_e8m0_half(d: np.ndarray) -> np.ndarray:
+    """Inverse of _e8m0_to_fp32_half, rounding the scale up (ceil exponent)."""
+    d = np.asarray(d, dtype=np.float32)
+    out = np.zeros(d.shape, dtype=np.uint8)
+    pos = d > 0
+    # want smallest e such that 2^(e-128) >= d  →  e = ceil(log2(d)) + 128
+    e = np.ceil(np.log2(d, where=pos, out=np.zeros_like(d))) + 128
+    out[pos] = np.clip(e[pos], 0, 254).astype(np.uint8)
+    return out
+
+
+# =========================== simple 32-wide formats ==========================
+
+
+def dequant_q4_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 18)
+    d = _f16(b[:, 0:2])                      # (nb,1)
+    qs = b[:, 2:18]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    return (np.concatenate([lo, hi], axis=1) * d).astype(np.float32).reshape(-1)
+
+
+def quant_q4_0(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    # scale from the signed absolute max, like the reference encoder
+    idx = np.abs(v).argmax(axis=1)
+    mx = v[np.arange(v.shape[0]), idx]
+    d = mx / -8.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(np.round(v * inv[:, None]) + 8, 0, 15).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    return np.concatenate([_to_f16_bytes(d.astype(np.float32)).reshape(-1, 2), lo | (hi << 4)], axis=1).reshape(-1)
+
+
+def dequant_q4_1(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 20)
+    d = _f16(b[:, 0:2])
+    m = _f16(b[:, 2:4])
+    qs = b[:, 4:20]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    return (np.concatenate([lo, hi], axis=1) * d + m).astype(np.float32).reshape(-1)
+
+
+def quant_q4_1(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    mn, mx = v.min(axis=1), v.max(axis=1)
+    d = (mx - mn) / 15.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(np.round((v - mn[:, None]) * inv[:, None]), 0, 15).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    return np.concatenate(
+        [_to_f16_bytes(d).reshape(-1, 2), _to_f16_bytes(mn).reshape(-1, 2), lo | (hi << 4)], axis=1
+    ).reshape(-1)
+
+
+def dequant_q5_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 22)
+    d = _f16(b[:, 0:2])
+    qh = np.ascontiguousarray(b[:, 2:6]).view(np.dtype("<u4")).reshape(-1, 1).astype(np.uint32)
+    qs = b[:, 6:22]
+    j = np.arange(16, dtype=np.uint32)
+    xh0 = ((qh >> j) << 4) & 0x10
+    xh1 = (qh >> (j + 12)) & 0x10
+    lo = (((qs & 0x0F) | xh0).astype(np.int16) - 16).astype(np.float32)
+    hi = (((qs >> 4) | xh1).astype(np.int16) - 16).astype(np.float32)
+    return (np.concatenate([lo, hi], axis=1) * d).astype(np.float32).reshape(-1)
+
+
+def quant_q5_0(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    idx = np.abs(v).argmax(axis=1)
+    mx = v[np.arange(v.shape[0]), idx]
+    d = mx / -16.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(np.round(v * inv[:, None]) + 16, 0, 31).astype(np.uint8)
+    lo5, hi5 = q[:, :16], q[:, 16:]
+    qs = (lo5 & 0x0F) | ((hi5 & 0x0F) << 4)
+    j = np.arange(16, dtype=np.uint32)
+    qh = ((lo5 >> 4).astype(np.uint32) << j).sum(axis=1, dtype=np.uint32) | (
+        (hi5 >> 4).astype(np.uint32) << (j + 16)
+    ).sum(axis=1, dtype=np.uint32)
+    return np.concatenate(
+        [_to_f16_bytes(d).reshape(-1, 2), qh.astype("<u4").view(np.uint8).reshape(-1, 4), qs], axis=1
+    ).reshape(-1)
+
+
+def dequant_q5_1(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 24)
+    d = _f16(b[:, 0:2])
+    m = _f16(b[:, 2:4])
+    qh = np.ascontiguousarray(b[:, 4:8]).view(np.dtype("<u4")).reshape(-1, 1).astype(np.uint32)
+    qs = b[:, 8:24]
+    j = np.arange(16, dtype=np.uint32)
+    xh0 = ((qh >> j) << 4) & 0x10
+    xh1 = (qh >> (j + 12)) & 0x10
+    lo = ((qs & 0x0F) | xh0).astype(np.float32)
+    hi = ((qs >> 4) | xh1).astype(np.float32)
+    return (np.concatenate([lo, hi], axis=1) * d + m).astype(np.float32).reshape(-1)
+
+
+def quant_q5_1(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    mn, mx = v.min(axis=1), v.max(axis=1)
+    d = (mx - mn) / 31.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.clip(np.round((v - mn[:, None]) * inv[:, None]), 0, 31).astype(np.uint8)
+    lo5, hi5 = q[:, :16], q[:, 16:]
+    qs = (lo5 & 0x0F) | ((hi5 & 0x0F) << 4)
+    j = np.arange(16, dtype=np.uint32)
+    qh = ((lo5 >> 4).astype(np.uint32) << j).sum(axis=1, dtype=np.uint32) | (
+        (hi5 >> 4).astype(np.uint32) << (j + 16)
+    ).sum(axis=1, dtype=np.uint32)
+    return np.concatenate(
+        [
+            _to_f16_bytes(d).reshape(-1, 2),
+            _to_f16_bytes(mn).reshape(-1, 2),
+            qh.astype("<u4").view(np.uint8).reshape(-1, 4),
+            qs,
+        ],
+        axis=1,
+    ).reshape(-1)
+
+
+def dequant_q8_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 34)
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].view(np.int8).astype(np.float32)
+    return (qs * d).astype(np.float32).reshape(-1)
+
+
+def quant_q8_0(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    amax = np.abs(v).max(axis=1)
+    d = amax / 127.0
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+    q = np.round(v * inv[:, None]).astype(np.int8)
+    return np.concatenate([_to_f16_bytes(d).reshape(-1, 2), q.view(np.uint8)], axis=1).reshape(-1)
+
+
+def dequant_mxfp4(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 17)
+    d = _e8m0_to_fp32_half(b[:, 0]).reshape(-1, 1)
+    qs = b[:, 1:17]
+    lo = _MXFP4[qs & 0x0F]
+    hi = _MXFP4[qs >> 4]
+    return (np.concatenate([lo, hi], axis=1) * d).astype(np.float32).reshape(-1)
+
+
+def quant_mxfp4(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    amax = np.abs(v).max(axis=1)
+    e = _fp32_to_e8m0_half(amax / 12.0)
+    d = _e8m0_to_fp32_half(e)[:, None]
+    scaled = np.where(d > 0, v / np.where(d == 0, 1, d), 0.0)
+    # nearest code in the signed fp4 table
+    idx = np.abs(scaled[:, :, None] - _MXFP4[None, None, :]).argmin(axis=2).astype(np.uint8)
+    lo, hi = idx[:, :16], idx[:, 16:]
+    return np.concatenate([e.reshape(-1, 1), lo | (hi << 4)], axis=1).reshape(-1)
+
+
+def dequant_iq4_nl(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 18)
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:18]
+    lo = _IQ4NL[qs & 0x0F]
+    hi = _IQ4NL[qs >> 4]
+    return (np.concatenate([lo, hi], axis=1) * d).astype(np.float32).reshape(-1)
+
+
+def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 32)
+    idx_amax = np.abs(v).argmax(axis=1)
+    mx = v[np.arange(v.shape[0]), idx_amax]
+    d = mx / -127.0
+    scaled = np.where(d[:, None] != 0, v / np.where(d[:, None] == 0, 1, d[:, None]), 0.0)
+    code = np.abs(scaled[:, :, None] - _IQ4NL[None, None, :]).argmin(axis=2).astype(np.uint8)
+    lo, hi = code[:, :16], code[:, 16:]
+    return np.concatenate([_to_f16_bytes(d.astype(np.float32)).reshape(-1, 2), lo | (hi << 4)], axis=1).reshape(-1)
+
+
+# ================================ K-quants ==================================
+
+
+def _unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack 12-byte 6-bit scale/min pairs → (nb,8),(nb,8) (get_scale_min_k4)."""
+    sc = np.empty((scales.shape[0], 8), dtype=np.uint8)
+    mn = np.empty((scales.shape[0], 8), dtype=np.uint8)
+    for j in range(4):
+        sc[:, j] = scales[:, j] & 63
+        mn[:, j] = scales[:, j + 4] & 63
+    for j in range(4, 8):
+        sc[:, j] = (scales[:, j + 4] & 0x0F) | ((scales[:, j - 4] >> 6) << 4)
+        mn[:, j] = (scales[:, j + 4] >> 4) | ((scales[:, j] >> 6) << 4)
+    return sc, mn
+
+
+def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_scale_min_k4; sc/mn are (nb,8) uint8 in [0,63]."""
+    out = np.zeros((sc.shape[0], 12), dtype=np.uint8)
+    for j in range(4):
+        out[:, j] = (sc[:, j] & 63) | ((sc[:, j + 4] >> 4) << 6)
+        out[:, j + 4] = (mn[:, j] & 63) | ((mn[:, j + 4] >> 4) << 6)
+        out[:, j + 8] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+    return out
+
+
+def dequant_q2_k(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 84)
+    scales = b[:, 0:16]
+    qs = b[:, 16:80]
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    dl = d * (scales & 0x0F).astype(np.float32)      # (nb,16) per-group scale
+    ml = dmin * (scales >> 4).astype(np.float32)     # (nb,16) per-group min
+    out_pos = 0
+    is_ = 0
+    for n in (0, 128):
+        q = qs[:, n // 4 : n // 4 + 32]
+        for shift in (0, 2, 4, 6):
+            for half in (0, 16):
+                g = (q[:, half : half + 16] >> shift) & 3
+                y[:, out_pos : out_pos + 16] = dl[:, is_ : is_ + 1] * g - ml[:, is_ : is_ + 1]
+                out_pos += 16
+                is_ += 1
+    return y.reshape(-1)
+
+
+def quant_q2_k(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    nb = v.shape[0]
+    g = v.reshape(nb, 16, 16)
+    gmin = np.minimum(g.min(axis=2), 0.0)
+    gmax = g.max(axis=2)
+    dg = (gmax - gmin) / 3.0
+    mg = -gmin
+    d = dg.max(axis=1) / 15.0
+    dmin = mg.max(axis=1) / 15.0
+    ls = np.clip(np.round(np.where(d[:, None] > 0, dg / np.where(d[:, None] == 0, 1, d[:, None]), 0)), 0, 15)
+    lm = np.clip(np.round(np.where(dmin[:, None] > 0, mg / np.where(dmin[:, None] == 0, 1, dmin[:, None]), 0)), 0, 15)
+    d16 = _to_f16_bytes(d).view(np.dtype("<f2")).astype(np.float32)
+    m16 = _to_f16_bytes(dmin).view(np.dtype("<f2")).astype(np.float32)
+    dl = d16[:, None] * ls
+    ml = m16[:, None] * lm
+    q = np.clip(
+        np.round(np.where(dl[:, :, None] > 0, (g + ml[:, :, None]) / np.where(dl[:, :, None] == 0, 1, dl[:, :, None]), 0)),
+        0,
+        3,
+    ).astype(np.uint8)
+    scales = (ls.astype(np.uint8) | (lm.astype(np.uint8) << 4)).astype(np.uint8)
+    qs = np.zeros((nb, 64), dtype=np.uint8)
+    is_ = 0
+    for n in (0, 128):
+        base = n // 4
+        for shift in (0, 2, 4, 6):
+            for half in (0, 16):
+                qs[:, base + half : base + half + 16] |= q[:, is_] << shift
+                is_ += 1
+    return np.concatenate([scales, qs, _to_f16_bytes(d).reshape(-1, 2), _to_f16_bytes(dmin).reshape(-1, 2)], axis=1).reshape(-1)
+
+
+def _q3k_unpack_scales(scales12: np.ndarray) -> np.ndarray:
+    """Unpack q3_K 12-byte scales to (nb,16) int8 6-bit values (pre -32 offset)."""
+    a = np.ascontiguousarray(scales12).view(np.dtype("<u4")).reshape(-1, 3).astype(np.uint32)
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = a[:, 2]
+    out = np.empty((a.shape[0], 4), dtype=np.uint32)
+    out[:, 0] = (a[:, 0] & kmask2) | (((tmp >> 0) & kmask1) << 4)
+    out[:, 1] = (a[:, 1] & kmask2) | (((tmp >> 2) & kmask1) << 4)
+    out[:, 2] = ((a[:, 0] >> 4) & kmask2) | (((tmp >> 4) & kmask1) << 4)
+    out[:, 3] = ((a[:, 1] >> 4) & kmask2) | (((tmp >> 6) & kmask1) << 4)
+    return out.astype("<u4").view(np.int8).reshape(-1, 16)
+
+
+def _q3k_pack_scales(sc: np.ndarray) -> np.ndarray:
+    """Pack (nb,16) values in [0,63] into the q3_K 12-byte layout."""
+    sc = sc.astype(np.uint32).reshape(-1, 4, 4)
+    lo = sc & 0x0F          # low nibble of each 6-bit value
+    hi = sc >> 4            # top 2 bits
+    w = np.zeros((sc.shape[0], 3, 4), dtype=np.uint32)
+    w[:, 0] = lo[:, 0] | (lo[:, 2] << 4)
+    w[:, 1] = lo[:, 1] | (lo[:, 3] << 4)
+    w[:, 2] = hi[:, 0] | (hi[:, 1] << 2) | (hi[:, 2] << 4) | (hi[:, 3] << 6)
+    packed = np.zeros((sc.shape[0], 3), dtype=np.uint32)
+    for byte in range(4):
+        packed |= (w[:, :, byte] & 0xFF) << (8 * byte)
+    return packed.astype("<u4").view(np.uint8).reshape(-1, 12)
+
+
+def dequant_q3_k(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 110)
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96]
+    scales = _q3k_unpack_scales(b[:, 96:108]).astype(np.float32) - 32.0
+    d = _f16(b[:, 108:110])
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    out_pos = 0
+    is_ = 0
+    m = 1
+    for n in (0, 128):
+        q = qs[:, n // 4 : n // 4 + 32]
+        for shift in (0, 2, 4, 6):
+            for half in (0, 16):
+                low = ((q[:, half : half + 16] >> shift) & 3).astype(np.int8)
+                hb = np.where(hmask[:, half : half + 16] & m, 0, 4).astype(np.int8)
+                y[:, out_pos : out_pos + 16] = (d * scales[:, is_ : is_ + 1]) * (low - hb)
+                out_pos += 16
+                is_ += 1
+            m <<= 1
+    return y.reshape(-1)
+
+
+def quant_q3_k(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    nb = v.shape[0]
+    g = v.reshape(nb, 16, 16)
+    amax = np.abs(g).max(axis=2)
+    sg = amax / 4.0  # q in [-4,3]
+    dmax = np.abs(sg).max(axis=1)
+    d = dmax / 31.0  # scales stored as (s-32) in [-32,31]
+    ls = np.clip(np.round(np.where(d[:, None] > 0, sg / np.where(d[:, None] == 0, 1, d[:, None]), 0)) + 32, 0, 63).astype(np.uint8)
+    d16 = _to_f16_bytes(d).view(np.dtype("<f2")).astype(np.float32)
+    dl = d16[:, None] * (ls.astype(np.float32) - 32.0)
+    q = np.clip(
+        np.round(np.where(np.abs(dl[:, :, None]) > 0, g / np.where(dl[:, :, None] == 0, 1, dl[:, :, None]), 0)),
+        -4,
+        3,
+    ).astype(np.int8) + 4  # store 0..7
+    qs = np.zeros((nb, 64), dtype=np.uint8)
+    hm = np.zeros((nb, 32), dtype=np.uint8)
+    is_ = 0
+    m = 1
+    for n in (0, 128):
+        base = n // 4
+        for shift in (0, 2, 4, 6):
+            for half in (0, 16):
+                grp = q[:, is_].astype(np.uint8)
+                qs[:, base + half : base + half + 16] |= (grp & 3) << shift
+                hm[:, half : half + 16] |= np.where(grp & 4, m, 0).astype(np.uint8)
+                is_ += 1
+            m <<= 1
+    return np.concatenate([hm, qs, _q3k_pack_scales(ls), _to_f16_bytes(d).reshape(-1, 2)], axis=1).reshape(-1)
+
+
+def dequant_q4_k(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 144)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qs = b[:, 16:144]
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    for j in range(4):  # 4 chunks of 64 elements; each uses 32 qs bytes
+        q = qs[:, j * 32 : (j + 1) * 32]
+        d1 = d * sc[:, 2 * j : 2 * j + 1].astype(np.float32)
+        m1 = dmin * mn[:, 2 * j : 2 * j + 1].astype(np.float32)
+        d2 = d * sc[:, 2 * j + 1 : 2 * j + 2].astype(np.float32)
+        m2 = dmin * mn[:, 2 * j + 1 : 2 * j + 2].astype(np.float32)
+        y[:, j * 64 : j * 64 + 32] = d1 * (q & 0x0F).astype(np.float32) - m1
+        y[:, j * 64 + 32 : j * 64 + 64] = d2 * (q >> 4).astype(np.float32) - m2
+    return y.reshape(-1)
+
+
+def quant_q4_k(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    nb = v.shape[0]
+    g = v.reshape(nb, 8, 32)
+    gmin = np.minimum(g.min(axis=2), 0.0)
+    gmax = g.max(axis=2)
+    dg = (gmax - gmin) / 15.0
+    mg = -gmin
+    d = dg.max(axis=1) / 63.0
+    dmin = mg.max(axis=1) / 63.0
+    ls = np.clip(np.round(np.where(d[:, None] > 0, dg / np.where(d[:, None] == 0, 1, d[:, None]), 0)), 0, 63).astype(np.uint8)
+    lm = np.clip(np.round(np.where(dmin[:, None] > 0, mg / np.where(dmin[:, None] == 0, 1, dmin[:, None]), 0)), 0, 63).astype(np.uint8)
+    d16 = _to_f16_bytes(d).view(np.dtype("<f2")).astype(np.float32)
+    m16 = _to_f16_bytes(dmin).view(np.dtype("<f2")).astype(np.float32)
+    dl = d16[:, None] * ls
+    ml = m16[:, None] * lm
+    q = np.clip(
+        np.round(np.where(dl[:, :, None] > 0, (g + ml[:, :, None]) / np.where(dl[:, :, None] == 0, 1, dl[:, :, None]), 0)),
+        0,
+        15,
+    ).astype(np.uint8)
+    qs = np.empty((nb, 128), dtype=np.uint8)
+    for j in range(4):
+        qs[:, j * 32 : (j + 1) * 32] = q[:, 2 * j] | (q[:, 2 * j + 1] << 4)
+    return np.concatenate(
+        [_to_f16_bytes(d).reshape(-1, 2), _to_f16_bytes(dmin).reshape(-1, 2), _pack_scale_min_k4(ls, lm), qs], axis=1
+    ).reshape(-1)
+
+
+def dequant_q5_k(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 176)
+    d = _f16(b[:, 0:2])
+    dmin = _f16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qh = b[:, 16:48]
+    ql = b[:, 48:176]
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    u1, u2 = 1, 2
+    for j in range(4):
+        q = ql[:, j * 32 : (j + 1) * 32]
+        d1 = d * sc[:, 2 * j : 2 * j + 1].astype(np.float32)
+        m1 = dmin * mn[:, 2 * j : 2 * j + 1].astype(np.float32)
+        d2 = d * sc[:, 2 * j + 1 : 2 * j + 2].astype(np.float32)
+        m2 = dmin * mn[:, 2 * j + 1 : 2 * j + 2].astype(np.float32)
+        h1 = np.where(qh & u1, 16, 0).astype(np.float32)
+        h2 = np.where(qh & u2, 16, 0).astype(np.float32)
+        y[:, j * 64 : j * 64 + 32] = d1 * ((q & 0x0F).astype(np.float32) + h1) - m1
+        y[:, j * 64 + 32 : j * 64 + 64] = d2 * ((q >> 4).astype(np.float32) + h2) - m2
+        u1 <<= 2
+        u2 <<= 2
+    return y.reshape(-1)
+
+
+def quant_q5_k(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    nb = v.shape[0]
+    g = v.reshape(nb, 8, 32)
+    gmin = np.minimum(g.min(axis=2), 0.0)
+    gmax = g.max(axis=2)
+    dg = (gmax - gmin) / 31.0
+    mg = -gmin
+    d = dg.max(axis=1) / 63.0
+    dmin = mg.max(axis=1) / 63.0
+    ls = np.clip(np.round(np.where(d[:, None] > 0, dg / np.where(d[:, None] == 0, 1, d[:, None]), 0)), 0, 63).astype(np.uint8)
+    lm = np.clip(np.round(np.where(dmin[:, None] > 0, mg / np.where(dmin[:, None] == 0, 1, dmin[:, None]), 0)), 0, 63).astype(np.uint8)
+    d16 = _to_f16_bytes(d).view(np.dtype("<f2")).astype(np.float32)
+    m16 = _to_f16_bytes(dmin).view(np.dtype("<f2")).astype(np.float32)
+    dl = d16[:, None] * ls
+    ml = m16[:, None] * lm
+    q = np.clip(
+        np.round(np.where(dl[:, :, None] > 0, (g + ml[:, :, None]) / np.where(dl[:, :, None] == 0, 1, dl[:, :, None]), 0)),
+        0,
+        31,
+    ).astype(np.uint8)
+    ql = np.empty((nb, 128), dtype=np.uint8)
+    qh = np.zeros((nb, 32), dtype=np.uint8)
+    for j in range(4):
+        q1, q2 = q[:, 2 * j], q[:, 2 * j + 1]
+        ql[:, j * 32 : (j + 1) * 32] = (q1 & 0x0F) | ((q2 & 0x0F) << 4)
+        qh |= np.where(q1 & 16, 1 << (2 * j), 0).astype(np.uint8)
+        qh |= np.where(q2 & 16, 2 << (2 * j), 0).astype(np.uint8)
+    return np.concatenate(
+        [_to_f16_bytes(d).reshape(-1, 2), _to_f16_bytes(dmin).reshape(-1, 2), _pack_scale_min_k4(ls, lm), qh, ql],
+        axis=1,
+    ).reshape(-1)
+
+
+def dequant_q6_k(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 210)
+    ql = b[:, 0:128]
+    qh = b[:, 128:192]
+    sc = b[:, 192:208].view(np.int8).astype(np.float32)
+    d = _f16(b[:, 208:210])
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    for n in (0, 128):
+        lq = ql[:, n // 2 : n // 2 + 64]
+        hq = qh[:, n // 4 : n // 4 + 32]
+        s = sc[:, n // 16 : n // 16 + 8]
+        l = np.arange(32)
+        is_ = l // 16  # 0 or 1
+        q1 = ((lq[:, 0:32] & 0x0F) | (((hq >> 0) & 3) << 4)).astype(np.int16) - 32
+        q2 = ((lq[:, 32:64] & 0x0F) | (((hq >> 2) & 3) << 4)).astype(np.int16) - 32
+        q3 = ((lq[:, 0:32] >> 4) | (((hq >> 4) & 3) << 4)).astype(np.int16) - 32
+        q4 = ((lq[:, 32:64] >> 4) | (((hq >> 6) & 3) << 4)).astype(np.int16) - 32
+        y[:, n + 0 : n + 32] = d * s[:, is_ + 0] * q1
+        y[:, n + 32 : n + 64] = d * s[:, is_ + 2] * q2
+        y[:, n + 64 : n + 96] = d * s[:, is_ + 4] * q3
+        y[:, n + 96 : n + 128] = d * s[:, is_ + 6] * q4
+    return y.reshape(-1)
+
+
+def quant_q6_k(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    nb = v.shape[0]
+    g = v.reshape(nb, 16, 16)
+    idx = np.abs(g).argmax(axis=2)
+    mx = np.take_along_axis(g, idx[:, :, None], axis=2)[:, :, 0]
+    sg = mx / -32.0
+    amax_s = np.abs(sg).max(axis=1)
+    d = amax_s / 127.0
+    ls = np.clip(np.round(np.where(d[:, None] > 0, sg / np.where(d[:, None] == 0, 1, d[:, None]), 0)), -128, 127).astype(np.int8)
+    d16 = _to_f16_bytes(d).view(np.dtype("<f2")).astype(np.float32)
+    dl = d16[:, None] * ls.astype(np.float32)
+    q = (
+        np.clip(
+            np.round(np.where(np.abs(dl[:, :, None]) > 0, g / np.where(dl[:, :, None] == 0, 1, dl[:, :, None]), 0)),
+            -32,
+            31,
+        ).astype(np.int8)
+        + 32
+    ).astype(np.uint8)  # (nb,16,16) values 0..63
+    q = q.reshape(nb, 256)
+    ql = np.zeros((nb, 128), dtype=np.uint8)
+    qh = np.zeros((nb, 64), dtype=np.uint8)
+    for n in (0, 128):
+        q1 = q[:, n + 0 : n + 32]
+        q2 = q[:, n + 32 : n + 64]
+        q3 = q[:, n + 64 : n + 96]
+        q4 = q[:, n + 96 : n + 128]
+        ql[:, n // 2 : n // 2 + 32] = (q1 & 0x0F) | ((q3 & 0x0F) << 4)
+        ql[:, n // 2 + 32 : n // 2 + 64] = (q2 & 0x0F) | ((q4 & 0x0F) << 4)
+        qh[:, n // 4 : n // 4 + 32] = (q1 >> 4) | ((q2 >> 4) << 2) | ((q3 >> 4) << 4) | ((q4 >> 4) << 6)
+    return np.concatenate([ql, qh, ls.view(np.uint8), _to_f16_bytes(d).reshape(-1, 2)], axis=1).reshape(-1)
+
+
+def dequant_q8_k(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 292)
+    d = np.ascontiguousarray(b[:, 0:4]).view(np.dtype("<f4")).reshape(-1, 1)
+    qs = b[:, 4:260].view(np.int8).astype(np.float32)
+    return (qs * d).astype(np.float32).reshape(-1)
+
+
+def dequant_iq4_xs(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 136)
+    d = _f16(b[:, 0:2])
+    scales_h = np.ascontiguousarray(b[:, 2:4]).view(np.dtype("<u2")).reshape(-1).astype(np.uint32)
+    scales_l = b[:, 4:8]
+    qs = b[:, 8:136]
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    for ib in range(8):  # 8 groups of 32
+        ls = ((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0x0F).astype(np.uint32) | (
+            ((scales_h >> (2 * ib)) & 3) << 4
+        )
+        dl = d[:, 0] * (ls.astype(np.float32) - 32.0)
+        q = qs[:, ib * 16 : (ib + 1) * 16]
+        y[:, ib * 32 : ib * 32 + 16] = dl[:, None] * _IQ4NL[q & 0x0F]
+        y[:, ib * 32 + 16 : ib * 32 + 32] = dl[:, None] * _IQ4NL[q >> 4]
+    return y.reshape(-1)
+
+
+def dequant_tq1_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 54)
+    qs = b[:, 0:48]
+    qh = b[:, 48:52]
+    d = _f16(b[:, 52:54])
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+    pos = 0
+    # first 32 bytes → 5 elements each stride 32 (ggml dequantize_row_tq1_0)
+    for j, width in ((0, 32), (32, 16)):
+        nseg = 5
+        seg = qs[:, j : j + width].astype(np.uint16)
+        for m in range(nseg):
+            q = ((seg * pow3[m]) & 0xFF) * 3 // 256
+            y[:, pos : pos + width] = (q.astype(np.float32) - 1.0) * d
+            pos += width
+    seg = qh.astype(np.uint16)
+    for m in range(4):
+        q = ((seg * pow3[m]) & 0xFF) * 3 // 256
+        y[:, pos : pos + 4] = (q.astype(np.float32) - 1.0) * d
+        pos += 4
+    return y.reshape(-1)
+
+
+def dequant_tq2_0(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 66)
+    qs = b[:, 0:64]
+    d = _f16(b[:, 64:66])
+    nb = b.shape[0]
+    y = np.empty((nb, 256), dtype=np.float32)
+    pos = 0
+    for j in (0, 32):
+        seg = qs[:, j : j + 32]
+        for shift in (0, 2, 4, 6):
+            q = ((seg >> shift) & 3).astype(np.float32) - 1.0
+            y[:, pos : pos + 32] = q * d
+            pos += 32
+    return y.reshape(-1)
+
+
+# ============================ scalar fp formats =============================
+
+
+def dequant_f32(raw: np.ndarray) -> np.ndarray:
+    return np.frombuffer(raw.tobytes(), dtype="<f4").astype(np.float32)
+
+
+def dequant_f16(raw: np.ndarray) -> np.ndarray:
+    return np.frombuffer(raw.tobytes(), dtype="<f2").astype(np.float32)
+
+
+def dequant_bf16(raw: np.ndarray) -> np.ndarray:
+    u = np.frombuffer(raw.tobytes(), dtype="<u2").astype(np.uint32) << 16
+    return u.view(np.float32)
+
+
+def dequant_f64(raw: np.ndarray) -> np.ndarray:
+    return np.frombuffer(raw.tobytes(), dtype="<f8").astype(np.float32)
+
+
+def quant_f32(x: np.ndarray) -> np.ndarray:
+    return x.astype("<f4").view(np.uint8).reshape(-1)
+
+
+def quant_f16(x: np.ndarray) -> np.ndarray:
+    return x.astype("<f2").view(np.uint8).reshape(-1)
+
+
+def quant_bf16(x: np.ndarray) -> np.ndarray:
+    u = x.astype(np.float32).view(np.uint32)
+    # round-to-nearest-even on the truncated mantissa
+    rounded = ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16)
+    return rounded.astype("<u2").view(np.uint8).reshape(-1)
+
+
+# ============================== dispatch ====================================
+
+DEQUANTIZERS = {
+    GGMLType.F32: dequant_f32,
+    GGMLType.F16: dequant_f16,
+    GGMLType.BF16: dequant_bf16,
+    GGMLType.F64: dequant_f64,
+    GGMLType.Q4_0: dequant_q4_0,
+    GGMLType.Q4_1: dequant_q4_1,
+    GGMLType.Q5_0: dequant_q5_0,
+    GGMLType.Q5_1: dequant_q5_1,
+    GGMLType.Q8_0: dequant_q8_0,
+    GGMLType.MXFP4: dequant_mxfp4,
+    GGMLType.Q2_K: dequant_q2_k,
+    GGMLType.Q3_K: dequant_q3_k,
+    GGMLType.Q4_K: dequant_q4_k,
+    GGMLType.Q5_K: dequant_q5_k,
+    GGMLType.Q6_K: dequant_q6_k,
+    GGMLType.Q8_K: dequant_q8_k,
+    GGMLType.IQ4_NL: dequant_iq4_nl,
+    GGMLType.IQ4_XS: dequant_iq4_xs,
+    GGMLType.TQ1_0: dequant_tq1_0,
+    GGMLType.TQ2_0: dequant_tq2_0,
+}
+
+QUANTIZERS = {
+    GGMLType.F32: quant_f32,
+    GGMLType.F16: quant_f16,
+    GGMLType.BF16: quant_bf16,
+    GGMLType.Q4_0: quant_q4_0,
+    GGMLType.Q4_1: quant_q4_1,
+    GGMLType.Q5_0: quant_q5_0,
+    GGMLType.Q5_1: quant_q5_1,
+    GGMLType.Q8_0: quant_q8_0,
+    GGMLType.MXFP4: quant_mxfp4,
+    GGMLType.Q2_K: quant_q2_k,
+    GGMLType.Q3_K: quant_q3_k,
+    GGMLType.Q4_K: quant_q4_k,
+    GGMLType.Q5_K: quant_q5_k,
+    GGMLType.Q6_K: quant_q6_k,
+    GGMLType.IQ4_NL: quant_iq4_nl,
+}
+
+
+def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...] | None = None) -> np.ndarray:
+    """Decode a byte buffer of the given wire type to float32 (optionally reshaped)."""
+    fn = DEQUANTIZERS.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"no dequantizer for {ggml_type.name}")
+    out = fn(np.frombuffer(raw.tobytes() if isinstance(raw, np.ndarray) else bytes(raw), dtype=np.uint8))
+    return out.reshape(shape) if shape is not None else out
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+    """Encode float data (row length = last axis, multiple of block size) to bytes."""
+    fn = QUANTIZERS.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"no quantizer for {ggml_type.name}")
+    tr = GGML_TYPE_TRAITS[ggml_type]
+    if x.shape[-1] % tr.block_size != 0:
+        raise ValueError(f"row size {x.shape[-1]} not a multiple of {tr.block_size} for {ggml_type.name}")
+    return fn(np.ascontiguousarray(x, dtype=np.float32))

@@ -1,0 +1,111 @@
+"""Quant codec conformance tests.
+
+Three layers of checking (strategy mirrors the reference's
+test-quantize-fns.cpp round-trip/error-bound approach, SURVEY.md §4):
+ 1. our decode of reference-encoded bytes == reference decode, bit-exact
+    (oracle or committed goldens);
+ 2. our encode decoded by the reference == our decode (layout validity);
+ 3. encode→decode round-trip error bounds per format.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from superllama_tpu.gguf.constants import GGML_TYPE_TRAITS, GGMLType
+from superllama_tpu.gguf.quants import DEQUANTIZERS, QUANTIZERS, dequantize, quantize
+
+import ggml_oracle
+
+GOLDENS = Path(__file__).parent / "goldens" / "quants.npz"
+
+DEQ_TYPES = [
+    GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+    GGMLType.MXFP4, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+    GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0,
+]
+
+ENC_TYPES = [t for t in DEQ_TYPES if t in QUANTIZERS]
+
+# max RMS round-trip error per format (fraction of data std), informed by the
+# reference's per-format total_error bounds in test-quantize-fns.cpp
+RT_RMSE = {
+    GGMLType.Q4_0: 0.11, GGMLType.Q4_1: 0.11, GGMLType.Q5_0: 0.06,
+    GGMLType.Q5_1: 0.06, GGMLType.Q8_0: 0.008, GGMLType.MXFP4: 0.35,
+    GGMLType.Q2_K: 0.40, GGMLType.Q3_K: 0.25, GGMLType.Q4_K: 0.10,
+    GGMLType.Q5_K: 0.06, GGMLType.Q6_K: 0.03, GGMLType.IQ4_NL: 0.11,
+}
+
+
+def _data(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # smooth + gaussian, similar spirit to the reference's synthetic test data
+    x = 0.1 * np.cos(np.arange(n) * 0.1) + rng.normal(0, 0.5, n)
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    if GOLDENS.exists():
+        return dict(np.load(GOLDENS))
+    if not ggml_oracle.available():
+        pytest.skip("no oracle and no goldens")
+    data = {}
+    for t in DEQ_TYPES:
+        x = _data(1024, seed=int(t))
+        packed = ggml_oracle.quantize_ref(x.reshape(2, 512), t)
+        ref = ggml_oracle.dequantize_ref(packed, t, 1024)
+        data[f"{t.name}_packed"] = packed
+        data[f"{t.name}_ref"] = ref
+    GOLDENS.parent.mkdir(exist_ok=True)
+    np.savez_compressed(GOLDENS, **data)
+    return data
+
+
+@pytest.mark.parametrize("ttype", DEQ_TYPES, ids=lambda t: t.name)
+def test_decode_matches_reference(goldens, ttype):
+    """Our decoder must bit-match the reference decoder on reference bytes."""
+    packed = goldens[f"{ttype.name}_packed"]
+    ref = goldens[f"{ttype.name}_ref"]
+    mine = dequantize(packed, ttype)
+    np.testing.assert_array_equal(mine, ref, err_msg=f"{ttype.name} decode mismatch")
+
+
+@pytest.mark.parametrize("ttype", ENC_TYPES, ids=lambda t: t.name)
+def test_encode_layout_valid(ttype):
+    """Bytes we encode must decode identically under the reference decoder."""
+    if not ggml_oracle.available():
+        pytest.skip("oracle unavailable")
+    x = _data(2048, seed=int(ttype) + 100).reshape(4, 512)
+    packed = quantize(x, ttype)
+    ref = ggml_oracle.dequantize_ref(packed, ttype, x.size)
+    mine = dequantize(packed, ttype)
+    np.testing.assert_array_equal(mine, ref, err_msg=f"{ttype.name} layout mismatch")
+
+
+@pytest.mark.parametrize("ttype", ENC_TYPES, ids=lambda t: t.name)
+def test_roundtrip_error_bound(ttype):
+    x = _data(4096, seed=int(ttype) + 7)
+    packed = quantize(x.reshape(8, 512), ttype)
+    y = dequantize(packed, ttype)
+    rmse = float(np.sqrt(np.mean((x - y) ** 2)) / np.std(x))
+    assert rmse < RT_RMSE[ttype], f"{ttype.name}: rmse {rmse:.4f} > {RT_RMSE[ttype]}"
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.F16, GGMLType.BF16, GGMLType.F32], ids=lambda t: t.name)
+def test_fp_roundtrip(ttype):
+    x = _data(512)
+    y = dequantize(quantize(x, ttype), ttype)
+    tol = {GGMLType.F32: 0, GGMLType.F16: 1e-3, GGMLType.BF16: 1e-2}[ttype]
+    np.testing.assert_allclose(y, x, rtol=tol, atol=tol)
+
+
+def test_block_sizes_consistent():
+    for t, tr in GGML_TYPE_TRAITS.items():
+        assert tr.type_size > 0 and tr.block_size > 0
+    # spot-check known wire sizes
+    assert GGML_TYPE_TRAITS[GGMLType.Q4_K].type_size == 144
+    assert GGML_TYPE_TRAITS[GGMLType.Q6_K].type_size == 210
+    assert GGML_TYPE_TRAITS[GGMLType.Q4_0].type_size == 18
+    assert GGML_TYPE_TRAITS[GGMLType.MXFP4].type_size == 17
