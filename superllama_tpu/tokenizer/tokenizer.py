@@ -1,0 +1,330 @@
+"""SPM / BPE / WPM tokenizers (behavioral parity with src/llama-vocab.cpp
+llm_tokenizer_{spm,bpe,wpm}; original implementation)."""
+
+from __future__ import annotations
+
+import heapq
+import unicodedata
+from functools import lru_cache
+
+from .pretokenizers import regex_split
+from .vocab import TokenAttr, Vocab
+
+
+@lru_cache(maxsize=1)
+def _byte_to_unicode() -> dict[int, str]:
+    """GPT-2 byte↔unicode bijection used by byte-level BPE."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+@lru_cache(maxsize=1)
+def _unicode_to_byte() -> dict[str, int]:
+    return {v: k for k, v in _byte_to_unicode().items()}
+
+
+class Tokenizer:
+    """Unified tokenizer front-end; dispatches on vocab.model."""
+
+    def __init__(self, vocab: Vocab):
+        self.vocab = vocab
+        self.model = vocab.model
+        if self.model in ("gpt2",):
+            self._merge_rank = {m: i for i, m in enumerate(vocab.merges)}
+
+    # ------------------------------------------------------------- encode
+
+    def encode(self, text: str, add_special: bool = True, parse_special: bool = False) -> list[int]:
+        v = self.vocab
+        out: list[int] = []
+        fragments = v.partition_specials(text, parse_special)
+
+        if self.model == "llama":  # SPM
+            is_prev_special = True
+            if add_special and v.add_bos and v.bos_id >= 0:
+                out.append(v.bos_id)
+            for frag, tid in fragments:
+                if tid >= 0:
+                    out.append(tid)
+                    is_prev_special = True
+                else:
+                    t = frag
+                    if v.add_space_prefix and is_prev_special:
+                        t = " " + t
+                    self._spm_tokenize(t.replace(" ", "▁"), out)
+                    is_prev_special = False
+            if add_special and v.add_eos and v.eos_id >= 0:
+                out.append(v.eos_id)
+        elif self.model == "gpt2":  # BPE
+            if add_special and v.add_bos and v.bos_id >= 0:
+                out.append(v.bos_id)
+            for frag, tid in fragments:
+                if tid >= 0:
+                    out.append(tid)
+                else:
+                    self._bpe_tokenize(frag, out)
+            if add_special and v.add_eos and v.eos_id >= 0:
+                out.append(v.eos_id)
+        elif self.model == "bert":  # WPM
+            if add_special and v.bos_id >= 0:
+                out.append(v.bos_id)
+            for frag, tid in fragments:
+                if tid >= 0:
+                    out.append(tid)
+                else:
+                    self._wpm_tokenize(frag, out)
+            if add_special and v.sep_id >= 0:
+                out.append(v.sep_id)
+        else:
+            raise NotImplementedError(f"tokenizer model {self.model!r}")
+        return out
+
+    # ------------------------------------------------------------- SPM
+
+    def _spm_tokenize(self, text: str, out: list[int]):
+        """Greedy bigram merge by vocab score (llm_tokenizer_spm semantics)."""
+        v = self.vocab
+        data = text.encode("utf-8")
+        if not data:
+            return
+        # initial symbols: one per utf-8 character
+        sym_start: list[int] = []
+        i = 0
+        while i < len(data):
+            sym_start.append(i)
+            b = data[i]
+            i += 1 if b < 0x80 else (2 if b < 0xE0 else (3 if b < 0xF0 else 4))
+            i = min(i, len(data))
+        n_sym = len(sym_start)
+        size = [
+            (sym_start[k + 1] if k + 1 < n_sym else len(data)) - sym_start[k]
+            for k in range(n_sym)
+        ]
+        prev = list(range(-1, n_sym - 1))
+        nxt = list(range(1, n_sym + 1))
+        nxt[-1] = -1
+
+        rev_merge: dict[bytes, tuple[int, int]] = {}
+        heap: list[tuple[float, int, int]] = []  # (-score, left_idx, combined_size)
+
+        def try_add(left: int, right: int):
+            if left < 0 or right < 0 or right >= n_sym:
+                return
+            txt = bytes(data[sym_start[left] : sym_start[right] + size[right]])
+            tid = v.token_to_id.get(txt.decode("utf-8", errors="ignore") if False else None)
+            # llama.cpp looks up the raw byte string as utf-8; we mirror exactly:
+            try:
+                s = txt.decode("utf-8")
+            except UnicodeDecodeError:
+                return
+            tid = v.token_to_id.get(s)
+            if tid is None or tid >= v.n_tokens or not v.is_normal(tid):
+                return
+            heapq.heappush(heap, (-v.scores[tid], left, len(txt)))
+
+        for k in range(n_sym - 1):
+            try_add(k, k + 1)
+
+        while heap:
+            negscore, left, bsize = heapq.heappop(heap)
+            right = nxt[left]
+            if size[left] == 0 or right < 0 or size[right] == 0 or size[left] + size[right] != bsize:
+                continue
+            merged = bytes(data[sym_start[left] : sym_start[left] + bsize])
+            rev_merge[merged] = (left, right)
+            size[left] += size[right]
+            size[right] = 0
+            nxt[left] = nxt[right]
+            if nxt[right] >= 0:
+                prev[nxt[right]] = left
+            try_add(prev[left], left)
+            try_add(left, nxt[left])
+
+        def resegment(k: int):
+            txt = bytes(data[sym_start[k] : sym_start[k] + size[k]])
+            try:
+                tid = v.token_to_id.get(txt.decode("utf-8"))
+            except UnicodeDecodeError:
+                tid = None
+            if tid is not None:
+                out.append(tid)
+                return
+            pair = rev_merge.get(txt)
+            if pair is None:
+                for byte in txt:
+                    bt = v.byte_to_token(byte)
+                    out.append(bt if bt >= 0 else v.unk_id)
+                return
+            resegment(pair[0])
+            resegment(pair[1])
+
+        k = 0
+        while k != -1 and k < n_sym:
+            if size[k] > 0:
+                resegment(k)
+            k = nxt[k]
+
+    # ------------------------------------------------------------- BPE
+
+    def _bpe_tokenize(self, text: str, out: list[int]):
+        v = self.vocab
+        b2u = _byte_to_unicode()
+        for word in regex_split(text, v.pre):
+            enc = "".join(b2u[b] for b in word.encode("utf-8"))
+            parts = self._bpe_merge(enc)
+            for p in parts:
+                tid = v.token_to_id.get(p)
+                if tid is not None:
+                    out.append(tid)
+                else:
+                    for ch in p:
+                        tid = v.token_to_id.get(ch)
+                        if tid is not None:
+                            out.append(tid)
+
+    def _bpe_merge(self, enc: str) -> list[str]:
+        """Rank-based merge over byte-encoded characters."""
+        rank = self._merge_rank
+        n_sym = len(enc)
+        if n_sym == 0:
+            return []
+        sym = list(enc)
+        size = [1] * n_sym
+        prev = list(range(-1, n_sym - 1))
+        nxt = list(range(1, n_sym + 1))
+        nxt[-1] = -1
+        heap: list[tuple[int, int, int]] = []  # (rank, left, combined_len)
+
+        def txt(k: int) -> str:
+            return "".join(sym[k : k + size[k]]) if size[k] else ""
+
+        def try_add(left: int, right: int):
+            if left < 0 or right < 0:
+                return
+            lt, rt = txt(left), txt(right)
+            r = rank.get(lt + " " + rt)
+            if r is not None:
+                heapq.heappush(heap, (r, left, size[left] + size[right]))
+
+        for k in range(n_sym - 1):
+            try_add(k, k + 1)
+
+        while heap:
+            _, left, csize = heapq.heappop(heap)
+            right = nxt[left]
+            if size[left] == 0 or right < 0 or size[right] == 0 or size[left] + size[right] != csize:
+                continue
+            size[left] += size[right]
+            size[right] = 0
+            nxt[left] = nxt[right]
+            if nxt[right] >= 0:
+                prev[nxt[right]] = left
+            try_add(prev[left], left)
+            try_add(left, nxt[left])
+
+        parts = []
+        k = 0
+        while 0 <= k < n_sym:
+            if size[k] > 0:
+                parts.append(txt(k))
+            k = nxt[k]
+        return parts
+
+    # ------------------------------------------------------------- WPM
+
+    def _wpm_tokenize(self, text: str, out: list[int]):
+        """WPM preprocessing + greedy longest-match (llm_tokenizer_wpm_session):
+        NFD (marks kept), tolower, words split on whitespace; punctuation,
+        ASCII symbols, and CJK chars become single-char words; a word with no
+        full tokenization collapses to a single UNK."""
+        v = self.vocab
+        words: list[str] = [""]
+        # the reference's unicode_cpts_normalize_nfd maps each codepoint to the
+        # first codepoint of its NFD decomposition (base char, marks dropped)
+        for ch in text:
+            d = unicodedata.normalize("NFD", ch)
+            if d:
+                ch = d[0]
+            cp = ord(ch)
+            cat = unicodedata.category(ch)
+            if ch.isspace() or cat == "Zs":
+                if words[-1]:
+                    words.append("")
+                continue
+            if cp == 0 or cp == 0xFFFD or cat in ("Cc", "Cf"):
+                continue
+            ch = ch.lower()
+            if cat.startswith("P") or (cp < 0x7F and cat.startswith("S")) or _is_cjk_wpm(cp):
+                if words[-1]:
+                    words.append("")
+                words[-1] = ch
+                words.append("")
+            else:
+                words[-1] += ch
+        for word in words:
+            if not word:
+                continue
+            word1 = "▁" + word
+            toks: list[int] = []
+            i = 0
+            ok = True
+            while i < len(word1):
+                found = -1
+                for j in range(len(word1), i, -1):
+                    tid = v.token_to_id.get(word1[i:j])
+                    if tid is not None:
+                        found = tid
+                        i = j
+                        break
+                if found < 0:
+                    ok = False
+                    break
+                toks.append(found)
+            if ok and toks:
+                out.extend(toks)
+            else:
+                out.append(v.unk_id)
+
+    # ------------------------------------------------------------- decode
+
+    def token_to_piece(self, tid: int, special: bool = False) -> bytes:
+        v = self.vocab
+        text = v.tokens[tid]
+        attr = v.attrs[tid]
+        if attr & (TokenAttr.CONTROL | TokenAttr.UNKNOWN) and not special:
+            return b""
+        if attr & TokenAttr.BYTE:
+            if self.model == "llama" and text.startswith("<0x"):
+                return bytes([int(text[3:5], 16)])
+        if self.model in ("llama", "bert"):
+            return text.replace("▁", " ").encode("utf-8")
+        if self.model == "gpt2":
+            if attr & (TokenAttr.CONTROL | TokenAttr.USER_DEFINED) :
+                return text.encode("utf-8")
+            u2b = _unicode_to_byte()
+            return bytes(u2b.get(ch, ord("?")) for ch in text)
+        return text.encode("utf-8")
+
+    def decode(self, ids: list[int], special: bool = False) -> str:
+        data = b"".join(self.token_to_piece(t, special) for t in ids)
+        text = data.decode("utf-8", errors="replace")
+        # SPM: drop the leading dummy space that encode() inserted
+        if self.model == "llama" and self.vocab.add_space_prefix and text.startswith(" "):
+            text = text[1:]
+        return text
+
+
+def _is_cjk_wpm(cp: int) -> bool:
+    # note: 0x2B920 lower bound (not 0x2B820) mirrors the HF rust tokenizer
+    return (
+        0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F or 0x2B740 <= cp <= 0x2B81F or 0x2B920 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+    )
