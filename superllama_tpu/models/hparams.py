@@ -1,0 +1,119 @@
+"""Model hyperparameters loaded from GGUF metadata.
+
+Counterpart of src/llama-hparams.{h,cpp} + the per-arch KV reads in
+llama_model::load_hparams (src/llama-model.cpp:490). Keys are the GGUF
+ecosystem's standard "{arch}.*" metadata keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any
+
+if TYPE_CHECKING:
+    from ..gguf import GGUFReader
+
+ROPE_SCALING_NONE = "none"
+ROPE_SCALING_LINEAR = "linear"
+ROPE_SCALING_YARN = "yarn"
+
+
+@dataclass
+class HParams:
+    arch: str
+    n_vocab: int
+    n_ctx_train: int
+    n_embd: int
+    n_layer: int
+    n_head: int
+    n_head_kv: int
+    n_ff: int
+    n_rot: int
+    head_dim: int
+    head_dim_v: int
+    rms_eps: float = 1e-5
+    norm_eps: float = 1e-5
+    rope_freq_base: float = 10000.0
+    rope_scaling: str = ROPE_SCALING_NONE
+    rope_scale_factor: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_attn_factor: float = 1.0
+    rope_type: int = 0  # ROPE_TYPE_NORM; per-arch override
+    # MoE
+    n_expert: int = 0
+    n_expert_used: int = 0
+    n_ff_exp: int = 0
+    expert_weights_norm: bool = False
+    expert_gating_softmax: bool = True  # softmax vs sigmoid gating
+    # attention extras
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    swa_window: int = 0           # sliding window size (0 = full attention)
+    swa_pattern: int = 1          # every Nth layer is full-attention (iSWA)
+    # misc
+    f_embedding_scale: float = 1.0
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    def is_swa_layer(self, il: int) -> bool:
+        """True if layer uses sliding-window attention (iSWA pattern)."""
+        if self.swa_window <= 0:
+            return False
+        return (il + 1) % self.swa_pattern != 0
+
+
+# per-arch rope convention (table mirrors llama_model_rope_type,
+# src/llama-model.cpp; NORM = adjacent pairs, NEOX = split halves)
+ROPE_TYPE_BY_ARCH = {
+    "llama": 0, "llama4": 0, "deci": 0, "baichuan": 0, "starcoder2": 2,
+    "qwen2": 2, "qwen2moe": 2, "qwen3": 2, "qwen3moe": 2,
+    "mistral": 0, "mixtral": 0, "phi2": 2, "phi3": 2, "gemma": 2,
+    "gemma2": 2, "gemma3": 2, "stablelm": 2, "gptneox": 2, "olmo": 0,
+    "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
+    "exaone": 0, "nemotron": 2, "cohere2": 2, "glm4": 2, "deepseek2": 2,
+}
+
+
+def _k(md: dict, arch: str, suffix: str, default=None):
+    return md.get(f"{arch}.{suffix}", default)
+
+
+def hparams_from_gguf(reader: "GGUFReader") -> HParams:
+    md = reader.metadata
+    arch = md["general.architecture"]
+    n_embd = int(_k(md, arch, "embedding_length"))
+    n_head = int(_k(md, arch, "attention.head_count"))
+    n_head_kv = int(_k(md, arch, "attention.head_count_kv", n_head))
+    head_dim = int(_k(md, arch, "attention.key_length", n_embd // n_head))
+    head_dim_v = int(_k(md, arch, "attention.value_length", head_dim))
+    n_rot = int(_k(md, arch, "rope.dimension_count", head_dim))
+    n_vocab = int(_k(md, arch, "vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
+
+    scaling = str(_k(md, arch, "rope.scaling.type", ROPE_SCALING_NONE) or ROPE_SCALING_NONE)
+    hp = HParams(
+        arch=arch,
+        n_vocab=n_vocab,
+        n_ctx_train=int(_k(md, arch, "context_length", 2048)),
+        n_embd=n_embd,
+        n_layer=int(_k(md, arch, "block_count")),
+        n_head=n_head,
+        n_head_kv=n_head_kv,
+        n_ff=int(_k(md, arch, "feed_forward_length", 0)),
+        n_rot=n_rot,
+        head_dim=head_dim,
+        head_dim_v=head_dim_v,
+        rms_eps=float(_k(md, arch, "attention.layer_norm_rms_epsilon", 1e-5)),
+        norm_eps=float(_k(md, arch, "attention.layer_norm_epsilon", 1e-5)),
+        rope_freq_base=float(_k(md, arch, "rope.freq_base", 10000.0)),
+        rope_scaling=scaling,
+        rope_scale_factor=float(_k(md, arch, "rope.scaling.factor", 1.0)),
+        rope_orig_ctx=int(_k(md, arch, "rope.scaling.original_context_length", 0)),
+        rope_attn_factor=float(_k(md, arch, "rope.scaling.attn_factor", 1.0)),
+        rope_type=ROPE_TYPE_BY_ARCH.get(arch, 0),
+        n_expert=int(_k(md, arch, "expert_count", 0)),
+        n_expert_used=int(_k(md, arch, "expert_used_count", 0)),
+        n_ff_exp=int(_k(md, arch, "expert_feed_forward_length", 0)),
+        attn_logit_softcap=float(_k(md, arch, "attn_logit_softcapping", 0.0)),
+        final_logit_softcap=float(_k(md, arch, "final_logit_softcapping", 0.0)),
+        swa_window=int(_k(md, arch, "attention.sliding_window", 0)),
+    )
+    return hp

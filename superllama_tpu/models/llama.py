@@ -1,0 +1,145 @@
+"""Llama-family forward pass (llama/llama2/llama3/tinyllama/mistral/mixtral,
+qwen2/qwen3 incl. MoE variants via optional tensors).
+
+Behavioral reference: src/models/llama.cpp + the shared builder verbs in
+src/llama-graph.h:714-855 (build_norm/build_ffn/build_moe_ffn/build_attn).
+The design is TPU-native: a pure jittable function over a params pytree and a
+functional KV cache; no graph IR — XLA is the graph.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import jnp_ref as ops
+from ..runtime.kv_cache import (
+    KVCache,
+    causal_mask,
+    kv_advance,
+    kv_update_layer,
+    kv_write_slots,
+)
+from .hparams import ROPE_SCALING_YARN, HParams
+
+
+def dense_ffn(x: jax.Array, layer: dict) -> jax.Array:
+    gate = x @ layer["ffn_gate"] if "ffn_gate" in layer else None
+    up = x @ layer["ffn_up"]
+    act = ops.swiglu(gate, up) if gate is not None else ops.gelu(up)
+    return act @ layer["ffn_down"]
+
+
+def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+    """Mixture-of-experts FFN (semantics of build_moe_ffn, llama-graph.h:738).
+
+    Correctness-first dense formulation: every expert computes, selection
+    weights zero out unused experts. The expert-parallel sparse path lives in
+    parallel/expert.py.
+    """
+    B, T, E = *x.shape[:2], hp.n_expert
+    logits = x @ layer["ffn_gate_inp"]                       # (B,T,E)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)    # (B,T,K)
+    if hp.expert_weights_norm or True:  # mixtral/qwen-moe renormalize
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    # scatter top-k weights back to dense (B,T,E)
+    w = jnp.zeros_like(probs).at[
+        jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_i
+    ].set(top_w)
+    gate = jnp.einsum("btd,edf->btef", x, layer["ffn_gate_exps"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("btd,edf->btef", x, layer["ffn_up_exps"], preferred_element_type=jnp.float32)
+    act = (ops.silu(gate) * up).astype(x.dtype)              # (B,T,E,F)
+    down = jnp.einsum("btef,efo->bteo", act, layer["ffn_down_exps"], preferred_element_type=jnp.float32)
+    out = jnp.einsum("bteo,bte->bto", down, w).astype(x.dtype)
+    if "ffn_up_shexp" in layer:  # always-on shared expert
+        shexp = {
+            "ffn_gate": layer.get("ffn_gate_shexp"),
+            "ffn_up": layer["ffn_up_shexp"],
+            "ffn_down": layer["ffn_down_shexp"],
+        }
+        shexp = {k: v for k, v in shexp.items() if v is not None}
+        sh = dense_ffn(x, shexp)
+        if "ffn_gate_inp_shexp" in layer:
+            sh = sh * jax.nn.sigmoid(x @ layer["ffn_gate_inp_shexp"])
+        out = out + sh
+    return out
+
+
+def llama_forward(
+    params: dict,
+    hp: HParams,
+    tokens: jax.Array,   # (B, T) int32
+    pos: jax.Array,      # (B, T) int32; -1 marks padding rows/cols
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """One forward step (prefill or decode). Returns (logits (B,T,V), cache)."""
+    B, T = tokens.shape
+    H, Hkv, D, Dv = hp.n_head, hp.n_head_kv, hp.head_dim, hp.head_dim_v
+
+    if hp.rope_scaling == ROPE_SCALING_YARN and hp.rope_orig_ctx > 0:
+        inv_freq, mscale = ops.rope_frequencies(
+            D, hp.n_rot, hp.rope_freq_base, 1.0 / hp.rope_scale_factor,
+            ext_factor=1.0, attn_factor=hp.rope_attn_factor, orig_ctx=hp.rope_orig_ctx,
+        )
+    else:
+        scale = 1.0 / hp.rope_scale_factor if hp.rope_scaling == "linear" else 1.0
+        inv_freq, mscale = ops.rope_frequencies(D, hp.n_rot, hp.rope_freq_base, scale)
+
+    x = params["token_embd"][tokens] * hp.f_embedding_scale
+    slots = kv_write_slots(cache, T)
+    cache = kv_advance(cache, slots, pos)
+    mask_full = causal_mask(cache.pos, pos)
+    mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
+    safe_pos = jnp.maximum(pos, 0)
+
+    for il, layer in enumerate(params["layers"]):
+        h = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
+
+        q = h @ layer["wq"]
+        k = h @ layer["wk"]
+        v = h @ layer["wv"]
+        if "bq" in layer:
+            q = q + layer["bq"]
+        if "bk" in layer:
+            k = k + layer["bk"]
+        if "bv" in layer:
+            v = v + layer["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, Dv)
+        if "attn_q_norm" in layer:  # qwen3-style per-head norms
+            q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
+            k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
+
+        q = ops.apply_rope(q, safe_pos, inv_freq, hp.rope_type, mscale)
+        k = ops.apply_rope(k, safe_pos, inv_freq, hp.rope_type, mscale)
+
+        cache = kv_update_layer(cache, il, slots, k, v)
+        mask = mask_swa if hp.is_swa_layer(il) else mask_full
+        attn = ops.attention_ref(
+            q, cache.k[il], cache.v[il], mask,
+            scale=1.0 / (D ** 0.5),
+            logit_softcap=hp.attn_logit_softcap,
+        )
+        attn = attn.reshape(B, T, H * Dv) @ layer["wo"]
+        if "bo" in layer:
+            attn = attn + layer["bo"]
+        if "attn_post_norm" in layer:
+            attn = ops.rms_norm(attn, layer["attn_post_norm"], hp.rms_eps)
+        x = x + attn
+
+        h = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        ffn = moe_ffn(h, layer, hp) if "ffn_gate_exps" in layer else dense_ffn(h, layer)
+        if "ffn_post_norm" in layer:
+            ffn = ops.rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
+        x = x + ffn
+
+    x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
+    w_out = params.get("output")
+    logits = x @ w_out if w_out is not None else x @ params["token_embd"].T
+    if hp.final_logit_softcap > 0.0:
+        logits = hp.final_logit_softcap * jnp.tanh(
+            logits.astype(jnp.float32) / hp.final_logit_softcap
+        ).astype(logits.dtype)
+    return logits, cache

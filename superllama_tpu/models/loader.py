@@ -1,0 +1,116 @@
+"""GGUF → device params loader.
+
+Counterpart of llama_model_loader + llama_model::load_tensors
+(src/llama-model-loader.cpp, src/llama-model.cpp:2471): reads tensors by name,
+dequantizes (or keeps packed for the fused Pallas path), transposes matmul
+weights to (in, out) so forward passes use plain ``x @ w``, and places arrays
+on device (optionally sharded — see parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGMLType, GGUFReader
+from ..tokenizer import Tokenizer, vocab_from_gguf
+from .hparams import HParams, hparams_from_gguf
+
+
+@dataclass
+class LoadedModel:
+    hparams: HParams
+    params: dict[str, Any]
+    tokenizer: Tokenizer
+    metadata: dict[str, Any]
+    name: str = ""
+
+
+def _get(reader: GGUFReader, name: str, dtype, transpose: bool = True,
+         sharder: Callable[[str, np.ndarray], jax.Array] | None = None):
+    ti = reader.tensors.get(name)
+    if ti is None:
+        return None
+    arr = ti.astype_f32()
+    if transpose and arr.ndim == 2:
+        arr = arr.T                       # (out,in) → (in,out)
+    elif transpose and arr.ndim == 3:
+        arr = arr.transpose(0, 2, 1)      # (E,out,in) → (E,in,out)
+    if sharder is not None:
+        return sharder(name, arr.astype(_np_dtype(dtype)))
+    return jnp.asarray(arr, dtype=dtype)
+
+
+def _np_dtype(jdt):
+    return np.dtype(jnp.dtype(jdt).name) if jnp.dtype(jdt) != jnp.bfloat16 else jnp.bfloat16
+
+
+def load_model(path: str, dtype=jnp.float32,
+               sharder: Callable[[str, np.ndarray], jax.Array] | None = None) -> LoadedModel:
+    """Load a GGUF model: hparams + tokenizer + dequantized params pytree.
+
+    ``sharder(name, np_array) -> jax.Array`` lets parallel/ place each tensor
+    onto a mesh with the right PartitionSpec; default is single-device put.
+    """
+    reader = GGUFReader(path)
+    hp = hparams_from_gguf(reader)
+    # synthetic/test models may carry no tokenizer metadata
+    tok = (
+        Tokenizer(vocab_from_gguf(reader))
+        if "tokenizer.ggml.tokens" in reader.metadata
+        else None
+    )
+
+    g = lambda name, t=True: _get(reader, name, dtype, t, sharder)
+
+    params: dict[str, Any] = {
+        "token_embd": g("token_embd.weight", t=False),   # (V, E) row-lookup
+        "output_norm": g("output_norm.weight", t=False),
+        "output_norm_b": g("output_norm.bias", t=False),
+        "output": g("output.weight"),                     # None → tied embeddings
+        "layers": [],
+    }
+    for il in range(hp.n_layer):
+        p = f"blk.{il}."
+        layer = {
+            "attn_norm": g(p + "attn_norm.weight", t=False),
+            "attn_norm_b": g(p + "attn_norm.bias", t=False),
+            "wq": g(p + "attn_q.weight"),
+            "wk": g(p + "attn_k.weight"),
+            "wv": g(p + "attn_v.weight"),
+            "wo": g(p + "attn_output.weight"),
+            "bq": g(p + "attn_q.bias", t=False),
+            "bk": g(p + "attn_k.bias", t=False),
+            "bv": g(p + "attn_v.bias", t=False),
+            "bo": g(p + "attn_output.bias", t=False),
+            "attn_q_norm": g(p + "attn_q_norm.weight", t=False),
+            "attn_k_norm": g(p + "attn_k_norm.weight", t=False),
+            "ffn_norm": g(p + "ffn_norm.weight", t=False),
+            "ffn_norm_b": g(p + "ffn_norm.bias", t=False),
+            "ffn_gate": g(p + "ffn_gate.weight"),
+            "ffn_up": g(p + "ffn_up.weight"),
+            "ffn_down": g(p + "ffn_down.weight"),
+            # MoE
+            "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
+            "ffn_gate_exps": g(p + "ffn_gate_exps.weight"),
+            "ffn_up_exps": g(p + "ffn_up_exps.weight"),
+            "ffn_down_exps": g(p + "ffn_down_exps.weight"),
+            # shared expert (qwen2moe/deepseek2)
+            "ffn_gate_shexp": g(p + "ffn_gate_shexp.weight"),
+            "ffn_up_shexp": g(p + "ffn_up_shexp.weight"),
+            "ffn_down_shexp": g(p + "ffn_down_shexp.weight"),
+            "ffn_gate_inp_shexp": g(p + "ffn_gate_inp_shexp.weight"),
+            # post-norms (gemma2/3, olmo2)
+            "attn_post_norm": g(p + "attn_post_norm.weight", t=False),
+            "ffn_post_norm": g(p + "ffn_post_norm.weight", t=False),
+        }
+        params["layers"].append({k: v for k, v in layer.items() if v is not None})
+
+    md = dict(reader.metadata)
+    name = md.get("general.name", "")
+    reader.close()
+    return LoadedModel(hparams=hp, params=params, tokenizer=tok, metadata=md, name=name)

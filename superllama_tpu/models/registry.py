@@ -1,0 +1,42 @@
+"""Architecture registry: GGUF ``general.architecture`` → forward builder.
+
+Counterpart of the LLM_ARCH registry + build_graph dispatch
+(src/llama-arch.{h,cpp}, src/llama-model.cpp:7625). Many architectures share
+the llama-family forward, differentiated by hparams + optional tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from .llama import llama_forward
+
+ForwardFn = Callable  # (params, hp, tokens, pos, cache) -> (logits, cache)
+
+_REGISTRY: dict[str, ForwardFn] = {}
+
+
+def register(arch: str, fn: ForwardFn) -> None:
+    _REGISTRY[arch] = fn
+
+
+def get_forward(arch: str) -> ForwardFn:
+    fn = _REGISTRY.get(arch)
+    if fn is None:
+        raise NotImplementedError(
+            f"architecture {arch!r} not supported yet; known: {sorted(_REGISTRY)}"
+        )
+    return fn
+
+
+def supported_archs() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# llama-family archs that the shared forward covers via optional tensors
+for _arch in (
+    "llama", "llama2", "mistral", "mixtral", "tinyllama",
+    "qwen2", "qwen2moe", "qwen3", "qwen3moe",
+    "stablelm", "olmo", "exaone", "granite", "internlm2", "smollm3",
+):
+    register(_arch, llama_forward)

