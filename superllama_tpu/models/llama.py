@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import jnp_ref as ops
+from ..ops.qmatmul import qmatmul
+from ..ops.qtensor import QTensor
 from ..runtime.kv_cache import (
     KVCache,
     causal_mask,
@@ -23,11 +25,18 @@ from ..runtime.kv_cache import (
 from .hparams import ROPE_SCALING_YARN, HParams
 
 
+def mm(x: jax.Array, w) -> jax.Array:
+    """Matmul dispatch: dense array or fused-dequant QTensor."""
+    if isinstance(w, QTensor):
+        return qmatmul(x, w)
+    return x @ w
+
+
 def dense_ffn(x: jax.Array, layer: dict) -> jax.Array:
-    gate = x @ layer["ffn_gate"] if "ffn_gate" in layer else None
-    up = x @ layer["ffn_up"]
+    gate = mm(x, layer["ffn_gate"]) if "ffn_gate" in layer else None
+    up = mm(x, layer["ffn_up"])
     act = ops.swiglu(gate, up) if gate is not None else ops.gelu(up)
-    return act @ layer["ffn_down"]
+    return mm(act, layer["ffn_down"])
 
 
 def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
@@ -38,7 +47,7 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     parallel/expert.py.
     """
     B, T, E = *x.shape[:2], hp.n_expert
-    logits = x @ layer["ffn_gate_inp"]                       # (B,T,E)
+    logits = mm(x, layer["ffn_gate_inp"])                       # (B,T,E)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)    # (B,T,K)
     if hp.expert_weights_norm or True:  # mixtral/qwen-moe renormalize
@@ -61,7 +70,7 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
         shexp = {k: v for k, v in shexp.items() if v is not None}
         sh = dense_ffn(x, shexp)
         if "ffn_gate_inp_shexp" in layer:
-            sh = sh * jax.nn.sigmoid(x @ layer["ffn_gate_inp_shexp"])
+            sh = sh * jax.nn.sigmoid(mm(x, layer["ffn_gate_inp_shexp"]))
         out = out + sh
     return out
 
@@ -96,9 +105,9 @@ def llama_forward(
     for il, layer in enumerate(params["layers"]):
         h = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
 
-        q = h @ layer["wq"]
-        k = h @ layer["wk"]
-        v = h @ layer["wv"]
+        q = mm(h, layer["wq"])
+        k = mm(h, layer["wk"])
+        v = mm(h, layer["wv"])
         if "bq" in layer:
             q = q + layer["bq"]
         if "bk" in layer:
@@ -122,7 +131,7 @@ def llama_forward(
             scale=1.0 / (D ** 0.5),
             logit_softcap=hp.attn_logit_softcap,
         )
-        attn = attn.reshape(B, T, H * Dv) @ layer["wo"]
+        attn = mm(attn.reshape(B, T, H * Dv), layer["wo"])
         if "bo" in layer:
             attn = attn + layer["bo"]
         if "attn_post_norm" in layer:
@@ -137,7 +146,7 @@ def llama_forward(
 
     x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
     w_out = params.get("output")
-    logits = x @ w_out if w_out is not None else x @ params["token_embd"].T
+    logits = mm(x, w_out) if w_out is not None else x @ params["token_embd"].T
     if hp.final_logit_softcap > 0.0:
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap

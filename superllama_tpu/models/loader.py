@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf import GGMLType, GGUFReader
+from ..ops.qtensor import REPACKABLE, repack
 from ..tokenizer import Tokenizer, vocab_from_gguf
 from .hparams import HParams, hparams_from_gguf
 
@@ -31,10 +32,16 @@ class LoadedModel:
 
 
 def _get(reader: GGUFReader, name: str, dtype, transpose: bool = True,
-         sharder: Callable[[str, np.ndarray], jax.Array] | None = None):
+         sharder: Callable[[str, np.ndarray], jax.Array] | None = None,
+         keep_quantized: bool = False):
     ti = reader.tensors.get(name)
     if ti is None:
         return None
+    # fused-kernel path: keep 2-D matmul weights packed (ops/qtensor.py)
+    if (keep_quantized and transpose and len(ti.ne) == 2
+            and ti.ggml_type in REPACKABLE):
+        put = (lambda a: sharder(name, a)) if sharder is not None else None
+        return repack(ti.raw(), ti.ggml_type, ti.shape, device_put=put)
     arr = ti.astype_f32()
     if transpose and arr.ndim == 2:
         arr = arr.T                       # (out,in) → (in,out)
@@ -49,9 +56,13 @@ def _np_dtype(jdt):
     return np.dtype(jnp.dtype(jdt).name) if jnp.dtype(jdt) != jnp.bfloat16 else jnp.bfloat16
 
 
-def load_model(path: str, dtype=jnp.float32,
+def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                sharder: Callable[[str, np.ndarray], jax.Array] | None = None) -> LoadedModel:
-    """Load a GGUF model: hparams + tokenizer + dequantized params pytree.
+    """Load a GGUF model: hparams + tokenizer + params pytree.
+
+    keep_quantized=True keeps repackable 2-D weights packed as QTensors for
+    the fused Pallas dequant+matmul path (≈bits-per-weight HBM traffic);
+    other tensors are dequantized to ``dtype``.
 
     ``sharder(name, np_array) -> jax.Array`` lets parallel/ place each tensor
     onto a mesh with the right PartitionSpec; default is single-device put.
@@ -65,7 +76,7 @@ def load_model(path: str, dtype=jnp.float32,
         else None
     )
 
-    g = lambda name, t=True: _get(reader, name, dtype, t, sharder)
+    g = lambda name, t=True: _get(reader, name, dtype, t, sharder, keep_quantized)
 
     params: dict[str, Any] = {
         "token_embd": g("token_embd.weight", t=False),   # (V, E) row-lookup

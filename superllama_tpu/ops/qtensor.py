@@ -1,0 +1,278 @@
+"""QTensor: TPU-friendly repacked quantized weights.
+
+The GGUF block formats interleave scales and codes per 32/256-element block —
+hostile to 128-lane tiling. At load we repack each matmul weight (numpy shape
+(out=N, in=K), quantized along K) into structure-of-arrays form:
+
+    w[k, n] = (codes[k, n] - offset) * scales[k // gs, n] + adds[k // gs, n]
+
+ - codes: int8 (K, N), or uint8 (K//2, N) with two 4-bit codes per byte
+   (even k → low nibble) when ``nibble`` is set
+ - scales: float32 (K // gs, N); adds: optional float32 (K // gs, N)
+
+This is the analog of the reference's weight repacking for tiled GEMM
+(ggml-cpu/repack.cpp) redesigned for MXU/VMEM tiling; the per-element
+dequant ops and operand order match ggml-quants.c exactly, so repack→dequant
+is bit-identical to the GGUF decoders in gguf/quants.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..gguf.constants import GGMLType, KVALUES_IQ4NL, KVALUES_MXFP4
+from ..gguf.quants import (
+    _e8m0_to_fp32_half,
+    _f16,
+    _q3k_unpack_scales,
+    _unpack_scale_min_k4,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QTensor:
+    codes: jax.Array            # int8 (K, N) or uint8 (K//2, N) nibbles
+    scales: jax.Array           # f32 (K//gs, N)
+    adds: jax.Array | None      # f32 (K//gs, N) additive term, or None
+    group: int                  # gs
+    offset: int                 # subtracted from codes before scaling
+    nibble: bool                # codes are 2-per-byte packed 4-bit
+    K: int
+    N: int
+    ggml_type: GGMLType
+
+    def tree_flatten(self):
+        children = (self.codes, self.scales, self.adds)
+        aux = (self.group, self.offset, self.nibble, self.K, self.N, self.ggml_type)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):  # logical (K, N) — matmul-ready (in, out)
+        return (self.K, self.N)
+
+    @property
+    def nbytes(self):
+        n = self.codes.nbytes + self.scales.nbytes
+        return n + (self.adds.nbytes if self.adds is not None else 0)
+
+
+def _pack_nib4(codes_kn: np.ndarray) -> np.ndarray:
+    """(K, N) uint8 values in [0,15] → (K//2, N).
+
+    Group-local layout: within each 32-element k-group, the low nibbles of the
+    16 bytes hold elements 0..15 and the high nibbles elements 16..31. The
+    kernel unpack is then a concatenate along sublanes (no interleave), which
+    Mosaic lowers cleanly.
+    """
+    K, N = codes_kn.shape
+    c = codes_kn.reshape(K // 32, 32, N)
+    return (c[:, :16] | (c[:, 16:] << 4)).astype(np.uint8).reshape(K // 2, N)
+
+
+def unpack_nib4(packed, K: int):
+    """Inverse of _pack_nib4 (works on numpy or jax arrays)."""
+    xp = jax.numpy if isinstance(packed, jax.Array) else np
+    N = packed.shape[-1]
+    p = packed.reshape(K // 32, 16, N)
+    return xp.concatenate([p & 0x0F, p >> 4], axis=1).reshape(K, N)
+
+
+# --- per-format extraction: blocks (N, K/bs, type_size) → codes/scales/adds --
+
+
+def _extract(raw: np.ndarray, ttype: GGMLType, N: int, K: int):
+    """Return (codes (K,N) pre-pack, scales (K//gs,N), adds or None, gs,
+    offset, nibble)."""
+    t = GGMLType
+    if ttype == t.Q4_0:
+        b = raw.reshape(N, K // 32, 18)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 32)
+        qs = b[:, :, 2:18]
+        codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)      # (N, K/32, 32)
+        return codes, d, None, 32, 8, True
+    if ttype == t.Q4_1:
+        b = raw.reshape(N, K // 32, 20)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 32)
+        m = _f16(b[:, :, 2:4].reshape(-1, 2)).reshape(N, K // 32)
+        qs = b[:, :, 4:20]
+        codes = np.concatenate([qs & 0x0F, qs >> 4], axis=2)
+        return codes, d, m, 32, 0, True
+    if ttype == t.Q5_0:
+        b = raw.reshape(N, K // 32, 22)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 32)
+        qh = np.ascontiguousarray(b[:, :, 2:6]).view("<u4")[..., 0].astype(np.uint32)
+        qs = b[:, :, 6:22]
+        j = np.arange(16, dtype=np.uint32)
+        lo = ((qs & 0x0F) | (((qh[..., None] >> j) << 4) & 0x10)).astype(np.int16) - 16
+        hi = ((qs >> 4) | ((qh[..., None] >> (j + 12)) & 0x10)).astype(np.int16) - 16
+        codes = np.concatenate([lo, hi], axis=2).astype(np.int8)
+        return codes, d, None, 32, 0, False
+    if ttype == t.Q5_1:
+        b = raw.reshape(N, K // 32, 24)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 32)
+        m = _f16(b[:, :, 2:4].reshape(-1, 2)).reshape(N, K // 32)
+        qh = np.ascontiguousarray(b[:, :, 4:8]).view("<u4")[..., 0].astype(np.uint32)
+        qs = b[:, :, 8:24]
+        j = np.arange(16, dtype=np.uint32)
+        lo = ((qs & 0x0F) | (((qh[..., None] >> j) << 4) & 0x10)).astype(np.uint8)
+        hi = ((qs >> 4) | ((qh[..., None] >> (j + 12)) & 0x10)).astype(np.uint8)
+        codes = np.concatenate([lo, hi], axis=2).astype(np.int8)
+        return codes, d, m, 32, 0, False
+    if ttype == t.Q8_0:
+        b = raw.reshape(N, K // 32, 34)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 32)
+        codes = b[:, :, 2:34].view(np.int8)
+        return codes, d, None, 32, 0, False
+    if ttype == t.MXFP4:
+        b = raw.reshape(N, K // 32, 17)
+        d = _e8m0_to_fp32_half(b[:, :, 0].reshape(-1)).reshape(N, K // 32)
+        qs = b[:, :, 1:17]
+        lut = np.array(KVALUES_MXFP4, np.int8)
+        codes = np.concatenate([lut[qs & 0x0F], lut[qs >> 4]], axis=2)
+        return codes, d, None, 32, 0, False
+    if ttype == t.IQ4_NL:
+        b = raw.reshape(N, K // 32, 18)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 32)
+        qs = b[:, :, 2:18]
+        lut = np.array(KVALUES_IQ4NL, np.int8)
+        codes = np.concatenate([lut[qs & 0x0F], lut[qs >> 4]], axis=2)
+        return codes, d, None, 32, 0, False
+    if ttype == t.Q4_K:
+        b = raw.reshape(N, K // 256, 144)
+        nb = N * K // 256
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(nb)
+        dmin = _f16(b[:, :, 2:4].reshape(-1, 2)).reshape(nb)
+        sc, mn = _unpack_scale_min_k4(b[:, :, 4:16].reshape(nb, 12))
+        scales = (d[:, None] * sc).reshape(N, K // 256, 8)
+        adds = (-(dmin[:, None] * mn)).reshape(N, K // 256, 8)
+        qs = b[:, :, 16:144].reshape(N, K // 256, 4, 32)
+        codes = np.concatenate([qs & 0x0F, qs >> 4], axis=3)       # (N,sb,4,64)
+        codes = codes.reshape(N, K // 256, 256)
+        return codes, scales.reshape(N, K // 32), adds.reshape(N, K // 32), 32, 0, True
+    if ttype == t.Q5_K:
+        b = raw.reshape(N, K // 256, 176)
+        nb = N * K // 256
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(nb)
+        dmin = _f16(b[:, :, 2:4].reshape(-1, 2)).reshape(nb)
+        sc, mn = _unpack_scale_min_k4(b[:, :, 4:16].reshape(nb, 12))
+        scales = (d[:, None] * sc).reshape(N, K // 32)
+        adds = (-(dmin[:, None] * mn)).reshape(N, K // 32)
+        qh = b[:, :, 16:48]
+        ql = b[:, :, 48:176].reshape(N, K // 256, 4, 32)
+        codes = np.empty((N, K // 256, 4, 64), np.int8)
+        for j in range(4):
+            h1 = np.where(qh & (1 << (2 * j)), 16, 0)
+            h2 = np.where(qh & (2 << (2 * j)), 16, 0)
+            codes[:, :, j, :32] = ((ql[:, :, j] & 0x0F) + h1).astype(np.int8)
+            codes[:, :, j, 32:] = ((ql[:, :, j] >> 4) + h2).astype(np.int8)
+        return codes.reshape(N, K // 256, 256), scales, adds, 32, 0, False
+    if ttype == t.Q6_K:
+        b = raw.reshape(N, K // 256, 210)
+        nb = N * K // 256
+        ql = b[:, :, 0:128]
+        qh = b[:, :, 128:192]
+        sc8 = b[:, :, 192:208].view(np.int8).astype(np.float32)
+        d = _f16(b[:, :, 208:210].reshape(-1, 2)).reshape(N, K // 256, 1)
+        scales = (d * sc8).reshape(N, K // 16)
+        codes = np.empty((N, K // 256, 256), np.int8)
+        for half, n0 in ((0, 0), (1, 128)):
+            lq = ql[:, :, half * 64 : half * 64 + 64]
+            hq = qh[:, :, half * 32 : half * 32 + 32]
+            codes[:, :, n0 + 0 : n0 + 32] = (((lq[:, :, 0:32] & 0x0F) | (((hq >> 0) & 3) << 4)).astype(np.int16) - 32).astype(np.int8)
+            codes[:, :, n0 + 32 : n0 + 64] = (((lq[:, :, 32:64] & 0x0F) | (((hq >> 2) & 3) << 4)).astype(np.int16) - 32).astype(np.int8)
+            codes[:, :, n0 + 64 : n0 + 96] = (((lq[:, :, 0:32] >> 4) | (((hq >> 4) & 3) << 4)).astype(np.int16) - 32).astype(np.int8)
+            codes[:, :, n0 + 96 : n0 + 128] = (((lq[:, :, 32:64] >> 4) | (((hq >> 6) & 3) << 4)).astype(np.int16) - 32).astype(np.int8)
+        return codes, scales, None, 16, 0, False
+    if ttype == t.Q2_K:
+        b = raw.reshape(N, K // 256, 84)
+        nb = N * K // 256
+        sb = b[:, :, 0:16]
+        qs = b[:, :, 16:80]
+        d = _f16(b[:, :, 80:82].reshape(-1, 2)).reshape(N, K // 256, 1)
+        dmin = _f16(b[:, :, 82:84].reshape(-1, 2)).reshape(N, K // 256, 1)
+        scales = (d * (sb & 0x0F)).reshape(N, K // 16)
+        adds = (-(dmin * (sb >> 4))).reshape(N, K // 16)
+        codes = np.empty((N, K // 256, 256), np.int8)
+        pos = 0
+        i_s = 0
+        for n0 in (0, 128):
+            q = qs[:, :, n0 // 4 : n0 // 4 + 32]
+            for shift in (0, 2, 4, 6):
+                for half in (0, 16):
+                    codes[:, :, pos : pos + 16] = (q[:, :, half : half + 16] >> shift) & 3
+                    pos += 16
+        return codes, scales, adds, 16, 0, False
+    if ttype == t.Q3_K:
+        b = raw.reshape(N, K // 256, 110)
+        nb = N * K // 256
+        hm = b[:, :, 0:32]
+        qs = b[:, :, 32:96]
+        sc6 = _q3k_unpack_scales(b[:, :, 96:108].reshape(nb, 12)).astype(np.float32) - 32.0
+        d = _f16(b[:, :, 108:110].reshape(-1, 2)).reshape(N, K // 256, 1)
+        scales = (d * sc6.reshape(N, K // 256, 16)).reshape(N, K // 16)
+        codes = np.empty((N, K // 256, 256), np.int8)
+        pos = 0
+        m = 1
+        for n0 in (0, 128):
+            q = qs[:, :, n0 // 4 : n0 // 4 + 32]
+            for shift in (0, 2, 4, 6):
+                for half in (0, 16):
+                    low = ((q[:, :, half : half + 16] >> shift) & 3).astype(np.int8)
+                    hbit = np.where(hm[:, :, half : half + 16] & m, 0, 4).astype(np.int8)
+                    codes[:, :, pos : pos + 16] = low - hbit
+                    pos += 16
+                m <<= 1
+            m = m  # m continues across halves (1..128 over 8 shifts)
+        return codes, scales, None, 16, 0, False
+    raise NotImplementedError(f"no repack for {ttype.name}")
+
+
+def repack(raw: np.ndarray, ttype: GGMLType, out_in_shape: tuple[int, int],
+           device_put=None) -> QTensor:
+    """Repack GGUF packed bytes (row-major (N,K) blocks) into a QTensor."""
+    N, K = out_in_shape
+    codes, scales, adds, gs, offset, nibble = _extract(
+        np.frombuffer(raw.tobytes(), np.uint8), ttype, N, K
+    )
+    codes = codes.reshape(N, K).T                           # (K, N)
+    codes = _pack_nib4(codes.astype(np.uint8)) if nibble else codes.astype(np.int8)
+    scales = np.ascontiguousarray(scales.reshape(N, K // gs).T, np.float32)
+    if adds is not None:
+        adds = np.ascontiguousarray(adds.reshape(N, K // gs).T, np.float32)
+    put = device_put or jax.numpy.asarray
+    return QTensor(
+        codes=put(np.ascontiguousarray(codes)),
+        scales=put(scales),
+        adds=put(adds) if adds is not None else None,
+        group=gs, offset=offset, nibble=nibble, K=K, N=N, ggml_type=ttype,
+    )
+
+
+REPACKABLE = {
+    GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+    GGMLType.MXFP4, GGMLType.IQ4_NL, GGMLType.Q2_K, GGMLType.Q3_K,
+    GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+}
+
+
+def dequant_qtensor(qt: QTensor, dtype=None):
+    """Reference dequant of a QTensor → (K, N) array (jnp)."""
+    import jax.numpy as jnp
+
+    codes = unpack_nib4(qt.codes, qt.K) if qt.nibble else qt.codes
+    q = codes.astype(jnp.float32) - qt.offset
+    gs = qt.group
+    w = q.reshape(qt.K // gs, gs, qt.N) * qt.scales[:, None, :]
+    if qt.adds is not None:
+        w = w + qt.adds[:, None, :]
+    w = w.reshape(qt.K, qt.N)
+    return w.astype(dtype) if dtype is not None else w

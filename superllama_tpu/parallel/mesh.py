@@ -1,0 +1,97 @@
+"""Device mesh + sharding policy.
+
+TPU-native replacement for the reference's multi-device machinery
+(ggml_backend_sched split placement, LLAMA_SPLIT_MODE_LAYER/ROW —
+include/llama.h:191-194 — and the fork's llama_multi_gpu_manager strategies,
+src/llama-multi-gpu.h:93-100): instead of assigning layers/rows to devices and
+inserting copies, we annotate every weight with a PartitionSpec over a Mesh
+and let GSPMD insert/overlap the collectives over ICI.
+
+Axes:
+  dp — data parallel (batch)          [DCN or ICI]
+  tp — tensor parallel (heads / ffn)  [ICI]
+  ep — expert parallel (MoE experts)  [ICI]
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              tp: int | None = None, ep: int = 1) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if tp is None:
+        # default: all-TP within a host (ICI-friendly), DP across what's left
+        tp = n if dp is None else n // (dp * ep)
+    if dp is None:
+        dp = n // (tp * ep)
+    assert dp * tp * ep == n, f"mesh {dp}x{tp}x{ep} != {n} devices"
+    grid = np.array(devs[:n]).reshape(dp, tp, ep)
+    return Mesh(grid, ("dp", "tp", "ep"))
+
+
+# weight-name pattern → PartitionSpec (matmul weights are stored (in, out))
+_RULES: list[tuple[str, P]] = [
+    (r"token_embd$", P(None, "tp")),            # (V, E): shard embed dim
+    (r"output$", P(None, "tp")),                # (E, V): column/vocab split
+    (r"(wq|wk|wv)$", P(None, "tp")),            # (E, H*D): head split
+    (r"wo$", P("tp", None)),                    # (H*D, E): row split → psum
+    (r"(ffn_gate|ffn_up)(_shexp)?$", P(None, "tp")),
+    (r"ffn_down(_shexp)?$", P("tp", None)),
+    (r"ffn_gate_inp(_shexp)?$", P(None, None)),  # router: replicated
+    (r"(ffn_gate_exps|ffn_up_exps)$", P("ep", None, "tp")),
+    (r"ffn_down_exps$", P("ep", "tp", None)),
+    (r"(bq|bk|bv)$", P("tp")),
+    (r".*", P()),                                # norms, biases: replicated
+]
+
+
+def spec_for(name: str) -> P:
+    for pat, spec in _RULES:
+        if re.search(pat, name):
+            return spec
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a params pytree onto the mesh per the policy rules."""
+
+    def place(path: str, x):
+        spec = spec_for(path)
+        # drop axes that exceed the array rank (e.g. biases)
+        if len(spec) > x.ndim:
+            spec = P(*spec[: x.ndim])
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = [
+                {lk: place(lk, lv) for lk, lv in layer.items()} for layer in v
+            ]
+        elif v is not None:
+            out[k] = place(k, v)
+        else:
+            out[k] = None
+    return out
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def kv_sharding(mesh: Mesh):
+    """KV cache: batch over dp, kv-heads over tp."""
+    return {
+        "k": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
+        "v": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
+        "pos": NamedSharding(mesh, P("dp", None)),
+        "cursor": NamedSharding(mesh, P("dp")),
+    }

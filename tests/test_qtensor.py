@@ -1,0 +1,90 @@
+"""QTensor repack + fused qmatmul conformance.
+
+The harness design mirrors tests/test-backend-ops.cpp (SURVEY.md §4): every
+optimized kernel is compared against the jnp reference with NMSE tolerance;
+repack→dequant must additionally bit-match the GGUF block decoders.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from superllama_tpu.gguf import GGMLType, dequantize, quantize
+from superllama_tpu.ops.qmatmul import qmatmul, qmatmul_ref
+from superllama_tpu.ops.qtensor import REPACKABLE, dequant_qtensor, repack
+
+import ggml_oracle
+
+RTYPES = sorted(REPACKABLE, key=int)
+
+
+def _weight(N=64, K=512, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(0, 0.5, (N, K)) + 0.05 * np.cos(np.arange(K))).astype(np.float32)
+
+
+def _packed(w, ttype):
+    """Reference-encoded GGUF bytes when the oracle is available (exercises
+    real encoder output incl. search-based scales), else our encoder."""
+    if ggml_oracle.available():
+        return ggml_oracle.quantize_ref(w, ttype)
+    return quantize(w, ttype)
+
+
+@pytest.mark.parametrize("ttype", RTYPES, ids=lambda t: t.name)
+def test_repack_dequant_bitexact(ttype):
+    """repack → dequant must equal the GGUF block decoder bit-for-bit."""
+    w = _weight()
+    raw = _packed(w, ttype)
+    ref = dequantize(raw, ttype, w.shape)           # (N, K)
+    qt = repack(raw, ttype, w.shape)
+    got = np.asarray(dequant_qtensor(qt))           # (K, N)
+    np.testing.assert_array_equal(got.T, ref, err_msg=f"{ttype.name}")
+
+
+@pytest.mark.parametrize("ttype", RTYPES, ids=lambda t: t.name)
+def test_qmatmul_matches_reference(ttype):
+    """Pallas fused kernel (interpret on CPU) vs dequant+matmul, NMSE bound."""
+    w = _weight()
+    raw = _packed(w, ttype)
+    qt = repack(raw, ttype, w.shape)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (4, 512)).astype(np.float32))
+    ref = qmatmul_ref(x, qt)
+    got = qmatmul(x, qt)
+    nmse = float(jnp.mean((got - ref) ** 2) / jnp.mean(ref ** 2))
+    assert nmse < 1e-7, f"{ttype.name}: NMSE {nmse:g}"
+
+
+def test_qmatmul_odd_batch_and_3d():
+    w = _weight(N=128, K=256)
+    raw = _packed(w, GGMLType.Q4_K)
+    qt = repack(raw, GGMLType.Q4_K, w.shape)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 3, 256)).astype(np.float32))  # M=6, pad→8
+    ref = qmatmul_ref(x, qt)
+    got = qmatmul(x, qt)
+    assert got.shape == (2, 3, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_qmatmul_decode_shape():
+    """M=1 (decode GEMV) path."""
+    w = _weight(N=64, K=512)
+    raw = _packed(w, GGMLType.Q6_K)
+    qt = repack(raw, GGMLType.Q6_K, w.shape)
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (1, 512)).astype(np.float32))
+    ref = qmatmul_ref(x, qt)
+    got = qmatmul(x, qt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_memory_footprint():
+    """Packed nibble formats must stay ≈bits-per-weight in device memory."""
+    w = _weight(N=256, K=1024)
+    raw = _packed(w, GGMLType.Q4_K)
+    qt = repack(raw, GGMLType.Q4_K, w.shape)
+    bits_per_weight = qt.nbytes * 8 / (256 * 1024)
+    assert bits_per_weight < 7.0, bits_per_weight  # 4 code + 2×f32/32 scales
