@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import jnp_ref as ops
+from ..ops.flash_attention import flash_attention
 from ..ops.qmatmul import qmatmul
 from ..ops.qtensor import QTensor
 from ..runtime.kv_cache import (
@@ -81,9 +82,18 @@ def llama_forward(
     tokens: jax.Array,   # (B, T) int32
     pos: jax.Array,      # (B, T) int32; -1 marks padding rows/cols
     cache: KVCache,
+    flash: bool | None = None,
 ) -> tuple[jax.Array, KVCache]:
-    """One forward step (prefill or decode). Returns (logits (B,T,V), cache)."""
+    """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
+
+    flash=None auto-selects the Pallas flash-attention kernel on TPU for
+    prefill-sized T (where the T×S logits matrix dominates memory); decode
+    (T small) currently uses the XLA-fused reference — the batched-head
+    flash-decode variant is tracked as a perf follow-up.
+    """
     B, T = tokens.shape
+    if flash is None:
+        flash = jax.default_backend() == "tpu" and T >= 32
     H, Hkv, D, Dv = hp.n_head, hp.n_head_kv, hp.head_dim, hp.head_dim_v
 
     if hp.rope_scaling == ROPE_SCALING_YARN and hp.rope_orig_ctx > 0:
@@ -98,8 +108,9 @@ def llama_forward(
     x = params["token_embd"][tokens] * hp.f_embedding_scale
     slots = kv_write_slots(cache, T)
     cache = kv_advance(cache, slots, pos)
-    mask_full = causal_mask(cache.pos, pos)
-    mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
+    if not flash:  # flash masks positionally in-kernel; no HBM mask needed
+        mask_full = causal_mask(cache.pos, pos)
+        mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
     safe_pos = jnp.maximum(pos, 0)
 
     for il, layer in enumerate(params["layers"]):
@@ -125,12 +136,20 @@ def llama_forward(
         k = ops.apply_rope(k, safe_pos, inv_freq, hp.rope_type, mscale)
 
         cache = kv_update_layer(cache, il, slots, k, v)
-        mask = mask_swa if hp.is_swa_layer(il) else mask_full
-        attn = ops.attention_ref(
-            q, cache.k[il], cache.v[il], mask,
-            scale=1.0 / (D ** 0.5),
-            logit_softcap=hp.attn_logit_softcap,
-        )
+        swa = hp.swa_window if hp.is_swa_layer(il) else 0
+        if flash:
+            attn = flash_attention(
+                q, cache.k[il], cache.v[il], pos, cache.pos,
+                scale=1.0 / (D ** 0.5), swa_window=swa,
+                logit_softcap=hp.attn_logit_softcap,
+            )
+        else:
+            attn = ops.attention_ref(
+                q, cache.k[il], cache.v[il],
+                mask_swa if swa else mask_full,
+                scale=1.0 / (D ** 0.5),
+                logit_softcap=hp.attn_logit_softcap,
+            )
         attn = mm(attn.reshape(B, T, H * Dv), layer["wo"])
         if "bo" in layer:
             attn = attn + layer["bo"]

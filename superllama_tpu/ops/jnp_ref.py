@@ -118,23 +118,21 @@ def apply_rope(
 
 def attention_ref(
     q: jax.Array,        # (B, T, H, D)
-    k: jax.Array,        # (B, S, H_kv, D)
-    v: jax.Array,        # (B, S, H_kv, Dv)
+    k: jax.Array,        # (B, H_kv, S, D) — KV-cache layout (S on sublanes)
+    v: jax.Array,        # (B, H_kv, S, Dv)
     mask: jax.Array,     # (B, 1, T, S) additive, -inf for masked
     scale: float | None = None,
     logit_softcap: float = 0.0,
 ) -> jax.Array:
     """Reference scaled-dot-product attention with GQA broadcast, f32 softmax."""
     B, T, H, D = q.shape
-    S, H_kv = k.shape[1], k.shape[2]
+    H_kv, S = k.shape[1], k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     rep = H // H_kv
     qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)               # (B,H,T,D)
-    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)               # (B,Hkv,S,D)
-    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)               # (B,Hkv,S,Dv)
-    kf = jnp.repeat(kf, rep, axis=1)
-    vf = jnp.repeat(vf, rep, axis=1)
+    kf = jnp.repeat(k.astype(jnp.float32), rep, axis=1)            # (B,H,S,D)
+    vf = jnp.repeat(v.astype(jnp.float32), rep, axis=1)            # (B,H,S,Dv)
     logits = jnp.einsum("bhtd,bhsd->bhts", qf, kf) * scale
     if logit_softcap > 0.0:
         logits = logit_softcap * jnp.tanh(logits / logit_softcap)

@@ -88,10 +88,10 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def kv_sharding(mesh: Mesh):
-    """KV cache: batch over dp, kv-heads over tp."""
+    """KV cache (L, B, H_kv, S, D): batch over dp, kv-heads over tp."""
     return {
-        "k": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
-        "v": NamedSharding(mesh, P(None, "dp", None, "tp", None)),
+        "k": NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+        "v": NamedSharding(mesh, P(None, "dp", "tp", None, None)),
         "pos": NamedSharding(mesh, P("dp", None)),
         "cursor": NamedSharding(mesh, P("dp")),
     }

@@ -19,14 +19,14 @@ import jax.numpy as jnp
 
 
 class KVCache(NamedTuple):
-    k: jax.Array        # (n_layer, B, S, H_kv, D)
-    v: jax.Array        # (n_layer, B, S, H_kv, Dv)
+    k: jax.Array        # (n_layer, B, H_kv, S, D) — S on sublanes, D on lanes
+    v: jax.Array        # (n_layer, B, H_kv, S, Dv)
     pos: jax.Array      # (B, S) int32; -1 = empty slot
     cursor: jax.Array   # (B,) int32 next write slot
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def kv_cache_init(n_layer: int, batch: int, max_seq: int, n_head_kv: int,
@@ -34,8 +34,8 @@ def kv_cache_init(n_layer: int, batch: int, max_seq: int, n_head_kv: int,
                   dtype=jnp.bfloat16) -> KVCache:
     head_dim_v = head_dim_v if head_dim_v is not None else head_dim
     return KVCache(
-        k=jnp.zeros((n_layer, batch, max_seq, n_head_kv, head_dim), dtype),
-        v=jnp.zeros((n_layer, batch, max_seq, n_head_kv, head_dim_v), dtype),
+        k=jnp.zeros((n_layer, batch, n_head_kv, max_seq, head_dim), dtype),
+        v=jnp.zeros((n_layer, batch, n_head_kv, max_seq, head_dim_v), dtype),
         pos=jnp.full((batch, max_seq), -1, jnp.int32),
         cursor=jnp.zeros((batch,), jnp.int32),
     )
@@ -49,9 +49,15 @@ def kv_write_slots(cache: KVCache, n_new: int) -> jax.Array:
 def kv_update_layer(cache: KVCache, layer: int, slots: jax.Array,
                     k_new: jax.Array, v_new: jax.Array) -> KVCache:
     """Write (B, T, H_kv, D) new keys/values at the given slots for one layer."""
-    b_idx = jnp.arange(k_new.shape[0], dtype=jnp.int32)[:, None]
-    k = cache.k.at[layer, b_idx, slots].set(k_new.astype(cache.k.dtype))
-    v = cache.v.at[layer, b_idx, slots].set(v_new.astype(cache.v.dtype))
+    B, T = slots.shape
+    Hkv = k_new.shape[2]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]      # (B,1,1)
+    h_idx = jnp.arange(Hkv, dtype=jnp.int32)[None, :, None]    # (1,Hkv,1)
+    s_idx = slots[:, None, :]                                  # (B,1,T)
+    kt = k_new.transpose(0, 2, 1, 3).astype(cache.k.dtype)     # (B,Hkv,T,D)
+    vt = v_new.transpose(0, 2, 1, 3).astype(cache.v.dtype)
+    k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kt)
+    v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vt)
     return cache._replace(k=k, v=v)
 
 
