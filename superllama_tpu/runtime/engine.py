@@ -1,0 +1,313 @@
+"""Continuous-batching inference engine.
+
+Semantics counterpart of the reference server's slot machinery
+(tools/server/server-context.cpp:1947 update_slots: slot states, prompt
+chunking, mixed batches, per-slot sampling/stop handling) — redesigned for
+XLA's static-shape world:
+
+ - decode: ONE jitted (B, 1) step over all slots; idle slots ride along with
+   pos = -1 padding (masked, cursor not advanced)
+ - prefill: a separate (1, P) jitted step into a scratch cache at bucketed
+   lengths P ∈ PREFILL_BUCKETS (bounded compile count), then an `insert` jit
+   copies the prefilled rows into the target slot of the big cache
+   (JetStream-style prefill/insert/generate split)
+ - sampling: host-side SamplerChain per slot (full chain incl. penalties/DRY);
+   on-device greedy fast path planned with backend samplers
+
+Thread model: submit() enqueues; a single engine thread owns the device
+(mirrors the reference's single inference thread + queue_tasks loop).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.loader import LoadedModel
+from ..models.registry import get_forward
+from .kv_cache import KVCache, kv_cache_init
+from .sampling import SamplerChain, make_chain
+
+PREFILL_BUCKETS = (32, 128, 512, 1024, 2048)
+
+
+class SlotState(Enum):
+    IDLE = 0
+    GENERATING = 1
+
+
+@dataclass
+class GenRequest:
+    prompt_ids: list[int]
+    max_tokens: int = 128
+    stop_eog: bool = True
+    stop_strings: list[str] = field(default_factory=list)
+    sampling: dict = field(default_factory=dict)
+    stream: Optional[Callable[[int, str], None]] = None  # (token_id, piece)
+    request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
+    priority: int = 1
+    # filled by the engine
+    _done: threading.Event = field(default_factory=threading.Event)
+    _result: dict = field(default_factory=dict)
+
+    def result(self, timeout: float | None = None) -> dict:
+        if not self._done.wait(timeout):
+            raise TimeoutError(f"request {self.request_id} timed out")
+        if "error" in self._result:
+            raise RuntimeError(self._result["error"])
+        return self._result
+
+
+@dataclass
+class _Slot:
+    idx: int
+    state: SlotState = SlotState.IDLE
+    req: GenRequest | None = None
+    sampler: SamplerChain | None = None
+    n_past: int = 0
+    n_prompt: int = 0
+    generated: list[int] = field(default_factory=list)
+    text: str = ""
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+
+
+class Engine:
+    def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
+                 kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS):
+        self.model = model
+        hp = model.hparams
+        self.hp = hp
+        self.n_slots = n_slots
+        self.n_ctx = n_ctx
+        self.buckets = tuple(b for b in sorted(prefill_buckets) if b <= n_ctx) or (n_ctx,)
+        fwd = get_forward(hp.arch)
+        self._fwd = fwd
+        self.kv_dtype = kv_dtype
+
+        self.cache = kv_cache_init(hp.n_layer, n_slots, n_ctx, hp.n_head_kv,
+                                   hp.head_dim, hp.head_dim_v, dtype=kv_dtype)
+
+        def decode(params, tokens, pos, cache):
+            return fwd(params, hp, tokens, pos, cache)
+
+        self._decode = jax.jit(decode, donate_argnums=(3,))
+
+        def prefill(params, tokens, pos, cache):
+            return fwd(params, hp, tokens, pos, cache)
+
+        self._prefill = jax.jit(prefill, donate_argnums=(3,))
+
+        def insert(big: KVCache, small: KVCache, row, n_valid):
+            k = jax.lax.dynamic_update_slice(
+                big.k, small.k.astype(big.k.dtype), (0, row, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                big.v, small.v.astype(big.v.dtype), (0, row, 0, 0, 0))
+            # positions: overwrite the whole row (pad slice to row length)
+            pad = big.pos.shape[1] - small.pos.shape[1]
+            row_pos = jnp.pad(small.pos[0], (0, pad), constant_values=-1)
+            pos = jax.lax.dynamic_update_slice(big.pos, row_pos[None, :], (row, 0))
+            cursor = big.cursor.at[row].set(n_valid)
+            return KVCache(k=k, v=v, pos=pos, cursor=cursor)
+
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+
+        self.slots = [_Slot(i) for i in range(n_slots)]
+        self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
+        self._qseq = 0
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: threading.Thread | None = None
+        self.metrics = {
+            "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
+            "prefill_s": 0.0, "decode_s": 0.0, "n_decode_steps": 0,
+        }
+
+    # ----------------------------------------------------------- public API
+
+    def submit(self, req: GenRequest) -> GenRequest:
+        with self._lock:
+            self._qseq += 1
+            self._queue.put((-req.priority, self._qseq, req))
+        self.metrics["n_requests"] += 1
+        return req
+
+    def generate(self, prompt_ids: list[int], **kw) -> dict:
+        req = self.submit(GenRequest(prompt_ids=prompt_ids, **kw))
+        if not self._running:
+            self.run_until_drained()
+        return req.result()
+
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def run_until_drained(self):
+        """Synchronous mode: run steps until all work completes (tests/CLI)."""
+        while not self._queue.empty() or any(s.state != SlotState.IDLE for s in self.slots):
+            self.step()
+
+    # ----------------------------------------------------------- engine loop
+
+    def _loop(self):
+        while self._running:
+            busy = self.step()
+            if not busy:
+                time.sleep(0.002)
+
+    def step(self) -> bool:
+        """One scheduling iteration. Returns True if any work was done."""
+        launched = self._launch_waiting()
+        decoded = self._decode_step()
+        return launched or decoded
+
+    def _launch_waiting(self) -> bool:
+        launched = False
+        while True:
+            free = [s for s in self.slots if s.state == SlotState.IDLE]
+            if not free or self._queue.empty():
+                break
+            try:
+                _, _, req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            slot = free[0]
+            try:
+                self._start_request(slot, req)
+                launched = True
+            except Exception as e:  # surface errors to the caller
+                req._result["error"] = str(e)
+                req._done.set()
+        return launched
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _start_request(self, slot: _Slot, req: GenRequest):
+        ids = list(req.prompt_ids)
+        if not ids:
+            raise ValueError("empty prompt")
+        if len(ids) + req.max_tokens > self.n_ctx:
+            raise ValueError(
+                f"prompt ({len(ids)}) + max_tokens ({req.max_tokens}) exceeds n_ctx ({self.n_ctx})"
+            )
+        t0 = time.perf_counter()
+        P = self._bucket(len(ids))
+        n = len(ids)
+        # prompts longer than the biggest bucket prefill in several passes
+        scratch = kv_cache_init(self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
+                                self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
+        off = 0
+        logits = None
+        while off < n:
+            chunk = ids[off : off + P]
+            tok = np.full((1, P), 0, np.int32)
+            pos = np.full((1, P), -1, np.int32)
+            tok[0, : len(chunk)] = chunk
+            pos[0, : len(chunk)] = np.arange(off, off + len(chunk))
+            logits, scratch = self._prefill(
+                self.model.params, jnp.asarray(tok), jnp.asarray(pos), scratch)
+            off += len(chunk)
+        last_idx = (n - 1) % P if n % P != 0 else P - 1
+        last_logits = np.asarray(logits[0, last_idx], np.float32)
+
+        self.cache = self._insert(self.cache, scratch, slot.idx, n)
+        del scratch
+
+        slot.req = req
+        slot.state = SlotState.GENERATING
+        slot.n_past = n
+        slot.n_prompt = n
+        slot.generated = []
+        slot.text = ""
+        slot.t_start = t0
+        slot.sampler = make_chain(**req.sampling) if req.sampling else make_chain(greedy=True)
+        for t in ids[-64:]:
+            slot.sampler.ctx.recent_tokens.append(int(t))
+        self.metrics["n_prompt_tokens"] += n
+        self.metrics["prefill_s"] += time.perf_counter() - t0
+
+        # sample the first token from the prefill logits
+        self._emit(slot, slot.sampler.sample(last_logits))
+
+    def _decode_step(self) -> bool:
+        active = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not active:
+            return False
+        t0 = time.perf_counter()
+        tokens = np.zeros((self.n_slots, 1), np.int32)
+        pos = np.full((self.n_slots, 1), -1, np.int32)
+        for s in active:
+            tokens[s.idx, 0] = s.generated[-1]
+            pos[s.idx, 0] = s.n_past
+        logits, self.cache = self._decode(
+            self.model.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache)
+        logits_np = np.asarray(logits[:, 0], np.float32)
+        for s in active:
+            s.n_past += 1
+            self._emit(s, s.sampler.sample(logits_np[s.idx]))
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
+
+    def _emit(self, slot: _Slot, token: int):
+        req = slot.req
+        slot.generated.append(token)
+        self.metrics["n_tokens_generated"] += 1
+        if len(slot.generated) == 1:
+            slot.t_first_token = time.perf_counter()
+        tok = self.model.tokenizer
+        piece = ""
+        if tok is not None:
+            piece = tok.token_to_piece(token).decode("utf-8", errors="replace")
+            slot.text += piece
+        if req.stream:
+            try:
+                req.stream(token, piece)
+            except Exception:
+                pass
+        vocab = tok.vocab if tok else None
+        eog = req.stop_eog and vocab is not None and vocab.is_eog(token)
+        hit_stop = any(ss in slot.text for ss in req.stop_strings)
+        done = eog or hit_stop or len(slot.generated) >= req.max_tokens
+        if done or slot.n_past + 1 > self.n_ctx:
+            self._finish(slot, "stop" if (eog or hit_stop) else "length")
+
+    def _finish(self, slot: _Slot, finish_reason: str):
+        req = slot.req
+        text = slot.text
+        for ss in req.stop_strings:
+            i = text.find(ss)
+            if i >= 0:
+                text = text[:i]
+        req._result.update({
+            "tokens": list(slot.generated),
+            "text": text,
+            "finish_reason": finish_reason,
+            "n_prompt": slot.n_prompt,
+            "n_generated": len(slot.generated),
+            "ttft_s": slot.t_first_token - slot.t_start,
+            "total_s": time.perf_counter() - slot.t_start,
+        })
+        req._done.set()
+        slot.state = SlotState.IDLE
+        slot.req = None
+        slot.sampler = None

@@ -1,0 +1,448 @@
+"""HTTP inference server.
+
+Route surface mirrors the reference llama-server (tools/server/server.cpp:
+161-199): health/metrics/props/slots, tokenize/detokenize, completions,
+OpenAI /v1/chat/completions (incl. SSE), Anthropic /v1/messages (incl. SSE),
+plus the enterprise middleware (API keys, rate limiting, audit, SLA, cost).
+
+Host layer only — the device hot path lives in runtime/engine.py. Python's
+ThreadingHTTPServer is throughput-neutral here because all token work happens
+on the single engine thread (same architecture as the reference's HTTP pool +
+single inference thread).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from ..models.loader import LoadedModel
+from ..runtime.engine import Engine, GenRequest
+from .chat import template_for_model
+from .enterprise import (
+    ApiKeyManager,
+    AuditLogger,
+    ContentFilter,
+    CostTracker,
+    HealthMonitor,
+    RateLimiter,
+    SLAMonitor,
+)
+from .metrics import JsonlMetricsLogger, MetricsRegistry
+
+
+class ServerApp:
+    """Wires model + engine + enterprise middleware; transport-agnostic."""
+
+    def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
+                 api_keys: dict[str, str] | None = None,
+                 rate_limit_rpm: int = 0, model_name: str | None = None,
+                 kv_dtype=None, metrics_path: str | None = None):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.model_name = model_name or model.name or "model"
+        self.engine = Engine(model, n_slots=n_slots, n_ctx=n_ctx,
+                             kv_dtype=kv_dtype or jnp.bfloat16)
+        self.chat_template = template_for_model(model)
+        self.metrics = MetricsRegistry()
+        self.metrics.histogram_declare("request_duration_seconds",
+                                        [0.01, 0.05, 0.1, 0.5, 1, 2, 5, 10, 30, 60])
+        self.keys = ApiKeyManager()
+        self.require_auth = bool(api_keys)
+        for key, user in (api_keys or {}).items():
+            self.keys.create(key, user)
+        self.rate = RateLimiter(rate_limit_rpm or 10**9)
+        self.audit = AuditLogger()
+        self.sla = SLAMonitor()
+        self.cost = CostTracker()
+        self.health = HealthMonitor()
+        self.content_filter = ContentFilter()
+        self.jsonl = JsonlMetricsLogger(metrics_path)
+        self.health.register("engine", lambda: True)
+        self.t_start = time.time()
+
+    # ------------------------------------------------------------- helpers
+
+    def auth(self, headers) -> tuple[str | None, str | None]:
+        """Returns (client_id, error)."""
+        key = None
+        auth = headers.get("Authorization", "")
+        if auth.startswith("Bearer "):
+            key = auth[7:]
+        key = key or headers.get("x-api-key")
+        if not self.require_auth:
+            return (key and self.keys.validate(key)) or "anonymous", None
+        if not key:
+            return None, "missing API key"
+        user = self.keys.validate(key)
+        if user is None:
+            return None, "invalid API key"
+        return user, None
+
+    def _sampling_from(self, body: dict) -> dict:
+        s: dict[str, Any] = {}
+        if "temperature" in body:
+            s["temp"] = float(body["temperature"])
+        if "top_p" in body:
+            s["top_p"] = float(body["top_p"])
+        if "top_k" in body:
+            s["top_k"] = int(body["top_k"])
+        if "min_p" in body:
+            s["min_p"] = float(body["min_p"])
+        if "seed" in body and body["seed"] is not None:
+            s["seed"] = int(body["seed"])
+        if "repeat_penalty" in body:
+            s["penalty_repeat"] = float(body["repeat_penalty"])
+        if "frequency_penalty" in body:
+            s["penalty_freq"] = float(body["frequency_penalty"])
+        if "presence_penalty" in body:
+            s["penalty_present"] = float(body["presence_penalty"])
+        if body.get("temperature", 1.0) == 0.0:
+            s["greedy"] = True
+        return s
+
+    def _stops(self, body) -> list[str]:
+        stop = body.get("stop") or body.get("stop_sequences") or []
+        return [stop] if isinstance(stop, str) else list(stop)
+
+    # ------------------------------------------------------------- handlers
+
+    def handle_completion(self, body: dict, client: str, stream_cb=None) -> dict:
+        tok = self.model.tokenizer
+        prompt = body.get("prompt", "")
+        ids = (prompt if isinstance(prompt, list)
+               else tok.encode(prompt, add_special=True, parse_special=True))
+        max_tokens = int(body.get("max_tokens") or body.get("n_predict") or 128)
+        req = GenRequest(
+            prompt_ids=list(ids), max_tokens=max_tokens,
+            stop_strings=self._stops(body),
+            sampling=self._sampling_from(body), stream=stream_cb,
+        )
+        self.engine.submit(req)
+        out = req.result(timeout=600)
+        self.cost.record(client, self.model_name, out["n_prompt"], out["n_generated"])
+        return {
+            "id": "cmpl-" + uuid.uuid4().hex[:24],
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{
+                "index": 0, "text": out["text"],
+                "finish_reason": out["finish_reason"], "logprobs": None,
+            }],
+            "usage": {
+                "prompt_tokens": out["n_prompt"],
+                "completion_tokens": out["n_generated"],
+                "total_tokens": out["n_prompt"] + out["n_generated"],
+            },
+            "timings": {"ttft_s": out["ttft_s"], "total_s": out["total_s"]},
+        }
+
+    def handle_chat(self, body: dict, client: str, stream_cb=None) -> dict:
+        prompt = self.chat_template.apply(body["messages"], add_generation_prompt=True)
+        inner = dict(body)
+        inner["prompt"] = prompt
+        inner.setdefault("max_tokens", body.get("max_tokens") or 512)
+        out = self.handle_completion(inner, client, stream_cb)
+        return {
+            "id": "chatcmpl-" + uuid.uuid4().hex[:24],
+            "object": "chat.completion",
+            "created": out["created"],
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out["choices"][0]["text"]},
+                "finish_reason": out["choices"][0]["finish_reason"],
+            }],
+            "usage": out["usage"],
+        }
+
+    def handle_anthropic_messages(self, body: dict, client: str, stream_cb=None) -> dict:
+        """Anthropic Messages API compatibility (/v1/messages)."""
+        messages = list(body.get("messages", []))
+        if body.get("system"):
+            sys_content = body["system"]
+            if isinstance(sys_content, list):
+                sys_content = "".join(b.get("text", "") for b in sys_content)
+            messages = [{"role": "system", "content": sys_content}] + messages
+        # flatten content blocks
+        for m in messages:
+            if isinstance(m.get("content"), list):
+                m["content"] = "".join(
+                    b.get("text", "") for b in m["content"] if b.get("type") == "text"
+                )
+        prompt = self.chat_template.apply(messages, add_generation_prompt=True)
+        inner = {
+            "prompt": prompt,
+            "max_tokens": body.get("max_tokens", 512),
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+            "top_k": body.get("top_k", 0),
+            "stop": body.get("stop_sequences", []),
+        }
+        out = self.handle_completion(inner, client, stream_cb)
+        stop_map = {"stop": "end_turn", "length": "max_tokens"}
+        return {
+            "id": "msg_" + uuid.uuid4().hex[:24],
+            "type": "message",
+            "role": "assistant",
+            "model": body.get("model", self.model_name),
+            "content": [{"type": "text", "text": out["choices"][0]["text"]}],
+            "stop_reason": stop_map.get(out["choices"][0]["finish_reason"], "end_turn"),
+            "stop_sequence": None,
+            "usage": {
+                "input_tokens": out["usage"]["prompt_tokens"],
+                "output_tokens": out["usage"]["completion_tokens"],
+            },
+        }
+
+    def props(self) -> dict:
+        hp = self.model.hparams
+        return {
+            "model": self.model_name,
+            "arch": hp.arch,
+            "n_ctx": self.engine.n_ctx,
+            "n_slots": self.engine.n_slots,
+            "n_vocab": hp.n_vocab,
+            "n_layer": hp.n_layer,
+            "uptime_s": time.time() - self.t_start,
+            "chat_template": self.chat_template.source[:200],
+        }
+
+    def slots(self) -> list[dict]:
+        return [{
+            "id": s.idx,
+            "state": s.state.name,
+            "n_past": s.n_past,
+            "n_generated": len(s.generated),
+            "request_id": s.req.request_id if s.req else None,
+        } for s in self.engine.slots]
+
+    def prometheus_text(self) -> str:
+        m = self.engine.metrics
+        self.metrics.gauge_set("slots_busy", sum(s.state.value != 0 for s in self.engine.slots))
+        self.metrics.gauge_set("queue_depth", self.engine._queue.qsize())
+        self.metrics.gauge_set("tokens_generated_total", m["n_tokens_generated"])
+        self.metrics.gauge_set("prompt_tokens_total", m["n_prompt_tokens"])
+        self.metrics.gauge_set("requests_total", m["n_requests"])
+        sla = self.sla.snapshot()
+        self.metrics.gauge_set("latency_p50_seconds", sla["p50_s"])
+        self.metrics.gauge_set("latency_p95_seconds", sla["p95_s"])
+        self.metrics.gauge_set("error_rate", sla["error_rate"])
+        return self.metrics.expose()
+
+
+def make_handler(app: ServerApp):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send_json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _err(self, code, msg, etype="invalid_request_error"):
+            self._send_json({"error": {"message": msg, "type": etype}}, code)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            return json.loads(self.rfile.read(n))
+
+        # ------------------------------------------------------------- GET
+
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/health":
+                self._send_json({"status": app.health.status()})
+            elif path in ("/v1/models", "/models"):
+                self._send_json({"object": "list", "data": [{
+                    "id": app.model_name, "object": "model",
+                    "created": int(app.t_start), "owned_by": "superllama_tpu",
+                }]})
+            elif path == "/props":
+                self._send_json(app.props())
+            elif path == "/slots":
+                self._send_json(app.slots())
+            elif path == "/metrics":
+                text = app.prometheus_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(text)))
+                self.end_headers()
+                self.wfile.write(text)
+            else:
+                self._err(404, f"unknown path {path}")
+
+        # ------------------------------------------------------------- POST
+
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            t0 = time.perf_counter()
+            client, err = app.auth(self.headers)
+            if err:
+                app.audit.log("auth_failure", detail={"path": path, "err": err})
+                return self._err(401, err, "authentication_error")
+            if not app.rate.allow_request(client):
+                app.audit.log("rate_limited", client)
+                return self._err(429, "rate limit exceeded", "rate_limit_error")
+            try:
+                body = self._body()
+            except (json.JSONDecodeError, ValueError) as e:
+                return self._err(400, f"invalid JSON: {e}")
+            app.audit.log("request", client, {"path": path})
+            ok = True
+            try:
+                if path in ("/tokenize",):
+                    tok = app.model.tokenizer
+                    ids = tok.encode(body.get("content", ""),
+                                     add_special=bool(body.get("add_special", False)),
+                                     parse_special=bool(body.get("parse_special", True)))
+                    self._send_json({"tokens": ids})
+                elif path in ("/detokenize",):
+                    tok = app.model.tokenizer
+                    self._send_json({"content": tok.decode(body.get("tokens", []))})
+                elif path in ("/completion", "/completions", "/v1/completions"):
+                    self._dispatch_gen(body, client, app.handle_completion,
+                                       self._sse_completion_chunk)
+                elif path == "/v1/chat/completions":
+                    self._dispatch_gen(body, client, app.handle_chat,
+                                       self._sse_chat_chunk)
+                elif path == "/v1/messages":
+                    self._dispatch_gen(body, client, app.handle_anthropic_messages,
+                                       self._sse_anthropic_events, anthropic=True)
+                else:
+                    ok = False
+                    return self._err(404, f"unknown path {path}")
+            except (KeyError, TypeError, ValueError) as e:
+                ok = False
+                self._err(400, f"bad request: {e}")
+            except RuntimeError as e:
+                ok = False
+                self._err(400, str(e))
+            except Exception as e:  # noqa: BLE001
+                ok = False
+                self._err(500, f"internal error: {e}", "api_error")
+            finally:
+                dt = time.perf_counter() - t0
+                app.sla.record(dt, ok)
+                app.metrics.histogram_observe("request_duration_seconds", dt,
+                                               {"path": path})
+                app.metrics.counter_inc("http_requests_total",
+                                         labels={"path": path, "ok": str(ok).lower()})
+                app.jsonl.log(app.engine, force=False)
+
+        # --------------------------------------------------------- streaming
+
+        def _dispatch_gen(self, body, client, handler, chunk_fn, anthropic=False):
+            if not body.get("stream"):
+                return self._send_json(handler(body, client))
+            q: "queue.Queue" = queue.Queue()
+            done = object()
+
+            def cb(token, piece):
+                q.put(piece)
+
+            result_holder = {}
+
+            def run():
+                try:
+                    result_holder["result"] = handler(body, client, stream_cb=cb)
+                except Exception as e:  # noqa: BLE001
+                    result_holder["error"] = str(e)
+                q.put(done)
+
+            threading.Thread(target=run, daemon=True).start()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def send_event(data: str, event: str | None = None):
+                msg = (f"event: {event}\n" if event else "") + f"data: {data}\n\n"
+                b = msg.encode()
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+
+            rid = uuid.uuid4().hex[:24]
+            if anthropic:
+                send_event(json.dumps({"type": "message_start", "message": {
+                    "id": "msg_" + rid, "type": "message", "role": "assistant",
+                    "model": app.model_name, "content": [],
+                    "usage": {"input_tokens": 0, "output_tokens": 0}}}), "message_start")
+                send_event(json.dumps({"type": "content_block_start", "index": 0,
+                                        "content_block": {"type": "text", "text": ""}}),
+                           "content_block_start")
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                send_event(chunk_fn(rid, item))
+            final = result_holder.get("result")
+            if anthropic:
+                send_event(json.dumps({"type": "content_block_stop", "index": 0}),
+                           "content_block_stop")
+                usage = (final or {}).get("usage", {})
+                send_event(json.dumps({"type": "message_delta",
+                                        "delta": {"stop_reason": (final or {}).get("stop_reason", "end_turn")},
+                                        "usage": {"output_tokens": usage.get("output_tokens", 0)}}),
+                           "message_delta")
+                send_event(json.dumps({"type": "message_stop"}), "message_stop")
+            else:
+                send_event(json.dumps({
+                    "id": rid, "object": "chat.completion.chunk",
+                    "choices": [{"index": 0, "delta": {},
+                                  "finish_reason": (final or {}).get("choices", [{}])[0].get("finish_reason", "stop")}],
+                }))
+                send_event("[DONE]")
+            self.wfile.write(b"0\r\n\r\n")
+
+        @staticmethod
+        def _sse_completion_chunk(rid, piece):
+            return json.dumps({"id": rid, "object": "text_completion",
+                                "choices": [{"index": 0, "text": piece,
+                                              "finish_reason": None}]})
+
+        @staticmethod
+        def _sse_chat_chunk(rid, piece):
+            return json.dumps({"id": rid, "object": "chat.completion.chunk",
+                                "choices": [{"index": 0,
+                                              "delta": {"content": piece},
+                                              "finish_reason": None}]})
+
+        @staticmethod
+        def _sse_anthropic_events(rid, piece):
+            return json.dumps({"type": "content_block_delta", "index": 0,
+                                "delta": {"type": "text_delta", "text": piece}})
+
+    return Handler
+
+
+class Server:
+    def __init__(self, app: ServerApp, host: str = "127.0.0.1", port: int = 8080):
+        self.app = app
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(app))
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self.app.engine.start()
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.app.engine.stop()

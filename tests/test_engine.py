@@ -1,0 +1,128 @@
+"""Continuous-batching engine tests: correctness of batched generation vs the
+single-sequence Context path, slot reuse, streaming, stop conditions.
+(Parity target: server-context.cpp update_slots semantics.)"""
+
+import numpy as np
+import pytest
+import torch
+
+from superllama_tpu.gguf import GGMLType, GGUFReader
+from superllama_tpu.models import load_model
+from superllama_tpu.runtime import Context
+from superllama_tpu.runtime.engine import Engine, GenRequest
+from superllama_tpu.tools.convert_hf import convert_state_dict
+
+torch.manual_seed(5)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    r = GGUFReader("/root/reference/models/ggml-vocab-llama-spm.gguf")
+    tok_fields = {k: v for k, v in r.metadata.items() if k.startswith("tokenizer.")}
+    r.close()
+    path = tmp_path_factory.mktemp("eng") / "m.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32, tokenizer_fields=tok_fields)
+    return load_model(str(path))
+
+
+def test_engine_matches_context(model):
+    """Greedy generation through the batched engine == single-seq Context."""
+    eng = Engine(model, n_slots=2, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    prompt = model.tokenizer.encode("Hello world, this is", add_special=True)
+    res = eng.generate(prompt, max_tokens=10, stop_eog=False)
+
+    ctx = Context(model, n_batch=1, n_ctx=128, kv_dtype=np.float32)
+    ref = ctx.greedy_generate(prompt, 10, stop_eog=False)
+    assert res["tokens"] == ref[len(prompt):]
+    assert res["n_prompt"] == len(prompt)
+    assert res["n_generated"] == 10
+    assert res["finish_reason"] == "length"
+
+
+def test_concurrent_slots_independent(model):
+    """Two sequences batched together must each match their solo runs."""
+    eng = Engine(model, n_slots=2, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    p1 = model.tokenizer.encode("The quick brown fox", add_special=True)
+    p2 = model.tokenizer.encode("Once upon a time in a country far", add_special=True)
+    r1 = eng.submit(GenRequest(prompt_ids=p1, max_tokens=8, stop_eog=False))
+    r2 = eng.submit(GenRequest(prompt_ids=p2, max_tokens=8, stop_eog=False))
+    eng.run_until_drained()
+
+    ctx = Context(model, n_batch=1, n_ctx=128, kv_dtype=np.float32)
+    ref1 = ctx.greedy_generate(p1, 8, stop_eog=False)[len(p1):]
+    ctx.reset()
+    ref2 = ctx.greedy_generate(p2, 8, stop_eog=False)[len(p2):]
+    assert r1.result(1)["tokens"] == ref1
+    assert r2.result(1)["tokens"] == ref2
+
+
+def test_slot_reuse_more_requests_than_slots(model):
+    eng = Engine(model, n_slots=2, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16,))
+    tok = model.tokenizer
+    reqs = [eng.submit(GenRequest(prompt_ids=tok.encode(f"request number {i}"),
+                                  max_tokens=5, stop_eog=False))
+            for i in range(5)]
+    eng.run_until_drained()
+    for r in reqs:
+        out = r.result(1)
+        assert out["n_generated"] == 5
+
+    # determinism: same prompt again after slot reuse gives same tokens
+    again = eng.generate(tok.encode("request number 0"), max_tokens=5, stop_eog=False)
+    assert again["tokens"] == reqs[0].result(1)["tokens"]
+
+
+def test_streaming_and_stop_strings(model):
+    eng = Engine(model, n_slots=1, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16,))
+    got = []
+    prompt = model.tokenizer.encode("hello")
+    res = eng.generate(prompt, max_tokens=20, stop_eog=False,
+                       stream=lambda t, piece: got.append(t))
+    assert got == res["tokens"]
+
+    # stop string: use the first generated piece as a stop → immediate stop
+    first_piece = model.tokenizer.token_to_piece(res["tokens"][0]).decode("utf-8", "replace").strip()
+    if first_piece:
+        res2 = eng.generate(prompt, max_tokens=20, stop_eog=False,
+                            stop_strings=[first_piece])
+        assert res2["finish_reason"] == "stop"
+        assert res2["n_generated"] < 20
+        assert first_piece not in res2["text"]
+
+
+def test_error_paths(model):
+    eng = Engine(model, n_slots=1, n_ctx=64, kv_dtype=np.float32,
+                 prefill_buckets=(16,))
+    with pytest.raises(RuntimeError, match="exceeds n_ctx"):
+        eng.generate(list(range(50)), max_tokens=100)
+    with pytest.raises(RuntimeError, match="empty prompt"):
+        eng.generate([], max_tokens=5)
+    # engine still usable afterwards
+    out = eng.generate(model.tokenizer.encode("ok"), max_tokens=3, stop_eog=False)
+    assert out["n_generated"] == 3
+
+
+def test_long_prompt_multi_pass_prefill(model):
+    eng = Engine(model, n_slots=1, n_ctx=256, kv_dtype=np.float32,
+                 prefill_buckets=(16,))  # force chunked prefill
+    prompt = model.tokenizer.encode("word " * 40)
+    assert len(prompt) > 32
+    res = eng.generate(prompt, max_tokens=5, stop_eog=False)
+
+    ctx = Context(model, n_batch=1, n_ctx=256, kv_dtype=np.float32)
+    ref = ctx.greedy_generate(prompt, 5, stop_eog=False)[len(prompt):]
+    assert res["tokens"] == ref

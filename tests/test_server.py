@@ -1,0 +1,196 @@
+"""Server integration tests: a real HTTP server on a tiny model, driven over
+the socket (strategy of the reference's tools/server/tests pytest suite,
+incl. the Anthropic-compat tests)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+import torch
+
+from superllama_tpu.gguf import GGMLType, GGUFReader
+from superllama_tpu.models import load_model
+from superllama_tpu.server.http import Server, ServerApp
+from superllama_tpu.tools.convert_hf import convert_state_dict
+
+torch.manual_seed(9)
+
+
+def _req(port, path, body=None, method=None, headers=None, raw=False):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(url, data=data, method=method or ("POST" if body else "GET"),
+                               headers={"Content-Type": "application/json", **(headers or {})})
+    with urllib.request.urlopen(r, timeout=120) as resp:
+        raw_data = resp.read()
+        return raw_data if raw else json.loads(raw_data)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import numpy as np
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    r = GGUFReader("/root/reference/models/ggml-vocab-llama-spm.gguf")
+    tok_fields = {k: v for k, v in r.metadata.items() if k.startswith("tokenizer.")}
+    r.close()
+    path = tmp_path_factory.mktemp("srv") / "m.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32, tokenizer_fields=tok_fields)
+    model = load_model(str(path))
+    app = ServerApp(model, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                    api_keys={"sk-good": "tester"}, model_name="tiny-test")
+    srv = Server(app, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_health(server):
+    assert _req(server.port, "/health")["status"] == "healthy"
+
+
+def test_models_list(server):
+    out = _req(server.port, "/v1/models")
+    assert out["data"][0]["id"] == "tiny-test"
+
+
+def test_props_and_slots(server):
+    p = _req(server.port, "/props")
+    assert p["arch"] == "llama" and p["n_slots"] == 2
+    slots = _req(server.port, "/slots")
+    assert len(slots) == 2
+
+
+def test_auth_required(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server.port, "/tokenize", {"content": "hi"})
+    assert e.value.code == 401
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server.port, "/tokenize", {"content": "hi"},
+             headers={"Authorization": "Bearer sk-bad"})
+    assert e.value.code == 401
+
+
+AUTH = {"Authorization": "Bearer sk-good"}
+
+
+def test_tokenize_detokenize(server):
+    out = _req(server.port, "/tokenize", {"content": "Hello world"}, headers=AUTH)
+    assert out["tokens"] == [15043, 3186]
+    out2 = _req(server.port, "/detokenize", {"tokens": out["tokens"]}, headers=AUTH)
+    assert out2["content"] == "Hello world"
+
+
+def test_completion(server):
+    out = _req(server.port, "/v1/completions",
+               {"prompt": "Once upon a time", "max_tokens": 8, "temperature": 0.0},
+               headers=AUTH)
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] == 8
+    assert out["choices"][0]["finish_reason"] == "length"
+    assert isinstance(out["choices"][0]["text"], str)
+    # determinism at temp 0
+    out2 = _req(server.port, "/v1/completions",
+                {"prompt": "Once upon a time", "max_tokens": 8, "temperature": 0.0},
+                headers=AUTH)
+    assert out2["choices"][0]["text"] == out["choices"][0]["text"]
+
+
+def test_chat_completion(server):
+    out = _req(server.port, "/v1/chat/completions",
+               {"messages": [{"role": "user", "content": "Hi there"}],
+                "max_tokens": 6, "temperature": 0.0}, headers=AUTH)
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert out["usage"]["completion_tokens"] == 6
+
+
+def test_anthropic_messages(server):
+    out = _req(server.port, "/v1/messages",
+               {"model": "tiny-test", "max_tokens": 6,
+                "system": "You are terse.",
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "Hello"}]}]},
+               headers={"x-api-key": "sk-good"})
+    assert out["type"] == "message"
+    assert out["role"] == "assistant"
+    assert out["content"][0]["type"] == "text"
+    assert out["stop_reason"] in ("end_turn", "max_tokens")
+    assert out["usage"]["output_tokens"] == 6
+
+
+def test_streaming_sse(server):
+    body = {"messages": [{"role": "user", "content": "stream test"}],
+            "max_tokens": 5, "temperature": 0.0, "stream": True}
+    raw = _req(server.port, "/v1/chat/completions", body, headers=AUTH, raw=True)
+    text = raw.decode()
+    assert "data: " in text
+    assert "[DONE]" in text
+    deltas = [json.loads(l[6:]) for l in text.splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    pieces = [d["choices"][0]["delta"].get("content", "") for d in deltas]
+    assert sum(1 for p in pieces if p) >= 1  # streamed content chunks arrived
+
+
+def test_anthropic_streaming(server):
+    body = {"model": "tiny-test", "max_tokens": 4, "stream": True,
+            "messages": [{"role": "user", "content": "hi"}]}
+    raw = _req(server.port, "/v1/messages", body,
+               headers={"x-api-key": "sk-good"}, raw=True)
+    text = raw.decode()
+    for ev in ("message_start", "content_block_start", "content_block_delta",
+               "content_block_stop", "message_stop"):
+        assert ev in text, ev
+
+
+def test_metrics_endpoint(server):
+    raw = _req(server.port, "/metrics", raw=True).decode()
+    assert "sllm_requests_total" in raw
+    assert "sllm_http_requests_total" in raw
+    assert "# TYPE" in raw
+
+
+def test_bad_json(server):
+    import urllib.request as ur
+
+    r = ur.Request(f"http://127.0.0.1:{server.port}/v1/completions",
+                   data=b"{not json", method="POST",
+                   headers={"Content-Type": "application/json", **AUTH})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        ur.urlopen(r, timeout=30)
+    assert e.value.code == 400
+
+
+def test_unknown_route(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server.port, "/v1/nonexistent", {"x": 1}, headers=AUTH)
+    assert e.value.code == 404
+
+
+def test_context_overflow_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server.port, "/v1/completions",
+             {"prompt": "word " * 300, "max_tokens": 50}, headers=AUTH)
+    assert e.value.code == 400
+
+
+def test_concurrent_requests(server):
+    import concurrent.futures as cf
+
+    def one(i):
+        return _req(server.port, "/v1/completions",
+                    {"prompt": f"request {i}", "max_tokens": 4,
+                     "temperature": 0.0}, headers=AUTH)
+
+    with cf.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(one, range(4)))
+    assert all(o["usage"]["completion_tokens"] == 4 for o in outs)
