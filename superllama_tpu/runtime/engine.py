@@ -52,6 +52,9 @@ class GenRequest:
     stop_eog: bool = True
     stop_strings: list[str] = field(default_factory=list)
     sampling: dict = field(default_factory=dict)
+    grammar: str | None = None        # GBNF text (constrained decoding)
+    grammar_lazy: bool = False
+    grammar_triggers: list[str] = field(default_factory=list)
     stream: Optional[Callable[[int, str], None]] = None  # (token_id, piece)
     request_id: str = field(default_factory=lambda: uuid.uuid4().hex[:16])
     priority: int = 1
@@ -193,7 +196,18 @@ class Engine:
             except Exception as e:  # surface errors to the caller
                 req._result["error"] = str(e)
                 req._done.set()
+                slot.state = SlotState.IDLE  # don't leave a half-started slot
+                slot.req = None
         return launched
+
+    def _vocab_pieces(self) -> tuple[list[bytes], set[int]]:
+        """Cached (token→bytes table, EOG ids) for grammar filtering."""
+        if not hasattr(self, "_pieces_cache"):
+            tok = self.model.tokenizer
+            pieces = [tok.token_to_piece(t) for t in range(self.hp.n_vocab)]
+            eos = {t for t in range(self.hp.n_vocab) if tok.vocab.is_eog(t)}
+            self._pieces_cache = (pieces, eos)
+        return self._pieces_cache
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -240,6 +254,19 @@ class Engine:
         slot.text = ""
         slot.t_start = t0
         slot.sampler = make_chain(**req.sampling) if req.sampling else make_chain(greedy=True)
+        if req.grammar:
+            from .sampling import GrammarSampler
+            pieces, eos_ids = self._vocab_pieces()
+            # after the cutting stages, before the terminal picker (the
+            # reference's grammar_first=false resampling semantics): only the
+            # surviving candidates get the (expensive) grammar test, with a
+            # full-vocab rescan fallback inside the sampler
+            chain = slot.sampler.samplers
+            idx = next((i for i, s in enumerate(chain) if hasattr(s, "sample")),
+                       len(chain))
+            chain.insert(idx, GrammarSampler(
+                req.grammar, pieces, eos_ids, lazy=req.grammar_lazy,
+                trigger_patterns=req.grammar_triggers))
         for t in ids[-64:]:
             slot.sampler.ctx.recent_tokens.append(int(t))
         self.metrics["n_prompt_tokens"] += n

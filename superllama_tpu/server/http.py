@@ -107,6 +107,23 @@ class ServerApp:
             s["greedy"] = True
         return s
 
+    def _grammar_from(self, body: dict) -> str | None:
+        """Resolve constrained-decoding params: `grammar` (GBNF text),
+        `json_schema`, or OpenAI `response_format` {json_object|json_schema}
+        (tools/server request parsing counterpart)."""
+        from ..grammar import json_schema_to_gbnf
+        if body.get("grammar"):
+            return body["grammar"]
+        if body.get("json_schema") is not None:
+            return json_schema_to_gbnf(body["json_schema"])
+        rf = body.get("response_format") or {}
+        t = rf.get("type")
+        if t == "json_schema":
+            return json_schema_to_gbnf(rf["json_schema"].get("schema", {}))
+        if t == "json_object":
+            return json_schema_to_gbnf(rf.get("schema", {}))
+        return None
+
     def _stops(self, body) -> list[str]:
         stop = body.get("stop") or body.get("stop_sequences") or []
         return [stop] if isinstance(stop, str) else list(stop)
@@ -122,7 +139,8 @@ class ServerApp:
         req = GenRequest(
             prompt_ids=list(ids), max_tokens=max_tokens,
             stop_strings=self._stops(body),
-            sampling=self._sampling_from(body), stream=stream_cb,
+            sampling=self._sampling_from(body),
+            grammar=self._grammar_from(body), stream=stream_cb,
         )
         self.engine.submit(req)
         out = req.result(timeout=600)

@@ -194,3 +194,28 @@ def test_concurrent_requests(server):
     with cf.ThreadPoolExecutor(4) as ex:
         outs = list(ex.map(one, range(4)))
     assert all(o["usage"]["completion_tokens"] == 4 for o in outs)
+
+
+def test_structured_output_json_schema(server):
+    """OpenAI response_format json_schema forces valid JSON output
+    (tools/server structured-output counterpart)."""
+    schema = {"type": "object",
+              "properties": {"verdict": {"type": "boolean"}},
+              "required": ["verdict"], "additionalProperties": False}
+    out = _req(server.port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "Is water wet?"}],
+        "max_tokens": 48, "temperature": 0.7, "seed": 3,
+        "response_format": {"type": "json_schema",
+                            "json_schema": {"name": "v", "schema": schema}},
+    }, headers={"Authorization": "Bearer sk-good"})
+    text = out["choices"][0]["message"]["content"]
+    obj = json.loads(text)
+    assert set(obj) == {"verdict"} and isinstance(obj["verdict"], bool)
+
+
+def test_gbnf_grammar_param(server):
+    out = _req(server.port, "/completion" if False else "/v1/completions", {
+        "prompt": "Pick:", "max_tokens": 8, "temperature": 0.9, "seed": 1,
+        "grammar": 'root ::= "alpha" | "beta"',
+    }, headers={"Authorization": "Bearer sk-good"})
+    assert out["choices"][0]["text"] in ("alpha", "beta")
