@@ -1,19 +1,21 @@
 """Chat template application (counterpart of common/chat.cpp + minja: the GGUF
 ``tokenizer.chat_template`` jinja string applied to OpenAI-style messages;
-built-in fallbacks mirror src/llama-chat.cpp's template zoo for models
-without embedded templates)."""
+built-in fallbacks + content-based detection mirror src/llama-chat.cpp's
+template zoo for models without embedded templates)."""
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 import jinja2
 
 _ENV = jinja2.Environment(loader=jinja2.BaseLoader(), keep_trailing_newline=True)
 _ENV.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(jinja2.TemplateError(msg))
-_ENV.filters["tojson"] = lambda v, **kw: __import__("json").dumps(v, **kw)
+_ENV.filters["tojson"] = lambda v, **kw: json.dumps(v, **kw)
+_ENV.policies["json.dumps_kwargs"] = {"ensure_ascii": False}
 
-# built-in fallback templates (same formats as src/llama-chat.cpp)
+# built-in fallback templates (formats from src/llama-chat.cpp's zoo)
 BUILTIN_TEMPLATES = {
     "chatml": (
         "{% for message in messages %}"
@@ -34,13 +36,113 @@ BUILTIN_TEMPLATES = {
         "{% endfor %}"
         "{% if add_generation_prompt %}<|start_header_id|>assistant<|end_header_id|>\n\n{% endif %}"
     ),
+    "mistral-v3": (
+        "{% for message in messages %}"
+        "{% if message.role == 'user' %}[INST] {{ message.content }}[/INST]"
+        "{% elif message.role == 'assistant' %} {{ message.content }}</s>"
+        "{% endif %}{% endfor %}"
+    ),
+    "mistral-v7": (
+        "{% for message in messages %}"
+        "{% if message.role == 'system' %}[SYSTEM_PROMPT] {{ message.content }}[/SYSTEM_PROMPT]"
+        "{% elif message.role == 'user' %}[INST] {{ message.content }}[/INST]"
+        "{% else %} {{ message.content }}</s>{% endif %}{% endfor %}"
+    ),
     "gemma": (
         "{% for message in messages %}"
         "<start_of_turn>{{ 'model' if message.role == 'assistant' else 'user' }}\n"
         "{{ message.content }}<end_of_turn>\n{% endfor %}"
         "{% if add_generation_prompt %}<start_of_turn>model\n{% endif %}"
     ),
+    "phi3": (
+        "{% for message in messages %}"
+        "<|{{ message.role }}|>\n{{ message.content }}<|end|>\n{% endfor %}"
+        "{% if add_generation_prompt %}<|assistant|>\n{% endif %}"
+    ),
+    "zephyr": (
+        "{% for message in messages %}"
+        "<|{{ message.role }}|>\n{{ message.content }}<|endoftext|>\n{% endfor %}"
+        "{% if add_generation_prompt %}<|assistant|>\n{% endif %}"
+    ),
+    "deepseek3": (
+        "{% for message in messages %}"
+        "{% if message.role == 'system' %}{{ message.content }}\n\n"
+        "{% elif message.role == 'user' %}<｜User｜>{{ message.content }}"
+        "{% else %}<｜Assistant｜>{{ message.content }}<｜end▁of▁sentence｜>{% endif %}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}<｜Assistant｜>{% endif %}"
+    ),
+    "command-r": (
+        "{% for message in messages %}"
+        "<|START_OF_TURN_TOKEN|>{% if message.role == 'system' %}<|SYSTEM_TOKEN|>"
+        "{% elif message.role == 'user' %}<|USER_TOKEN|>{% else %}<|CHATBOT_TOKEN|>{% endif %}"
+        "{{ message.content }}<|END_OF_TURN_TOKEN|>{% endfor %}"
+        "{% if add_generation_prompt %}<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>{% endif %}"
+    ),
+    "falcon3": (
+        "{% for message in messages %}"
+        "<|{{ message.role }}|>\n{{ message.content }}\n{% endfor %}"
+        "{% if add_generation_prompt %}<|assistant|>\n{% endif %}"
+    ),
+    "vicuna": (
+        "{% for message in messages %}"
+        "{% if message.role == 'system' %}{{ message.content }}\n\n"
+        "{% elif message.role == 'user' %}USER: {{ message.content }}\n"
+        "{% else %}ASSISTANT: {{ message.content }}</s>\n{% endif %}{% endfor %}"
+        "{% if add_generation_prompt %}ASSISTANT:{% endif %}"
+    ),
+    "openchat": (
+        "{% for message in messages %}"
+        "GPT4 Correct {{ message.role | capitalize }}: {{ message.content }}<|end_of_turn|>"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}GPT4 Correct Assistant:{% endif %}"
+    ),
+    "granite": (
+        "{% for message in messages %}"
+        "<|start_of_role|>{{ message.role }}<|end_of_role|>{{ message.content }}<|end_of_text|>\n"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}<|start_of_role|>assistant<|end_of_role|>{% endif %}"
+    ),
+    "glm4": (
+        "[gMASK]<sop>{% for message in messages %}"
+        "<|{{ message.role }}|>\n{{ message.content }}{% endfor %}"
+        "{% if add_generation_prompt %}<|assistant|>\n{% endif %}"
+    ),
+    "minicpm": (
+        "{% for message in messages %}"
+        "{% if message.role == 'user' %}<用户>{{ message.content }}<AI>"
+        "{% else %}{{ message.content }}{% endif %}{% endfor %}"
+    ),
 }
+
+# marker substring → builtin key (llm_chat_detect_template counterpart:
+# detection by distinctive tokens in the embedded template or model name)
+_DETECT = [
+    ("<|im_start|>", "chatml"),
+    ("<|start_header_id|>", "llama3"),
+    ("[SYSTEM_PROMPT]", "mistral-v7"),
+    ("<<SYS>>", "llama2"),
+    ("[INST]", "mistral-v3"),
+    ("<start_of_turn>", "gemma"),
+    ("<|end|>", "phi3"),
+    ("<|endoftext|>", "zephyr"),
+    ("<｜User｜>", "deepseek3"),
+    ("<|START_OF_TURN_TOKEN|>", "command-r"),
+    ("<|start_of_role|>", "granite"),
+    ("[gMASK]", "glm4"),
+    ("<|end_of_turn|>", "openchat"),
+    ("<用户>", "minicpm"),
+    ("USER:", "vicuna"),
+]
+
+
+def detect_builtin(template_text: str | None) -> str:
+    """Pick the closest builtin format for a template string (or chatml)."""
+    if template_text:
+        for marker, key in _DETECT:
+            if marker in template_text:
+                return key
+    return "chatml"
 
 
 class ChatTemplate:
@@ -52,14 +154,59 @@ class ChatTemplate:
         self.eos_token = eos_token
 
     def apply(self, messages: list[dict[str, Any]],
-              add_generation_prompt: bool = True, **extra) -> str:
-        return self._tmpl.render(
-            messages=messages,
-            add_generation_prompt=add_generation_prompt,
-            bos_token=self.bos_token,
-            eos_token=self.eos_token,
-            **extra,
-        )
+              add_generation_prompt: bool = True,
+              tools: list[dict] | None = None, **extra) -> str:
+        msgs = [_normalize_message(m) for m in messages]
+        try:
+            return self._tmpl.render(
+                messages=msgs,
+                add_generation_prompt=add_generation_prompt,
+                bos_token=self.bos_token,
+                eos_token=self.eos_token,
+                tools=tools,
+                **extra,
+            )
+        except jinja2.TemplateError:
+            # template can't handle this message shape (e.g. tools): degrade
+            # to the detected builtin with tools described in the system turn
+            fb = ChatTemplate(None, fallback=detect_builtin(self.source),
+                              bos_token=self.bos_token, eos_token=self.eos_token)
+            if tools:
+                msgs = _inject_tools_system(msgs, tools)
+            return fb._tmpl.render(messages=msgs,
+                                   add_generation_prompt=add_generation_prompt,
+                                   bos_token=self.bos_token,
+                                   eos_token=self.eos_token)
+
+
+def _normalize_message(m: dict) -> dict:
+    """Flatten OpenAI content-parts and tool-result messages to plain text."""
+    out = dict(m)
+    c = m.get("content")
+    if isinstance(c, list):
+        out["content"] = "".join(
+            p.get("text", "") for p in c if isinstance(p, dict))
+    elif c is None:
+        out["content"] = ""
+    if m.get("role") == "assistant" and m.get("tool_calls") and not out["content"]:
+        out["content"] = json.dumps([tc.get("function", tc)
+                                     for tc in m["tool_calls"]])
+    if m.get("role") == "tool":
+        name = m.get("name", "tool")
+        out["role"] = "user"
+        out["content"] = f"<tool_response name={name}>{out['content']}</tool_response>"
+    return out
+
+
+def _inject_tools_system(msgs: list[dict], tools: list[dict]) -> list[dict]:
+    desc = ("You have access to the following tools. To call a tool, respond "
+            "with a JSON object {\"name\": <tool>, \"arguments\": {...}}.\n"
+            + json.dumps(tools, indent=2))
+    if msgs and msgs[0].get("role") == "system":
+        msgs = [dict(msgs[0], content=msgs[0]["content"] + "\n\n" + desc)] + msgs[1:]
+    else:
+        msgs = [{"role": "system", "content": desc}] + msgs
+    return msgs
 
 
 def template_for_model(model) -> ChatTemplate:
@@ -74,4 +221,5 @@ def template_for_model(model) -> ChatTemplate:
     try:
         return ChatTemplate(tmpl, bos_token=bos, eos_token=eos)
     except jinja2.TemplateError:
-        return ChatTemplate(None, bos_token=bos, eos_token=eos)
+        return ChatTemplate(None, fallback=detect_builtin(tmpl),
+                            bos_token=bos, eos_token=eos)

@@ -140,7 +140,10 @@ class ServerApp:
             prompt_ids=list(ids), max_tokens=max_tokens,
             stop_strings=self._stops(body),
             sampling=self._sampling_from(body),
-            grammar=self._grammar_from(body), stream=stream_cb,
+            grammar=self._grammar_from(body),
+            grammar_lazy=bool(body.get("grammar_lazy", False)),
+            grammar_triggers=list(body.get("grammar_triggers", [])),
+            stream=stream_cb,
         )
         self.engine.submit(req)
         out = req.result(timeout=600)
@@ -163,11 +166,30 @@ class ServerApp:
         }
 
     def handle_chat(self, body: dict, client: str, stream_cb=None) -> dict:
-        prompt = self.chat_template.apply(body["messages"], add_generation_prompt=True)
+        from .toolcall import parse_tool_calls, plan_tools
+
+        plan = plan_tools(body, self.chat_template.source)
+        prompt = self.chat_template.apply(
+            body["messages"], add_generation_prompt=True,
+            tools=body.get("tools"))
         inner = dict(body)
         inner["prompt"] = prompt
         inner.setdefault("max_tokens", body.get("max_tokens") or 512)
+        if plan is not None and plan.grammar:
+            inner["grammar"] = plan.grammar
+            inner["grammar_lazy"] = plan.grammar_lazy
+            inner["grammar_triggers"] = plan.triggers
         out = self.handle_completion(inner, client, stream_cb)
+
+        content = out["choices"][0]["text"]
+        finish = out["choices"][0]["finish_reason"]
+        message: dict = {"role": "assistant", "content": content}
+        if plan is not None:
+            content, tool_calls = parse_tool_calls(plan, content)
+            if tool_calls:
+                message = {"role": "assistant", "content": content or None,
+                           "tool_calls": tool_calls}
+                finish = "tool_calls"
         return {
             "id": "chatcmpl-" + uuid.uuid4().hex[:24],
             "object": "chat.completion",
@@ -175,8 +197,8 @@ class ServerApp:
             "model": self.model_name,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": out["choices"][0]["text"]},
-                "finish_reason": out["choices"][0]["finish_reason"],
+                "message": message,
+                "finish_reason": finish,
             }],
             "usage": out["usage"],
         }
@@ -189,13 +211,42 @@ class ServerApp:
             if isinstance(sys_content, list):
                 sys_content = "".join(b.get("text", "") for b in sys_content)
             messages = [{"role": "system", "content": sys_content}] + messages
-        # flatten content blocks
+        # flatten content blocks (text + tool_result)
         for m in messages:
             if isinstance(m.get("content"), list):
-                m["content"] = "".join(
-                    b.get("text", "") for b in m["content"] if b.get("type") == "text"
-                )
-        prompt = self.chat_template.apply(messages, add_generation_prompt=True)
+                parts = []
+                for b in m["content"]:
+                    if b.get("type") == "text":
+                        parts.append(b.get("text", ""))
+                    elif b.get("type") == "tool_result":
+                        c = b.get("content", "")
+                        if isinstance(c, list):
+                            c = "".join(x.get("text", "") for x in c)
+                        parts.append(f"<tool_response>{c}</tool_response>")
+                    elif b.get("type") == "tool_use":
+                        parts.append(json.dumps({"name": b.get("name"),
+                                                 "arguments": b.get("input", {})}))
+                m["content"] = "".join(parts)
+        # Anthropic tools → OpenAI shape for the planner/template
+        plan = None
+        oai_tools = None
+        if body.get("tools"):
+            from .toolcall import plan_tools
+            oai_tools = [{"type": "function",
+                          "function": {"name": t["name"],
+                                       "description": t.get("description", ""),
+                                       "parameters": t.get("input_schema",
+                                                           {"type": "object"})}}
+                         for t in body["tools"]]
+            tc = body.get("tool_choice") or {"type": "auto"}
+            choice = {"auto": "auto", "any": "required", "none": "none"}.get(
+                tc.get("type"), "auto")
+            if tc.get("type") == "tool":
+                choice = {"type": "function", "function": {"name": tc["name"]}}
+            plan = plan_tools({"tools": oai_tools, "tool_choice": choice},
+                              self.chat_template.source)
+        prompt = self.chat_template.apply(messages, add_generation_prompt=True,
+                                          tools=oai_tools)
         inner = {
             "prompt": prompt,
             "max_tokens": body.get("max_tokens", 512),
@@ -204,15 +255,38 @@ class ServerApp:
             "top_k": body.get("top_k", 0),
             "stop": body.get("stop_sequences", []),
         }
+        if plan is not None and plan.grammar:
+            inner["grammar"] = plan.grammar
+            inner["grammar_lazy"] = plan.grammar_lazy
+            inner["grammar_triggers"] = plan.triggers
         out = self.handle_completion(inner, client, stream_cb)
         stop_map = {"stop": "end_turn", "length": "max_tokens"}
+        text = out["choices"][0]["text"]
+        content_blocks: list[dict] = []
+        stop_reason = stop_map.get(out["choices"][0]["finish_reason"], "end_turn")
+        if plan is not None:
+            from .toolcall import parse_tool_calls
+            rest, calls = parse_tool_calls(plan, text)
+            if calls:
+                if rest:
+                    content_blocks.append({"type": "text", "text": rest})
+                for c in calls:
+                    content_blocks.append({
+                        "type": "tool_use",
+                        "id": "toolu_" + c["id"][5:],
+                        "name": c["function"]["name"],
+                        "input": json.loads(c["function"]["arguments"] or "{}"),
+                    })
+                stop_reason = "tool_use"
+        if not content_blocks:
+            content_blocks = [{"type": "text", "text": text}]
         return {
             "id": "msg_" + uuid.uuid4().hex[:24],
             "type": "message",
             "role": "assistant",
             "model": body.get("model", self.model_name),
-            "content": [{"type": "text", "text": out["choices"][0]["text"]}],
-            "stop_reason": stop_map.get(out["choices"][0]["finish_reason"], "end_turn"),
+            "content": content_blocks,
+            "stop_reason": stop_reason,
             "stop_sequence": None,
             "usage": {
                 "input_tokens": out["usage"]["prompt_tokens"],

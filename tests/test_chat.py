@@ -1,0 +1,177 @@
+"""Chat template + tool-call parsing tests (strategy of the reference's
+test-chat-template.cpp / test-chat.cpp / test-chat-parser.cpp)."""
+
+import json
+
+import pytest
+
+from superllama_tpu.server.chat import (
+    BUILTIN_TEMPLATES,
+    ChatTemplate,
+    detect_builtin,
+)
+from superllama_tpu.server.toolcall import (
+    FORMAT_GENERIC,
+    FORMAT_HERMES,
+    FORMAT_LLAMA3,
+    FORMAT_MISTRAL,
+    ToolPlan,
+    parse_tool_calls,
+    plan_tools,
+)
+
+MSGS = [
+    {"role": "system", "content": "You are helpful."},
+    {"role": "user", "content": "Hi"},
+    {"role": "assistant", "content": "Hello!"},
+    {"role": "user", "content": "Bye"},
+]
+
+
+def test_all_builtin_templates_render():
+    for name in BUILTIN_TEMPLATES:
+        t = ChatTemplate(None, fallback=name)
+        out = t.apply(MSGS, add_generation_prompt=True)
+        assert "Hi" in out and "Hello!" in out, name
+
+
+def test_chatml_format_exact():
+    t = ChatTemplate(None, fallback="chatml")
+    out = t.apply([{"role": "user", "content": "Q"}])
+    assert out == "<|im_start|>user\nQ<|im_end|>\n<|im_start|>assistant\n"
+
+
+def test_llama3_format_exact():
+    t = ChatTemplate(None, fallback="llama3")
+    out = t.apply([{"role": "user", "content": "Q"}])
+    assert out == ("<|start_header_id|>user<|end_header_id|>\n\nQ<|eot_id|>"
+                   "<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
+def test_detection_by_marker():
+    assert detect_builtin("{% if %}<|im_start|>...") == "chatml"
+    assert detect_builtin("...<|start_header_id|>...") == "llama3"
+    assert detect_builtin("...<<SYS>>...") == "llama2"
+    assert detect_builtin("...<start_of_turn>...") == "gemma"
+    assert detect_builtin(None) == "chatml"
+
+
+def test_hf_jinja_template_passthrough():
+    """An embedded HF jinja template is used verbatim."""
+    src = ("{{ bos_token }}{% for m in messages %}[{{ m.role }}]"
+           "{{ m.content }}{% endfor %}")
+    t = ChatTemplate(src, bos_token="<s>")
+    assert t.apply([{"role": "user", "content": "x"}],
+                   add_generation_prompt=False) == "<s>[user]x"
+
+
+def test_content_parts_flattened():
+    t = ChatTemplate(None, fallback="chatml")
+    out = t.apply([{"role": "user",
+                    "content": [{"type": "text", "text": "a"},
+                                {"type": "text", "text": "b"}]}])
+    assert "ab" in out
+
+
+def test_tool_role_normalized():
+    t = ChatTemplate(None, fallback="chatml")
+    out = t.apply([{"role": "tool", "name": "calc", "content": "42"}])
+    assert "tool_response" in out and "42" in out
+
+
+# ---------------------------------------------------------------- tool calls
+
+TOOLS = [{
+    "type": "function",
+    "function": {
+        "name": "get_weather",
+        "description": "Get weather",
+        "parameters": {
+            "type": "object",
+            "properties": {"city": {"type": "string"}},
+            "required": ["city"],
+            "additionalProperties": False,
+        },
+    },
+}]
+
+
+def test_plan_format_detection():
+    assert plan_tools({"tools": TOOLS}, "...<tool_call>...").fmt == FORMAT_HERMES
+    assert plan_tools({"tools": TOOLS}, "...[TOOL_CALLS]...").fmt == FORMAT_MISTRAL
+    assert plan_tools({"tools": TOOLS}, "<|start_header_id|>").fmt == FORMAT_LLAMA3
+    assert plan_tools({"tools": TOOLS}, "plain").fmt == FORMAT_GENERIC
+    assert plan_tools({"tools": TOOLS, "tool_choice": "none"}, "x") is None
+    assert plan_tools({}, "x") is None
+
+
+def test_plan_grammar_parses_and_forced():
+    plan = plan_tools({"tools": TOOLS, "tool_choice": "required"}, None)
+    assert plan.forced and not plan.grammar_lazy
+    from superllama_tpu.grammar import parse_gbnf
+    from superllama_tpu.grammar.gbnf import GrammarState
+    g = parse_gbnf(plan.grammar)
+    st = GrammarState(g)
+    ok = st.accept_text('{"name": "get_weather", "arguments": {"city": "Paris"}}')
+    assert ok and st.can_terminate
+    st2 = GrammarState(g)
+    assert not (st2.accept_text('{"name": "bogus", "arguments": {}}')
+                and st2.can_terminate)
+
+
+def test_parse_hermes():
+    plan = ToolPlan(fmt=FORMAT_HERMES)
+    text = ('Let me check.\n<tool_call>\n'
+            '{"name": "get_weather", "arguments": {"city": "Paris"}}\n'
+            '</tool_call>')
+    content, calls = parse_tool_calls(plan, text)
+    assert content == "Let me check."
+    assert len(calls) == 1
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Paris"}
+
+
+def test_parse_mistral_array():
+    plan = ToolPlan(fmt=FORMAT_MISTRAL)
+    text = '[TOOL_CALLS][{"name": "a", "arguments": {"x": 1}}, {"name": "b", "arguments": {}}]'
+    content, calls = parse_tool_calls(plan, text)
+    assert content == ""
+    assert [c["function"]["name"] for c in calls] == ["a", "b"]
+
+
+def test_parse_llama3_parameters_key():
+    plan = ToolPlan(fmt=FORMAT_LLAMA3)
+    text = '{"name": "get_weather", "parameters": {"city": "Oslo"}}'
+    content, calls = parse_tool_calls(plan, text)
+    assert content == ""
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Oslo"}
+
+
+def test_parse_generic_with_surrounding_text():
+    plan = ToolPlan(fmt=FORMAT_GENERIC)
+    text = 'Sure: {"name": "get_weather", "arguments": {"city": "Rio"}} done'
+    content, calls = parse_tool_calls(plan, text)
+    assert calls and calls[0]["function"]["name"] == "get_weather"
+    assert "Sure:" in content and "done" in content
+
+
+def test_parse_no_calls_passthrough():
+    plan = ToolPlan(fmt=FORMAT_HERMES)
+    content, calls = parse_tool_calls(plan, "Just a normal reply.")
+    assert content == "Just a normal reply." and calls == []
+
+
+def test_named_tool_choice_restricts_grammar():
+    tools2 = TOOLS + [{
+        "type": "function",
+        "function": {"name": "other", "parameters": {"type": "object"}},
+    }]
+    plan = plan_tools({"tools": tools2,
+                       "tool_choice": {"type": "function",
+                                       "function": {"name": "other"}}}, None)
+    assert plan.forced
+    from superllama_tpu.grammar import parse_gbnf
+    from superllama_tpu.grammar.gbnf import GrammarState
+    st = GrammarState(parse_gbnf(plan.grammar))
+    assert not (st.accept_text('{"name": "get_weather", "arguments": {}}')
+                and st.can_terminate)

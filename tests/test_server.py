@@ -219,3 +219,41 @@ def test_gbnf_grammar_param(server):
         "grammar": 'root ::= "alpha" | "beta"',
     }, headers={"Authorization": "Bearer sk-good"})
     assert out["choices"][0]["text"] in ("alpha", "beta")
+
+
+def test_tool_calls_forced(server):
+    """tool_choice=required forces a grammar-constrained tool call that
+    parses into OpenAI tool_calls (test_tool_call.py counterpart)."""
+    tools = [{"type": "function", "function": {
+        "name": "lookup", "description": "Look something up",
+        "parameters": {"type": "object",
+                       "properties": {"q": {"type": "string", "maxLength": 12}},
+                       "required": ["q"], "additionalProperties": False}}}]
+    out = _req(server.port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "Find cats"}],
+        "tools": tools, "tool_choice": "required",
+        "max_tokens": 64, "temperature": 0.8, "seed": 5,
+    }, headers={"Authorization": "Bearer sk-good"})
+    choice = out["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    tc = choice["message"]["tool_calls"]
+    assert tc and tc[0]["function"]["name"] == "lookup"
+    args = json.loads(tc[0]["function"]["arguments"])
+    assert "q" in args and isinstance(args["q"], str)
+
+
+def test_anthropic_tool_use(server):
+    out = _req(server.port, "/v1/messages", {
+        "model": "tiny-test", "max_tokens": 64,
+        "messages": [{"role": "user", "content": "Find dogs"}],
+        "tools": [{"name": "search", "description": "Search",
+                   "input_schema": {"type": "object",
+                                    "properties": {"q": {"type": "string", "maxLength": 10}},
+                                    "required": ["q"], "additionalProperties": False}}],
+        "tool_choice": {"type": "any"},
+        "temperature": 0.8,
+    }, headers={"Authorization": "Bearer sk-good"})
+    assert out["stop_reason"] == "tool_use"
+    blocks = [b for b in out["content"] if b["type"] == "tool_use"]
+    assert blocks and blocks[0]["name"] == "search"
+    assert isinstance(blocks[0]["input"].get("q"), str)
