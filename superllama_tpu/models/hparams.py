@@ -50,6 +50,12 @@ class HParams:
     final_logit_softcap: float = 0.0
     swa_window: int = 0           # sliding window size (0 = full attention)
     swa_pattern: int = 1          # every Nth layer is full-attention (iSWA)
+    f_attn_scale: float = 0.0     # 0 → 1/sqrt(head_dim) (gemma2 query scalar)
+    rope_freq_base_swa: float = 0.0  # 0 → same base for SWA layers (gemma3)
+    # FFN activation: silu | gelu_tanh | gelu | relu | swiglu_oai (gpt-oss)
+    act: str = "silu"
+    swiglu_limit: float = 7.0     # swiglu_oai clamp
+    swiglu_alpha: float = 1.702   # swiglu_oai sigmoid sharpening
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
@@ -70,7 +76,17 @@ ROPE_TYPE_BY_ARCH = {
     "gemma2": 2, "gemma3": 2, "stablelm": 2, "gptneox": 2, "olmo": 0,
     "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
     "exaone": 0, "nemotron": 2, "cohere2": 2, "glm4": 2, "deepseek2": 2,
+    "gpt-oss": 2, "gptoss": 2,
 }
+
+# iSWA layer pattern per arch: every Nth layer is full attention
+# (the reference hardcodes these per arch in llama_model::load_hparams)
+SWA_PATTERN_BY_ARCH = {"gemma2": 2, "gemma3": 6, "gpt-oss": 2, "gptoss": 2,
+                       "cohere2": 4}
+
+# FFN activation per arch (llm_build_* act choices in src/models/)
+ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh",
+               "gpt-oss": "swiglu_oai", "gptoss": "swiglu_oai"}
 
 
 def _k(md: dict, arch: str, suffix: str, default=None):
@@ -115,5 +131,13 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         attn_logit_softcap=float(_k(md, arch, "attn_logit_softcapping", 0.0)),
         final_logit_softcap=float(_k(md, arch, "final_logit_softcapping", 0.0)),
         swa_window=int(_k(md, arch, "attention.sliding_window", 0)),
+        swa_pattern=SWA_PATTERN_BY_ARCH.get(arch, 1),
+        f_attn_scale=float(_k(md, arch, "attention.scale", 0.0)),
+        rope_freq_base_swa=float(_k(md, arch, "rope.freq_base_swa", 0.0)),
+        act=ACT_BY_ARCH.get(arch, "silu"),
+        expert_weights_norm=bool(_k(md, arch, "expert_weights_norm",
+                                    arch not in ("qwen2moe",))),
     )
+    if arch.startswith("gemma"):
+        hp.f_embedding_scale = float(n_embd) ** 0.5
     return hp

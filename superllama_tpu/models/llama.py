@@ -33,11 +33,27 @@ def mm(x: jax.Array, w) -> jax.Array:
     return x @ w
 
 
-def dense_ffn(x: jax.Array, layer: dict) -> jax.Array:
+def _glu(gate: jax.Array, up: jax.Array, hp: HParams) -> jax.Array:
+    if hp.act == "swiglu_oai":
+        return ops.swiglu_oai(gate, up, hp.swiglu_alpha, hp.swiglu_limit)
+    return ops.GLU_FNS[hp.act](gate, up)
+
+
+def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None) -> jax.Array:
     gate = mm(x, layer["ffn_gate"]) if "ffn_gate" in layer else None
     up = mm(x, layer["ffn_up"])
-    act = ops.swiglu(gate, up) if gate is not None else ops.gelu(up)
-    return mm(act, layer["ffn_down"])
+    if "ffn_up_b" in layer:
+        up = up + layer["ffn_up_b"]
+    if gate is not None:
+        if "ffn_gate_b" in layer:
+            gate = gate + layer["ffn_gate_b"]
+        act = _glu(gate, up, hp) if hp is not None else ops.swiglu(gate, up)
+    else:
+        act = ops.ACT_FNS[hp.act if hp is not None else "gelu"](up)
+    out = mm(act, layer["ffn_down"])
+    if "ffn_down_b" in layer:
+        out = out + layer["ffn_down_b"]
+    return out
 
 
 def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
@@ -45,13 +61,17 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
 
     Correctness-first dense formulation: every expert computes, selection
     weights zero out unused experts. The expert-parallel sparse path lives in
-    parallel/expert.py.
+    parallel/expert.py. Router softmax-over-top-k (renormalize) vs raw
+    softmax weights follows hp.expert_weights_norm; gpt-oss's
+    softmax(top-k(logits)) is algebraically the renormalized form.
     """
     B, T, E = *x.shape[:2], hp.n_expert
     logits = mm(x, layer["ffn_gate_inp"])                       # (B,T,E)
+    if "ffn_gate_inp_b" in layer:
+        logits = logits + layer["ffn_gate_inp_b"]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)    # (B,T,K)
-    if hp.expert_weights_norm or True:  # mixtral/qwen-moe renormalize
+    if hp.expert_weights_norm:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     # scatter top-k weights back to dense (B,T,E)
     w = jnp.zeros_like(probs).at[
@@ -59,8 +79,14 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     ].set(top_w)
     gate = jnp.einsum("btd,edf->btef", x, layer["ffn_gate_exps"], preferred_element_type=jnp.float32)
     up = jnp.einsum("btd,edf->btef", x, layer["ffn_up_exps"], preferred_element_type=jnp.float32)
-    act = (ops.silu(gate) * up).astype(x.dtype)              # (B,T,E,F)
+    if "ffn_gate_exps_b" in layer:
+        gate = gate + layer["ffn_gate_exps_b"][None, None]
+    if "ffn_up_exps_b" in layer:
+        up = up + layer["ffn_up_exps_b"][None, None]
+    act = _glu(gate.astype(x.dtype), up.astype(x.dtype), hp)  # (B,T,E,F)
     down = jnp.einsum("btef,efo->bteo", act, layer["ffn_down_exps"], preferred_element_type=jnp.float32)
+    if "ffn_down_exps_b" in layer:
+        down = down + layer["ffn_down_exps_b"][None, None]
     out = jnp.einsum("bteo,bte->bto", down, w).astype(x.dtype)
     if "ffn_up_shexp" in layer:  # always-on shared expert
         shexp = {
@@ -69,7 +95,7 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
             "ffn_down": layer["ffn_down_shexp"],
         }
         shexp = {k: v for k, v in shexp.items() if v is not None}
-        sh = dense_ffn(x, shexp)
+        sh = dense_ffn(x, shexp, hp)
         if "ffn_gate_inp_shexp" in layer:
             sh = sh * jax.nn.sigmoid(mm(x, layer["ffn_gate_inp_shexp"]))
         out = out + sh
@@ -104,6 +130,13 @@ def llama_forward(
     else:
         scale = 1.0 / hp.rope_scale_factor if hp.rope_scaling == "linear" else 1.0
         inv_freq, mscale = ops.rope_frequencies(D, hp.n_rot, hp.rope_freq_base, scale)
+    # SWA layers may use a different (unscaled) rope base — gemma3 local layers
+    if hp.rope_freq_base_swa > 0.0:
+        inv_freq_swa, mscale_swa = ops.rope_frequencies(
+            D, hp.n_rot, hp.rope_freq_base_swa, 1.0)
+    else:
+        inv_freq_swa, mscale_swa = inv_freq, mscale
+    kq_scale = hp.f_attn_scale if hp.f_attn_scale > 0.0 else 1.0 / (D ** 0.5)
 
     x = params["token_embd"][tokens] * hp.f_embedding_scale
     slots = kv_write_slots(cache, T)
@@ -132,23 +165,25 @@ def llama_forward(
             q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
             k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
 
-        q = ops.apply_rope(q, safe_pos, inv_freq, hp.rope_type, mscale)
-        k = ops.apply_rope(k, safe_pos, inv_freq, hp.rope_type, mscale)
+        swa = hp.swa_window if hp.is_swa_layer(il) else 0
+        f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
+        q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
+        k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
 
         cache = kv_update_layer(cache, il, slots, k, v)
-        swa = hp.swa_window if hp.is_swa_layer(il) else 0
+        sinks = layer.get("attn_sinks")
         if flash:
             attn = flash_attention(
                 q, cache.k[il], cache.v[il], pos, cache.pos,
-                scale=1.0 / (D ** 0.5), swa_window=swa,
-                logit_softcap=hp.attn_logit_softcap,
+                scale=kq_scale, swa_window=swa,
+                logit_softcap=hp.attn_logit_softcap, sinks=sinks,
             )
         else:
             attn = ops.attention_ref(
                 q, cache.k[il], cache.v[il],
                 mask_swa if swa else mask_full,
-                scale=1.0 / (D ** 0.5),
-                logit_softcap=hp.attn_logit_softcap,
+                scale=kq_scale,
+                logit_softcap=hp.attn_logit_softcap, sinks=sinks,
             )
         attn = mm(attn.reshape(B, T, H * Dv), layer["wo"])
         if "bo" in layer:
@@ -158,7 +193,7 @@ def llama_forward(
         x = x + attn
 
         h = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        ffn = moe_ffn(h, layer, hp) if "ffn_gate_exps" in layer else dense_ffn(h, layer)
+        ffn = moe_ffn(h, layer, hp) if "ffn_gate_exps" in layer else dense_ffn(h, layer, hp)
         if "ffn_post_norm" in layer:
             ffn = ops.rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
         x = x + ffn

@@ -105,11 +105,20 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ffn_gate": g(p + "ffn_gate.weight"),
             "ffn_up": g(p + "ffn_up.weight"),
             "ffn_down": g(p + "ffn_down.weight"),
+            "ffn_gate_b": g(p + "ffn_gate.bias", t=False),
+            "ffn_up_b": g(p + "ffn_up.bias", t=False),
+            "ffn_down_b": g(p + "ffn_down.bias", t=False),
+            # attention sinks (gpt-oss)
+            "attn_sinks": g(p + "attn_sinks.weight", t=False),
             # MoE
             "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
+            "ffn_gate_inp_b": g(p + "ffn_gate_inp.bias", t=False),
             "ffn_gate_exps": g(p + "ffn_gate_exps.weight"),
             "ffn_up_exps": g(p + "ffn_up_exps.weight"),
             "ffn_down_exps": g(p + "ffn_down_exps.weight"),
+            "ffn_gate_exps_b": g(p + "ffn_gate_exps.bias", t=False),
+            "ffn_up_exps_b": g(p + "ffn_up_exps.bias", t=False),
+            "ffn_down_exps_b": g(p + "ffn_down_exps.bias", t=False),
             # shared expert (qwen2moe/deepseek2)
             "ffn_gate_shexp": g(p + "ffn_gate_shexp.weight"),
             "ffn_up_shexp": g(p + "ffn_up_shexp.weight"),
@@ -119,7 +128,22 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_post_norm": g(p + "attn_post_norm.weight", t=False),
             "ffn_post_norm": g(p + "ffn_post_norm.weight", t=False),
         }
-        params["layers"].append({k: v for k, v in layer.items() if v is not None})
+        layer = {k: v for k, v in layer.items() if v is not None}
+        # ecosystem phi3-style fused tensors: split into the standard names
+        if "wq" not in layer:
+            qkv = _get(reader, p + "attn_qkv.weight", dtype, True, None, False)
+            if qkv is not None:               # (E_in, (H + 2·Hkv)·D)
+                nq = hp.n_head * hp.head_dim
+                nk = hp.n_head_kv * hp.head_dim
+                layer["wq"] = qkv[:, :nq]
+                layer["wk"] = qkv[:, nq:nq + nk]
+                layer["wv"] = qkv[:, nq + nk:]
+        if "ffn_gate" not in layer and "ffn_up" in layer:
+            up = layer["ffn_up"]          # fused gate_up (phi3): gate ∥ up
+            if isinstance(up, jax.Array) and hp.n_ff and up.shape[-1] == 2 * hp.n_ff:
+                layer["ffn_gate"] = up[..., :hp.n_ff]
+                layer["ffn_up"] = up[..., hp.n_ff:]
+        params["layers"].append(layer)
 
     md = dict(reader.metadata)
     name = md.get("general.name", "")

@@ -38,5 +38,7 @@ for _arch in (
     "llama", "llama2", "mistral", "mixtral", "tinyllama",
     "qwen2", "qwen2moe", "qwen3", "qwen3moe",
     "stablelm", "olmo", "exaone", "granite", "internlm2", "smollm3",
+    # optional-tensor + hparams variants of the same shared forward
+    "gemma", "gemma2", "gemma3", "gpt-oss", "gptoss", "phi3",
 ):
     register(_arch, llama_forward)

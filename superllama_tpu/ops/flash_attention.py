@@ -25,15 +25,22 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = 1e9  # per-unit positional penalty; violations are ≥1 position apart
 
 
-def _fa_kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref, o_ref,
+def _fa_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, k_ref, v_ref, o_ref,
                m_ref, l_ref, acc_ref, *,
-               scale: float, n_s: int, swa: int, softcap: float):
+               scale: float, n_s: int, swa: int, softcap: float,
+               has_sinks: bool):
     s_idx = pl.program_id(3)
 
     @pl.when(s_idx == 0)
     def _():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        # attention sinks (gpt-oss): the sink is logit #0 of the online
+        # softmax — init the running max to it and the denominator to 1
+        if has_sinks:
+            m_ref[:] = sinks_ref[0].astype(jnp.float32)
+            l_ref[:] = jnp.ones_like(l_ref)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0, :, 0]                 # (BT, G, D)
@@ -90,6 +97,7 @@ def flash_attention(
     scale: float | None = None,
     swa_window: int = 0,
     logit_softcap: float = 0.0,
+    sinks: jax.Array | None = None,   # (H,) per-head sink logit (gpt-oss)
     interpret: bool | None = None,
 ) -> jax.Array:
     if interpret is None:
@@ -110,9 +118,20 @@ def flash_attention(
     bs = min(S, 512)
     n_t, n_s = pl.cdiv(T, bt), pl.cdiv(S, bs)
 
+    # per-row sink logits: row-major (bt, G) layout matches the kernel's
+    # flattened (bt*G) query rows; expanded host-side to avoid in-kernel
+    # relayouts of tiny vectors
+    has_sinks = sinks is not None
+    if has_sinks:
+        sinks_exp = jnp.tile(
+            sinks.reshape(Hkv, 1, G).astype(jnp.float32), (1, bt, 1)
+        ).reshape(Hkv, bt * G, 1)
+    else:
+        sinks_exp = jnp.zeros((Hkv, bt * G, 1), jnp.float32)
+
     kern = functools.partial(
         _fa_kernel, scale=float(scale), n_s=n_s, swa=int(swa_window),
-        softcap=float(logit_softcap),
+        softcap=float(logit_softcap), has_sinks=has_sinks,
     )
     out = pl.pallas_call(
         kern,
@@ -120,6 +139,7 @@ def flash_attention(
         in_specs=[
             pl.BlockSpec((1, bt * G, 1), lambda b, h, t, s: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bs, 1), lambda b, h, t, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt * G, 1), lambda b, h, t, s: (h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt, 1, G, D), lambda b, h, t, s: (b, t, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bs, D), lambda b, h, t, s: (b, h, s, 0),
@@ -144,5 +164,5 @@ def flash_attention(
             transcendentals=B * H * T * S,
         ),
         interpret=interpret,
-    )(qpos_exp, kv_pos[:, :, None], qg, k, v)
+    )(qpos_exp, kv_pos[:, :, None], sinks_exp, qg, k, v)
     return out.reshape(B, T, H, Dv)

@@ -123,8 +123,14 @@ def attention_ref(
     mask: jax.Array,     # (B, 1, T, S) additive, -inf for masked
     scale: float | None = None,
     logit_softcap: float = 0.0,
+    sinks: jax.Array | None = None,  # (H,) per-head sink logit (gpt-oss)
 ) -> jax.Array:
-    """Reference scaled-dot-product attention with GQA broadcast, f32 softmax."""
+    """Reference scaled-dot-product attention with GQA broadcast, f32 softmax.
+
+    ``sinks`` implements attention sinks (gpt-oss): a learned per-head logit
+    that joins the softmax normalization but contributes no value — i.e. the
+    softmax denominator gains exp(sink − m).
+    """
     B, T, H, D = q.shape
     H_kv, S = k.shape[1], k.shape[2]
     if scale is None:
@@ -137,7 +143,14 @@ def attention_ref(
     if logit_softcap > 0.0:
         logits = logit_softcap * jnp.tanh(logits / logit_softcap)
     logits = logits + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
+    if sinks is not None:
+        sink = sinks.astype(jnp.float32).reshape(1, H, 1, 1)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sink - m)
+        probs = p / denom
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhts,bhsd->bhtd", probs, vf)                 # (B,H,T,Dv)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
@@ -155,6 +168,15 @@ def gelu(x):
     return (0.5 * xf * (1.0 + jnp.tanh(0.7978845608028654 * (xf + 0.044715 * xf**3)))).astype(x.dtype)
 
 
+def gelu_erf(x):
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + jax.lax.erf(xf / math.sqrt(2.0)))).astype(x.dtype)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
 def swiglu(gate, up):
     return silu(gate) * up
 
@@ -163,7 +185,24 @@ def geglu(gate, up):
     return gelu(gate) * up
 
 
-ACT_FNS = {"silu": silu, "gelu": gelu}
+def swiglu_oai(gate, up, alpha: float = 1.702, limit: float = 7.0):
+    """gpt-oss clamped swiglu: (up+1) · gate·σ(α·gate), gate≤limit, |up|≤limit."""
+    g = jnp.clip(gate.astype(jnp.float32), None, limit)
+    u = jnp.clip(up.astype(jnp.float32), -limit, limit)
+    return ((u + 1.0) * g * jax.nn.sigmoid(alpha * g)).astype(gate.dtype)
+
+
+# gated (gate, up) -> act; "gelu"/"gelu_tanh" name the tanh approximation the
+# ecosystem uses; gelu_erf is the exact form
+GLU_FNS = {
+    "silu": swiglu,
+    "gelu": geglu,
+    "gelu_tanh": geglu,
+    "gelu_erf": lambda g, u: gelu_erf(g) * u,
+    "relu": lambda g, u: relu(g) * u,
+}
+ACT_FNS = {"silu": silu, "gelu": gelu, "gelu_tanh": gelu, "gelu_erf": gelu_erf,
+           "relu": relu}
 
 
 # ----------------------------------------------------------------- softmax / misc

@@ -31,7 +31,18 @@ _ARCH_MAP = {
     "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
+    "Qwen3MoeForCausalLM": "qwen3moe",
+    "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
+    "Gemma3ForConditionalGeneration": "gemma3",
+    "GptOssForCausalLM": "gpt-oss",
+    "Phi3ForCausalLM": "phi3",
 }
+
+# archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm)
+_NORM_PLUS_ONE = {"gemma2", "gemma3"}
+# archs using adjacent-pair (NORM) rope that need HF q/k permutation
+_PERMUTE_QK = {"llama"}
 
 
 def convert_state_dict(
@@ -69,12 +80,41 @@ def convert_state_dict(
     if n_expert:
         w.add(f"{arch}.expert_count", n_expert)
         w.add(f"{arch}.expert_used_count", int(getattr(config, "num_experts_per_tok", 2)))
+        if getattr(config, "norm_topk_prob", None) is not None:
+            w.add(f"{arch}.expert_weights_norm", bool(config.norm_topk_prob))
+    if getattr(config, "sliding_window", None):
+        w.add(f"{arch}.attention.sliding_window", int(config.sliding_window))
+    if getattr(config, "query_pre_attn_scalar", None):
+        w.add(f"{arch}.attention.scale",
+              float(config.query_pre_attn_scalar) ** -0.5)
+    if getattr(config, "attn_logit_softcapping", None):
+        w.add(f"{arch}.attn_logit_softcapping", float(config.attn_logit_softcapping))
+    if getattr(config, "final_logit_softcapping", None):
+        w.add(f"{arch}.final_logit_softcapping", float(config.final_logit_softcapping))
+    if getattr(config, "rope_local_base_freq", None):  # gemma3 SWA layers
+        w.add(f"{arch}.rope.freq_base_swa", float(config.rope_local_base_freq))
+    rs = getattr(config, "rope_scaling", None)
+    if rs:
+        rtype = rs.get("rope_type") or rs.get("type")
+        if rtype in ("linear", "yarn"):
+            w.add(f"{arch}.rope.scaling.type", rtype)
+            w.add(f"{arch}.rope.scaling.factor", float(rs.get("factor", 1.0)))
+            if rtype == "yarn":
+                w.add(f"{arch}.rope.scaling.original_context_length",
+                      int(rs.get("original_max_position_embeddings", 0)))
     for key, val in (tokenizer_fields or {}).items():
         w.add(key, val)
 
     def get(name):
         t = state_dict.get(name)
         return None if t is None else np.asarray(t, dtype=np.float32)
+
+    def get_norm(name):
+        """Gemma stores RMSNorm weights as w with y = x·(1+w): fold the +1."""
+        t = get(name)
+        if t is not None and arch in _NORM_PLUS_ONE:
+            t = t + 1.0
+        return t
 
     def put(gguf_name, arr, qtype=ggml_type):
         if arr is None:
@@ -86,7 +126,7 @@ def convert_state_dict(
         w.add_tensor(gguf_name, arr, t)
 
     put("token_embd.weight", get("model.embed_tokens.weight"))
-    put("output_norm.weight", get("model.norm.weight"))
+    put("output_norm.weight", get_norm("model.norm.weight"))
     lm_head = get("lm_head.weight")
     if lm_head is not None and not getattr(config, "tie_word_embeddings", False):
         put("output.weight", lm_head)
@@ -96,23 +136,38 @@ def convert_state_dict(
         gg = f"blk.{il}."
         q = get(hf + "self_attn.q_proj.weight")
         k = get(hf + "self_attn.k_proj.weight")
-        if arch in ("llama",):  # adjacent-pair rope layout needs permuted q/k
+        if q is None and get(hf + "self_attn.qkv_proj.weight") is not None:
+            qkv = get(hf + "self_attn.qkv_proj.weight")  # phi3 fused (out,in)
+            nq, nk = n_head * head_dim, n_kv * head_dim
+            q, k = qkv[:nq], qkv[nq:nq + nk]
+            put(gg + "attn_v.weight", qkv[nq + nk:])
+        else:
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        if arch in _PERMUTE_QK:  # adjacent-pair rope layout needs permuted q/k
             q = permute_qk(q, n_head)
             k = permute_qk(k, n_kv)
         put(gg + "attn_q.weight", q)
         put(gg + "attn_k.weight", k)
-        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
         put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
         for bias_hf, bias_gg in (
             ("self_attn.q_proj.bias", "attn_q.bias"),
             ("self_attn.k_proj.bias", "attn_k.bias"),
             ("self_attn.v_proj.bias", "attn_v.bias"),
+            ("self_attn.o_proj.bias", "attn_output.bias"),
         ):
             put(gg + bias_gg, get(hf + bias_hf))
-        put(gg + "attn_q_norm.weight", get(hf + "self_attn.q_norm.weight"))
-        put(gg + "attn_k_norm.weight", get(hf + "self_attn.k_norm.weight"))
-        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
-        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "attn_q_norm.weight", get_norm(hf + "self_attn.q_norm.weight"))
+        put(gg + "attn_k_norm.weight", get_norm(hf + "self_attn.k_norm.weight"))
+        put(gg + "attn_norm.weight", get_norm(hf + "input_layernorm.weight"))
+        put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
+        # norm wiring differs: gemma has pre+post norms around both blocks
+        if get(hf + "pre_feedforward_layernorm.weight") is not None:  # gemma
+            put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "ffn_norm.weight", get_norm(hf + "pre_feedforward_layernorm.weight"))
+            put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
+        else:
+            put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+
         if get(hf + "block_sparse_moe.gate.weight") is not None:  # mixtral
             put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
             w1 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w1.weight") for e in range(n_expert)])
@@ -121,6 +176,25 @@ def convert_state_dict(
             put(gg + "ffn_gate_exps.weight", w1)
             put(gg + "ffn_down_exps.weight", w2)
             put(gg + "ffn_up_exps.weight", w3)
+        elif get(hf + "mlp.router.weight") is not None:  # gpt-oss
+            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.router.weight"))
+            put(gg + "ffn_gate_inp.bias", get(hf + "mlp.router.bias"))
+            gate_up = get(hf + "mlp.experts.gate_up_proj")      # (E, in, 2F) interleaved
+            gub = get(hf + "mlp.experts.gate_up_proj_bias")     # (E, 2F)
+            down = get(hf + "mlp.experts.down_proj")            # (E, F, out)
+            # GGUF expert weights are (E, out, in): transpose HF's (E, in, out)
+            put(gg + "ffn_gate_exps.weight", gate_up[..., 0::2].transpose(0, 2, 1))
+            put(gg + "ffn_up_exps.weight", gate_up[..., 1::2].transpose(0, 2, 1))
+            put(gg + "ffn_gate_exps.bias", gub[..., 0::2])
+            put(gg + "ffn_up_exps.bias", gub[..., 1::2])
+            put(gg + "ffn_down_exps.weight", down.transpose(0, 2, 1))
+            put(gg + "ffn_down_exps.bias", get(hf + "mlp.experts.down_proj_bias"))
+        elif get(hf + "mlp.gate_up_proj.weight") is not None:  # phi3 fused
+            gu = get(hf + "mlp.gate_up_proj.weight")            # (2F, in)
+            F = gu.shape[0] // 2
+            put(gg + "ffn_gate.weight", gu[:F])
+            put(gg + "ffn_up.weight", gu[F:])
+            put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
         else:
             put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
             put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))

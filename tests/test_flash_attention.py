@@ -75,3 +75,29 @@ def test_padded_query_rows():
     # only compare non-padded outputs
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(ref)[0], rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got)[1, :5], np.asarray(ref)[1, :5], rtol=1e-4, atol=2e-5)
+
+
+def test_attention_sinks():
+    """Sink logits join the online-softmax normalization (gpt-oss)."""
+    B, T, S, H, Hkv, D = 2, 16, 64, 8, 4, 32
+    q, k, v, q_pos, kv_pos = _mk(B, T, S, H, Hkv, D, seed=4)
+    sinks = jnp.asarray(np.random.default_rng(5).normal(0, 2, (H,)).astype(np.float32))
+    mask = causal_mask(kv_pos, q_pos)
+    ref = attention_ref(q, k, v, mask, sinks=sinks)
+    got = flash_attention(q, k, v, q_pos, kv_pos, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=2e-5)
+    # and the sink must actually matter
+    base = flash_attention(q, k, v, q_pos, kv_pos)
+    assert np.abs(np.asarray(got) - np.asarray(base)).max() > 1e-3
+
+
+def test_attention_sinks_with_swa():
+    B, T, S, H, Hkv, D = 1, 8, 32, 4, 2, 16
+    q, k, v, q_pos, kv_pos = _mk(B, T, S, H, Hkv, D, seed=6)
+    sinks = jnp.asarray(np.linspace(-1, 3, H).astype(np.float32))
+    mask = causal_mask(kv_pos, q_pos, 4)
+    ref = attention_ref(q, k, v, mask, sinks=sinks)
+    got = flash_attention(q, k, v, q_pos, kv_pos, swa_window=4, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=2e-5)
