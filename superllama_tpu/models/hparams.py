@@ -44,7 +44,13 @@ class HParams:
     n_expert_used: int = 0
     n_ff_exp: int = 0
     expert_weights_norm: bool = False
+    expert_weights_scale: float = 1.0   # deepseek2 routed_scaling_factor
     expert_gating_softmax: bool = True  # softmax vs sigmoid gating
+    n_expert_shared: int = 0
+    n_layer_dense_lead: int = 0         # deepseek2 first_k_dense_replace
+    # MLA (deepseek2)
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
     # attention extras
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
@@ -136,7 +142,12 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         rope_freq_base_swa=float(_k(md, arch, "rope.freq_base_swa", 0.0)),
         act=ACT_BY_ARCH.get(arch, "silu"),
         expert_weights_norm=bool(_k(md, arch, "expert_weights_norm",
-                                    arch not in ("qwen2moe",))),
+                                    arch not in ("qwen2moe", "deepseek2"))),
+        expert_weights_scale=float(_k(md, arch, "expert_weights_scale", 1.0)),
+        n_expert_shared=int(_k(md, arch, "expert_shared_count", 0)),
+        n_layer_dense_lead=int(_k(md, arch, "leading_dense_block_count", 0)),
+        q_lora_rank=int(_k(md, arch, "attention.q_lora_rank", 0) or 0),
+        kv_lora_rank=int(_k(md, arch, "attention.kv_lora_rank", 0) or 0),
     )
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5

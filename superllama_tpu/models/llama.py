@@ -73,6 +73,8 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)    # (B,T,K)
     if hp.expert_weights_norm:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if hp.expert_weights_scale != 1.0:  # deepseek2 routed_scaling_factor
+        top_w = top_w * hp.expert_weights_scale
     # scatter top-k weights back to dense (B,T,E)
     w = jnp.zeros_like(probs).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_i

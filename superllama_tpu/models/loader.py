@@ -110,6 +110,13 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ffn_down_b": g(p + "ffn_down.bias", t=False),
             # attention sinks (gpt-oss)
             "attn_sinks": g(p + "attn_sinks.weight", t=False),
+            # MLA (deepseek2)
+            "wq_a": g(p + "attn_q_a.weight"),
+            "wq_b": g(p + "attn_q_b.weight"),
+            "attn_q_a_norm": g(p + "attn_q_a_norm.weight", t=False),
+            "wkv_a": g(p + "attn_kv_a_mqa.weight"),
+            "wkv_b": g(p + "attn_kv_b.weight"),
+            "attn_kv_a_norm": g(p + "attn_kv_a_norm.weight", t=False),
             # MoE
             "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
             "ffn_gate_inp_b": g(p + "ffn_gate_inp.bias", t=False),

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+from .deepseek2 import deepseek2_forward
 from .llama import llama_forward
 
 ForwardFn = Callable  # (params, hp, tokens, pos, cache) -> (logits, cache)
@@ -42,3 +43,5 @@ for _arch in (
     "gemma", "gemma2", "gemma3", "gpt-oss", "gptoss", "phi3",
 ):
     register(_arch, llama_forward)
+
+register("deepseek2", deepseek2_forward)

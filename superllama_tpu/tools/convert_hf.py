@@ -37,12 +37,45 @@ _ARCH_MAP = {
     "Gemma3ForConditionalGeneration": "gemma3",
     "GptOssForCausalLM": "gpt-oss",
     "Phi3ForCausalLM": "phi3",
+    "DeepseekV2ForCausalLM": "deepseek2",
+    "DeepseekV3ForCausalLM": "deepseek2",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm)
 _NORM_PLUS_ONE = {"gemma2", "gemma3"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
 _PERMUTE_QK = {"llama"}
+
+
+def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
+    """DeepSeek-V2 MLA + MoE tensor mapping (convert_hf_to_gguf DeepseekV2
+    counterpart)."""
+    if get(hf + "self_attn.q_proj.weight") is not None:
+        put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+    else:
+        put(gg + "attn_q_a.weight", get(hf + "self_attn.q_a_proj.weight"))
+        put(gg + "attn_q_a_norm.weight", get(hf + "self_attn.q_a_layernorm.weight"))
+        put(gg + "attn_q_b.weight", get(hf + "self_attn.q_b_proj.weight"))
+    put(gg + "attn_kv_a_mqa.weight", get(hf + "self_attn.kv_a_proj_with_mqa.weight"))
+    put(gg + "attn_kv_a_norm.weight", get(hf + "self_attn.kv_a_layernorm.weight"))
+    put(gg + "attn_kv_b.weight", get(hf + "self_attn.kv_b_proj.weight"))
+    put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+    put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+    put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+    if get(hf + "mlp.gate.weight") is not None:  # MoE layer
+        put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+        import numpy as _np
+        for kind, hf_n in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
+            stack = _np.stack([get(hf + f"mlp.experts.{e}.{hf_n}.weight")
+                               for e in range(n_expert)])
+            put(gg + f"ffn_{kind}_exps.weight", stack)
+        put(gg + "ffn_gate_shexp.weight", get(hf + "mlp.shared_experts.gate_proj.weight"))
+        put(gg + "ffn_up_shexp.weight", get(hf + "mlp.shared_experts.up_proj.weight"))
+        put(gg + "ffn_down_shexp.weight", get(hf + "mlp.shared_experts.down_proj.weight"))
+    else:
+        put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
 
 
 def convert_state_dict(
@@ -61,6 +94,9 @@ def convert_state_dict(
     n_kv = getattr(config, "num_key_value_heads", n_head)
     n_embd = config.hidden_size
     head_dim = getattr(config, "head_dim", None) or n_embd // n_head
+    if arch == "deepseek2":  # MLA: k head = nope + rope dims, v head separate
+        head_dim = int(config.qk_nope_head_dim) + int(config.qk_rope_head_dim)
+        n_kv = n_head
 
     w = GGUFWriter(out_path, arch=arch)
     w.add("general.name", getattr(config, "name_or_path", "") or "converted")
@@ -70,13 +106,26 @@ def convert_state_dict(
     w.add(f"{arch}.feed_forward_length", int(config.intermediate_size))
     w.add(f"{arch}.attention.head_count", int(n_head))
     w.add(f"{arch}.attention.head_count_kv", int(n_kv))
-    w.add(f"{arch}.attention.key_length", int(head_dim))
-    w.add(f"{arch}.attention.value_length", int(head_dim))
-    w.add(f"{arch}.rope.dimension_count", int(head_dim))
+    if arch == "deepseek2":
+        w.add(f"{arch}.attention.key_length", int(head_dim))
+        w.add(f"{arch}.attention.value_length", int(config.v_head_dim))
+        w.add(f"{arch}.rope.dimension_count", int(config.qk_rope_head_dim))
+        if getattr(config, "q_lora_rank", None):
+            w.add(f"{arch}.attention.q_lora_rank", int(config.q_lora_rank))
+        w.add(f"{arch}.attention.kv_lora_rank", int(config.kv_lora_rank))
+        w.add(f"{arch}.leading_dense_block_count", int(getattr(config, "first_k_dense_replace", 0)))
+        w.add(f"{arch}.expert_weights_scale", float(getattr(config, "routed_scaling_factor", 1.0)))
+        w.add(f"{arch}.expert_shared_count", int(getattr(config, "n_shared_experts", 0) or 0))
+    else:
+        w.add(f"{arch}.attention.key_length", int(head_dim))
+        w.add(f"{arch}.attention.value_length", int(head_dim))
+        w.add(f"{arch}.rope.dimension_count", int(head_dim))
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(getattr(config, "rms_norm_eps", 1e-5)))
     w.add(f"{arch}.rope.freq_base", float(getattr(config, "rope_theta", 10000.0)))
     w.add(f"{arch}.vocab_size", int(config.vocab_size))
-    n_expert = int(getattr(config, "num_local_experts", 0) or getattr(config, "num_experts", 0) or 0)
+    n_expert = int(getattr(config, "num_local_experts", 0)
+                   or getattr(config, "num_experts", 0)
+                   or getattr(config, "n_routed_experts", 0) or 0)
     if n_expert:
         w.add(f"{arch}.expert_count", n_expert)
         w.add(f"{arch}.expert_used_count", int(getattr(config, "num_experts_per_tok", 2)))
@@ -134,6 +183,9 @@ def convert_state_dict(
     for il in range(config.num_hidden_layers):
         hf = f"model.layers.{il}."
         gg = f"blk.{il}."
+        if arch == "deepseek2":
+            _put_deepseek2_layer(put, get, hf, gg, config, n_expert)
+            continue
         q = get(hf + "self_attn.q_proj.weight")
         k = get(hf + "self_attn.k_proj.weight")
         if q is None and get(hf + "self_attn.qkv_proj.weight") is not None:

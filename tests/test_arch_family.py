@@ -133,3 +133,55 @@ def test_gptoss_sinks_affect_output(tmp_path):
     ctx2 = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
     nosink = np.asarray(ctx2.forward(ids)[0])
     assert np.abs(base - nosink).max() > 1e-3
+
+
+def test_deepseek2_mla_parity(tmp_path):
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        q_lora_rank=24, kv_lora_rank=32,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.0,
+        topk_method="greedy", norm_topk_prob=False, n_group=1, topk_group=1,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["DeepseekV2ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = DeepseekV2ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "ds2.gguf")
+    hp = model.hparams
+    assert hp.kv_lora_rank == 32 and hp.q_lora_rank == 24
+    assert hp.n_layer_dense_lead == 1
+    assert hp.head_dim == 24 and hp.head_dim_v == 16 and hp.n_rot == 8
+    assert "wq_a" in model.params["layers"][0]
+    assert "ffn_gate_exps" in model.params["layers"][1]
+    assert "ffn_up_shexp" in model.params["layers"][1]
+    _parity(hf, model)
+
+
+def test_deepseek2_no_q_lora(tmp_path):
+    """V2-Lite style: direct q projection (q_lora_rank None)."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = DeepseekV2Config(
+        vocab_size=128, hidden_size=48, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=8, qk_rope_head_dim=8, v_head_dim=8,
+        q_lora_rank=None, kv_lora_rank=16,
+        n_routed_experts=2, num_experts_per_tok=1, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=2.0,
+        topk_method="greedy", norm_topk_prob=False, n_group=1, topk_group=1,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["DeepseekV2ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = DeepseekV2ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "ds2l.gguf")
+    assert "wq" in model.params["layers"][0]
+    assert model.hparams.expert_weights_scale == 2.0
+    _parity(hf, model, n_tokens=12)
