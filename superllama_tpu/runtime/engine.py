@@ -34,7 +34,7 @@ import numpy as np
 
 from ..models.loader import LoadedModel
 from ..models.registry import get_forward
-from .kv_cache import KVCache, kv_cache_init
+from .kv_cache import KVCache, kv_cache_init, kv_truncate_rows
 from .sampling import SamplerChain, make_chain
 
 PREFILL_BUCKETS = (32, 128, 512, 1024, 2048)
@@ -82,11 +82,20 @@ class _Slot:
     text: str = ""
     t_start: float = 0.0
     t_first_token: float = 0.0
+    # speculative decoding
+    d_past: int = 0                  # draft-cache entries for this row
+    draft_tail: list[int] = field(default_factory=list)  # tokens draft hasn't seen
 
 
 class Engine:
+    """Continuous-batching engine (update_slots semantics of
+    tools/server/server-context.cpp:1947), with optional speculative decoding
+    (common/speculative.{h,cpp} semantics: greedy draft, per-position target
+    sampling, accept-longest-prefix + bonus token)."""
+
     def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
-                 kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS):
+                 kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS,
+                 draft_model: LoadedModel | None = None, n_draft: int = 8):
         self.model = model
         hp = model.hparams
         self.hp = hp
@@ -124,6 +133,25 @@ class Engine:
 
         self._insert = jax.jit(insert, donate_argnums=(0,))
 
+        # --- speculative decoding (draft model shadow cache) ---
+        self.draft_model = draft_model
+        self.n_draft = n_draft
+        if draft_model is not None:
+            dhp = draft_model.hparams
+            assert dhp.n_vocab == hp.n_vocab, (
+                "draft/target vocab mismatch (vocab translation not supported)")
+            dfwd = get_forward(dhp.arch)
+
+            def d_step(params, tokens, pos, cache):
+                return dfwd(params, dhp, tokens, pos, cache)
+
+            self._d_step = jax.jit(d_step, donate_argnums=(3,))
+            self.d_cache = kv_cache_init(dhp.n_layer, n_slots, n_ctx,
+                                         dhp.n_head_kv, dhp.head_dim,
+                                         dhp.head_dim_v, dtype=kv_dtype)
+            self._d_insert = jax.jit(insert, donate_argnums=(0,))
+        self._truncate = jax.jit(kv_truncate_rows, donate_argnums=(0,))
+
         self.slots = [_Slot(i) for i in range(n_slots)]
         self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
         self._qseq = 0
@@ -133,6 +161,7 @@ class Engine:
         self.metrics = {
             "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
             "prefill_s": 0.0, "decode_s": 0.0, "n_decode_steps": 0,
+            "n_spec_drafted": 0, "n_spec_accepted": 0,
         }
 
     # ----------------------------------------------------------- public API
@@ -272,13 +301,39 @@ class Engine:
         self.metrics["n_prompt_tokens"] += n
         self.metrics["prefill_s"] += time.perf_counter() - t0
 
+        # draft-model shadow prefill of the same prompt
+        if self.draft_model is not None:
+            dhp = self.draft_model.hparams
+            d_scratch = kv_cache_init(dhp.n_layer, 1, self.n_ctx, dhp.n_head_kv,
+                                      dhp.head_dim, dhp.head_dim_v,
+                                      dtype=self.kv_dtype)
+            off = 0
+            while off < n:
+                chunk = ids[off : off + P]
+                tok = np.full((1, P), 0, np.int32)
+                dpos = np.full((1, P), -1, np.int32)
+                tok[0, : len(chunk)] = chunk
+                dpos[0, : len(chunk)] = np.arange(off, off + len(chunk))
+                _, d_scratch = self._d_step(
+                    self.draft_model.params, jnp.asarray(tok),
+                    jnp.asarray(dpos), d_scratch)
+                off += len(chunk)
+            self.d_cache = self._d_insert(self.d_cache, d_scratch, slot.idx, n)
+            slot.d_past = n
+            del d_scratch
+
         # sample the first token from the prefill logits
         self._emit(slot, slot.sampler.sample(last_logits))
+        if self.draft_model is not None and slot.state == SlotState.GENERATING:
+            slot.draft_tail = [slot.generated[-1]]
 
     def _decode_step(self) -> bool:
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active:
             return False
+        if self.draft_model is not None and all(
+                s.n_past + self.n_draft + 1 <= self.n_ctx for s in active):
+            return self._spec_decode_step(active)
         t0 = time.perf_counter()
         tokens = np.zeros((self.n_slots, 1), np.int32)
         pos = np.full((self.n_slots, 1), -1, np.int32)
@@ -291,6 +346,89 @@ class Engine:
         for s in active:
             s.n_past += 1
             self._emit(s, s.sampler.sample(logits_np[s.idx]))
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
+
+    def _spec_decode_step(self, active: list[_Slot]) -> bool:
+        """One speculative round for every generating slot, batched:
+        draft-catch-up (≤2 tokens) → K−1 greedy draft steps → one target
+        verify pass over K+1 positions → per-slot accept + rollback."""
+        t0 = time.perf_counter()
+        K, B = self.n_draft, self.n_slots
+        dparams = self.draft_model.params
+
+        # --- catch-up + first draft (the tail is 1 or 2 tokens by invariant)
+        tok = np.zeros((B, 2), np.int32)
+        dpos = np.full((B, 2), -1, np.int32)
+        for s in active:
+            for j, t in enumerate(s.draft_tail[:2]):
+                tok[s.idx, j] = t
+                dpos[s.idx, j] = s.d_past + j
+        logits, self.d_cache = self._d_step(dparams, jnp.asarray(tok),
+                                            jnp.asarray(dpos), self.d_cache)
+        last_tok = np.asarray(jnp.argmax(logits, axis=-1))   # (B, 2)
+        drafts = np.zeros((B, K), np.int32)
+        for s in active:
+            drafts[s.idx, 0] = last_tok[s.idx, len(s.draft_tail) - 1]
+            s.d_past += len(s.draft_tail)
+
+        # --- K-1 greedy single-token draft steps
+        for k in range(1, K):
+            tok1 = np.zeros((B, 1), np.int32)
+            pos1 = np.full((B, 1), -1, np.int32)
+            for s in active:
+                tok1[s.idx, 0] = drafts[s.idx, k - 1]
+                pos1[s.idx, 0] = s.d_past
+            logits, self.d_cache = self._d_step(dparams, jnp.asarray(tok1),
+                                                jnp.asarray(pos1), self.d_cache)
+            nxt = np.asarray(jnp.argmax(logits[:, 0], axis=-1))
+            for s in active:
+                drafts[s.idx, k] = nxt[s.idx]
+                s.d_past += 1
+
+        # --- target verify over [last_emitted, d_0 .. d_{K-1}]
+        vtok = np.zeros((B, K + 1), np.int32)
+        vpos = np.full((B, K + 1), -1, np.int32)
+        for s in active:
+            vtok[s.idx, 0] = s.generated[-1]
+            vtok[s.idx, 1:] = drafts[s.idx]
+            vpos[s.idx] = s.n_past + np.arange(K + 1)
+        vlogits, self.cache = self._decode(self.model.params, jnp.asarray(vtok),
+                                           jnp.asarray(vpos), self.cache)
+        vlogits = np.asarray(vlogits, np.float32)            # (B, K+1, V)
+
+        keep_t = np.zeros(B, np.int32)
+        keep_d = np.zeros(B, np.int32)
+        for s in self.slots:
+            keep_t[s.idx] = s.n_past
+            keep_d[s.idx] = s.d_past
+        for s in active:
+            n_past0, d_fed = s.n_past, s.d_past
+            accepted = 0
+            for i in range(K + 1):
+                t = s.sampler.sample(vlogits[s.idx, i])
+                emit_done = False
+                self._emit(s, t)
+                emit_done = s.state != SlotState.GENERATING
+                if i < K and t == int(drafts[s.idx, i]) and not emit_done:
+                    accepted += 1
+                    continue
+                break
+            self.metrics["n_spec_drafted"] += K
+            self.metrics["n_spec_accepted"] += accepted
+            n_emitted = accepted + 1
+            s.n_past = n_past0 + n_emitted
+            keep_t[s.idx] = s.n_past
+            keep_d[s.idx] = min(s.n_past, d_fed)
+            s.d_past = int(keep_d[s.idx])
+            if s.state == SlotState.GENERATING:
+                # tokens the draft hasn't consumed yet (1 or 2 by invariant)
+                seq_from = s.d_past - s.n_prompt
+                seq_to = s.n_past + 1 - s.n_prompt
+                s.draft_tail = [int(x) for x in s.generated[seq_from:seq_to]]
+        self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
+        self.d_cache = self._truncate(self.d_cache, jnp.asarray(keep_d))
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True

@@ -91,6 +91,16 @@ def causal_mask(cache_pos: jax.Array, q_pos: jax.Array,
     return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
 
 
+def kv_truncate_rows(cache: KVCache, keep: jax.Array) -> KVCache:
+    """Per-row truncation to the first ``keep[b]`` slots (speculative-decoding
+    rollback of rejected draft entries). Slots are append-ordered, so slot
+    index == write order; stale K/V beyond the cut stay in memory but are
+    masked by pos = -1 and overwritten by future writes."""
+    idx = jnp.arange(cache.pos.shape[1], dtype=jnp.int32)[None, :]
+    pos = jnp.where(idx < keep[:, None], cache.pos, -1)
+    return cache._replace(pos=pos, cursor=keep.astype(jnp.int32))
+
+
 # --- sequence ops (host-side, operate on concrete arrays) --------------------
 
 
