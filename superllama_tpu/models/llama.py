@@ -33,13 +33,27 @@ def mm(x: jax.Array, w) -> jax.Array:
     return x @ w
 
 
+def _im(imx: dict | None, key: str, x: jax.Array) -> None:
+    """Imatrix hook: accumulate per-input-channel Σx² + token counts for the
+    weight named ``key`` (IMatrixCollector::collect_imatrix counterpart,
+    tools/imatrix/imatrix.cpp:219 — here a trace-time accumulation instead of
+    a sched eval-callback)."""
+    if imx is None:
+        return
+    xf = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+    imx[key] = imx.get(key, 0) + jnp.sum(xf * xf, axis=0)
+    imx[key + ".__count"] = imx.get(key + ".__count", 0) + xf.shape[0]
+
+
 def _glu(gate: jax.Array, up: jax.Array, hp: HParams) -> jax.Array:
     if hp.act == "swiglu_oai":
         return ops.swiglu_oai(gate, up, hp.swiglu_alpha, hp.swiglu_limit)
     return ops.GLU_FNS[hp.act](gate, up)
 
 
-def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None) -> jax.Array:
+def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None,
+              imx: dict | None = None, pfx: str = "") -> jax.Array:
+    _im(imx, pfx + "ffn_up.weight", x)
     gate = mm(x, layer["ffn_gate"]) if "ffn_gate" in layer else None
     up = mm(x, layer["ffn_up"])
     if "ffn_up_b" in layer:
@@ -50,6 +64,7 @@ def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None) -> jax.Array
         act = _glu(gate, up, hp) if hp is not None else ops.swiglu(gate, up)
     else:
         act = ops.ACT_FNS[hp.act if hp is not None else "gelu"](up)
+    _im(imx, pfx + "ffn_down.weight", act)
     out = mm(act, layer["ffn_down"])
     if "ffn_down_b" in layer:
         out = out + layer["ffn_down_b"]
@@ -111,8 +126,13 @@ def llama_forward(
     pos: jax.Array,      # (B, T) int32; -1 marks padding rows/cols
     cache: KVCache,
     flash: bool | None = None,
+    imatrix: dict | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
+
+    ``imatrix``: pass a dict to accumulate per-weight input-activation Σx²
+    statistics during the trace (imatrix collection, tools/imatrix
+    counterpart); keys are GGUF weight names.
 
     flash=None auto-selects the Pallas flash-attention kernel on TPU for
     prefill-sized T (where the T×S logits matrix dominates memory); decode
@@ -149,8 +169,10 @@ def llama_forward(
     safe_pos = jnp.maximum(pos, 0)
 
     for il, layer in enumerate(params["layers"]):
+        pfx = f"blk.{il}."
         h = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
 
+        _im(imatrix, pfx + "attn_q.weight", h)
         q = mm(h, layer["wq"])
         k = mm(h, layer["wk"])
         v = mm(h, layer["wv"])
@@ -187,7 +209,9 @@ def llama_forward(
                 scale=kq_scale,
                 logit_softcap=hp.attn_logit_softcap, sinks=sinks,
             )
-        attn = mm(attn.reshape(B, T, H * Dv), layer["wo"])
+        attn = attn.reshape(B, T, H * Dv)
+        _im(imatrix, pfx + "attn_output.weight", attn)
+        attn = mm(attn, layer["wo"])
         if "bo" in layer:
             attn = attn + layer["bo"]
         if "attn_post_norm" in layer:
@@ -195,7 +219,11 @@ def llama_forward(
         x = x + attn
 
         h = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        ffn = moe_ffn(h, layer, hp) if "ffn_gate_exps" in layer else dense_ffn(h, layer, hp)
+        if "ffn_gate_exps" in layer:
+            _im(imatrix, pfx + "ffn_up_exps.weight", h)
+            ffn = moe_ffn(h, layer, hp)
+        else:
+            ffn = dense_ffn(h, layer, hp, imatrix, pfx)
         if "ffn_post_norm" in layer:
             ffn = ops.rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
         x = x + ffn

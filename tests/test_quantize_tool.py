@@ -1,0 +1,114 @@
+"""Quantize tool + imatrix collector tests (llama-quantize / llama-imatrix
+counterparts: per-tensor type rules, round-trip quality, imatrix-weighted
+refinement)."""
+
+import numpy as np
+import pytest
+import torch
+
+from superllama_tpu.gguf import GGMLType, GGUFReader
+from superllama_tpu.gguf.quants import dequantize, quantize
+from superllama_tpu.models import load_model
+from superllama_tpu.runtime import Context
+from superllama_tpu.tools.convert_hf import convert_state_dict
+from superllama_tpu.tools.imatrix import collect_imatrix, load_imatrix, save_imatrix
+from superllama_tpu.tools.quantize import _weighted_rescale, quantize_model
+
+torch.manual_seed(33)
+
+
+@pytest.fixture(scope="module")
+def f32_model_path(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    path = tmp_path_factory.mktemp("qt") / "f32.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32)
+    return str(path)
+
+
+def test_quantize_type_rules(f32_model_path, tmp_path):
+    out = tmp_path / "q4km.gguf"
+    stats = quantize_model(f32_model_path, str(out), "Q4_K_M")
+    r = GGUFReader(str(out))
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.0.ffn_up.weight"].ggml_type == GGMLType.Q4_K
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+    r.close()
+    assert stats.get("Q6_K", 0) >= 5
+
+
+def test_quantized_model_loads_and_runs(f32_model_path, tmp_path):
+    out = tmp_path / "q8.gguf"
+    quantize_model(f32_model_path, str(out), "Q8_0")
+    m32 = load_model(f32_model_path)
+    m8 = load_model(str(out))
+    ids = np.arange(1, 17, dtype=np.int32)
+    l32 = np.asarray(Context(m32, n_ctx=32, kv_dtype=np.float32).forward(ids)[0])
+    l8 = np.asarray(Context(m8, n_ctx=32, kv_dtype=np.float32).forward(ids)[0])
+    # q8_0 is near-lossless: greedy tokens must agree
+    assert (l32.argmax(-1) == l8.argmax(-1)).mean() > 0.9
+
+
+def test_overrides_and_fallback(f32_model_path, tmp_path):
+    out = tmp_path / "ovr.gguf"
+    quantize_model(f32_model_path, str(out), "Q4_K_M",
+                   overrides=[("blk.*.attn_q.weight", GGMLType.Q8_0)])
+    r = GGUFReader(str(out))
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q8_0
+    r.close()
+
+
+def test_imatrix_collect_and_roundtrip(f32_model_path, tmp_path):
+    model = load_model(f32_model_path)
+    batches = [list(range(1, 33)), list(range(40, 72))]
+    imx = collect_imatrix(model, batches)
+    # q/k/v share input activations
+    np.testing.assert_allclose(imx["blk.0.attn_q.weight"],
+                               imx["blk.0.attn_k.weight"])
+    assert imx["blk.0.attn_q.weight"].shape == (256,)
+    assert imx["blk.0.ffn_down.weight"].shape == (512,)
+    assert (imx["blk.0.attn_q.weight"] >= 0).all()
+    p = tmp_path / "im.gguf"
+    save_imatrix(str(p), imx)
+    back = load_imatrix(str(p))
+    np.testing.assert_allclose(back["blk.1.ffn_up.weight"],
+                               imx["blk.1.ffn_up.weight"], rtol=1e-6)
+
+
+def test_weighted_rescale_reduces_weighted_error():
+    """A high-importance channel with a small magnitude must win scale
+    resolution from an unimportant outlier channel."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 0.1, (8, 64)).astype(np.float32)
+    x[:, 60] = 8.0       # outlier in an unimportant channel
+    w = np.ones(64, np.float32)
+    w[60] = 1e-6         # outlier channel is unimportant
+    w[:32] = 100.0       # first half matters a lot
+    packed = quantize(x, GGMLType.Q4_0)
+    refined = _weighted_rescale(x, packed, GGMLType.Q4_0, w)
+    wb = np.broadcast_to(w, x.shape)
+    e0 = (((x - dequantize(packed, GGMLType.Q4_0).reshape(x.shape)) ** 2) * wb).sum()
+    e1 = (((x - dequantize(refined, GGMLType.Q4_0).reshape(x.shape)) ** 2) * wb).sum()
+    assert e1 <= e0
+    assert e1 < 0.999 * e0  # strictly better on this construction
+
+
+def test_quantize_with_imatrix_end_to_end(f32_model_path, tmp_path):
+    model = load_model(f32_model_path)
+    imx = collect_imatrix(model, [list(range(1, 65))])
+    out = tmp_path / "wq.gguf"
+    stats = quantize_model(f32_model_path, str(out), "Q4_0", imatrix=imx)
+    m = load_model(str(out))
+    ids = np.arange(1, 17, dtype=np.int32)
+    logits = np.asarray(Context(m, n_ctx=32, kv_dtype=np.float32).forward(ids)[0])
+    assert np.isfinite(logits).all()
