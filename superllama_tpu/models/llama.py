@@ -161,11 +161,17 @@ def llama_forward(
     kq_scale = hp.f_attn_scale if hp.f_attn_scale > 0.0 else 1.0 / (D ** 0.5)
 
     x = params["token_embd"][tokens] * hp.f_embedding_scale
-    slots = kv_write_slots(cache, T)
-    cache = kv_advance(cache, slots, pos)
-    if not flash:  # flash masks positionally in-kernel; no HBM mask needed
-        mask_full = causal_mask(cache.pos, pos)
-        mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
+    paged = not isinstance(cache, KVCache)  # PagedKVCache (runtime/paged_kv.py)
+    if paged:
+        from ..ops.paged_attention import paged_flash_attention
+        from ..runtime.paged_kv import paged_advance, paged_update_layer
+        cache, pslots, poffs = paged_advance(cache, pos)
+    else:
+        slots = kv_write_slots(cache, T)
+        cache = kv_advance(cache, slots, pos)
+        if not flash:  # flash masks positionally in-kernel; no HBM mask needed
+            mask_full = causal_mask(cache.pos, pos)
+            mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
     safe_pos = jnp.maximum(pos, 0)
 
     for il, layer in enumerate(params["layers"]):
@@ -194,15 +200,23 @@ def llama_forward(
         q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
         k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
 
-        cache = kv_update_layer(cache, il, slots, k, v)
         sinks = layer.get("attn_sinks")
-        if flash:
+        if paged:
+            cache = paged_update_layer(cache, il, pslots, poffs, k, v)
+            attn = paged_flash_attention(
+                q, cache.k_pages[il], cache.v_pages[il], pos, cache.page_pos,
+                cache.table, scale=kq_scale, swa_window=swa,
+                logit_softcap=hp.attn_logit_softcap, sinks=sinks,
+            )
+        elif flash:
+            cache = kv_update_layer(cache, il, slots, k, v)
             attn = flash_attention(
                 q, cache.k[il], cache.v[il], pos, cache.pos,
                 scale=kq_scale, swa_window=swa,
                 logit_softcap=hp.attn_logit_softcap, sinks=sinks,
             )
         else:
+            cache = kv_update_layer(cache, il, slots, k, v)
             attn = ops.attention_ref(
                 q, cache.k[il], cache.v[il],
                 mask_swa if swa else mask_full,
