@@ -131,10 +131,13 @@ class PagedKVManager:
         return self.cache.page_size
 
     def _sync_table(self):
+        # .copy() is load-bearing: on the CPU backend jnp.asarray(np_array)
+        # may alias the host buffer zero-copy, and these mirrors are mutated
+        # by finish_step while the jitted step may still be in flight
         self.cache = self.cache._replace(
-            table=jnp.asarray(self._table_np),
-            cur_page=jnp.asarray(self._cur_page),
-            cur_off=jnp.asarray(self._cur_off),
+            table=jnp.asarray(self._table_np.copy()),
+            cur_page=jnp.asarray(self._cur_page.copy()),
+            cur_off=jnp.asarray(self._cur_off.copy()),
         )
 
     def _alloc_slot(self, seq: int, logical: int) -> int:
@@ -243,8 +246,8 @@ class PagedKVManager:
             self._cur_off[seq] += n
         self._plan = {}
         self.cache = cache._replace(
-            cur_page=jnp.asarray(self._cur_page),
-            cur_off=jnp.asarray(self._cur_off))
+            cur_page=jnp.asarray(self._cur_page.copy()),
+            cur_off=jnp.asarray(self._cur_off.copy()))
 
     def free_seq(self, seq: int):
         for lg in range(self._table_np.shape[1]):
