@@ -83,6 +83,15 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
         "output_norm": g("output_norm.weight", t=False),
         "output_norm_b": g("output_norm.bias", t=False),
         "output": g("output.weight"),                     # None → tied embeddings
+        # encoder (bert-family) extras
+        "token_embd_norm": g("token_embd_norm.weight", t=False),
+        "token_embd_norm_b": g("token_embd_norm.bias", t=False),
+        "position_embd": g("position_embd.weight", t=False),
+        "token_types": g("token_types.weight", t=False),
+        "cls": g("cls.weight"),
+        "cls_b": g("cls.bias", t=False),
+        "cls_out": g("cls.output.weight"),
+        "cls_out_b": g("cls.output.bias", t=False),
         "layers": [],
     }
     for il in range(hp.n_layer):
@@ -135,6 +144,16 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_post_norm": g(p + "attn_post_norm.weight", t=False),
             "ffn_post_norm": g(p + "ffn_post_norm.weight", t=False),
         }
+        if hp.arch in ("bert", "nomic-bert", "jina-bert-v2"):
+            layer.update({
+                # bert post-norm LayerNorms carry biases under encoder names
+                "attn_post_norm": g(p + "attn_output_norm.weight", t=False),
+                "attn_post_norm_b": g(p + "attn_output_norm.bias", t=False),
+                "ffn_post_norm": g(p + "layer_output_norm.weight", t=False),
+                "ffn_post_norm_b": g(p + "layer_output_norm.bias", t=False),
+                "ffn_up_b": g(p + "ffn_up.bias", t=False),
+                "ffn_down_b": g(p + "ffn_down.bias", t=False),
+            })
         layer = {k: v for k, v in layer.items() if v is not None}
         # ecosystem phi3-style fused tensors: split into the standard names
         if "wq" not in layer:

@@ -42,13 +42,20 @@ class ServerApp:
     def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
                  api_keys: dict[str, str] | None = None,
                  rate_limit_rpm: int = 0, model_name: str | None = None,
-                 kv_dtype=None, metrics_path: str | None = None):
+                 kv_dtype=None, metrics_path: str | None = None,
+                 embed_model: "LoadedModel | None" = None,
+                 draft_model: "LoadedModel | None" = None, n_draft: int = 8):
         import jax.numpy as jnp
 
         self.model = model
         self.model_name = model_name or model.name or "model"
         self.engine = Engine(model, n_slots=n_slots, n_ctx=n_ctx,
-                             kv_dtype=kv_dtype or jnp.bfloat16)
+                             kv_dtype=kv_dtype or jnp.bfloat16,
+                             draft_model=draft_model, n_draft=n_draft)
+        self.embedder = None
+        if embed_model is not None:
+            from ..runtime.embedder import Embedder
+            self.embedder = Embedder(embed_model)
         self.chat_template = template_for_model(model)
         self.metrics = MetricsRegistry()
         self.metrics.histogram_declare("request_duration_seconds",
@@ -294,6 +301,41 @@ class ServerApp:
             },
         }
 
+    def handle_embeddings(self, body: dict, client: str) -> dict:
+        """OpenAI /v1/embeddings + native /embeddings."""
+        if self.embedder is None:
+            raise NotImplementedError("no embedding model loaded")
+        inputs = body.get("input", body.get("content", ""))
+        single = isinstance(inputs, str)
+        texts = [inputs] if single else [str(x) for x in inputs]
+        embs, n_tok = self.embedder.embed(texts)
+        self.cost.record(client, self.model_name, n_tok, 0)
+        return {
+            "object": "list",
+            "model": body.get("model", self.model_name),
+            "data": [{"object": "embedding", "index": i, "embedding": e.tolist()}
+                     for i, e in enumerate(embs)],
+            "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+        }
+
+    def handle_rerank(self, body: dict, client: str) -> dict:
+        """Jina/Cohere-style /rerank (tools/server rerank counterpart)."""
+        if self.embedder is None:
+            raise NotImplementedError("no embedding model loaded")
+        docs = body.get("documents", [])
+        texts = [d.get("text", "") if isinstance(d, dict) else str(d) for d in docs]
+        scores, n_tok = self.embedder.rerank(body["query"], texts)
+        order = sorted(range(len(scores)), key=lambda i: -scores[i])
+        top_n = int(body.get("top_n", len(order)))
+        results = [{"index": i, "relevance_score": scores[i]} for i in order[:top_n]]
+        if body.get("return_documents"):
+            for r in results:
+                r["document"] = {"text": texts[r["index"]]}
+        self.cost.record(client, self.model_name, n_tok, 0)
+        return {"model": body.get("model", self.model_name),
+                "results": results,
+                "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}}
+
     def props(self) -> dict:
         hp = self.model.hparams
         return {
@@ -416,6 +458,18 @@ def make_handler(app: ServerApp):
                 elif path == "/v1/messages":
                     self._dispatch_gen(body, client, app.handle_anthropic_messages,
                                        self._sse_anthropic_events, anthropic=True)
+                elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
+                    try:
+                        self._send_json(app.handle_embeddings(body, client))
+                    except NotImplementedError as e:
+                        ok = False
+                        self._err(501, str(e))
+                elif path in ("/rerank", "/v1/rerank", "/reranking"):
+                    try:
+                        self._send_json(app.handle_rerank(body, client))
+                    except NotImplementedError as e:
+                        ok = False
+                        self._err(501, str(e))
                 else:
                     ok = False
                     return self._err(404, f"unknown path {path}")

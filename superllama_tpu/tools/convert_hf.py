@@ -39,6 +39,8 @@ _ARCH_MAP = {
     "Phi3ForCausalLM": "phi3",
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
+    "BertModel": "bert",
+    "BertForSequenceClassification": "bert",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm)
@@ -76,6 +78,40 @@ def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
         put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
         put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
         put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_bert(w, put, get, config):
+    """BERT encoder mapping (convert_hf_to_gguf BertModel counterpart)."""
+    pre = "bert." if get("bert.embeddings.word_embeddings.weight") is not None else ""
+    put("token_embd.weight", get(pre + "embeddings.word_embeddings.weight"))
+    put("position_embd.weight", get(pre + "embeddings.position_embeddings.weight"))
+    put("token_types.weight", get(pre + "embeddings.token_type_embeddings.weight"))
+    put("token_embd_norm.weight", get(pre + "embeddings.LayerNorm.weight"))
+    put("token_embd_norm.bias", get(pre + "embeddings.LayerNorm.bias"))
+    # rerank classification head (BertForSequenceClassification)
+    put("cls.weight", get(pre + "pooler.dense.weight"))
+    put("cls.bias", get(pre + "pooler.dense.bias"))
+    put("cls.output.weight", get("classifier.weight"))
+    put("cls.output.bias", get("classifier.bias"))
+    for il in range(config.num_hidden_layers):
+        hf = f"{pre}encoder.layer.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_q.weight", get(hf + "attention.self.query.weight"))
+        put(gg + "attn_q.bias", get(hf + "attention.self.query.bias"))
+        put(gg + "attn_k.weight", get(hf + "attention.self.key.weight"))
+        put(gg + "attn_k.bias", get(hf + "attention.self.key.bias"))
+        put(gg + "attn_v.weight", get(hf + "attention.self.value.weight"))
+        put(gg + "attn_v.bias", get(hf + "attention.self.value.bias"))
+        put(gg + "attn_output.weight", get(hf + "attention.output.dense.weight"))
+        put(gg + "attn_output.bias", get(hf + "attention.output.dense.bias"))
+        put(gg + "attn_output_norm.weight", get(hf + "attention.output.LayerNorm.weight"))
+        put(gg + "attn_output_norm.bias", get(hf + "attention.output.LayerNorm.bias"))
+        put(gg + "ffn_up.weight", get(hf + "intermediate.dense.weight"))
+        put(gg + "ffn_up.bias", get(hf + "intermediate.dense.bias"))
+        put(gg + "ffn_down.weight", get(hf + "output.dense.weight"))
+        put(gg + "ffn_down.bias", get(hf + "output.dense.bias"))
+        put(gg + "layer_output_norm.weight", get(hf + "output.LayerNorm.weight"))
+        put(gg + "layer_output_norm.bias", get(hf + "output.LayerNorm.bias"))
 
 
 def convert_state_dict(
@@ -173,6 +209,13 @@ def convert_state_dict(
         if arr.ndim >= 2 and arr.shape[-1] % 256 != 0 and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
             t = GGMLType.F16  # fall back when rows don't fit superblocks
         w.add_tensor(gguf_name, arr, t)
+
+    if arch == "bert":
+        w.add(f"{arch}.attention.layer_norm_epsilon",
+              float(getattr(config, "layer_norm_eps", 1e-12)))
+        _convert_bert(w, put, get, config)
+        w.write()
+        return
 
     put("token_embd.weight", get("model.embed_tokens.weight"))
     put("output_norm.weight", get_norm("model.norm.weight"))
