@@ -162,3 +162,29 @@ def test_grammar_constrained_generation(model):
         from superllama_tpu.grammar.gbnf import GrammarState
         st = GrammarState(parse_gbnf(json_schema_to_gbnf(schema)))
         assert st.accept_text(text), text
+
+
+def test_decode_loop_matches_stepwise(model):
+    """The fully-jitted scan decode loop (backend sampling) reproduces the
+    per-step greedy path exactly."""
+    from superllama_tpu.runtime.decode_loop import DecodeLoop
+
+    prompt = model.tokenizer.encode("The quick brown", add_special=True)
+    ctx = Context(model, n_batch=1, n_ctx=128, kv_dtype=np.float32)
+    ref = ctx.greedy_generate(prompt, 12, stop_eog=False)
+    loop = DecodeLoop(model, n_ctx=128, kv_dtype=np.float32, temp=0.0)
+    got = loop.generate(prompt, 12, stop_eog=False)
+    assert got == ref
+
+
+def test_decode_loop_sampled_reproducible(model):
+    from superllama_tpu.runtime.decode_loop import DecodeLoop
+
+    prompt = model.tokenizer.encode("Hello", add_special=True)
+    loop = DecodeLoop(model, n_ctx=128, kv_dtype=np.float32,
+                      temp=0.9, top_k=40, top_p=0.95)
+    a = loop.generate(prompt, 10, seed=7, stop_eog=False)
+    b = loop.generate(prompt, 10, seed=7, stop_eog=False)
+    c = loop.generate(prompt, 10, seed=8, stop_eog=False)
+    assert a == b
+    assert a != c  # different key → (overwhelmingly) different stream
