@@ -85,6 +85,9 @@ class _Slot:
     # speculative decoding
     d_past: int = 0                  # draft-cache entries for this row
     draft_tail: list[int] = field(default_factory=list)  # tokens draft hasn't seen
+    # prompt cache: tokens whose KV currently occupy this row (kept across
+    # requests for common-prefix reuse, server-context.cpp prompt caching)
+    cache_tokens: list[int] = field(default_factory=list)
 
 
 class Engine:
@@ -161,7 +164,7 @@ class Engine:
         self.metrics = {
             "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
             "prefill_s": 0.0, "decode_s": 0.0, "n_decode_steps": 0,
-            "n_spec_drafted": 0, "n_spec_accepted": 0,
+            "n_spec_drafted": 0, "n_spec_accepted": 0, "n_prompt_cached": 0,
         }
 
     # ----------------------------------------------------------- public API
@@ -218,7 +221,15 @@ class Engine:
                 _, _, req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            slot = free[0]
+            # pick the free slot with the longest cached common prefix
+            def prefix_len(s: _Slot) -> int:
+                n = 0
+                for a, b in zip(s.cache_tokens, req.prompt_ids):
+                    if a != b:
+                        break
+                    n += 1
+                return n
+            slot = max(free, key=prefix_len)
             try:
                 self._start_request(slot, req)
                 launched = True
@@ -227,7 +238,53 @@ class Engine:
                 req._done.set()
                 slot.state = SlotState.IDLE  # don't leave a half-started slot
                 slot.req = None
+                slot.cache_tokens = []       # row contents are undefined now
         return launched
+
+    # ------------------------------------------------ slot state save/restore
+
+    def slot_save(self, idx: int) -> dict:
+        """Snapshot a slot's KV row + token history (llama_state_seq_get_data
+        counterpart, include/llama.h:835-896; powers /slots/:id?action=save)."""
+        s = self.slots[idx]
+        if s.state != SlotState.IDLE:
+            raise RuntimeError(f"slot {idx} is busy")
+        return {
+            "k": np.asarray(self.cache.k[:, idx]),
+            "v": np.asarray(self.cache.v[:, idx]),
+            "pos": np.asarray(self.cache.pos[idx]),
+            "n_past": s.n_past,
+            "cache_tokens": np.asarray(s.cache_tokens, np.int32),
+        }
+
+    def slot_restore(self, idx: int, data: dict) -> int:
+        """Load a snapshot into a slot row; returns the token count restored."""
+        s = self.slots[idx]
+        if s.state != SlotState.IDLE:
+            raise RuntimeError(f"slot {idx} is busy")
+        k = jnp.asarray(np.asarray(data["k"]), self.cache.k.dtype)
+        v = jnp.asarray(np.asarray(data["v"]), self.cache.v.dtype)
+        pos = jnp.asarray(np.asarray(data["pos"]), jnp.int32)
+        self.cache = self.cache._replace(
+            k=self.cache.k.at[:, idx].set(k),
+            v=self.cache.v.at[:, idx].set(v),
+            pos=self.cache.pos.at[idx].set(pos),
+            cursor=self.cache.cursor.at[idx].set(int(data["n_past"])),
+        )
+        s.n_past = int(data["n_past"])
+        s.cache_tokens = [int(t) for t in np.asarray(data["cache_tokens"])]
+        return len(s.cache_tokens)
+
+    def slot_erase(self, idx: int) -> None:
+        s = self.slots[idx]
+        if s.state != SlotState.IDLE:
+            raise RuntimeError(f"slot {idx} is busy")
+        self.cache = self.cache._replace(
+            pos=self.cache.pos.at[idx].set(-1),
+            cursor=self.cache.cursor.at[idx].set(0),
+        )
+        s.n_past = 0
+        s.cache_tokens = []
 
     def _vocab_pieces(self) -> tuple[list[bytes], set[int]]:
         """Cached (token→bytes table, EOG ids) for grammar filtering."""
@@ -253,33 +310,70 @@ class Engine:
                 f"prompt ({len(ids)}) + max_tokens ({req.max_tokens}) exceeds n_ctx ({self.n_ctx})"
             )
         t0 = time.perf_counter()
-        P = self._bucket(len(ids))
         n = len(ids)
-        # prompts longer than the biggest bucket prefill in several passes
-        scratch = kv_cache_init(self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
-                                self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
-        off = 0
-        logits = None
-        while off < n:
-            chunk = ids[off : off + P]
-            tok = np.full((1, P), 0, np.int32)
-            pos = np.full((1, P), -1, np.int32)
-            tok[0, : len(chunk)] = chunk
-            pos[0, : len(chunk)] = np.arange(off, off + len(chunk))
-            logits, scratch = self._prefill(
-                self.model.params, jnp.asarray(tok), jnp.asarray(pos), scratch)
-            off += len(chunk)
-        last_idx = (n - 1) % P if n % P != 0 else P - 1
-        last_logits = np.asarray(logits[0, last_idx], np.float32)
+        # prompt-cache common-prefix reuse (server-context.cpp prompt caching):
+        # if this row already holds a long matching prefix, truncate to it and
+        # prefill only the suffix IN PLACE (junk writes into other rows land
+        # beyond their cursors and are masked/overwritten)
+        n_cached = 0
+        if self.draft_model is None and slot.cache_tokens:
+            for a, b in zip(slot.cache_tokens, ids):
+                if a != b:
+                    break
+                n_cached += 1
+            n_cached = min(n_cached, n - 1)  # keep ≥1 token for logits
+            if n_cached < 16:
+                n_cached = 0
+        if n_cached:
+            keep = np.zeros(self.n_slots, np.int32)
+            for s in self.slots:
+                keep[s.idx] = s.n_past
+            keep[slot.idx] = n_cached
+            self.cache = self._truncate(self.cache, jnp.asarray(keep))
+            suffix = ids[n_cached:]
+            P = self._bucket(len(suffix))
+            off = 0
+            while off < len(suffix):
+                chunk = suffix[off : off + P]
+                tok = np.full((self.n_slots, P), 0, np.int32)
+                pos = np.full((self.n_slots, P), -1, np.int32)
+                tok[slot.idx, : len(chunk)] = chunk
+                pos[slot.idx, : len(chunk)] = np.arange(
+                    n_cached + off, n_cached + off + len(chunk))
+                logits, self.cache = self._decode(
+                    self.model.params, jnp.asarray(tok), jnp.asarray(pos), self.cache)
+                off += len(chunk)
+            last_idx = (len(suffix) - 1) % P if len(suffix) % P != 0 else P - 1
+            last_logits = np.asarray(logits[slot.idx, last_idx], np.float32)
+            self.metrics["n_prompt_cached"] += n_cached
+        else:
+            P = self._bucket(n)
+            # prompts longer than the biggest bucket prefill in several passes
+            scratch = kv_cache_init(self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
+                                    self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
+            off = 0
+            logits = None
+            while off < n:
+                chunk = ids[off : off + P]
+                tok = np.full((1, P), 0, np.int32)
+                pos = np.full((1, P), -1, np.int32)
+                tok[0, : len(chunk)] = chunk
+                pos[0, : len(chunk)] = np.arange(off, off + len(chunk))
+                logits, scratch = self._prefill(
+                    self.model.params, jnp.asarray(tok), jnp.asarray(pos), scratch)
+                off += len(chunk)
+            last_idx = (n - 1) % P if n % P != 0 else P - 1
+            last_logits = np.asarray(logits[0, last_idx], np.float32)
 
-        self.cache = self._insert(self.cache, scratch, slot.idx, n)
-        del scratch
+            self.cache = self._insert(self.cache, scratch, slot.idx, n)
+            del scratch
 
         slot.req = req
         slot.state = SlotState.GENERATING
         slot.n_past = n
         slot.n_prompt = n
         slot.generated = []
+        slot.cache_tokens = list(ids)
         slot.text = ""
         slot.t_start = t0
         slot.sampler = make_chain(**req.sampling) if req.sampling else make_chain(greedy=True)
@@ -345,6 +439,7 @@ class Engine:
         logits_np = np.asarray(logits[:, 0], np.float32)
         for s in active:
             s.n_past += 1
+            s.cache_tokens.append(s.generated[-1])  # fed token entered cache
             self._emit(s, s.sampler.sample(logits_np[s.idx]))
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
@@ -419,6 +514,7 @@ class Engine:
             self.metrics["n_spec_accepted"] += accepted
             n_emitted = accepted + 1
             s.n_past = n_past0 + n_emitted
+            s.cache_tokens.extend(int(x) for x in vtok[s.idx, :n_emitted])
             keep_t[s.idx] = s.n_past
             keep_d[s.idx] = min(s.n_past, d_fed)
             s.d_past = int(keep_d[s.idx])

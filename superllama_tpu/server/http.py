@@ -72,6 +72,8 @@ class ServerApp:
         self.content_filter = ContentFilter()
         self.jsonl = JsonlMetricsLogger(metrics_path)
         self.health.register("engine", lambda: True)
+        import tempfile
+        self.slot_save_path = tempfile.mkdtemp(prefix="slt_slots_")
         self.t_start = time.time()
 
     # ------------------------------------------------------------- helpers
@@ -336,6 +338,119 @@ class ServerApp:
                 "results": results,
                 "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok}}
 
+    def handle_slot_action(self, slot_id: int, action: str, body: dict) -> dict:
+        """/slots/:id?action=save|restore|erase (server.cpp:199, tasks
+        SLOT_SAVE/RESTORE/ERASE)."""
+        import numpy as _np
+        import os as _os
+
+        eng = self.engine
+        if action == "erase":
+            eng.slot_erase(slot_id)
+            return {"id_slot": slot_id, "success": True}
+        fname = body.get("filename")
+        if not fname or "/" in fname or fname.startswith("."):
+            raise ValueError("invalid or missing filename")
+        path = _os.path.join(self.slot_save_path, fname)
+        if action == "save":
+            data = eng.slot_save(slot_id)
+            t0 = time.perf_counter()
+            _np.savez(path, **data)
+            n = len(data["cache_tokens"])
+            return {"id_slot": slot_id, "filename": fname,
+                    "n_saved": n, "n_written": int(data["k"].nbytes + data["v"].nbytes),
+                    "timings": {"save_ms": (time.perf_counter() - t0) * 1e3}}
+        if action == "restore":
+            t0 = time.perf_counter()
+            with _np.load(path) as z:
+                n = eng.slot_restore(slot_id, dict(z))
+            return {"id_slot": slot_id, "filename": fname, "n_restored": n,
+                    "timings": {"restore_ms": (time.perf_counter() - t0) * 1e3}}
+        raise ValueError(f"unknown slot action {action!r}")
+
+    def handle_infill(self, body: dict, client: str, stream_cb=None) -> dict:
+        """Fill-in-the-middle completion (/infill): compose the FIM prompt
+        from the vocab's fim_pre/suf/mid special tokens."""
+        tok = self.model.tokenizer
+        v = tok.vocab
+        _FIM_NAMES = {
+            "pre": ("<|fim_prefix|>", "<fim_prefix>", "<|fim_begin|>", "<PRE>"),
+            "suf": ("<|fim_suffix|>", "<fim_suffix>", "<|fim_hole|>", "<SUF>"),
+            "mid": ("<|fim_middle|>", "<fim_middle>", "<|fim_end|>", "<MID>"),
+        }
+        fim = {}
+        for kind in ("pre", "suf", "mid"):
+            tid = getattr(v, f"fim_{kind}_id", -1)
+            if tid is None or tid < 0:
+                for cand in _FIM_NAMES[kind]:
+                    if cand in getattr(v, "token_to_id", {}):
+                        tid = v.token_to_id[cand]
+                        break
+                else:
+                    tid = -1
+            if tid is None or tid < 0:
+                raise NotImplementedError("model has no FIM tokens")
+            fim[kind] = tid
+        prefix = tok.encode(body.get("input_prefix", body.get("prefix", "")),
+                            add_special=False)
+        suffix = tok.encode(body.get("input_suffix", body.get("suffix", "")),
+                            add_special=False)
+        ids = [fim["pre"], *prefix, fim["suf"], *suffix, fim["mid"]]
+        inner = dict(body)
+        inner["prompt"] = ids
+        inner.setdefault("max_tokens", body.get("n_predict") or 128)
+        return self.handle_completion(inner, client, stream_cb)
+
+    def handle_responses(self, body: dict, client: str) -> dict:
+        """OpenAI Responses API (/v1/responses), non-streaming subset."""
+        inp = body.get("input", "")
+        if isinstance(inp, str):
+            messages = [{"role": "user", "content": inp}]
+        else:
+            messages = [{"role": m.get("role", "user"),
+                         "content": m.get("content", "")} for m in inp]
+        if body.get("instructions"):
+            messages = [{"role": "system", "content": body["instructions"]}] + messages
+        inner = {
+            "messages": messages,
+            "max_tokens": body.get("max_output_tokens", 512),
+            "temperature": body.get("temperature", 1.0),
+            "top_p": body.get("top_p", 1.0),
+            "tools": [{"type": "function", "function": t}
+                      for t in body.get("tools", []) if t.get("type") == "function"]
+                     or body.get("tools"),
+            "tool_choice": body.get("tool_choice", "auto"),
+        }
+        out = self.handle_chat(inner, client)
+        msg = out["choices"][0]["message"]
+        content_items = []
+        output = []
+        if msg.get("content"):
+            output.append({"type": "message", "id": "msg_" + uuid.uuid4().hex[:16],
+                           "role": "assistant", "status": "completed",
+                           "content": [{"type": "output_text",
+                                        "text": msg["content"],
+                                        "annotations": []}]})
+        for tc in msg.get("tool_calls", []):
+            output.append({"type": "function_call",
+                           "id": "fc_" + uuid.uuid4().hex[:16],
+                           "call_id": tc["id"],
+                           "name": tc["function"]["name"],
+                           "arguments": tc["function"]["arguments"],
+                           "status": "completed"})
+        usage = out["usage"]
+        return {
+            "id": "resp_" + uuid.uuid4().hex[:24],
+            "object": "response",
+            "created_at": int(time.time()),
+            "status": "completed",
+            "model": body.get("model", self.model_name),
+            "output": output,
+            "usage": {"input_tokens": usage["prompt_tokens"],
+                      "output_tokens": usage["completion_tokens"],
+                      "total_tokens": usage["total_tokens"]},
+        }
+
     def props(self) -> dict:
         hp = self.model.hparams
         return {
@@ -470,6 +585,21 @@ def make_handler(app: ServerApp):
                     except NotImplementedError as e:
                         ok = False
                         self._err(501, str(e))
+                elif path.startswith("/slots/"):
+                    qs = self.path.split("?", 1)[1] if "?" in self.path else ""
+                    action = dict(p.split("=", 1) for p in qs.split("&") if "=" in p
+                                  ).get("action", "")
+                    self._send_json(app.handle_slot_action(
+                        int(path.split("/")[2]), action, body))
+                elif path == "/infill":
+                    try:
+                        self._dispatch_gen(body, client, app.handle_infill,
+                                           self._sse_completion_chunk)
+                    except NotImplementedError as e:
+                        ok = False
+                        self._err(501, str(e))
+                elif path == "/v1/responses":
+                    self._send_json(app.handle_responses(body, client))
                 else:
                     ok = False
                     return self._err(404, f"unknown path {path}")

@@ -188,3 +188,52 @@ def test_decode_loop_sampled_reproducible(model):
     c = loop.generate(prompt, 10, seed=8, stop_eog=False)
     assert a == b
     assert a != c  # different key → (overwhelmingly) different stream
+
+
+def test_prompt_cache_prefix_reuse(model):
+    """A second request sharing a long prefix reuses the cached KV
+    (server-context prompt caching) and still generates identical tokens."""
+    tok = model.tokenizer
+    base = "word banana tree " * 10  # long shared prefix (>16 tokens)
+    p1 = tok.encode(base + "alpha", add_special=True)
+    p2 = tok.encode(base + "beta", add_special=True)
+    assert len(p1) > 20
+
+    eng = Engine(model, n_slots=1, n_ctx=256, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    r1 = eng.generate(p1, max_tokens=6, stop_eog=False)
+    assert eng.metrics["n_prompt_cached"] == 0
+    r2 = eng.generate(p2, max_tokens=6, stop_eog=False)
+    assert eng.metrics["n_prompt_cached"] > 16  # prefix was reused
+
+    fresh = Engine(model, n_slots=1, n_ctx=256, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64))
+    ref = fresh.generate(p2, max_tokens=6, stop_eog=False)
+    assert r2["tokens"] == ref["tokens"]
+
+
+def test_slot_save_restore_roundtrip(model):
+    """Saving a slot, erasing, and restoring reproduces continuation exactly
+    (llama_state_seq semantics)."""
+    tok = model.tokenizer
+    prompt = tok.encode("the quick brown fox jumps over the lazy dog " * 2,
+                        add_special=True)
+    eng = Engine(model, n_slots=1, n_ctx=256, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    eng.generate(prompt, max_tokens=4, stop_eog=False)
+    snap = eng.slot_save(0)
+    assert len(snap["cache_tokens"]) == snap["n_past"]
+
+    # continuation A: directly extend via prompt-cache reuse
+    p2 = [int(t) for t in snap["cache_tokens"]] + tok.encode(" and then")
+    a = eng.generate(p2, max_tokens=5, stop_eog=False)
+    cached_a = eng.metrics["n_prompt_cached"]
+    assert cached_a > 0
+
+    # erase, restore, continuation B must match
+    eng.slot_erase(0)
+    assert eng.slots[0].cache_tokens == []
+    eng.slot_restore(0, snap)
+    b = eng.generate(p2, max_tokens=5, stop_eog=False)
+    assert b["tokens"] == a["tokens"]
+    assert eng.metrics["n_prompt_cached"] > cached_a

@@ -257,3 +257,38 @@ def test_anthropic_tool_use(server):
     blocks = [b for b in out["content"] if b["type"] == "tool_use"]
     assert blocks and blocks[0]["name"] == "search"
     assert isinstance(blocks[0]["input"].get("q"), str)
+
+
+def test_slots_save_restore_endpoint(server):
+    # prime slot 0 with some state
+    _req(server.port, "/v1/completions", {"prompt": "hello there friend", "max_tokens": 4},
+         headers={"Authorization": "Bearer sk-good"})
+    out = _req(server.port, "/slots/0?action=save", {"filename": "s0.npz"},
+               headers={"Authorization": "Bearer sk-good"})
+    assert out["n_saved"] > 0
+    out = _req(server.port, "/slots/0?action=erase", {}, method="POST",
+               headers={"Authorization": "Bearer sk-good"})
+    assert out["success"]
+    out = _req(server.port, "/slots/0?action=restore", {"filename": "s0.npz"},
+               headers={"Authorization": "Bearer sk-good"})
+    assert out["n_restored"] > 0
+
+
+def test_infill_no_fim_tokens_501(server):
+    try:
+        _req(server.port, "/infill",
+             {"input_prefix": "def f(", "input_suffix": "return x", "max_tokens": 4},
+             headers={"Authorization": "Bearer sk-good"})
+        assert False, "expected 501"
+    except urllib.error.HTTPError as e:
+        assert e.code == 501
+
+
+def test_openai_responses_endpoint(server):
+    out = _req(server.port, "/v1/responses",
+               {"input": "Say hi", "max_output_tokens": 8},
+               headers={"Authorization": "Bearer sk-good"})
+    assert out["object"] == "response" and out["status"] == "completed"
+    msgs = [o for o in out["output"] if o["type"] == "message"]
+    assert msgs and msgs[0]["content"][0]["type"] == "output_text"
+    assert out["usage"]["output_tokens"] > 0
