@@ -51,6 +51,11 @@ class HParams:
     # MLA (deepseek2)
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
+    # SSM (mamba-family)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
     # attention extras
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
@@ -65,6 +70,11 @@ class HParams:
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def is_recurrent(self) -> bool:
+        """State-space/recurrent memory instead of a KV cache."""
+        return self.ssm_d_inner > 0
 
     def is_swa_layer(self, il: int) -> bool:
         """True if layer uses sliding-window attention (iSWA pattern)."""
@@ -103,9 +113,10 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     md = reader.metadata
     arch = md["general.architecture"]
     n_embd = int(_k(md, arch, "embedding_length"))
-    n_head = int(_k(md, arch, "attention.head_count"))
+    n_head = int(_k(md, arch, "attention.head_count", 0))
     n_head_kv = int(_k(md, arch, "attention.head_count_kv", n_head))
-    head_dim = int(_k(md, arch, "attention.key_length", n_embd // n_head))
+    head_dim = int(_k(md, arch, "attention.key_length",
+                      n_embd // n_head if n_head else 0))
     head_dim_v = int(_k(md, arch, "attention.value_length", head_dim))
     n_rot = int(_k(md, arch, "rope.dimension_count", head_dim))
     n_vocab = int(_k(md, arch, "vocab_size", 0)) or len(md.get("tokenizer.ggml.tokens", []))
@@ -148,6 +159,10 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         n_layer_dense_lead=int(_k(md, arch, "leading_dense_block_count", 0)),
         q_lora_rank=int(_k(md, arch, "attention.q_lora_rank", 0) or 0),
         kv_lora_rank=int(_k(md, arch, "attention.kv_lora_rank", 0) or 0),
+        ssm_d_conv=int(_k(md, arch, "ssm.conv_kernel", 0)),
+        ssm_d_inner=int(_k(md, arch, "ssm.inner_size", 0)),
+        ssm_d_state=int(_k(md, arch, "ssm.state_size", 0)),
+        ssm_dt_rank=int(_k(md, arch, "ssm.time_step_rank", 0)),
     )
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5

@@ -126,6 +126,16 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "wkv_a": g(p + "attn_kv_a_mqa.weight"),
             "wkv_b": g(p + "attn_kv_b.weight"),
             "attn_kv_a_norm": g(p + "attn_kv_a_norm.weight", t=False),
+            # SSM (mamba)
+            "ssm_in": g(p + "ssm_in.weight"),
+            "ssm_conv1d": g(p + "ssm_conv1d.weight"),
+            "ssm_conv1d_b": g(p + "ssm_conv1d.bias", t=False),
+            "ssm_x": g(p + "ssm_x.weight"),
+            "ssm_dt": g(p + "ssm_dt.weight"),
+            "ssm_dt_b": g(p + "ssm_dt.bias", t=False),
+            "ssm_a": g(p + "ssm_a.weight", t=False),
+            "ssm_d": g(p + "ssm_d.weight", t=False),
+            "ssm_out": g(p + "ssm_out.weight"),
             # MoE
             "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
             "ffn_gate_inp_b": g(p + "ffn_gate_inp.bias", t=False),

@@ -1,0 +1,90 @@
+"""Mamba (selective state-space) forward pass.
+
+Behavioral reference: src/models/mamba.cpp (llm_build_mamba) with semantics
+cross-checked against the upstream selective-scan recurrence: per layer a
+gated in-projection, depthwise causal conv over time, data-dependent (dt,B,C)
+selection, the exp(dt·A) discretized state recurrence, skip D, silu gate,
+out-projection. State lives in a RecurrentCache (conv shift + SSM state), so
+prefill and decode are the same functional step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import jnp_ref as ops
+from ..runtime.recurrent import RecurrentCache
+from .hparams import HParams
+from .llama import mm
+
+
+def _mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
+                 conv_state: jax.Array, ssm_state: jax.Array):
+    """One mixer over (B, T, E). Returns (y, conv_state, ssm_state)."""
+    B, T, _ = x_in.shape
+    di, ds = hp.ssm_d_inner, hp.ssm_d_state
+    dc, rank = hp.ssm_d_conv, hp.ssm_dt_rank
+
+    xz = mm(x_in, layer["ssm_in"])                      # (B, T, 2*di)
+    x, z = xz[..., :di], xz[..., di:]
+
+    # depthwise causal conv over time: state carries the last dc-1 inputs
+    seq = jnp.concatenate([conv_state.astype(x.dtype), x], axis=1)  # (B, dc-1+T, di)
+    w = layer["ssm_conv1d"]                             # (dc, di)
+    y = sum(seq[:, j:j + T] * w[j] for j in range(dc))
+    if "ssm_conv1d_b" in layer:
+        y = y + layer["ssm_conv1d_b"]
+    new_conv = seq[:, T:]                               # last dc-1 inputs
+    x = ops.silu(y)
+
+    # selection
+    sel = mm(x, layer["ssm_x"])                         # (B, T, rank+2*ds)
+    dt = sel[..., :rank]
+    Bm = sel[..., rank:rank + ds].astype(jnp.float32)   # (B, T, ds)
+    Cm = sel[..., rank + ds:].astype(jnp.float32)
+    dt = mm(dt, layer["ssm_dt"]) + layer["ssm_dt_b"]
+    dt = jax.nn.softplus(dt.astype(jnp.float32))        # (B, T, di)
+
+    A = -jnp.exp(layer["ssm_a"].astype(jnp.float32))    # (di, ds)
+    xf = x.astype(jnp.float32)
+
+    def step(state, inp):
+        dt_t, b_t, c_t, x_t = inp                       # (B,di) (B,ds) (B,ds) (B,di)
+        dA = jnp.exp(dt_t[..., None] * A[None])         # (B, di, ds)
+        dBx = (dt_t * x_t)[..., None] * b_t[:, None, :]
+        state = state * dA + dBx
+        y_t = jnp.einsum("bds,bs->bd", state, c_t)
+        return state, y_t
+
+    ssm_f = ssm_state.astype(jnp.float32)
+    ssm_f, ys = jax.lax.scan(
+        step, ssm_f,
+        (dt.transpose(1, 0, 2), Bm.transpose(1, 0, 2),
+         Cm.transpose(1, 0, 2), xf.transpose(1, 0, 2)))
+    y = ys.transpose(1, 0, 2) + xf * layer["ssm_d"].astype(jnp.float32)
+    y = (y.astype(x.dtype)) * ops.silu(z)
+    out = mm(y, layer["ssm_out"])
+    return out, new_conv.astype(conv_state.dtype), ssm_f.astype(ssm_state.dtype)
+
+
+def mamba_forward(
+    params: dict,
+    hp: HParams,
+    tokens: jax.Array,       # (B, T)
+    pos: jax.Array,          # unused (state is positionless); kept for API parity
+    cache: RecurrentCache,
+) -> tuple[jax.Array, RecurrentCache]:
+    x = params["token_embd"][tokens]
+    conv_new, ssm_new = [], []
+    for il, layer in enumerate(params["layers"]):
+        h = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        y, cs, ss = _mamba_mixer(layer, hp, h, cache.conv[il], cache.ssm[il])
+        conv_new.append(cs)
+        ssm_new.append(ss)
+        x = x + y
+    cache = RecurrentCache(conv=jnp.stack(conv_new), ssm=jnp.stack(ssm_new))
+    x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
+    w_out = params.get("output")
+    logits = mm(x, w_out) if w_out is not None else x @ params["token_embd"].T
+    return logits, cache

@@ -45,3 +45,7 @@ for _arch in (
     register(_arch, llama_forward)
 
 register("deepseek2", deepseek2_forward)
+
+from .mamba import mamba_forward  # noqa: E402
+
+register("mamba", mamba_forward)

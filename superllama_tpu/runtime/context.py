@@ -43,9 +43,16 @@ class Context:
         # donate the cache: it is functionally updated every step
         self._step = jax.jit(step, donate_argnums=(3,))
         self.cache = self.new_cache()
+        self._n_past = 0  # recurrent-cache position counter
 
-    def new_cache(self) -> KVCache:
+    def new_cache(self):
         hp = self.hp
+        if hp.is_recurrent:  # mamba-family: conv+ssm state, no KV slots
+            from .recurrent import recurrent_cache_init
+
+            return recurrent_cache_init(hp.n_layer, self.n_batch, hp.ssm_d_conv,
+                                        hp.ssm_d_inner, hp.ssm_d_state,
+                                        dtype=self.kv_dtype)
         return kv_cache_init(
             hp.n_layer, self.n_batch, self.n_ctx, hp.n_head_kv,
             hp.head_dim, hp.head_dim_v, dtype=self.kv_dtype,
@@ -53,12 +60,20 @@ class Context:
 
     def reset(self):
         self.cache = self.new_cache()
+        self._n_past = 0
 
     def forward(self, tokens: np.ndarray, pos: np.ndarray | None = None) -> jax.Array:
         """Run one step over (B, T) tokens; returns logits (B, T, V)."""
         tokens = jnp.asarray(tokens, jnp.int32)
         if tokens.ndim == 1:
             tokens = tokens[None, :]
+        if self.hp.is_recurrent:
+            if pos is None:
+                pos = self._n_past + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
+            self._n_past += tokens.shape[1]
+            logits, self.cache = self._step(self.model.params, tokens,
+                                            jnp.asarray(pos, jnp.int32), self.cache)
+            return logits
         # XLA scatter clamps out-of-bounds writes silently; fail loudly instead
         max_cursor = int(jax.device_get(self.cache.cursor).max())
         if max_cursor + tokens.shape[1] > self.n_ctx:

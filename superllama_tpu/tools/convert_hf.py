@@ -41,6 +41,7 @@ _ARCH_MAP = {
     "DeepseekV3ForCausalLM": "deepseek2",
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
+    "MambaForCausalLM": "mamba",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm)
@@ -78,6 +79,29 @@ def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
         put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
         put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
         put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_mamba(w, put, get, config):
+    """Mamba SSM mapping (convert_hf_to_gguf MambaModel counterpart)."""
+    put("token_embd.weight", get("backbone.embeddings.weight"))
+    put("output_norm.weight", get("backbone.norm_f.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", lm)
+    for il in range(config.num_hidden_layers):
+        hf = f"backbone.layers.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "norm.weight"))
+        put(gg + "ssm_in.weight", get(hf + "mixer.in_proj.weight"))
+        conv = get(hf + "mixer.conv1d.weight")          # (di, 1, dc)
+        put(gg + "ssm_conv1d.weight", conv[:, 0, :])    # (di, dc)
+        put(gg + "ssm_conv1d.bias", get(hf + "mixer.conv1d.bias"))
+        put(gg + "ssm_x.weight", get(hf + "mixer.x_proj.weight"))
+        put(gg + "ssm_dt.weight", get(hf + "mixer.dt_proj.weight"))
+        put(gg + "ssm_dt.bias", get(hf + "mixer.dt_proj.bias"))
+        put(gg + "ssm_a.weight", get(hf + "mixer.A_log"))
+        put(gg + "ssm_d.weight", get(hf + "mixer.D"))
+        put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
 
 
 def _convert_bert(w, put, get, config):
@@ -126,10 +150,10 @@ def convert_state_dict(
     archs = getattr(config, "architectures", None) or []
     arch = arch or (_ARCH_MAP.get(archs[0]) if archs else None) or "llama"
 
-    n_head = config.num_attention_heads
+    n_head = getattr(config, "num_attention_heads", 0)
     n_kv = getattr(config, "num_key_value_heads", n_head)
     n_embd = config.hidden_size
-    head_dim = getattr(config, "head_dim", None) or n_embd // n_head
+    head_dim = getattr(config, "head_dim", None) or (n_embd // n_head if n_head else 0)
     if arch == "deepseek2":  # MLA: k head = nope + rope dims, v head separate
         head_dim = int(config.qk_nope_head_dim) + int(config.qk_rope_head_dim)
         n_kv = n_head
@@ -214,6 +238,16 @@ def convert_state_dict(
         w.add(f"{arch}.attention.layer_norm_epsilon",
               float(getattr(config, "layer_norm_eps", 1e-12)))
         _convert_bert(w, put, get, config)
+        w.write()
+        return
+    if arch == "mamba":
+        w.add(f"{arch}.ssm.conv_kernel", int(config.conv_kernel))
+        w.add(f"{arch}.ssm.inner_size", int(config.intermediate_size))
+        w.add(f"{arch}.ssm.state_size", int(config.state_size))
+        w.add(f"{arch}.ssm.time_step_rank", int(config.time_step_rank))
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(getattr(config, "layer_norm_epsilon", 1e-5)))
+        _convert_mamba(w, put, get, config)
         w.write()
         return
 

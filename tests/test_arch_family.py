@@ -185,3 +185,37 @@ def test_deepseek2_no_q_lora(tmp_path):
     assert "wq" in model.params["layers"][0]
     assert model.hparams.expert_weights_scale == 2.0
     _parity(hf, model, n_tokens=12)
+
+
+def test_mamba_parity(tmp_path):
+    """Selective-scan recurrence parity vs HF Mamba, and stepwise decode
+    (recurrent state) must equal full-sequence prefill."""
+    import jax.numpy as jnp
+
+    from transformers import MambaConfig, MambaForCausalLM
+
+    cfg = MambaConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, expand=2, time_step_rank=4,
+        use_cache=False, architectures=["MambaForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = MambaForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "mamba.gguf")
+    hp = model.hparams
+    assert hp.is_recurrent and hp.ssm_d_inner == 128 and hp.ssm_d_conv == 4
+
+    ids = np.random.default_rng(2).integers(1, 256, size=(1, 16))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits[0].float().numpy()
+    ctx = Context(model, n_batch=1, n_ctx=64, kv_dtype=np.float32)
+    got = np.asarray(ctx.forward(ids[0].astype(np.int32))[0], np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, err
+
+    # stepwise decode through the recurrent state == prefill logits
+    ctx2 = Context(model, n_batch=1, n_ctx=64, kv_dtype=np.float32)
+    step_logits = []
+    for t in ids[0]:
+        step_logits.append(np.asarray(ctx2.forward(np.asarray([t], np.int32))[0, -1]))
+    np.testing.assert_allclose(np.stack(step_logits), got, rtol=1e-3, atol=1e-4)
