@@ -712,20 +712,37 @@ QUANTIZERS = {
 
 
 def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...] | None = None) -> np.ndarray:
-    """Decode a byte buffer of the given wire type to float32 (optionally reshaped)."""
+    """Decode a byte buffer of the given wire type to float32 (optionally
+    reshaped). Routes through the native C++ codecs when available
+    (superllama_tpu/native, bit-identical by construction + tests)."""
     fn = DEQUANTIZERS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"no dequantizer for {ggml_type.name}")
-    out = fn(np.frombuffer(raw.tobytes() if isinstance(raw, np.ndarray) else bytes(raw), dtype=np.uint8))
+    buf = np.frombuffer(raw.tobytes() if isinstance(raw, np.ndarray) else bytes(raw), dtype=np.uint8)
+    tr = GGML_TYPE_TRAITS.get(ggml_type)
+    if tr is not None:
+        from .. import native
+
+        out = native.dequantize(buf, int(ggml_type), tr.block_size, tr.type_size)
+        if out is not None:
+            return out.reshape(shape) if shape is not None else out
+    out = fn(buf)
     return out.reshape(shape) if shape is not None else out
 
 
 def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Encode float data (row length = last axis, multiple of block size) to bytes."""
+    """Encode float data (row length = last axis, multiple of block size) to
+    bytes; native C++ fast path when available."""
     fn = QUANTIZERS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"no quantizer for {ggml_type.name}")
     tr = GGML_TYPE_TRAITS[ggml_type]
     if x.shape[-1] % tr.block_size != 0:
         raise ValueError(f"row size {x.shape[-1]} not a multiple of {tr.block_size} for {ggml_type.name}")
-    return fn(np.ascontiguousarray(x, dtype=np.float32))
+    xf = np.ascontiguousarray(x, dtype=np.float32)
+    from .. import native
+
+    out = native.quantize(xf, int(ggml_type), tr.block_size, tr.type_size)
+    if out is not None:
+        return out
+    return fn(xf)

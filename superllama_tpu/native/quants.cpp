@@ -1,0 +1,607 @@
+// Native quant codecs — C++ counterpart of the reference's performance core
+// for block formats (ggml/src/ggml-quants.c, clean-room from the format
+// layouts). Bit-identical to the numpy codecs in gguf/quants.py: the Python
+// side treats this library as the fast path and falls back to numpy when the
+// toolchain is unavailable; tests assert byte equality in both directions.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread quants.cpp -o libslquants.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ----------------------------- half conversion ------------------------------
+
+inline float half_to_float(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+    uint32_t exp = (h >> 10) & 0x1F;
+    uint32_t man = h & 0x3FFu;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {  // subnormal: value = man · 2^-24 → normalize
+            int s = 0;
+            uint32_t m = man;
+            while (!(m & 0x400u)) { m <<= 1; s++; }
+            m &= 0x3FFu;
+            bits = sign | (uint32_t)(113 - s) << 23 | (m << 13);
+        }
+    } else if (exp == 31) {
+        bits = sign | 0x7F800000u | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+inline uint16_t float_to_half(float f) {  // round-to-nearest-even
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    uint32_t sign = (x >> 16) & 0x8000u;
+    uint32_t fexp = (x >> 23) & 0xFFu;
+    uint32_t man = x & 0x7FFFFFu;
+    if (fexp == 0xFF) return (uint16_t)(sign | 0x7C00u | (man ? 0x200u : 0));
+    int32_t exp = (int32_t)fexp - 127 + 15;
+    if (exp >= 31) return (uint16_t)(sign | 0x7C00u);
+    if (exp <= 0) {
+        if (exp < -10) return (uint16_t)sign;
+        man |= 0x800000u;
+        uint32_t shift = (uint32_t)(14 - exp);
+        uint32_t hman = man >> shift;
+        uint32_t rem = man & ((1u << shift) - 1);
+        uint32_t halfway = 1u << (shift - 1);
+        if (rem > halfway || (rem == halfway && (hman & 1))) hman++;
+        return (uint16_t)(sign | hman);
+    }
+    uint16_t h = (uint16_t)(sign | ((uint32_t)exp << 10) | (man >> 13));
+    uint32_t rem = man & 0x1FFFu;
+    if (rem > 0x1000u || (rem == 0x1000u && (h & 1))) h++;
+    return h;
+}
+
+inline uint16_t rd_u16(const uint8_t* p) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+inline uint32_t rd_u32(const uint8_t* p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+inline void wr_u16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+inline void wr_u32(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
+
+inline float h2f(const uint8_t* p) { return half_to_float(rd_u16(p)); }
+inline void f2h(uint8_t* p, float f) { wr_u16(p, float_to_half(f)); }
+
+// np.round: half to even
+inline float npround(float x) { return std::nearbyintf(x); }
+
+const float KV_MXFP4[16] = {0, 1, 2, 3, 4, 6, 8, 12,
+                            0, -1, -2, -3, -4, -6, -8, -12};
+const float KV_IQ4NL[16] = {-127, -104, -83, -65, -49, -35, -22, -10,
+                            1, 13, 25, 38, 53, 69, 89, 113};
+
+inline float e8m0_half(uint8_t e) {
+    uint32_t bits = e < 2 ? (0x00200000u << e) : ((uint32_t)(e - 1) << 23);
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+inline uint8_t fp32_to_e8m0_half(float d) {
+    if (!(d > 0)) return 0;
+    float e = std::ceil(std::log2f(d)) + 128.0f;
+    if (e < 0) e = 0;
+    if (e > 254) e = 254;
+    return (uint8_t)e;
+}
+
+// ------------------------------- dequantizers --------------------------------
+// Each operates on ONE block; the driver loops/threads over blocks.
+
+void deq_q4_0(const uint8_t* b, float* y) {
+    float d = h2f(b);
+    for (int i = 0; i < 16; i++) {
+        y[i] = (float)((int)(b[2 + i] & 0x0F) - 8) * d;
+        y[16 + i] = (float)((int)(b[2 + i] >> 4) - 8) * d;
+    }
+}
+
+void deq_q4_1(const uint8_t* b, float* y) {
+    float d = h2f(b), m = h2f(b + 2);
+    for (int i = 0; i < 16; i++) {
+        y[i] = (float)(b[4 + i] & 0x0F) * d + m;
+        y[16 + i] = (float)(b[4 + i] >> 4) * d + m;
+    }
+}
+
+void deq_q5_0(const uint8_t* b, float* y) {
+    float d = h2f(b);
+    uint32_t qh = rd_u32(b + 2);
+    for (int i = 0; i < 16; i++) {
+        uint32_t xh0 = ((qh >> i) << 4) & 0x10;
+        uint32_t xh1 = (qh >> (i + 12)) & 0x10;
+        y[i] = (float)((int)((b[6 + i] & 0x0F) | xh0) - 16) * d;
+        y[16 + i] = (float)((int)((b[6 + i] >> 4) | xh1) - 16) * d;
+    }
+}
+
+void deq_q5_1(const uint8_t* b, float* y) {
+    float d = h2f(b), m = h2f(b + 2);
+    uint32_t qh = rd_u32(b + 4);
+    for (int i = 0; i < 16; i++) {
+        uint32_t xh0 = ((qh >> i) << 4) & 0x10;
+        uint32_t xh1 = (qh >> (i + 12)) & 0x10;
+        y[i] = (float)((b[8 + i] & 0x0F) | xh0) * d + m;
+        y[16 + i] = (float)((b[8 + i] >> 4) | xh1) * d + m;
+    }
+}
+
+void deq_q8_0(const uint8_t* b, float* y) {
+    float d = h2f(b);
+    for (int i = 0; i < 32; i++) y[i] = (float)(int8_t)b[2 + i] * d;
+}
+
+void deq_mxfp4(const uint8_t* b, float* y) {
+    float d = e8m0_half(b[0]);
+    for (int i = 0; i < 16; i++) {
+        y[i] = KV_MXFP4[b[1 + i] & 0x0F] * d;
+        y[16 + i] = KV_MXFP4[b[1 + i] >> 4] * d;
+    }
+}
+
+void deq_iq4_nl(const uint8_t* b, float* y) {
+    float d = h2f(b);
+    for (int i = 0; i < 16; i++) {
+        y[i] = KV_IQ4NL[b[2 + i] & 0x0F] * d;
+        y[16 + i] = KV_IQ4NL[b[2 + i] >> 4] * d;
+    }
+}
+
+inline void unpack_scale_min_k4(const uint8_t* s, uint8_t* sc, uint8_t* mn) {
+    for (int j = 0; j < 4; j++) {
+        sc[j] = s[j] & 63;
+        mn[j] = s[j + 4] & 63;
+    }
+    for (int j = 4; j < 8; j++) {
+        sc[j] = (s[j + 4] & 0x0F) | ((s[j - 4] >> 6) << 4);
+        mn[j] = (s[j + 4] >> 4) | ((s[j] >> 6) << 4);
+    }
+}
+
+inline void pack_scale_min_k4(const uint8_t* sc, const uint8_t* mn, uint8_t* out) {
+    for (int j = 0; j < 4; j++) {
+        out[j] = (sc[j] & 63) | ((sc[j + 4] >> 4) << 6);
+        out[j + 4] = (mn[j] & 63) | ((mn[j + 4] >> 4) << 6);
+        out[j + 8] = (sc[j + 4] & 0x0F) | ((mn[j + 4] & 0x0F) << 4);
+    }
+}
+
+void deq_q4_k(const uint8_t* b, float* y) {
+    float d = h2f(b), dmin = h2f(b + 2);
+    uint8_t sc[8], mn[8];
+    unpack_scale_min_k4(b + 4, sc, mn);
+    const uint8_t* qs = b + 16;
+    for (int j = 0; j < 4; j++) {
+        float d1 = d * sc[2 * j], m1 = dmin * mn[2 * j];
+        float d2 = d * sc[2 * j + 1], m2 = dmin * mn[2 * j + 1];
+        for (int i = 0; i < 32; i++) {
+            uint8_t q = qs[j * 32 + i];
+            y[j * 64 + i] = d1 * (float)(q & 0x0F) - m1;
+            y[j * 64 + 32 + i] = d2 * (float)(q >> 4) - m2;
+        }
+    }
+}
+
+void deq_q5_k(const uint8_t* b, float* y) {
+    float d = h2f(b), dmin = h2f(b + 2);
+    uint8_t sc[8], mn[8];
+    unpack_scale_min_k4(b + 4, sc, mn);
+    const uint8_t* qh = b + 16;
+    const uint8_t* ql = b + 48;
+    for (int j = 0; j < 4; j++) {
+        float d1 = d * sc[2 * j], m1 = dmin * mn[2 * j];
+        float d2 = d * sc[2 * j + 1], m2 = dmin * mn[2 * j + 1];
+        uint8_t u1 = 1 << (2 * j), u2 = 2 << (2 * j);
+        for (int i = 0; i < 32; i++) {
+            uint8_t q = ql[j * 32 + i];
+            float h1 = (qh[i] & u1) ? 16.0f : 0.0f;
+            float h2 = (qh[i] & u2) ? 16.0f : 0.0f;
+            y[j * 64 + i] = d1 * ((float)(q & 0x0F) + h1) - m1;
+            y[j * 64 + 32 + i] = d2 * ((float)(q >> 4) + h2) - m2;
+        }
+    }
+}
+
+void deq_q6_k(const uint8_t* b, float* y) {
+    const uint8_t* ql = b;
+    const uint8_t* qh = b + 128;
+    const int8_t* sc = (const int8_t*)(b + 192);
+    float d = h2f(b + 208);
+    for (int n = 0; n < 256; n += 128) {
+        const uint8_t* lq = ql + n / 2;
+        const uint8_t* hq = qh + n / 4;
+        const int8_t* s = sc + n / 16;
+        for (int l = 0; l < 32; l++) {
+            int is = l / 16;
+            int q1 = (int)((lq[l] & 0x0F) | (((hq[l] >> 0) & 3) << 4)) - 32;
+            int q2 = (int)((lq[l + 32] & 0x0F) | (((hq[l] >> 2) & 3) << 4)) - 32;
+            int q3 = (int)((lq[l] >> 4) | (((hq[l] >> 4) & 3) << 4)) - 32;
+            int q4 = (int)((lq[l + 32] >> 4) | (((hq[l] >> 6) & 3) << 4)) - 32;
+            y[n + l] = d * (float)s[is] * (float)q1;
+            y[n + l + 32] = d * (float)s[is + 2] * (float)q2;
+            y[n + l + 64] = d * (float)s[is + 4] * (float)q3;
+            y[n + l + 96] = d * (float)s[is + 6] * (float)q4;
+        }
+    }
+}
+
+void deq_q2_k(const uint8_t* b, float* y) {
+    const uint8_t* scales = b;
+    const uint8_t* qs = b + 16;
+    float d = h2f(b + 80), dmin = h2f(b + 82);
+    int out = 0, is = 0;
+    for (int n = 0; n < 256; n += 128) {
+        const uint8_t* q = qs + n / 4;
+        for (int shift = 0; shift < 8; shift += 2) {
+            for (int half = 0; half < 32; half += 16) {
+                float dl = d * (float)(scales[is] & 0x0F);
+                float ml = dmin * (float)(scales[is] >> 4);
+                for (int i = 0; i < 16; i++) {
+                    y[out + i] = dl * (float)((q[half + i] >> shift) & 3) - ml;
+                }
+                out += 16;
+                is++;
+            }
+        }
+    }
+}
+
+// -------------------------------- quantizers ---------------------------------
+
+void q_q8_0(const float* v, uint8_t* b) {
+    float amax = 0;
+    for (int i = 0; i < 32; i++) amax = std::max(amax, std::fabs(v[i]));
+    float d = amax / 127.0f;
+    float inv = d != 0 ? 1.0f / d : 0.0f;
+    f2h(b, d);
+    for (int i = 0; i < 32; i++) b[2 + i] = (uint8_t)(int8_t)npround(v[i] * inv);
+}
+
+void q_q4_0(const float* v, uint8_t* b) {
+    float amax = 0, mx = 0;
+    for (int i = 0; i < 32; i++) {
+        float a = std::fabs(v[i]);
+        if (a > amax) { amax = a; mx = v[i]; }
+    }
+    float d = mx / -8.0f;
+    float inv = d != 0 ? 1.0f / d : 0.0f;
+    f2h(b, d);
+    for (int i = 0; i < 16; i++) {
+        float lo = npround(v[i] * inv) + 8.0f;
+        float hi = npround(v[16 + i] * inv) + 8.0f;
+        uint8_t l = (uint8_t)std::clamp(lo, 0.0f, 15.0f);
+        uint8_t h = (uint8_t)std::clamp(hi, 0.0f, 15.0f);
+        b[2 + i] = l | (h << 4);
+    }
+}
+
+void q_q4_1(const float* v, uint8_t* b) {
+    float mn = v[0], mx = v[0];
+    for (int i = 1; i < 32; i++) { mn = std::min(mn, v[i]); mx = std::max(mx, v[i]); }
+    float d = (mx - mn) / 15.0f;
+    float inv = d != 0 ? 1.0f / d : 0.0f;
+    f2h(b, d);
+    f2h(b + 2, mn);
+    for (int i = 0; i < 16; i++) {
+        uint8_t l = (uint8_t)std::clamp(npround((v[i] - mn) * inv), 0.0f, 15.0f);
+        uint8_t h = (uint8_t)std::clamp(npround((v[16 + i] - mn) * inv), 0.0f, 15.0f);
+        b[4 + i] = l | (h << 4);
+    }
+}
+
+void q_q5_0(const float* v, uint8_t* b) {
+    float amax = 0, mx = 0;
+    for (int i = 0; i < 32; i++) {
+        float a = std::fabs(v[i]);
+        if (a > amax) { amax = a; mx = v[i]; }
+    }
+    float d = mx / -16.0f;
+    float inv = d != 0 ? 1.0f / d : 0.0f;
+    f2h(b, d);
+    uint32_t qh = 0;
+    for (int i = 0; i < 16; i++) {
+        uint8_t lo5 = (uint8_t)std::clamp(npround(v[i] * inv) + 16.0f, 0.0f, 31.0f);
+        uint8_t hi5 = (uint8_t)std::clamp(npround(v[16 + i] * inv) + 16.0f, 0.0f, 31.0f);
+        b[6 + i] = (lo5 & 0x0F) | ((hi5 & 0x0F) << 4);
+        qh |= (uint32_t)(lo5 >> 4) << i;
+        qh |= (uint32_t)(hi5 >> 4) << (i + 16);
+    }
+    wr_u32(b + 2, qh);
+}
+
+void q_q5_1(const float* v, uint8_t* b) {
+    float mn = v[0], mx = v[0];
+    for (int i = 1; i < 32; i++) { mn = std::min(mn, v[i]); mx = std::max(mx, v[i]); }
+    float d = (mx - mn) / 31.0f;
+    float inv = d != 0 ? 1.0f / d : 0.0f;
+    f2h(b, d);
+    f2h(b + 2, mn);
+    uint32_t qh = 0;
+    for (int i = 0; i < 16; i++) {
+        uint8_t lo5 = (uint8_t)std::clamp(npround((v[i] - mn) * inv), 0.0f, 31.0f);
+        uint8_t hi5 = (uint8_t)std::clamp(npround((v[16 + i] - mn) * inv), 0.0f, 31.0f);
+        b[8 + i] = (lo5 & 0x0F) | ((hi5 & 0x0F) << 4);
+        qh |= (uint32_t)(lo5 >> 4) << i;
+        qh |= (uint32_t)(hi5 >> 4) << (i + 16);
+    }
+    wr_u32(b + 4, qh);
+}
+
+void q_mxfp4(const float* v, uint8_t* b) {
+    float amax = 0;
+    for (int i = 0; i < 32; i++) amax = std::max(amax, std::fabs(v[i]));
+    uint8_t e = fp32_to_e8m0_half(amax / 12.0f);
+    float d = e8m0_half(e);
+    b[0] = e;
+    for (int i = 0; i < 16; i++) {
+        uint8_t code[2];
+        for (int half = 0; half < 2; half++) {
+            float s = d > 0 ? v[i + 16 * half] / d : 0.0f;
+            int best = 0;
+            float bd = std::fabs(s - KV_MXFP4[0]);
+            for (int k = 1; k < 16; k++) {
+                float dist = std::fabs(s - KV_MXFP4[k]);
+                if (dist < bd) { bd = dist; best = k; }
+            }
+            code[half] = (uint8_t)best;
+        }
+        b[1 + i] = code[0] | (code[1] << 4);
+    }
+}
+
+void q_iq4_nl(const float* v, uint8_t* b) {
+    float amax = 0, mx = 0;
+    for (int i = 0; i < 32; i++) {
+        float a = std::fabs(v[i]);
+        if (a > amax) { amax = a; mx = v[i]; }
+    }
+    float d = mx / -127.0f;
+    f2h(b, d);
+    for (int i = 0; i < 16; i++) {
+        uint8_t code[2];
+        for (int half = 0; half < 2; half++) {
+            float s = d != 0 ? v[i + 16 * half] / d : 0.0f;
+            int best = 0;
+            float bd = std::fabs(s - KV_IQ4NL[0]);
+            for (int k = 1; k < 16; k++) {
+                float dist = std::fabs(s - KV_IQ4NL[k]);
+                if (dist < bd) { bd = dist; best = k; }
+            }
+            code[half] = (uint8_t)best;
+        }
+        b[2 + i] = code[0] | (code[1] << 4);
+    }
+}
+
+void q_q4_k(const float* v, uint8_t* b) {
+    float dg[8], mg[8];
+    for (int j = 0; j < 8; j++) {
+        const float* g = v + j * 32;
+        float gmin = g[0], gmax = g[0];
+        for (int i = 1; i < 32; i++) { gmin = std::min(gmin, g[i]); gmax = std::max(gmax, g[i]); }
+        gmin = std::min(gmin, 0.0f);
+        dg[j] = (gmax - gmin) / 15.0f;
+        mg[j] = -gmin;
+    }
+    // np.max keeps the first of equal elements, preserving -0.0 sign bits —
+    // replicate with strict > so the stored f16 is byte-identical to numpy
+    float dmax = dg[0], mmax = mg[0];
+    for (int j = 1; j < 8; j++) {
+        if (dg[j] > dmax) dmax = dg[j];
+        if (mg[j] > mmax) mmax = mg[j];
+    }
+    float d = dmax / 63.0f, dmin = mmax / 63.0f;
+    uint8_t ls[8], lm[8];
+    for (int j = 0; j < 8; j++) {
+        ls[j] = (uint8_t)std::clamp(npround(d > 0 ? dg[j] / d : 0.0f), 0.0f, 63.0f);
+        lm[j] = (uint8_t)std::clamp(npround(dmin > 0 ? mg[j] / dmin : 0.0f), 0.0f, 63.0f);
+    }
+    f2h(b, d);
+    f2h(b + 2, dmin);
+    float d16 = half_to_float(float_to_half(d));
+    float m16 = half_to_float(float_to_half(dmin));
+    pack_scale_min_k4(ls, lm, b + 4);
+    uint8_t q[8][32];
+    for (int j = 0; j < 8; j++) {
+        float dl = d16 * (float)ls[j], ml = m16 * (float)lm[j];
+        const float* g = v + j * 32;
+        for (int i = 0; i < 32; i++) {
+            float t = dl > 0 ? (g[i] + ml) / dl : 0.0f;
+            q[j][i] = (uint8_t)std::clamp(npround(t), 0.0f, 15.0f);
+        }
+    }
+    for (int j = 0; j < 4; j++)
+        for (int i = 0; i < 32; i++)
+            b[16 + j * 32 + i] = q[2 * j][i] | (q[2 * j + 1][i] << 4);
+}
+
+void q_q5_k(const float* v, uint8_t* b) {
+    float dg[8], mg[8];
+    for (int j = 0; j < 8; j++) {
+        const float* g = v + j * 32;
+        float gmin = g[0], gmax = g[0];
+        for (int i = 1; i < 32; i++) { gmin = std::min(gmin, g[i]); gmax = std::max(gmax, g[i]); }
+        gmin = std::min(gmin, 0.0f);
+        dg[j] = (gmax - gmin) / 31.0f;
+        mg[j] = -gmin;
+    }
+    float dmax = dg[0], mmax = mg[0];  // strict > keeps numpy's -0.0 bits
+    for (int j = 1; j < 8; j++) {
+        if (dg[j] > dmax) dmax = dg[j];
+        if (mg[j] > mmax) mmax = mg[j];
+    }
+    float d = dmax / 63.0f, dmin = mmax / 63.0f;
+    uint8_t ls[8], lm[8];
+    for (int j = 0; j < 8; j++) {
+        ls[j] = (uint8_t)std::clamp(npround(d > 0 ? dg[j] / d : 0.0f), 0.0f, 63.0f);
+        lm[j] = (uint8_t)std::clamp(npround(dmin > 0 ? mg[j] / dmin : 0.0f), 0.0f, 63.0f);
+    }
+    f2h(b, d);
+    f2h(b + 2, dmin);
+    float d16 = half_to_float(float_to_half(d));
+    float m16 = half_to_float(float_to_half(dmin));
+    pack_scale_min_k4(ls, lm, b + 4);
+    uint8_t q[8][32];
+    for (int j = 0; j < 8; j++) {
+        float dl = d16 * (float)ls[j], ml = m16 * (float)lm[j];
+        const float* g = v + j * 32;
+        for (int i = 0; i < 32; i++) {
+            float t = dl > 0 ? (g[i] + ml) / dl : 0.0f;
+            q[j][i] = (uint8_t)std::clamp(npround(t), 0.0f, 31.0f);
+        }
+    }
+    uint8_t* qh = b + 16;
+    uint8_t* ql = b + 48;
+    std::memset(qh, 0, 32);
+    for (int j = 0; j < 4; j++) {
+        for (int i = 0; i < 32; i++) {
+            uint8_t q1 = q[2 * j][i], q2 = q[2 * j + 1][i];
+            ql[j * 32 + i] = (q1 & 0x0F) | ((q2 & 0x0F) << 4);
+            if (q1 & 16) qh[i] |= (uint8_t)(1 << (2 * j));
+            if (q2 & 16) qh[i] |= (uint8_t)(2 << (2 * j));
+        }
+    }
+}
+
+void q_q6_k(const float* v, uint8_t* b) {
+    float sg[16];
+    for (int j = 0; j < 16; j++) {
+        const float* g = v + j * 16;
+        float amax = 0, mx = 0;
+        for (int i = 0; i < 16; i++) {
+            float a = std::fabs(g[i]);
+            if (a > amax) { amax = a; mx = g[i]; }
+        }
+        sg[j] = mx / -32.0f;
+    }
+    float amax_s = 0;
+    for (int j = 0; j < 16; j++) amax_s = std::max(amax_s, std::fabs(sg[j]));
+    float d = amax_s / 127.0f;
+    int8_t ls[16];
+    for (int j = 0; j < 16; j++) {
+        float t = d > 0 ? sg[j] / d : 0.0f;
+        ls[j] = (int8_t)std::clamp(npround(t), -128.0f, 127.0f);
+    }
+    float d16 = half_to_float(float_to_half(d));
+    uint8_t q[256];
+    for (int j = 0; j < 16; j++) {
+        float dl = d16 * (float)ls[j];
+        const float* g = v + j * 16;
+        for (int i = 0; i < 16; i++) {
+            float t = std::fabs(dl) > 0 ? g[i] / dl : 0.0f;
+            q[j * 16 + i] = (uint8_t)((int8_t)std::clamp(npround(t), -32.0f, 31.0f) + 32);
+        }
+    }
+    uint8_t* ql = b;
+    uint8_t* qh = b + 128;
+    std::memset(ql, 0, 128);
+    std::memset(qh, 0, 64);
+    for (int n = 0; n < 256; n += 128) {
+        const uint8_t* q1 = q + n;
+        const uint8_t* q2 = q + n + 32;
+        const uint8_t* q3 = q + n + 64;
+        const uint8_t* q4 = q + n + 96;
+        for (int i = 0; i < 32; i++) {
+            ql[n / 2 + i] = (q1[i] & 0x0F) | ((q3[i] & 0x0F) << 4);
+            ql[n / 2 + 32 + i] = (q2[i] & 0x0F) | ((q4[i] & 0x0F) << 4);
+            qh[n / 4 + i] = (uint8_t)((q1[i] >> 4) | ((q2[i] >> 4) << 2) |
+                                      ((q3[i] >> 4) << 4) | ((q4[i] >> 4) << 6));
+        }
+    }
+    std::memcpy(b + 192, ls, 16);
+    f2h(b + 208, d);
+}
+
+// ------------------------------ block drivers --------------------------------
+
+struct Fmt {
+    int type_size;
+    int block_size;
+    void (*deq)(const uint8_t*, float*);
+    void (*enc)(const float*, uint8_t*);
+};
+
+// indexed by GGMLType enum value (constants.py / ggml.h)
+Fmt fmt_for(int ttype) {
+    switch (ttype) {
+        case 2: return {18, 32, deq_q4_0, q_q4_0};     // Q4_0
+        case 3: return {20, 32, deq_q4_1, q_q4_1};     // Q4_1
+        case 6: return {22, 32, deq_q5_0, q_q5_0};     // Q5_0
+        case 7: return {24, 32, deq_q5_1, q_q5_1};     // Q5_1
+        case 8: return {34, 32, deq_q8_0, q_q8_0};     // Q8_0
+        case 10: return {84, 256, deq_q2_k, nullptr};  // Q2_K
+        case 12: return {144, 256, deq_q4_k, q_q4_k};  // Q4_K
+        case 13: return {176, 256, deq_q5_k, q_q5_k};  // Q5_K
+        case 14: return {210, 256, deq_q6_k, q_q6_k};  // Q6_K
+        case 20: return {18, 32, deq_iq4_nl, q_iq4_nl};// IQ4_NL
+        case 39: return {17, 32, deq_mxfp4, q_mxfp4};  // MXFP4
+        default: return {0, 0, nullptr, nullptr};
+    }
+}
+
+template <typename F>
+void parallel_blocks(int64_t nb, F&& fn) {
+    unsigned nt = std::min<unsigned>(std::thread::hardware_concurrency(),
+                                     (unsigned)std::max<int64_t>(nb / 4096, 1));
+    if (nt <= 1) {
+        fn(0, nb);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t chunk = (nb + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+        int64_t lo = t * chunk, hi = std::min<int64_t>(lo + chunk, nb);
+        if (lo >= hi) break;
+        ts.emplace_back([&, lo, hi] { fn(lo, hi); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+int slq_supported(int ttype, int for_encode) {
+    Fmt f = fmt_for(ttype);
+    if (!f.type_size) return 0;
+    return for_encode ? (f.enc != nullptr) : 1;
+}
+
+// raw: nb * type_size bytes → out: nb * block_size floats
+int slq_dequantize(int ttype, const uint8_t* raw, int64_t nbytes, float* out) {
+    Fmt f = fmt_for(ttype);
+    if (!f.type_size || nbytes % f.type_size) return -1;
+    int64_t nb = nbytes / f.type_size;
+    parallel_blocks(nb, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++)
+            f.deq(raw + i * f.type_size, out + i * f.block_size);
+    });
+    return 0;
+}
+
+// x: n floats (n % block_size == 0) → out: (n/block_size)*type_size bytes
+int slq_quantize(int ttype, const float* x, int64_t n, uint8_t* out) {
+    Fmt f = fmt_for(ttype);
+    if (!f.type_size || !f.enc || n % f.block_size) return -1;
+    int64_t nb = n / f.block_size;
+    parallel_blocks(nb, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++)
+            f.enc(x + i * f.block_size, out + i * f.type_size);
+    });
+    return 0;
+}
+
+}  // extern "C"

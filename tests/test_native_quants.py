@@ -1,0 +1,88 @@
+"""Native C++ codec vs numpy codec bit-equality (the native library is the
+fast path; the numpy implementations are the semantic reference validated
+against the upstream oracle in test_quants.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from superllama_tpu import native
+from superllama_tpu.gguf.constants import GGML_TYPE_TRAITS, GGMLType
+from superllama_tpu.gguf.quants import DEQUANTIZERS, QUANTIZERS
+
+DEQ_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+             GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K,
+             GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.MXFP4]
+ENC_TYPES = [t for t in DEQ_TYPES if t != GGMLType.Q2_K]
+
+pytestmark = pytest.mark.skipif(
+    not native.available(int(GGMLType.Q8_0)),
+    reason="native toolchain unavailable")
+
+
+def _data(t: GGMLType, n_blocks=64, seed=0):
+    tr = GGML_TYPE_TRAITS[t]
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1.5, n_blocks * tr.block_size).astype(np.float32)
+    # exercise edge cases: zero block, constant block, huge outlier
+    x[: tr.block_size] = 0.0
+    x[tr.block_size: 2 * tr.block_size] = 0.25
+    x[2 * tr.block_size] = 1e4
+    return x, tr
+
+
+@pytest.mark.parametrize("t", ENC_TYPES, ids=[t.name for t in ENC_TYPES])
+def test_native_encode_bitexact(t):
+    x, tr = _data(t)
+    ref = QUANTIZERS[t](x)
+    got = native.quantize(x, int(t), tr.block_size, tr.type_size)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("t", DEQ_TYPES, ids=[t.name for t in DEQ_TYPES])
+def test_native_decode_bitexact(t):
+    tr = GGML_TYPE_TRAITS[t]
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, 64 * tr.type_size).astype(np.uint8)
+    ref = DEQUANTIZERS[t](raw)
+    got = native.dequantize(raw, int(t), tr.block_size, tr.type_size)
+    assert got is not None
+    # NaN-safe exact comparison (random f16 bytes may decode to NaN)
+    np.testing.assert_array_equal(got.view(np.uint32), ref.view(np.uint32))
+
+
+def test_native_roundtrip_through_public_api():
+    """The public quantize/dequantize route through native and still match
+    a pure-numpy run (SLT_NO_NATIVE)."""
+    import importlib
+
+    from superllama_tpu.gguf import quants as q
+
+    x = np.random.default_rng(5).normal(0, 1, (8, 256)).astype(np.float32)
+    packed = q.quantize(x, GGMLType.Q4_K)
+    deq = q.dequantize(packed, GGMLType.Q4_K)
+    ref_packed = q.quant_q4_k(x)
+    ref_deq = q.dequant_q4_k(np.frombuffer(ref_packed.tobytes(), np.uint8))
+    np.testing.assert_array_equal(packed, ref_packed)
+    np.testing.assert_array_equal(deq, ref_deq)
+
+
+def test_native_speedup_large():
+    """Sanity perf check: native decode of a big tensor is no slower than
+    numpy (usually multiples faster)."""
+    import time
+
+    t = GGMLType.Q4_K
+    tr = GGML_TYPE_TRAITS[t]
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, 20000 * tr.type_size).astype(np.uint8)
+    t0 = time.perf_counter()
+    a = native.dequantize(raw, int(t), tr.block_size, tr.type_size)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = DEQUANTIZERS[t](raw)
+    t_numpy = time.perf_counter() - t0
+    np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+    assert t_native < t_numpy * 2.0, (t_native, t_numpy)
