@@ -1,0 +1,229 @@
+"""Command-line tools — counterparts of the reference's user binaries
+(tools/cli, tools/server, tools/llama-bench, tools/quantize, tools/imatrix,
+tools/perplexity, tools/tokenize; flag spirit of common/arg.cpp).
+
+Usage:  python -m superllama_tpu <command> [options]
+
+Commands:
+  run         generate text from a prompt (llama-cli / llama-completion)
+  serve       HTTP server with OpenAI/Anthropic APIs (llama-server)
+  bench       prefill/decode throughput matrix (llama-bench)
+  quantize    GGUF → GGUF re-quantization (llama-quantize)
+  imatrix     importance-matrix collection (llama-imatrix)
+  perplexity  wikitext-style PPL / KL-divergence (llama-perplexity)
+  tokenize    tokenizer inspection (llama-tokenize)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("-m", "--model", required=True, help="GGUF model path")
+    p.add_argument("-c", "--ctx-size", type=int, default=2048)
+    p.add_argument("--keep-quantized", action="store_true",
+                   help="keep repackable weights packed (fused dequant matmul)")
+    p.add_argument("--kv-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+
+
+def _load(args):
+    import jax.numpy as jnp
+
+    from .models import load_model
+
+    t0 = time.perf_counter()
+    model = load_model(args.model, keep_quantized=args.keep_quantized)
+    print(f"loaded {args.model} [{model.hparams.arch}] "
+          f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    return model, getattr(jnp, args.kv_dtype)
+
+
+def cmd_run(args):
+    from .runtime.decode_loop import DecodeLoop
+    from .runtime.engine import Engine, GenRequest
+
+    model, kvd = _load(args)
+    tok = model.tokenizer
+    ids = tok.encode(args.prompt, add_special=True, parse_special=True)
+    if args.temp <= 0 and not args.stream:
+        loop = DecodeLoop(model, n_ctx=args.ctx_size, kv_dtype=kvd, temp=0.0)
+        out = loop.generate(ids, args.n_predict, seed=args.seed)
+        print(tok.decode(out[len(ids):]))
+        return 0
+    eng = Engine(model, n_slots=1, n_ctx=args.ctx_size, kv_dtype=kvd)
+    req = GenRequest(
+        prompt_ids=ids, max_tokens=args.n_predict,
+        sampling={"seed": args.seed, "temp": args.temp, "top_k": args.top_k,
+                  "top_p": args.top_p},
+        stream=(lambda t, piece: print(piece, end="", flush=True))
+        if args.stream else None,
+    )
+    eng.submit(req)
+    eng.run_until_drained()
+    res = req.result()
+    if not args.stream:
+        print(res["text"])
+    else:
+        print()
+    print(f"[{res['n_generated']} tokens, ttft {res['ttft_s']*1e3:.0f} ms, "
+          f"{res['n_generated']/max(res['total_s']-res['ttft_s'],1e-9):.1f} tok/s]",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_serve(args):
+    import jax.numpy as jnp
+
+    from .models import load_model
+    from .server.http import Server, ServerApp
+
+    model, kvd = _load(args)
+    draft = load_model(args.draft_model) if args.draft_model else None
+    embed = load_model(args.embed_model) if args.embed_model else None
+    keys = dict(kv.split("=", 1) for kv in args.api_key or [])
+    app = ServerApp(model, n_slots=args.slots, n_ctx=args.ctx_size,
+                    kv_dtype=kvd, api_keys=keys or None,
+                    rate_limit_rpm=args.rate_limit,
+                    metrics_path=args.metrics_file,
+                    draft_model=draft, n_draft=args.draft_n,
+                    embed_model=embed)
+    srv = Server(app, host=args.host, port=args.port)
+    srv.start()
+    print(f"listening on http://{args.host}:{srv.port}", file=sys.stderr)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+def cmd_bench(args):
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def cmd_quantize(args):
+    from .tools.imatrix import load_imatrix
+    from .tools.quantize import quantize_model
+
+    imx = load_imatrix(args.imatrix) if args.imatrix else None
+    stats = quantize_model(args.input, args.output, args.ftype, imatrix=imx,
+                           progress=(lambda name, t: print(f"  {name}: {t}",
+                                                           file=sys.stderr))
+                           if args.verbose else None)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_imatrix(args):
+    from .models import load_model
+    from .tools.imatrix import collect_imatrix, save_imatrix
+
+    model = load_model(args.model)
+    text = open(args.file).read()
+    ids = model.tokenizer.encode(text, add_special=True)
+    n = args.ctx_size
+    batches = [ids[i:i + n] for i in range(0, len(ids) - n + 1, n)][: args.chunks]
+    imx = collect_imatrix(model, batches, n_ctx=n)
+    save_imatrix(args.output, imx, arch=model.hparams.arch)
+    print(f"wrote {args.output} ({len(imx)} tensors, {len(batches)} chunks)")
+    return 0
+
+
+def cmd_perplexity(args):
+    from .models import load_model
+    from .tools.perplexity import compute_perplexity
+
+    model = load_model(args.model, keep_quantized=args.keep_quantized)
+    text = open(args.file).read()
+    ids = model.tokenizer.encode(text, add_special=False)
+    if args.chunks:
+        ids = ids[: args.chunks * args.ctx_size]
+    res = compute_perplexity(model, ids, n_ctx=args.ctx_size)
+    print(res)
+    return 0
+
+
+def cmd_tokenize(args):
+    from .models import load_model
+
+    model = load_model(args.model)
+    ids = model.tokenizer.encode(args.text, add_special=True, parse_special=True)
+    for t in ids:
+        piece = model.tokenizer.token_to_piece(t)
+        print(f"{t:>8} -> {piece!r}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="superllama_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="generate text")
+    _add_model_args(p)
+    p.add_argument("-p", "--prompt", required=True)
+    p.add_argument("-n", "--n-predict", type=int, default=128)
+    p.add_argument("--temp", type=float, default=0.8)
+    p.add_argument("--top-k", type=int, default=40)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stream", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("serve", help="HTTP server")
+    _add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--api-key", action="append", metavar="KEY=USER")
+    p.add_argument("--rate-limit", type=int, default=0, help="requests/min")
+    p.add_argument("--metrics-file", default=None)
+    p.add_argument("--draft-model", default=None, help="speculative draft GGUF")
+    p.add_argument("--draft-n", type=int, default=8)
+    p.add_argument("--embed-model", default=None, help="encoder GGUF for /embeddings")
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("bench", help="throughput bench")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("quantize", help="re-quantize a GGUF")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("ftype", nargs="?", default="Q4_K_M")
+    p.add_argument("--imatrix", default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.set_defaults(fn=cmd_quantize)
+
+    p = sub.add_parser("imatrix", help="collect importance matrix")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("-f", "--file", required=True, help="calibration text")
+    p.add_argument("-o", "--output", default="imatrix.gguf")
+    p.add_argument("-c", "--ctx-size", type=int, default=512)
+    p.add_argument("--chunks", type=int, default=32)
+    p.set_defaults(fn=cmd_imatrix)
+
+    p = sub.add_parser("perplexity", help="perplexity over a text file")
+    _add_model_args(p)
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("--chunks", type=int, default=0)
+    p.set_defaults(fn=cmd_perplexity)
+
+    p = sub.add_parser("tokenize", help="tokenizer inspection")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("text")
+    p.set_defaults(fn=cmd_tokenize)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

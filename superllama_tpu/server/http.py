@@ -74,6 +74,8 @@ class ServerApp:
         self.health.register("engine", lambda: True)
         import tempfile
         self.slot_save_path = tempfile.mkdtemp(prefix="slt_slots_")
+        from .telemetry import MemTelemetry
+        self.telemetry = MemTelemetry()
         self.t_start = time.time()
 
     # ------------------------------------------------------------- helpers
@@ -475,6 +477,11 @@ class ServerApp:
 
     def prometheus_text(self) -> str:
         m = self.engine.metrics
+        mem = self.telemetry.snapshot()
+        self.metrics.gauge_set("device_memory_used_bytes", mem["device_used_bytes"])
+        self.metrics.gauge_set("device_memory_frac", mem["device_frac"])
+        self.metrics.gauge_set("host_memory_frac", mem["host_frac"])
+        self.metrics.gauge_set("memory_pressure", int(mem["pressure"]))
         self.metrics.gauge_set("slots_busy", sum(s.state.value != 0 for s in self.engine.slots))
         self.metrics.gauge_set("queue_depth", self.engine._queue.qsize())
         self.metrics.gauge_set("tokens_generated_total", m["n_tokens_generated"])

@@ -1,0 +1,107 @@
+"""CLI tool tests (llama-cli / llama-quantize / llama-tokenize /
+llama-perplexity counterparts) driven through the argparse entry, plus the
+memory-telemetry subsystem."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+from superllama_tpu.cli import main as cli_main
+from superllama_tpu.gguf import GGMLType, GGUFReader
+from superllama_tpu.tools.convert_hf import convert_state_dict
+
+torch.manual_seed(77)
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    r = GGUFReader("/root/reference/models/ggml-vocab-llama-spm.gguf")
+    tok_fields = {k: v for k, v in r.metadata.items() if k.startswith("tokenizer.")}
+    r.close()
+    path = tmp_path_factory.mktemp("cli") / "m.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32, tokenizer_fields=tok_fields)
+    return str(path)
+
+
+def test_cli_run_greedy(model_path, capsys):
+    rc = cli_main(["run", "-m", model_path, "-p", "Hello world", "-n", "6",
+                   "--temp", "0", "-c", "128", "--kv-dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len(out.strip()) > 0
+
+
+def test_cli_run_sampled_stream(model_path, capsys):
+    rc = cli_main(["run", "-m", model_path, "-p", "Hi", "-n", "5",
+                   "--temp", "0.8", "--stream", "-c", "128",
+                   "--kv-dtype", "float32"])
+    assert rc == 0
+
+
+def test_cli_tokenize(model_path, capsys):
+    rc = cli_main(["tokenize", "-m", model_path, "hello world"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 2 and "->" in lines[0]
+
+
+def test_cli_quantize(model_path, tmp_path, capsys):
+    out = tmp_path / "q.gguf"
+    rc = cli_main(["quantize", model_path, str(out), "Q8_0"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats.get("Q8_0", 0) > 0
+    r = GGUFReader(str(out))
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q8_0
+    r.close()
+
+
+def test_cli_perplexity(model_path, tmp_path, capsys):
+    f = tmp_path / "corpus.txt"
+    f.write_text("the quick brown fox jumps over the lazy dog " * 40)
+    rc = cli_main(["perplexity", "-m", model_path, "-f", str(f),
+                   "-c", "64", "--chunks", "2", "--kv-dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PPL" in out
+
+
+def test_cli_imatrix(model_path, tmp_path, capsys):
+    f = tmp_path / "corpus.txt"
+    f.write_text("a calibration corpus with some words in it " * 30)
+    out = tmp_path / "im.gguf"
+    rc = cli_main(["imatrix", "-m", model_path, "-f", str(f),
+                   "-o", str(out), "-c", "32", "--chunks", "2"])
+    assert rc == 0
+    from superllama_tpu.tools.imatrix import load_imatrix
+    imx = load_imatrix(str(out))
+    assert "blk.0.attn_q.weight" in imx
+
+
+def test_mem_telemetry():
+    from superllama_tpu.server.telemetry import MemTelemetry
+
+    t = MemTelemetry(refresh_s=0.0)
+    snap = t.snapshot()
+    assert snap["host_total_bytes"] > 0
+    assert 0.0 <= snap["host_frac"] <= 1.0
+    assert isinstance(t.under_pressure(), bool)
+    assert isinstance(t.critical(), bool)
+    # thresholds behave
+    t2 = MemTelemetry(pressure_threshold=0.0, refresh_s=0.0)
+    t2.refresh(force=True)
+    if t2._stats.device_limit:
+        assert t2.under_pressure()
