@@ -109,6 +109,21 @@ def cmd_bench(args):
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_batched_bench(args):
+    import jax.numpy as jnp
+
+    from .tools.batched_bench import format_table, run_batched_bench
+
+    model, kvd = _load(args)
+    configs = []
+    for b in args.batch:
+        configs.append((args.pp, args.tg, b))
+    rows = run_batched_bench(model, configs, kv_dtype=kvd)
+    print(format_table(rows))
+    print(json.dumps([r.as_dict() for r in rows]))
+    return 0
+
+
 def cmd_quantize(args):
     from .tools.imatrix import load_imatrix
     from .tools.quantize import quantize_model
@@ -193,6 +208,13 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="throughput bench")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("batched-bench", help="batched decode scaling bench")
+    _add_model_args(p)
+    p.add_argument("--pp", type=int, default=512)
+    p.add_argument("--tg", type=int, default=32)
+    p.add_argument("--batch", type=int, nargs="+", default=[1, 4, 8])
+    p.set_defaults(fn=cmd_batched_bench)
 
     p = sub.add_parser("quantize", help="re-quantize a GGUF")
     p.add_argument("input")

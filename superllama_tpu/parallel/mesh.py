@@ -83,6 +83,31 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     return out
 
 
+def make_sharder(mesh: Mesh):
+    """Loader hook: place each tensor straight onto the mesh as it streams in
+    (models/loader.py ``sharder`` param) — the counterpart of per-layer device
+    assignment at load (llama_model::load_tensors, src/llama-model.cpp:2471),
+    but expressed as PartitionSpecs instead of device picks."""
+
+    gguf2key = {"attn_q": "wq", "attn_k": "wk", "attn_v": "wv",
+                "attn_output": "wo", "attn_q.bias": "bq", "attn_k.bias": "bk",
+                "attn_v.bias": "bv"}
+
+    def sharder(name: str, arr) -> jax.Array:
+        parts = name.split(".")
+        base = parts[-2] if parts[-1] in ("weight", "bias") else parts[-1]
+        if parts[-1] == "bias" and base in ("attn_q", "attn_k", "attn_v"):
+            key = gguf2key[base + ".bias"]
+        else:
+            key = gguf2key.get(base, base)
+        spec = spec_for(key)
+        if len(spec) > getattr(arr, "ndim", 0):
+            spec = P(*spec[: arr.ndim])
+        return jax.device_put(arr, NamedSharding(mesh, spec))
+
+    return sharder
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 

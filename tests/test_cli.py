@@ -105,3 +105,15 @@ def test_mem_telemetry():
     t2.refresh(force=True)
     if t2._stats.device_limit:
         assert t2.under_pressure()
+
+
+def test_cli_batched_bench(model_path, capsys):
+    rc = cli_main(["batched-bench", "-m", model_path, "--pp", "16", "--tg", "8",
+                   "--batch", "1", "2", "-c", "64", "--kv-dtype", "float32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = json.loads(out.strip().splitlines()[-1])
+    assert len(rows) == 2
+    assert rows[0]["s_tg_tok_s"] > 0
+    # batched throughput must exceed single-stream total throughput
+    assert rows[1]["s_tg_tok_s"] > rows[0]["s_tg_tok_s"] * 0.8
