@@ -55,8 +55,10 @@ def test_quantized_model_loads_and_runs(f32_model_path, tmp_path):
     ids = np.arange(1, 17, dtype=np.int32)
     l32 = np.asarray(Context(m32, n_ctx=32, kv_dtype=np.float32).forward(ids)[0])
     l8 = np.asarray(Context(m8, n_ctx=32, kv_dtype=np.float32).forward(ids)[0])
-    # q8_0 is near-lossless: greedy tokens must agree
-    assert (l32.argmax(-1) == l8.argmax(-1)).mean() > 0.9
+    # q8_0 is near-lossless: logits must track closely (argmax agreement is
+    # flaky on an untrained model's near-tied logits)
+    err = np.abs(l32 - l8).max() / (np.abs(l32).max() + 1e-9)
+    assert err < 0.05, err
 
 
 def test_overrides_and_fallback(f32_model_path, tmp_path):
