@@ -20,6 +20,7 @@ Thread model: submit() enqueues; a single engine thread owns the device
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -98,7 +99,8 @@ class Engine:
 
     def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
                  kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS,
-                 draft_model: LoadedModel | None = None, n_draft: int = 8):
+                 draft_model: LoadedModel | None = None, n_draft: int = 8,
+                 ctx_shift: bool = False):
         self.model = model
         hp = model.hparams
         self.hp = hp
@@ -155,6 +157,18 @@ class Engine:
             self._d_insert = jax.jit(insert, donate_argnums=(0,))
         self._truncate = jax.jit(kv_truncate_rows, donate_argnums=(0,))
 
+        # context shift (evict-oldest + re-rope, server-context.cpp:1976)
+        self.ctx_shift = ctx_shift
+        if ctx_shift:
+            from ..ops import jnp_ref as _ops
+            from .kv_cache import kv_context_shift
+
+            inv_freq, mscale = _ops.rope_frequencies(
+                hp.head_dim, hp.n_rot, hp.rope_freq_base)
+            self._shift = jax.jit(functools.partial(
+                kv_context_shift, inv_freq=inv_freq, rope_type=hp.rope_type,
+                mscale=mscale), donate_argnums=(0,))
+
         self.slots = [_Slot(i) for i in range(n_slots)]
         self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
         self._qseq = 0
@@ -165,6 +179,7 @@ class Engine:
             "n_requests": 0, "n_tokens_generated": 0, "n_prompt_tokens": 0,
             "prefill_s": 0.0, "decode_s": 0.0, "n_decode_steps": 0,
             "n_spec_drafted": 0, "n_spec_accepted": 0, "n_prompt_cached": 0,
+            "n_ctx_shifts": 0,
         }
 
     # ----------------------------------------------------------- public API
@@ -305,10 +320,12 @@ class Engine:
         ids = list(req.prompt_ids)
         if not ids:
             raise ValueError("empty prompt")
-        if len(ids) + req.max_tokens > self.n_ctx:
+        if not self.ctx_shift and len(ids) + req.max_tokens > self.n_ctx:
             raise ValueError(
                 f"prompt ({len(ids)}) + max_tokens ({req.max_tokens}) exceeds n_ctx ({self.n_ctx})"
             )
+        if len(ids) + 1 > self.n_ctx:
+            raise ValueError(f"prompt ({len(ids)}) exceeds n_ctx ({self.n_ctx})")
         t0 = time.perf_counter()
         n = len(ids)
         # prompt-cache common-prefix reuse (server-context.cpp prompt caching):
@@ -425,6 +442,8 @@ class Engine:
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active:
             return False
+        if self.ctx_shift:
+            self._maybe_context_shift(active)
         if self.draft_model is not None and all(
                 s.n_past + self.n_draft + 1 <= self.n_ctx for s in active):
             return self._spec_decode_step(active)
@@ -444,6 +463,29 @@ class Engine:
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True
+
+    def _maybe_context_shift(self, active: list[_Slot]) -> None:
+        """Evict the oldest half of the post-keep window for any slot about to
+        overflow (context-shift herding: seq_rm + seq_add + rope-rerun)."""
+        keep = np.zeros(self.n_slots, np.int32)
+        discard = np.zeros(self.n_slots, np.int32)
+        hit = []
+        for s in active:
+            if s.n_past + 1 > self.n_ctx - 1:
+                n_keep = min(s.n_prompt, self.n_ctx // 4)
+                n_discard = max((s.n_past - n_keep) // 2, 1)
+                keep[s.idx] = n_keep
+                discard[s.idx] = n_discard
+                hit.append((s, n_keep, n_discard))
+        if not hit:
+            return
+        self.cache = self._shift(self.cache, jnp.asarray(keep),
+                                 jnp.asarray(discard))
+        for s, n_keep, n_discard in hit:
+            s.n_past -= n_discard
+            s.cache_tokens = (s.cache_tokens[:n_keep]
+                              + s.cache_tokens[n_keep + n_discard:])
+            self.metrics["n_ctx_shifts"] += 1
 
     def _spec_decode_step(self, active: list[_Slot]) -> bool:
         """One speculative round for every generating slot, batched:
@@ -549,7 +591,7 @@ class Engine:
         eog = req.stop_eog and vocab is not None and vocab.is_eog(token)
         hit_stop = any(ss in slot.text for ss in req.stop_strings)
         done = eog or hit_stop or len(slot.generated) >= req.max_tokens
-        if done or slot.n_past + 1 > self.n_ctx:
+        if done or (slot.n_past + 1 > self.n_ctx and not self.ctx_shift):
             self._finish(slot, "stop" if (eog or hit_stop) else "length")
 
     def _finish(self, slot: _Slot, finish_reason: str):

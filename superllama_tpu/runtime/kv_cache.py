@@ -101,6 +101,48 @@ def kv_truncate_rows(cache: KVCache, keep: jax.Array) -> KVCache:
     return cache._replace(pos=pos, cursor=keep.astype(jnp.int32))
 
 
+def kv_context_shift(cache: KVCache, keep: jax.Array, discard: jax.Array,
+                     inv_freq: jax.Array, rope_type: int = 0,
+                     mscale: float = 1.0) -> KVCache:
+    """Context shift (server-context.cpp:1976-2023 semantics): per row, drop
+    positions [keep, keep+discard) and slide later positions down by
+    ``discard``. K entries are re-roped by −discard (rotations compose
+    additively, the reference's rope-rerun shift) and the row is compacted so
+    slot order stays == position order (the invariant truncation relies on).
+
+    keep/discard: (B,) int32; discard == 0 → row untouched.
+    """
+    from ..ops.jnp_ref import apply_rope
+
+    B, S = cache.pos.shape
+    pos = cache.pos
+    kd = (keep + discard)[:, None]
+    sel_discard = (pos >= keep[:, None]) & (pos < kd) & (discard[:, None] > 0)
+    sel_shift = (pos >= kd) & (discard[:, None] > 0)
+    new_pos = jnp.where(sel_discard, -1,
+                        jnp.where(sel_shift, pos - discard[:, None], pos))
+    delta = jnp.where(sel_shift, -discard[:, None], 0).astype(jnp.int32)
+
+    # re-rope K by the (per-slot) position delta: (L,B,Hkv,S,D) → rope over S
+    k = cache.k.transpose(0, 1, 3, 2, 4)                 # (L,B,S,Hkv,D)
+    k = apply_rope(k, delta[None].astype(jnp.int32), inv_freq, rope_type, mscale)
+    k = k.transpose(0, 1, 3, 2, 4)
+
+    # compact: stable-sort slots by new position (holes → end)
+    big = jnp.int32(2**30)
+    order = jnp.argsort(jnp.where(new_pos < 0, big, new_pos), axis=1)
+    pos_c = jnp.take_along_axis(new_pos, order, axis=1)
+
+    def gather_s(x):  # (L,B,Hkv,S,D) gathered along S with per-row order
+        return jnp.take_along_axis(
+            x, order[None, :, None, :, None], axis=3)
+
+    k_c = gather_s(k)
+    v_c = gather_s(cache.v)
+    cursor = jnp.sum(pos_c >= 0, axis=1).astype(jnp.int32)
+    return KVCache(k=k_c, v=v_c, pos=pos_c, cursor=cursor)
+
+
 # --- sequence ops (host-side, operate on concrete arrays) --------------------
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import re
 import threading
 import time
@@ -431,3 +432,119 @@ class HealthMonitor:
 
     def stop(self):
         self._running = False
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint + recovery (llama_checkpoint_manager / llama_recovery_manager
+# counterparts, src/llama-security.h:86-219)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    """Periodic per-request KV snapshots with retention + recovery lookup
+    (llama_checkpoint_manager: snapshot every N tokens to a directory,
+    in-memory index, cleanup of stale checkpoints)."""
+
+    def __init__(self, directory: str | None = None, every_n_tokens: int = 256,
+                 max_per_request: int = 4):
+        import tempfile
+        self.dir = directory or tempfile.mkdtemp(prefix="slt_ckpt_")
+        os.makedirs(self.dir, exist_ok=True)
+        self.every_n = every_n_tokens
+        self.max_per_request = max_per_request
+        self._index: dict[str, list[tuple[int, str]]] = {}
+        self._last: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def maybe_checkpoint(self, request_id: str, n_tokens: int,
+                         snapshot_fn) -> str | None:
+        """Call with the engine's slot_save as snapshot_fn; returns the path
+        written, or None when below the interval."""
+        with self._lock:
+            if n_tokens - self._last.get(request_id, 0) < self.every_n:
+                return None
+            self._last[request_id] = n_tokens
+        import numpy as _np
+        data = snapshot_fn()
+        path = os.path.join(self.dir, f"{request_id}-{n_tokens}.npz")
+        _np.savez(path, **data)
+        with self._lock:
+            lst = self._index.setdefault(request_id, [])
+            lst.append((n_tokens, path))
+            while len(lst) > self.max_per_request:
+                _, old = lst.pop(0)
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
+        return path
+
+    def latest(self, request_id: str) -> str | None:
+        with self._lock:
+            lst = self._index.get(request_id) or []
+            return lst[-1][1] if lst else None
+
+    def cleanup(self, request_id: str) -> None:
+        with self._lock:
+            for _, p in self._index.pop(request_id, []):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            self._last.pop(request_id, None)
+
+
+class FailureType(IntEnum):
+    OOM = 0
+    DEVICE_ERROR = 1
+    TIMEOUT = 2
+    INVALID_STATE = 3
+
+
+class RecoveryManager:
+    """Retry-with-backoff + degradation policy (llama_recovery_manager:
+    failure taxonomy, exponential backoff, reduce-batch-on-OOM)."""
+
+    def __init__(self, max_retries: int = 3, backoff_s: float = 0.1,
+                 backoff_mult: float = 2.0):
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.backoff_mult = backoff_mult
+        self.stats = {"attempts": 0, "recoveries": 0, "failures": 0}
+
+    @staticmethod
+    def classify(exc: BaseException) -> FailureType:
+        msg = str(exc).lower()
+        if "resource_exhausted" in msg or "out of memory" in msg or "oom" in msg:
+            return FailureType.OOM
+        if "timeout" in msg or "deadline" in msg:
+            return FailureType.TIMEOUT
+        if isinstance(exc, (ValueError, AssertionError)):
+            return FailureType.INVALID_STATE
+        return FailureType.DEVICE_ERROR
+
+    def run(self, fn, *, on_oom=None, on_retry=None):
+        """Execute fn with retries. on_oom() is invoked before retrying an
+        OOM-classified failure (e.g. halve the batch / spill pages)."""
+        delay = self.backoff_s
+        last: BaseException | None = None
+        for attempt in range(self.max_retries + 1):
+            self.stats["attempts"] += 1
+            try:
+                out = fn()
+                if attempt > 0:
+                    self.stats["recoveries"] += 1
+                return out
+            except Exception as e:  # noqa: BLE001 — policy layer
+                last = e
+                kind = self.classify(e)
+                if attempt >= self.max_retries:
+                    break
+                if kind == FailureType.OOM and on_oom is not None:
+                    on_oom()
+                if on_retry is not None:
+                    on_retry(attempt, kind, e)
+                time.sleep(delay)
+                delay *= self.backoff_mult
+        self.stats["failures"] += 1
+        raise last  # type: ignore[misc]

@@ -210,3 +210,50 @@ def test_queue_thread_safety():
         t.join()
     assert len(out) == 200
     assert len(set(out)) == 200
+
+
+def test_checkpoint_manager(tmp_path):
+    from superllama_tpu.server.enterprise import CheckpointManager
+
+    cm = CheckpointManager(str(tmp_path / "ck"), every_n_tokens=10,
+                           max_per_request=2)
+    import numpy as np
+    snaps = []
+    for n in (5, 10, 25, 40, 55):
+        p = cm.maybe_checkpoint("req1", n, lambda: {"x": np.arange(3)})
+        snaps.append(p)
+    assert snaps[0] is None            # below interval
+    assert snaps[1] and snaps[2] and snaps[3]
+    assert cm.latest("req1") == snaps[-1]
+    import os
+    live = [p for p in snaps if p and os.path.exists(p)]
+    assert len(live) == 2              # retention enforced
+    cm.cleanup("req1")
+    assert cm.latest("req1") is None
+    assert not any(os.path.exists(p) for p in snaps if p)
+
+
+def test_recovery_manager_retries_and_oom_hook():
+    from superllama_tpu.server.enterprise import FailureType, RecoveryManager
+
+    rm = RecoveryManager(max_retries=3, backoff_s=0.001)
+    calls = {"n": 0, "oom": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return "ok"
+
+    out = rm.run(flaky, on_oom=lambda: calls.__setitem__("oom", calls["oom"] + 1))
+    assert out == "ok" and calls["oom"] == 2
+    assert rm.stats["recoveries"] == 1
+
+    def always_bad():
+        raise ValueError("invalid shape")
+
+    with pytest.raises(ValueError):
+        rm.run(always_bad)
+    assert rm.stats["failures"] == 1
+    assert RecoveryManager.classify(ValueError("x")) == FailureType.INVALID_STATE
+    assert RecoveryManager.classify(RuntimeError("deadline exceeded")) == FailureType.TIMEOUT
