@@ -68,6 +68,17 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
     onto a mesh with the right PartitionSpec; default is single-device put.
     """
     reader = GGUFReader(path)
+    extra_readers: list[GGUFReader] = []
+    if int(reader.metadata.get("split.count", 1) or 1) > 1:
+        # multi-shard model (*-00001-of-0000N.gguf): merge tensor indices
+        from ..tools.gguf_split import shard_paths
+
+        for p in shard_paths(path):
+            if p == path:
+                continue
+            r2 = GGUFReader(p)
+            extra_readers.append(r2)
+            reader.tensors.update(r2.tensors)
     hp = hparams_from_gguf(reader)
     # synthetic/test models may carry no tokenizer metadata
     tok = (
@@ -184,4 +195,6 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
     md = dict(reader.metadata)
     name = md.get("general.name", "")
     reader.close()
+    for r2 in extra_readers:
+        r2.close()
     return LoadedModel(hparams=hp, params=params, tokenizer=tok, metadata=md, name=name)

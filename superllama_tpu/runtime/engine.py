@@ -100,7 +100,7 @@ class Engine:
     def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
                  kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS,
                  draft_model: LoadedModel | None = None, n_draft: int = 8,
-                 ctx_shift: bool = False):
+                 ctx_shift: bool = False, lookup_ngrams: int = 0):
         self.model = model
         hp = model.hparams
         self.hp = hp
@@ -168,6 +168,12 @@ class Engine:
             self._shift = jax.jit(functools.partial(
                 kv_context_shift, inv_freq=inv_freq, rope_type=hp.rope_type,
                 mscale=mscale), donate_argnums=(0,))
+
+        # n-gram lookup decoding (common/ngram-cache + examples/lookup):
+        # prompt-derived drafts verified exactly like model drafts
+        self.lookup_k = int(lookup_ngrams)
+        self._ngrams: dict[int, Any] = {}
+        self._ngram_hwm: dict[int, int] = {}
 
         self.slots = [_Slot(i) for i in range(n_slots)]
         self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
@@ -447,6 +453,10 @@ class Engine:
         if self.draft_model is not None and all(
                 s.n_past + self.n_draft + 1 <= self.n_ctx for s in active):
             return self._spec_decode_step(active)
+        if self.lookup_k and all(
+                s.n_past + self.lookup_k + 1 <= self.n_ctx for s in active):
+            if self._lookup_decode_step(active):
+                return True
         t0 = time.perf_counter()
         tokens = np.zeros((self.n_slots, 1), np.int32)
         pos = np.full((self.n_slots, 1), -1, np.int32)
@@ -486,6 +496,68 @@ class Engine:
             s.cache_tokens = (s.cache_tokens[:n_keep]
                               + s.cache_tokens[n_keep + n_discard:])
             self.metrics["n_ctx_shifts"] += 1
+
+    def _lookup_decode_step(self, active: list[_Slot]) -> bool:
+        """One lookup-decoding round: n-gram drafts per slot (possibly of
+        different lengths, possibly none) → batched target verify → accept.
+        Returns False when no slot produced a draft (caller falls through to
+        the plain decode step)."""
+        from .ngram import NgramCache
+
+        K, B = self.lookup_k, self.n_slots
+        drafts = np.zeros((B, K), np.int32)
+        lens = np.zeros(B, np.int32)
+        for s in active:
+            seq = s.cache_tokens + s.generated[-1:]
+            ng = self._ngrams.get(s.idx)
+            hwm = self._ngram_hwm.get(s.idx, 0)
+            if ng is None or hwm > len(seq):
+                ng = self._ngrams[s.idx] = NgramCache()
+                hwm = 0
+            if len(seq) > hwm:
+                ng.extend(seq[max(hwm - ng.n_max, 0):hwm], seq[hwm:])
+                self._ngram_hwm[s.idx] = len(seq)
+            d = ng.draft(seq, K)
+            lens[s.idx] = len(d)
+            drafts[s.idx, :len(d)] = d
+        if not lens.any():
+            return False
+
+        t0 = time.perf_counter()
+        vtok = np.zeros((B, K + 1), np.int32)
+        vpos = np.full((B, K + 1), -1, np.int32)
+        for s in active:
+            vtok[s.idx, 0] = s.generated[-1]
+            vtok[s.idx, 1:] = drafts[s.idx]
+            vpos[s.idx] = s.n_past + np.arange(K + 1)
+        vlogits, self.cache = self._decode(self.model.params, jnp.asarray(vtok),
+                                           jnp.asarray(vpos), self.cache)
+        vlogits = np.asarray(vlogits, np.float32)
+
+        keep_t = np.zeros(B, np.int32)
+        for s in self.slots:
+            keep_t[s.idx] = s.n_past
+        for s in active:
+            L = int(lens[s.idx])
+            n_past0 = s.n_past
+            accepted = 0
+            for i in range(L + 1):
+                t = s.sampler.sample(vlogits[s.idx, i])
+                self._emit(s, t)
+                if i < L and t == int(drafts[s.idx, i]) and \
+                        s.state == SlotState.GENERATING:
+                    accepted += 1
+                    continue
+                break
+            self.metrics["n_spec_drafted"] += L
+            self.metrics["n_spec_accepted"] += accepted
+            s.n_past = n_past0 + accepted + 1
+            s.cache_tokens.extend(int(x) for x in vtok[s.idx, :accepted + 1])
+            keep_t[s.idx] = s.n_past
+        self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
 
     def _spec_decode_step(self, active: list[_Slot]) -> bool:
         """One speculative round for every generating slot, batched:

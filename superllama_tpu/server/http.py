@@ -522,19 +522,28 @@ def make_handler(app: ServerApp):
 
         def do_GET(self):
             path = self.path.split("?")[0]
+            is_router = hasattr(app, "app_for")
             if path == "/health":
-                self._send_json({"status": app.health.status()})
+                if is_router:
+                    self._send_json({"status": "ok",
+                                     "models": [m["id"] for m in app.models()]})
+                else:
+                    self._send_json({"status": app.health.status()})
             elif path in ("/v1/models", "/models"):
-                self._send_json({"object": "list", "data": [{
-                    "id": app.model_name, "object": "model",
-                    "created": int(app.t_start), "owned_by": "superllama_tpu",
-                }]})
+                if is_router:
+                    self._send_json({"object": "list", "data": app.models()})
+                else:
+                    self._send_json({"object": "list", "data": [{
+                        "id": app.model_name, "object": "model",
+                        "created": int(app.t_start), "owned_by": "superllama_tpu",
+                    }]})
             elif path == "/props":
-                self._send_json(app.props())
+                self._send_json((app.app_for({}) if is_router else app).props())
             elif path == "/slots":
-                self._send_json(app.slots())
+                self._send_json((app.app_for({}) if is_router else app).slots())
             elif path == "/metrics":
-                text = app.prometheus_text().encode()
+                a = app.app_for({}) if hasattr(app, "app_for") else app
+                text = a.prometheus_text().encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")
                 self.send_header("Content-Length", str(len(text)))
@@ -548,47 +557,67 @@ def make_handler(app: ServerApp):
         def do_POST(self):
             path = self.path.split("?")[0]
             t0 = time.perf_counter()
-            client, err = app.auth(self.headers)
-            if err:
-                app.audit.log("auth_failure", detail={"path": path, "err": err})
-                return self._err(401, err, "authentication_error")
-            if not app.rate.allow_request(client):
-                app.audit.log("rate_limited", client)
-                return self._err(429, "rate limit exceeded", "rate_limit_error")
             try:
                 body = self._body()
             except (json.JSONDecodeError, ValueError) as e:
                 return self._err(400, f"invalid JSON: {e}")
-            app.audit.log("request", client, {"path": path})
+            router = app if hasattr(app, "app_for") else None
+            if router is not None:
+                # router-level management routes (server-models.cpp)
+                if path == "/models/load":
+                    try:
+                        return self._send_json(router.load(
+                            body["model"], body["path"]))
+                    except (KeyError, OSError, ValueError) as e:
+                        return self._err(400, f"load failed: {e}")
+                if path == "/models/unload":
+                    try:
+                        return self._send_json(router.unload(body["model"]))
+                    except KeyError as e:
+                        return self._err(404, str(e))
+                try:
+                    a = router.app_for(body)
+                except KeyError as e:
+                    return self._err(404, str(e), "model_not_found")
+            else:
+                a = app
+            client, err = a.auth(self.headers)
+            if err:
+                a.audit.log("auth_failure", detail={"path": path, "err": err})
+                return self._err(401, err, "authentication_error")
+            if not a.rate.allow_request(client):
+                a.audit.log("rate_limited", client)
+                return self._err(429, "rate limit exceeded", "rate_limit_error")
+            a.audit.log("request", client, {"path": path})
             ok = True
             try:
                 if path in ("/tokenize",):
-                    tok = app.model.tokenizer
+                    tok = a.model.tokenizer
                     ids = tok.encode(body.get("content", ""),
                                      add_special=bool(body.get("add_special", False)),
                                      parse_special=bool(body.get("parse_special", True)))
                     self._send_json({"tokens": ids})
                 elif path in ("/detokenize",):
-                    tok = app.model.tokenizer
+                    tok = a.model.tokenizer
                     self._send_json({"content": tok.decode(body.get("tokens", []))})
                 elif path in ("/completion", "/completions", "/v1/completions"):
-                    self._dispatch_gen(body, client, app.handle_completion,
+                    self._dispatch_gen(body, client, a.handle_completion,
                                        self._sse_completion_chunk)
                 elif path == "/v1/chat/completions":
-                    self._dispatch_gen(body, client, app.handle_chat,
+                    self._dispatch_gen(body, client, a.handle_chat,
                                        self._sse_chat_chunk)
                 elif path == "/v1/messages":
-                    self._dispatch_gen(body, client, app.handle_anthropic_messages,
+                    self._dispatch_gen(body, client, a.handle_anthropic_messages,
                                        self._sse_anthropic_events, anthropic=True)
                 elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
                     try:
-                        self._send_json(app.handle_embeddings(body, client))
+                        self._send_json(a.handle_embeddings(body, client))
                     except NotImplementedError as e:
                         ok = False
                         self._err(501, str(e))
                 elif path in ("/rerank", "/v1/rerank", "/reranking"):
                     try:
-                        self._send_json(app.handle_rerank(body, client))
+                        self._send_json(a.handle_rerank(body, client))
                     except NotImplementedError as e:
                         ok = False
                         self._err(501, str(e))
@@ -596,17 +625,17 @@ def make_handler(app: ServerApp):
                     qs = self.path.split("?", 1)[1] if "?" in self.path else ""
                     action = dict(p.split("=", 1) for p in qs.split("&") if "=" in p
                                   ).get("action", "")
-                    self._send_json(app.handle_slot_action(
+                    self._send_json(a.handle_slot_action(
                         int(path.split("/")[2]), action, body))
                 elif path == "/infill":
                     try:
-                        self._dispatch_gen(body, client, app.handle_infill,
+                        self._dispatch_gen(body, client, a.handle_infill,
                                            self._sse_completion_chunk)
                     except NotImplementedError as e:
                         ok = False
                         self._err(501, str(e))
                 elif path == "/v1/responses":
-                    self._send_json(app.handle_responses(body, client))
+                    self._send_json(a.handle_responses(body, client))
                 else:
                     ok = False
                     return self._err(404, f"unknown path {path}")
@@ -621,12 +650,12 @@ def make_handler(app: ServerApp):
                 self._err(500, f"internal error: {e}", "api_error")
             finally:
                 dt = time.perf_counter() - t0
-                app.sla.record(dt, ok)
-                app.metrics.histogram_observe("request_duration_seconds", dt,
+                a.sla.record(dt, ok)
+                a.metrics.histogram_observe("request_duration_seconds", dt,
                                                {"path": path})
-                app.metrics.counter_inc("http_requests_total",
+                a.metrics.counter_inc("http_requests_total",
                                          labels={"path": path, "ok": str(ok).lower()})
-                app.jsonl.log(app.engine, force=False)
+                a.jsonl.log(a.engine, force=False)
 
         # --------------------------------------------------------- streaming
 
@@ -722,10 +751,15 @@ class Server:
         self._thread: threading.Thread | None = None
 
     def start(self):
-        self.app.engine.start()
+        if hasattr(self.app, "engine"):
+            self.app.engine.start()
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
 
     def stop(self):
         self.httpd.shutdown()
-        self.app.engine.stop()
+        if hasattr(self.app, "engine"):
+            self.app.engine.stop()
+        elif hasattr(self.app, "_apps"):  # router: stop every child engine
+            for child in list(self.app._apps.values()):
+                child.engine.stop()

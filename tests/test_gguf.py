@@ -91,3 +91,43 @@ def test_read_ecosystem_file():
     scores = r.metadata["tokenizer.ggml.scores"]
     assert len(scores) == 32000
     r.close()
+
+
+def test_gguf_split_and_merge(tmp_path):
+    """Shard/merge round trip + transparent sharded loading
+    (tools/gguf-split counterpart)."""
+    import numpy as np
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from superllama_tpu.models import load_model
+    from superllama_tpu.runtime import Context
+    from superllama_tpu.tools.convert_hf import convert_state_dict
+    from superllama_tpu.tools.gguf_split import merge_gguf, shard_paths, split_gguf
+
+    torch.manual_seed(123)
+    cfg = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      architectures=["LlamaForCausalLM"], tie_word_embeddings=False)
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    src = tmp_path / "m.gguf"
+    convert_state_dict(str(src), cfg, sd, GGMLType.F32)
+
+    shards = split_gguf(str(src), str(tmp_path / "m"), n_split=3)
+    assert len(shards) == 3 and shards[0].endswith("-00001-of-00003.gguf")
+    assert shard_paths(shards[1]) == shards
+
+    ids = np.arange(1, 13, dtype=np.int32)
+    ref = np.asarray(Context(load_model(str(src)), n_ctx=32,
+                             kv_dtype=np.float32).forward(ids)[0])
+    got = np.asarray(Context(load_model(shards[0]), n_ctx=32,
+                             kv_dtype=np.float32).forward(ids)[0])
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    merged = tmp_path / "merged.gguf"
+    merge_gguf(shards[0], str(merged))
+    got2 = np.asarray(Context(load_model(str(merged)), n_ctx=32,
+                              kv_dtype=np.float32).forward(ids)[0])
+    np.testing.assert_allclose(got2, ref, rtol=1e-6)
