@@ -48,7 +48,9 @@ def make_optimizer(name: str = "adamw", lr: float = 1e-4,
 
 
 class Trainer:
-    """Epoch driver (llama_opt_epoch counterpart)."""
+    """Epoch driver (llama_opt_epoch counterpart) with trainable-tensor
+    filtering (llama_opt_param_filter, include/llama.h:1546-1554) and
+    optimizer-state checkpointing."""
 
     def __init__(self, hp: HParams, params: Any, optimizer="adamw", lr=1e-4,
                  forward: Callable | None = None,
@@ -56,10 +58,20 @@ class Trainer:
         self.hp = hp
         self.params = params
         fwd = forward or get_forward(hp.arch)
-        self.opt = make_optimizer(optimizer, lr)
-        # param_filter selects trainable tensors (llama.h:1546-1554 semantics)
+        base_opt = make_optimizer(optimizer, lr)
+        # param_filter selects trainable tensors by path name; frozen tensors
+        # get zero updates (optax.masked keeps opt state minimal)
         self._filter = param_filter
+        if param_filter is not None:
+            mask = self._trainable_mask(params, param_filter)
+            inv = jax.tree_util.tree_map(lambda b: not b, mask)
+            # zero frozen-leaf updates (masked alone passes raw grads through)
+            self.opt = optax.chain(optax.masked(optax.set_to_zero(), inv),
+                                   optax.masked(base_opt, mask))
+        else:
+            self.opt = base_opt
         self.opt_state = self.opt.init(params)
+        self.n_steps = 0
 
         def step(params, opt_state, tokens, targets, loss_mask):
             loss, grads = jax.value_and_grad(
@@ -71,12 +83,25 @@ class Trainer:
 
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
+    @staticmethod
+    def _trainable_mask(params: Any, flt: Callable[[str], bool]) -> Any:
+        def walk(node, path):
+            if isinstance(node, dict):
+                return {k: walk(v, f"{path}.{k}" if path else k)
+                        for k, v in node.items()}
+            if isinstance(node, list):
+                return [walk(v, f"{path}.{i}") for i, v in enumerate(node)]
+            return bool(flt(path))
+
+        return walk(params, "")
+
     def train_step(self, tokens, targets, loss_mask=None):
         if loss_mask is None:
             loss_mask = jnp.ones_like(targets, dtype=jnp.float32)
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, tokens, targets, loss_mask
         )
+        self.n_steps += 1
         return float(loss)
 
     def epoch(self, batches, callback=None) -> float:
@@ -87,3 +112,24 @@ class Trainer:
             if callback:
                 callback(n, loss)
         return total / max(n, 1)
+
+    # ------------------------------------------------ checkpoint / resume
+
+    def save_checkpoint(self, path: str) -> None:
+        """Full training state (params + optimizer state + step counter)."""
+        import numpy as np
+
+        leaves, _ = jax.tree_util.tree_flatten((self.params, self.opt_state))
+        np.savez(path, n_steps=self.n_steps,
+                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore into a Trainer constructed with the same shapes/config."""
+        import numpy as np
+
+        _, treedef = jax.tree_util.tree_flatten((self.params, self.opt_state))
+        with np.load(path) as z:
+            self.n_steps = int(z["n_steps"])
+            leaves = [jnp.asarray(z[f"leaf_{i}"])
+                      for i in range(treedef.num_leaves)]
+        self.params, self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
