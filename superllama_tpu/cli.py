@@ -47,6 +47,15 @@ def cmd_run(args):
     from .runtime.decode_loop import DecodeLoop
     from .runtime.engine import Engine, GenRequest
 
+    if args.preset:
+        from .presets import apply_preset, load_preset
+
+        merged = apply_preset(
+            {"temp": args.temp, "top_k": args.top_k, "top_p": args.top_p},
+            load_preset(args.preset))
+        args.temp = merged.get("temp", args.temp)
+        args.top_k = merged.get("top_k", args.top_k)
+        args.top_p = merged.get("top_p", args.top_p)
     model, kvd = _load(args)
     tok = model.tokenizer
     ids = tok.encode(args.prompt, add_special=True, parse_special=True)
@@ -191,6 +200,8 @@ def main(argv=None) -> int:
     p.add_argument("--top-p", type=float, default=0.95)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stream", action="store_true")
+    p.add_argument("--preset", default=None,
+                   help="named preset or JSON file (common/preset counterpart)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("serve", help="HTTP server")

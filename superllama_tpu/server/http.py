@@ -114,6 +114,20 @@ class ServerApp:
             s["penalty_freq"] = float(body["frequency_penalty"])
         if "presence_penalty" in body:
             s["penalty_present"] = float(body["presence_penalty"])
+        if "logit_bias" in body and body["logit_bias"]:
+            lb = body["logit_bias"]
+            if isinstance(lb, dict):
+                s["logit_bias"] = {int(k): float(v) for k, v in lb.items()}
+            else:  # llama.cpp-style [[token, bias], ...]
+                s["logit_bias"] = {int(t): float(b) for t, b in lb}
+        if "mirostat" in body:
+            s["mirostat"] = int(body["mirostat"])
+            s["mirostat_tau"] = float(body.get("mirostat_tau", 5.0))
+            s["mirostat_eta"] = float(body.get("mirostat_eta", 0.1))
+        if "typical_p" in body:
+            s["typical_p"] = float(body["typical_p"])
+        if "dry_multiplier" in body:
+            s["dry_multiplier"] = float(body["dry_multiplier"])
         if body.get("temperature", 1.0) == 0.0:
             s["greedy"] = True
         return s

@@ -117,3 +117,30 @@ def test_cli_batched_bench(model_path, capsys):
     # tiny-model CPU timings are too noisy for scaling assertions; just
     # require sane positive numbers for every config
     assert all(r["s_tg_tok_s"] > 0 and r["s_pp_tok_s"] > 0 for r in rows)
+
+
+def test_presets():
+    from superllama_tpu.presets import BUILTIN_PRESETS, apply_preset, load_preset
+
+    p = load_preset("creative")
+    assert p["temp"] == 1.2
+    merged = apply_preset({"temp": 0.5, "top_k": 10}, p, explicit={"temp"})
+    assert merged["temp"] == 0.5          # explicit flag wins
+    assert merged["top_k"] == 100         # preset fills the rest
+    assert "greedy" in BUILTIN_PRESETS
+
+
+def test_preset_file(tmp_path):
+    import json
+
+    from superllama_tpu.presets import load_preset
+
+    f = tmp_path / "p.json"
+    f.write_text(json.dumps({"temp": 0.42, "slots": 2}))
+    assert load_preset(str(f))["temp"] == 0.42
+
+
+def test_cli_run_with_preset(model_path, capsys):
+    rc = cli_main(["run", "-m", model_path, "-p", "Hello", "-n", "4",
+                   "--preset", "greedy", "-c", "128", "--kv-dtype", "float32"])
+    assert rc == 0

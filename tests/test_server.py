@@ -292,3 +292,21 @@ def test_openai_responses_endpoint(server):
     msgs = [o for o in out["output"] if o["type"] == "message"]
     assert msgs and msgs[0]["content"][0]["type"] == "output_text"
     assert out["usage"]["output_tokens"] > 0
+
+
+def test_logit_bias_param(server):
+    """logit_bias forces/forbids tokens through the OpenAI-style dict form."""
+    out = _req(server.port, "/v1/completions", {
+        "prompt": "hi", "max_tokens": 4, "temperature": 0.8, "seed": 1,
+        "logit_bias": {"5": 100.0},    # +100 → token 5 dominates
+    }, headers={"Authorization": "Bearer sk-good"})
+    # all generated tokens should be id 5 (overwhelming bias)
+    ids = _req(server.port, "/tokenize", {"content": out["choices"][0]["text"]},
+               headers={"Authorization": "Bearer sk-good"})
+    # can't reliably re-tokenize; instead check via a fresh biased request that
+    # the completion is non-empty and deterministic under the bias
+    out2 = _req(server.port, "/v1/completions", {
+        "prompt": "hi", "max_tokens": 4, "temperature": 0.8, "seed": 9,
+        "logit_bias": {"5": 100.0},
+    }, headers={"Authorization": "Bearer sk-good"})
+    assert out["choices"][0]["text"] == out2["choices"][0]["text"]
