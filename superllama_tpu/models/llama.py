@@ -127,12 +127,17 @@ def llama_forward(
     cache: KVCache,
     flash: bool | None = None,
     imatrix: dict | None = None,
+    embeds: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
 
     ``imatrix``: pass a dict to accumulate per-weight input-activation Σx²
     statistics during the trace (imatrix collection, tools/imatrix
     counterpart); keys are GGUF weight names.
+
+    ``embeds``: (B, T, E) input embeddings overriding the token lookup — the
+    multimodal path (mtmd chunked image-token injection counterpart) feeds
+    vision-projector outputs here; ``tokens`` is then only used for shape.
 
     flash=None auto-selects the Pallas flash-attention kernel on TPU for
     prefill-sized T (where the T×S logits matrix dominates memory); decode
@@ -160,7 +165,10 @@ def llama_forward(
         inv_freq_swa, mscale_swa = inv_freq, mscale
     kq_scale = hp.f_attn_scale if hp.f_attn_scale > 0.0 else 1.0 / (D ** 0.5)
 
-    x = params["token_embd"][tokens] * hp.f_embedding_scale
+    if embeds is not None:
+        x = embeds.astype(params["token_embd"].dtype) * hp.f_embedding_scale
+    else:
+        x = params["token_embd"][tokens] * hp.f_embedding_scale
     paged = not isinstance(cache, KVCache)  # PagedKVCache (runtime/paged_kv.py)
     if paged:
         from ..ops.paged_attention import paged_flash_attention

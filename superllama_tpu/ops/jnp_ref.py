@@ -177,6 +177,11 @@ def relu(x):
     return jnp.maximum(x, 0)
 
 
+def quick_gelu(x):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)
+
+
 def swiglu(gate, up):
     return silu(gate) * up
 
