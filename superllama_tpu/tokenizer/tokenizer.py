@@ -72,6 +72,22 @@ class Tokenizer:
                     self._bpe_tokenize(frag, out)
             if add_special and v.add_eos and v.eos_id >= 0:
                 out.append(v.eos_id)
+        elif self.model == "t5":  # UGM (unigram LM, Viterbi)
+            if add_special and v.add_bos and v.bos_id >= 0:
+                out.append(v.bos_id)
+            first = True
+            for frag, tid in fragments:
+                if tid >= 0:
+                    out.append(tid)
+                    first = True
+                else:
+                    t = frag
+                    if v.add_space_prefix and first:
+                        t = " " + t
+                    self._ugm_tokenize(t.replace(" ", "▁"), out)
+                    first = False
+            if add_special and v.add_eos and v.eos_id >= 0:
+                out.append(v.eos_id)
         elif self.model == "bert":  # WPM
             if add_special and v.bos_id >= 0:
                 out.append(v.bos_id)
@@ -85,6 +101,54 @@ class Tokenizer:
         else:
             raise NotImplementedError(f"tokenizer model {self.model!r}")
         return out
+
+    # ------------------------------------------------------------- UGM
+
+    def _ugm_tokenize(self, text: str, out: list[int]):
+        """Unigram-LM Viterbi segmentation (llm_tokenizer_ugm semantics):
+        maximize the sum of vocab log-prob scores over a segmentation;
+        unmatchable codepoints take unk with (min_score − 10) penalty,
+        consecutive unknowns fuse into one unk token."""
+        v = self.vocab
+        n = len(text)
+        if n == 0:
+            return
+        if not hasattr(self, "_ugm_max_len"):
+            self._ugm_max_len = max((len(t) for t in v.token_to_id), default=1)
+            finite = [s for s in v.scores if s > -1e30]
+            self._ugm_unk_score = (min(finite) if finite else 0.0) - 10.0
+        max_len = self._ugm_max_len
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        best[0] = 0.0
+        back: list[tuple[int, int]] = [(-1, -2)] * (n + 1)
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            for j in range(i + 1, min(i + max_len, n) + 1):
+                tid = v.token_to_id.get(text[i:j])
+                if tid is None:
+                    continue
+                s = best[i] + v.scores[tid]
+                if s > best[j]:
+                    best[j] = s
+                    back[j] = (i, tid)
+            s = best[i] + self._ugm_unk_score  # unk fallback, one codepoint
+            if s > best[i + 1]:
+                best[i + 1] = s
+                back[i + 1] = (i, -1)
+        ids: list[int] = []
+        j = n
+        while j > 0:
+            i, tid = back[j]
+            ids.append(tid)
+            j = i
+        ids.reverse()
+        for k, tid in enumerate(ids):
+            if tid >= 0:
+                out.append(tid)
+            elif not (k > 0 and ids[k - 1] < 0):  # fuse consecutive unknowns
+                out.append(v.unk_id if v.unk_id >= 0 else 0)
 
     # ------------------------------------------------------------- SPM
 

@@ -155,7 +155,8 @@ def vocab_from_gguf(reader: "GGUFReader") -> Vocab:
     ttypes = md.get("tokenizer.ggml.token_type", [1] * n)
     attrs = [_TOKEN_TYPE_TO_ATTR.get(int(t), TokenAttr.UNDEFINED) for t in ttypes]
     model = md.get("tokenizer.ggml.model", "llama")
-    defaults = {"llama": (True, False, True), "gpt2": (False, False, False)}
+    defaults = {"llama": (True, False, True), "gpt2": (False, False, False),
+                "t5": (False, True, True)}  # UGM: append </s>, space prefix
     d_bos, d_eos, d_sp = defaults.get(model, (False, False, False))
     return Vocab(
         model=model,

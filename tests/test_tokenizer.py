@@ -69,3 +69,72 @@ def test_decode_roundtrip(name):
         if name == "gpt-2":
             assert dec == text, (text, dec)
     r.close()
+
+
+def test_ugm_viterbi_optimal():
+    """UGM segmentation must equal the brute-force best-scoring segmentation
+    (unigram-LM semantics, llm_tokenizer_ugm counterpart)."""
+    import itertools
+
+    from superllama_tpu.tokenizer.tokenizer import Tokenizer
+    from superllama_tpu.tokenizer.vocab import Vocab
+
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁he", "▁hello", "he", "hello",
+              "l", "lo", "o", "▁w", "▁world", "wor", "world", "ld", "d", "r", "w"]
+    scores = [-10.0, 0.0, 0.0, -3.0, -4.0, -5.5, -4.5, -6.0,
+              -2.0, -3.5, -2.5, -4.0, -6.5, -5.0, -7.5, -3.0, -2.2, -2.4, -2.6]
+    from superllama_tpu.tokenizer.vocab import TokenAttr
+    attrs = [TokenAttr.UNKNOWN, TokenAttr.CONTROL, TokenAttr.CONTROL] + \
+            [TokenAttr.NORMAL] * (len(tokens) - 3)
+    v = Vocab(model="t5", pre="", tokens=tokens, scores=scores, attrs=attrs,
+              bos_id=-1, eos_id=2, unk_id=0, add_bos=False, add_eos=False,
+              add_space_prefix=True)
+    tok = Tokenizer(v)
+
+    def brute_best(text):
+        n = len(text)
+        best_score, best_seg = float("-inf"), None
+        def rec(i, seg, score):
+            nonlocal best_score, best_seg
+            if i == n:
+                if score > best_score:
+                    best_score, best_seg = score, list(seg)
+                return
+            for j in range(i + 1, n + 1):
+                tid = v.token_to_id.get(text[i:j])
+                if tid is not None:
+                    seg.append(tid)
+                    rec(j, seg, score + scores[tid])
+                    seg.pop()
+            # unk single char
+            seg.append(0)
+            rec(i + 1, seg, score + min(s for s in scores) - 10.0)
+            seg.pop()
+        rec(0, [], 0.0)
+        # fuse consecutive unks like the tokenizer does
+        fused = [t for k, t in enumerate(best_seg)
+                 if not (t == 0 and k > 0 and best_seg[k - 1] == 0)]
+        return fused
+
+    for text in ("hello world", "world", "he lo", "hellox", "xyz he"):
+        got = tok.encode(text, add_special=False)
+        norm = "▁" + text.replace(" ", "▁")
+        assert got == brute_best(norm), (text, got, brute_best(norm))
+
+
+def test_ugm_specials_and_eos():
+    from superllama_tpu.tokenizer.tokenizer import Tokenizer
+    from superllama_tpu.tokenizer.vocab import Vocab
+
+    tokens = ["<unk>", "<s>", "</s>", "▁a", "b", "▁", "a"]
+    scores = [0.0, 0.0, 0.0, -1.0, -1.0, -2.0, -1.5]
+    from superllama_tpu.tokenizer.vocab import TokenAttr
+    attrs = [TokenAttr.UNKNOWN, TokenAttr.CONTROL, TokenAttr.CONTROL,
+             TokenAttr.NORMAL, TokenAttr.NORMAL, TokenAttr.NORMAL, TokenAttr.NORMAL]
+    v = Vocab(model="t5", pre="", tokens=tokens, scores=scores, attrs=attrs,
+              bos_id=-1, eos_id=2, unk_id=0, add_bos=False, add_eos=True,
+              add_space_prefix=True)
+    tok = Tokenizer(v)
+    ids = tok.encode("a b", add_special=True)
+    assert ids[-1] == 2            # </s> appended (T5 convention)
+    assert ids[:-1] == [3, 5, 4]   # ▁a ▁ b
