@@ -17,9 +17,13 @@ from ..ops.flash_attention import flash_attention
 from ..ops.qmatmul import qmatmul
 from ..ops.qtensor import QTensor
 from ..runtime.kv_cache import (
+    ISWACache,
     KVCache,
     causal_mask,
+    iswa_layer_split,
     kv_advance,
+    kv_ring_advance,
+    kv_ring_slots,
     kv_update_layer,
     kv_write_slots,
 )
@@ -169,11 +173,24 @@ def llama_forward(
         x = embeds.astype(params["token_embd"].dtype) * hp.f_embedding_scale
     else:
         x = params["token_embd"][tokens] * hp.f_embedding_scale
-    paged = not isinstance(cache, KVCache)  # PagedKVCache (runtime/paged_kv.py)
+    iswa = isinstance(cache, ISWACache)
+    paged = not iswa and not isinstance(cache, KVCache)  # PagedKVCache
     if paged:
         from ..ops.paged_attention import paged_flash_attention
         from ..runtime.paged_kv import paged_advance, paged_update_layer
         cache, pslots, poffs = paged_advance(cache, pos)
+    elif iswa:
+        # two-tier cache: full layers append, SWA layers ring on pos % S_swa
+        full_layers, swa_layers = iswa_layer_split(hp)
+        fidx = {il: i for i, il in enumerate(full_layers)}
+        sidx = {il: i for i, il in enumerate(swa_layers)}
+        slots_full = kv_write_slots(cache.full, T)
+        slots_swa = kv_ring_slots(pos, cache.swa.max_seq)
+        cache = ISWACache(full=kv_advance(cache.full, slots_full, pos),
+                          swa=kv_ring_advance(cache.swa, slots_swa, pos))
+        if not flash:
+            mask_full = causal_mask(cache.full.pos, pos)
+            mask_swa = causal_mask(cache.swa.pos, pos, hp.swa_window)
     else:
         slots = kv_write_slots(cache, T)
         cache = kv_advance(cache, slots, pos)
@@ -216,21 +233,33 @@ def llama_forward(
                 cache.table, scale=kq_scale, swa_window=swa,
                 logit_softcap=hp.attn_logit_softcap, sinks=sinks,
             )
-        elif flash:
-            cache = kv_update_layer(cache, il, slots, k, v)
-            attn = flash_attention(
-                q, cache.k[il], cache.v[il], pos, cache.pos,
-                scale=kq_scale, swa_window=swa,
-                logit_softcap=hp.attn_logit_softcap, sinks=sinks,
-            )
         else:
-            cache = kv_update_layer(cache, il, slots, k, v)
-            attn = ops.attention_ref(
-                q, cache.k[il], cache.v[il],
-                mask_swa if swa else mask_full,
-                scale=kq_scale,
-                logit_softcap=hp.attn_logit_softcap, sinks=sinks,
-            )
+            if iswa and swa:
+                li = sidx[il]
+                cache = cache._replace(swa=kv_update_layer(
+                    cache.swa, li, slots_swa, k, v, mode="drop"))
+                ck, cv, cpos = cache.swa.k[li], cache.swa.v[li], cache.swa.pos
+            elif iswa:
+                li = fidx[il]
+                cache = cache._replace(full=kv_update_layer(
+                    cache.full, li, slots_full, k, v))
+                ck, cv, cpos = cache.full.k[li], cache.full.v[li], cache.full.pos
+            else:
+                cache = kv_update_layer(cache, il, slots, k, v)
+                ck, cv, cpos = cache.k[il], cache.v[il], cache.pos
+            if flash:
+                attn = flash_attention(
+                    q, ck, cv, pos, cpos,
+                    scale=kq_scale, swa_window=swa,
+                    logit_softcap=hp.attn_logit_softcap, sinks=sinks,
+                )
+            else:
+                attn = ops.attention_ref(
+                    q, ck, cv,
+                    mask_swa if swa else mask_full,
+                    scale=kq_scale,
+                    logit_softcap=hp.attn_logit_softcap, sinks=sinks,
+                )
         attn = attn.reshape(B, T, H * Dv)
         _im(imatrix, pfx + "attn_output.weight", attn)
         attn = mm(attn, layer["wo"])

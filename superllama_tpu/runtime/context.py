@@ -16,7 +16,13 @@ import numpy as np
 
 from ..models.loader import LoadedModel
 from ..models.registry import get_forward
-from .kv_cache import KVCache, kv_cache_init
+from .kv_cache import (
+    ISWACache,
+    KVCache,
+    iswa_cache_init,
+    iswa_layer_split,
+    kv_cache_init,
+)
 
 
 class Context:
@@ -27,12 +33,20 @@ class Context:
         n_ctx: int = 2048,
         kv_dtype=None,
         forward_fn: Callable | None = None,
+        iswa: bool | None = None,
     ):
         self.model = model
         hp = model.hparams
         self.hp = hp
         self.n_batch = n_batch
         self.n_ctx = n_ctx
+        # iSWA two-tier cache (llama_kv_cache_iswa counterpart): auto-on for
+        # models with sliding-window layers — SWA layers get an O(window)
+        # ring instead of an O(n_ctx) cache
+        if iswa is None:
+            iswa = (not hp.is_recurrent and hp.swa_window > 0
+                    and len(iswa_layer_split(hp)[1]) > 0)
+        self.iswa = iswa
         embd = jax.tree_util.tree_leaves(model.params["token_embd"])[0]
         self.kv_dtype = kv_dtype or embd.dtype
         fwd = forward_fn or get_forward(hp.arch)
@@ -53,6 +67,9 @@ class Context:
             return recurrent_cache_init(hp.n_layer, self.n_batch, hp.ssm_d_conv,
                                         hp.ssm_d_inner, hp.ssm_d_state,
                                         dtype=self.kv_dtype)
+        if self.iswa:
+            return iswa_cache_init(hp, self.n_batch, self.n_ctx,
+                                   dtype=self.kv_dtype)
         return kv_cache_init(
             hp.n_layer, self.n_batch, self.n_ctx, hp.n_head_kv,
             hp.head_dim, hp.head_dim_v, dtype=self.kv_dtype,
@@ -75,13 +92,24 @@ class Context:
                                             jnp.asarray(pos, jnp.int32), self.cache)
             return logits
         # XLA scatter clamps out-of-bounds writes silently; fail loudly instead
-        max_cursor = int(jax.device_get(self.cache.cursor).max())
+        if isinstance(self.cache, ISWACache):
+            s_swa = self.cache.swa.max_seq
+            if (s_swa < self.n_ctx
+                    and tokens.shape[1] > s_swa - self.hp.swa_window):
+                raise ValueError(
+                    f"ubatch of {tokens.shape[1]} exceeds SWA ring headroom "
+                    f"({s_swa} slots - window {self.hp.swa_window}); split it"
+                )
+            cursor = jnp.maximum(self.cache.full.cursor, self.cache.swa.cursor)
+        else:
+            cursor = self.cache.cursor
+        max_cursor = int(jax.device_get(cursor).max())
         if max_cursor + tokens.shape[1] > self.n_ctx:
             raise ValueError(
                 f"KV cache overflow: {max_cursor}+{tokens.shape[1]} > n_ctx={self.n_ctx}"
             )
         if pos is None:
-            start = self.cache.cursor[: tokens.shape[0]]
+            start = cursor[: tokens.shape[0]]
             pos = start[:, None] + jnp.arange(tokens.shape[1], dtype=jnp.int32)[None, :]
         else:
             pos = jnp.asarray(pos, jnp.int32)

@@ -47,8 +47,13 @@ def kv_write_slots(cache: KVCache, n_new: int) -> jax.Array:
 
 
 def kv_update_layer(cache: KVCache, layer: int, slots: jax.Array,
-                    k_new: jax.Array, v_new: jax.Array) -> KVCache:
-    """Write (B, T, H_kv, D) new keys/values at the given slots for one layer."""
+                    k_new: jax.Array, v_new: jax.Array,
+                    mode: str | None = None) -> KVCache:
+    """Write (B, T, H_kv, D) new keys/values at the given slots for one layer.
+
+    mode="drop" discards out-of-bounds slot indices (ring caches route padded
+    tokens to slot == S so they vanish instead of clobbering a live slot).
+    """
     B, T = slots.shape
     Hkv = k_new.shape[2]
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]      # (B,1,1)
@@ -56,8 +61,8 @@ def kv_update_layer(cache: KVCache, layer: int, slots: jax.Array,
     s_idx = slots[:, None, :]                                  # (B,1,T)
     kt = k_new.transpose(0, 2, 1, 3).astype(cache.k.dtype)     # (B,Hkv,T,D)
     vt = v_new.transpose(0, 2, 1, 3).astype(cache.v.dtype)
-    k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kt)
-    v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vt)
+    k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kt, mode=mode)
+    v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vt, mode=mode)
     return cache._replace(k=k, v=v)
 
 
@@ -141,6 +146,82 @@ def kv_context_shift(cache: KVCache, keep: jax.Array, discard: jax.Array,
     v_c = gather_s(cache.v)
     cursor = jnp.sum(pos_c >= 0, axis=1).astype(jnp.int32)
     return KVCache(k=k_c, v=v_c, pos=pos_c, cursor=cursor)
+
+
+# --- iSWA two-tier cache ------------------------------------------------------
+#
+# TPU-native counterpart of llama_kv_cache_iswa (src/llama-kv-cache-iswa.h):
+# full-attention layers keep the regular append-ordered cache; sliding-window
+# layers share a small RING cache of O(window) slots indexed by pos % S_swa.
+# Old entries are overwritten in place — exactly the tokens the window mask
+# would hide anyway — so SWA layers cost window-sized HBM instead of n_ctx.
+
+
+class ISWACache(NamedTuple):
+    full: KVCache   # (n_full_layer, B, Hkv, S_full, D), append-ordered
+    swa: KVCache    # (n_swa_layer,  B, Hkv, S_swa,  D), ring by pos % S_swa
+
+    @property
+    def max_seq(self) -> int:
+        return self.full.max_seq
+
+
+def iswa_layer_split(hp) -> tuple[list[int], list[int]]:
+    """(full_layers, swa_layers) index lists — static routing per model."""
+    full = [il for il in range(hp.n_layer) if not hp.is_swa_layer(il)]
+    swa = [il for il in range(hp.n_layer) if hp.is_swa_layer(il)]
+    return full, swa
+
+
+def iswa_swa_seq(window: int, n_ubatch: int, max_seq: int) -> int:
+    """Ring size: window + one ubatch of headroom, lane-padded, capped at
+    max_seq (matching the reference's size_swa = window + n_ubatch,
+    src/llama-kv-cache-iswa.cpp)."""
+    s = window + n_ubatch
+    s = -(-s // 128) * 128
+    return min(s, max_seq)
+
+
+def iswa_cache_init(hp, batch: int, max_seq: int, n_ubatch: int = 512,
+                    dtype=jnp.bfloat16) -> ISWACache:
+    full, swa = iswa_layer_split(hp)
+    s_swa = iswa_swa_seq(hp.swa_window, n_ubatch, max_seq)
+    return ISWACache(
+        full=kv_cache_init(len(full), batch, max_seq, hp.n_head_kv,
+                           hp.head_dim, hp.head_dim_v, dtype),
+        swa=kv_cache_init(len(swa), batch, s_swa, hp.n_head_kv,
+                          hp.head_dim, hp.head_dim_v, dtype),
+    )
+
+
+def kv_ring_slots(pos: jax.Array, max_seq: int) -> jax.Array:
+    """Ring slot per token: pos % S; padded tokens (pos < 0) → S (dropped)."""
+    return jnp.where(pos >= 0, pos % max_seq, max_seq).astype(jnp.int32)
+
+
+def kv_ring_advance(cache: KVCache, slots: jax.Array,
+                    pos_new: jax.Array) -> KVCache:
+    """Record positions at ring slots (mode=drop for padding); the cursor
+    tracks high-water position + 1 for bookkeeping only."""
+    b_idx = jnp.arange(pos_new.shape[0], dtype=jnp.int32)[:, None]
+    pos = cache.pos.at[b_idx, slots].set(pos_new.astype(jnp.int32), mode="drop")
+    cursor = jnp.maximum(cache.cursor, (pos_new.max(axis=1) + 1).astype(jnp.int32))
+    return cache._replace(pos=pos, cursor=cursor)
+
+
+def iswa_truncate_pos(cache: ISWACache, keep_pos: jax.Array) -> ISWACache:
+    """Invalidate all entries with pos >= keep_pos[b] in both tiers
+    (speculative rollback by position; the full tier stays append-ordered so
+    its cursor is recomputed from surviving entries)."""
+    cut = keep_pos[:, None]
+    fpos = jnp.where(cache.full.pos < cut, cache.full.pos, -1)
+    spos = jnp.where(cache.swa.pos < cut, cache.swa.pos, -1)
+    fcur = jnp.sum(fpos >= 0, axis=1).astype(jnp.int32)
+    scur = jnp.minimum(cache.swa.cursor, keep_pos.astype(jnp.int32))
+    return ISWACache(
+        full=cache.full._replace(pos=fpos, cursor=fcur),
+        swa=cache.swa._replace(pos=spos, cursor=scur),
+    )
 
 
 # --- sequence ops (host-side, operate on concrete arrays) --------------------
