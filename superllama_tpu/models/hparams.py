@@ -67,6 +67,10 @@ class HParams:
     act: str = "silu"
     swiglu_limit: float = 7.0     # swiglu_oai clamp
     swiglu_alpha: float = 1.702   # swiglu_oai sigmoid sharpening
+    # RWKV (wkv linear attention)
+    wkv_head_size: int = 0
+    rescale_every_n_layers: int = 0
+    token_shift_count: int = 2
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
@@ -74,7 +78,17 @@ class HParams:
     @property
     def is_recurrent(self) -> bool:
         """State-space/recurrent memory instead of a KV cache."""
-        return self.ssm_d_inner > 0
+        return self.ssm_d_inner > 0 or self.wkv_head_size > 0
+
+    @property
+    def recurrent_kind(self) -> str | None:
+        """'ssm' (mamba conv+state), 'rwkv' (token-shift + wkv matrix), or
+        None — selects the recurrent store layout (create_memory counterpart)."""
+        if self.wkv_head_size > 0:
+            return "rwkv"
+        if self.ssm_d_inner > 0:
+            return "ssm"
+        return None
 
     def is_swa_layer(self, il: int) -> bool:
         """True if layer uses sliding-window attention (iSWA pattern)."""
@@ -163,6 +177,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         ssm_d_inner=int(_k(md, arch, "ssm.inner_size", 0)),
         ssm_d_state=int(_k(md, arch, "ssm.state_size", 0)),
         ssm_dt_rank=int(_k(md, arch, "ssm.time_step_rank", 0)),
+        wkv_head_size=int(_k(md, arch, "wkv.head_size", 0)),
+        rescale_every_n_layers=int(_k(md, arch, "rescale_every_n_layers", 0)),
+        token_shift_count=int(_k(md, arch, "token_shift_count", 2)),
     )
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5

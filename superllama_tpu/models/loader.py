@@ -165,6 +165,52 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_post_norm": g(p + "attn_post_norm.weight", t=False),
             "ffn_post_norm": g(p + "ffn_post_norm.weight", t=False),
         }
+        if hp.arch.startswith("rwkv") or hp.arch == "arwkv7":
+            layer.update({
+                "attn_norm_2": g(p + "attn_norm_2.weight", t=False),
+                "attn_norm_2_b": g(p + "attn_norm_2.bias", t=False),
+                # time mix (rwkv6 names; rwkv7 reuses key/value/receptance/
+                # output/ln and adds the w/a/v/g low-rank stacks)
+                "time_mix_w1": g(p + "time_mix_w1.weight"),
+                "time_mix_w2": g(p + "time_mix_w2.weight"),
+                "time_mix_lerp_x": g(p + "time_mix_lerp_x.weight", t=False),
+                "time_mix_lerp_w": g(p + "time_mix_lerp_w.weight", t=False),
+                "time_mix_lerp_k": g(p + "time_mix_lerp_k.weight", t=False),
+                "time_mix_lerp_v": g(p + "time_mix_lerp_v.weight", t=False),
+                "time_mix_lerp_r": g(p + "time_mix_lerp_r.weight", t=False),
+                "time_mix_lerp_g": g(p + "time_mix_lerp_g.weight", t=False),
+                "time_mix_lerp_fused": g(p + "time_mix_lerp_fused.weight", t=False),
+                "time_mix_first": g(p + "time_mix_first.weight", t=False),
+                "time_mix_decay": g(p + "time_mix_decay.weight", t=False),
+                "time_mix_decay_w1": g(p + "time_mix_decay_w1.weight"),
+                "time_mix_decay_w2": g(p + "time_mix_decay_w2.weight"),
+                "time_mix_key": g(p + "time_mix_key.weight"),
+                "time_mix_value": g(p + "time_mix_value.weight"),
+                "time_mix_receptance": g(p + "time_mix_receptance.weight"),
+                "time_mix_gate": g(p + "time_mix_gate.weight"),
+                "time_mix_ln": g(p + "time_mix_ln.weight", t=False),
+                "time_mix_ln_b": g(p + "time_mix_ln.bias", t=False),
+                "time_mix_output": g(p + "time_mix_output.weight"),
+                # rwkv7 additions
+                "time_mix_w0": g(p + "time_mix_w0.weight", t=False),
+                "time_mix_a0": g(p + "time_mix_a0.weight", t=False),
+                "time_mix_a1": g(p + "time_mix_a1.weight"),
+                "time_mix_a2": g(p + "time_mix_a2.weight"),
+                "time_mix_v0": g(p + "time_mix_v0.weight", t=False),
+                "time_mix_v1": g(p + "time_mix_v1.weight"),
+                "time_mix_v2": g(p + "time_mix_v2.weight"),
+                "time_mix_g1": g(p + "time_mix_g1.weight"),
+                "time_mix_g2": g(p + "time_mix_g2.weight"),
+                "time_mix_k_k": g(p + "time_mix_k_k.weight", t=False),
+                "time_mix_k_a": g(p + "time_mix_k_a.weight", t=False),
+                "time_mix_r_k": g(p + "time_mix_r_k.weight", t=False),
+                # channel mix
+                "channel_mix_lerp_k": g(p + "channel_mix_lerp_k.weight", t=False),
+                "channel_mix_lerp_r": g(p + "channel_mix_lerp_r.weight", t=False),
+                "channel_mix_key": g(p + "channel_mix_key.weight"),
+                "channel_mix_value": g(p + "channel_mix_value.weight"),
+                "channel_mix_receptance": g(p + "channel_mix_receptance.weight"),
+            })
         if hp.arch in ("bert", "nomic-bert", "jina-bert-v2"):
             layer.update({
                 # bert post-norm LayerNorms carry biases under encoder names

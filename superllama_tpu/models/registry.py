@@ -49,3 +49,9 @@ register("deepseek2", deepseek2_forward)
 from .mamba import mamba_forward  # noqa: E402
 
 register("mamba", mamba_forward)
+
+from .rwkv import rwkv6_forward, rwkv7_forward  # noqa: E402
+
+register("rwkv6", rwkv6_forward)
+register("rwkv7", rwkv7_forward)
+register("arwkv7", rwkv7_forward)

@@ -61,6 +61,12 @@ class Context:
 
     def new_cache(self):
         hp = self.hp
+        if hp.recurrent_kind == "rwkv":  # token-shift + wkv matrix state
+            from .recurrent import rwkv_cache_init
+
+            return rwkv_cache_init(hp.n_layer, self.n_batch, hp.n_embd,
+                                   hp.n_embd // hp.wkv_head_size,
+                                   hp.wkv_head_size, dtype=jnp.float32)
         if hp.is_recurrent:  # mamba-family: conv+ssm state, no KV slots
             from .recurrent import recurrent_cache_init
 

@@ -32,3 +32,25 @@ def seq_keep_row(cache: RecurrentCache, b: int) -> RecurrentCache:
     mask = (jnp.arange(cache.batch) == b)[None, :, None, None]
     return RecurrentCache(conv=jnp.where(mask, cache.conv, 0),
                           ssm=jnp.where(mask[..., 0], cache.ssm, 0))
+
+
+class RWKVCache(NamedTuple):
+    """RWKV recurrent state (token_shift_count == 2 layout, as stored by
+    llama_memory_recurrent for LLM_ARCH_RWKV6/7): per layer the last
+    time-mix/channel-mix inputs plus the (H, D, D) wkv matrix state."""
+
+    shift: jax.Array   # (L, B, 2, E) — [att_shift, ffn_shift]
+    wkv: jax.Array     # (L, B, H, D, D) float32
+
+    @property
+    def batch(self) -> int:
+        return self.shift.shape[1]
+
+
+def rwkv_cache_init(n_layer: int, batch: int, n_embd: int, n_head: int,
+                    head_size: int, dtype=jnp.float32) -> RWKVCache:
+    return RWKVCache(
+        shift=jnp.zeros((n_layer, batch, 2, n_embd), dtype),
+        wkv=jnp.zeros((n_layer, batch, n_head, head_size, head_size),
+                      jnp.float32),
+    )

@@ -38,6 +38,16 @@ class Tokenizer:
         self.model = vocab.model
         if self.model in ("gpt2",):
             self._merge_rank = {m: i for i, m in enumerate(vocab.merges)}
+        elif self.model == "rwkv":
+            # byte trie over unescaped token bytes (llm_tokenizer_rwkv,
+            # src/llama-vocab.cpp:1190-1204); -1 key holds the token id
+            trie: dict = {}
+            for tid, tok in enumerate(vocab.tokens):
+                node = trie
+                for byte in _rwkv_unescape(tok):
+                    node = node.setdefault(byte, {})
+                node[-1] = tid
+            self._rwkv_trie = trie
 
     # ------------------------------------------------------------- encode
 
@@ -98,6 +108,34 @@ class Tokenizer:
                     self._wpm_tokenize(frag, out)
             if add_special and v.sep_id >= 0:
                 out.append(v.sep_id)
+        elif self.model == "rwkv":  # greedy longest byte match via trie
+            for frag, tid in fragments:
+                if tid >= 0:
+                    out.append(tid)
+                    continue
+                data = frag.encode("utf-8")
+                i = 0
+                while i < len(data):
+                    node = self._rwkv_trie.get(data[i])
+                    if node is None:
+                        out.append(v.unk_id if v.unk_id >= 0 else 0)
+                        i += 1
+                        continue
+                    # walk as deep as possible, remembering the last token end
+                    # (llm_tokenizer_rwkv_session::tokenize semantics)
+                    best_id, best_end = -1, i + 1
+                    j = i + 1
+                    while node is not None:
+                        if -1 in node:
+                            best_id, best_end = node[-1], j
+                        node = node.get(data[j]) if j < len(data) else None
+                        j += 1
+                    if best_id < 0:
+                        out.append(v.unk_id if v.unk_id >= 0 else 0)
+                        i += 1
+                    else:
+                        out.append(best_id)
+                        i = best_end
         else:
             raise NotImplementedError(f"tokenizer model {self.model!r}")
         return out
@@ -369,6 +407,8 @@ class Tokenizer:
                 return bytes([int(text[3:5], 16)])
         if self.model in ("llama", "bert"):
             return text.replace("▁", " ").encode("utf-8")
+        if self.model == "rwkv":
+            return _rwkv_unescape(text)
         if self.model == "gpt2":
             if attr & (TokenAttr.CONTROL | TokenAttr.USER_DEFINED) :
                 return text.encode("utf-8")
@@ -383,6 +423,34 @@ class Tokenizer:
         if self.model == "llama" and self.vocab.add_space_prefix and text.startswith(" "):
             text = text[1:]
         return text
+
+
+def _rwkv_unescape(escaped: str) -> bytes:
+    """RWKV world-vocab tokens are stored escaped (\\t \\n \\r \\xHH \\\\);
+    decode to raw bytes (llama_unescape_rwkv_token, src/llama-vocab.cpp:1136)."""
+    out = bytearray()
+    i, n = 0, len(escaped)
+    while i < n:
+        c = escaped[i]
+        if c == "\\" and i + 1 < n:
+            nxt = escaped[i + 1]
+            if nxt == "t":
+                out.append(9)
+            elif nxt == "n":
+                out.append(10)
+            elif nxt == "r":
+                out.append(13)
+            elif nxt == "x" and i + 3 < n:
+                out.append(int(escaped[i + 2:i + 4], 16))
+                i += 4
+                continue
+            else:
+                out.extend(nxt.encode("utf-8", errors="replace"))
+            i += 2
+        else:
+            out.extend(c.encode("utf-8", errors="replace"))
+            i += 1
+    return bytes(out)
 
 
 def _is_cjk_wpm(cp: int) -> bool:

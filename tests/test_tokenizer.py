@@ -138,3 +138,34 @@ def test_ugm_specials_and_eos():
     ids = tok.encode("a b", add_special=True)
     assert ids[-1] == 2            # </s> appended (T5 convention)
     assert ids[:-1] == [3, 5, 4]   # ▁a ▁ b
+
+
+def test_rwkv_trie_tokenizer():
+    """RWKV world tokenizer: greedy longest byte match over an unescaped-token
+    trie (llm_tokenizer_rwkv, src/llama-vocab.cpp:1190-1244)."""
+    from superllama_tpu.tokenizer.tokenizer import Tokenizer, _rwkv_unescape
+    from superllama_tpu.tokenizer.vocab import TokenAttr, Vocab
+
+    assert _rwkv_unescape(r"\x41\x42") == b"AB"
+    assert _rwkv_unescape(r"a\tb\nc\\d") == b"a\tb\nc\\d"
+
+    # world-style vocab: all single bytes (escaped) + a few merged words
+    tokens = ["<s>"] + [f"\\x{b:02x}" for b in range(256)] + [
+        "hello", " world", "hell", "▁",
+    ]
+    n = len(tokens)
+    attrs = [TokenAttr.CONTROL] + [TokenAttr.NORMAL] * (n - 1)
+    v = Vocab(model="rwkv", pre="", tokens=tokens, scores=[0.0] * n,
+              attrs=attrs, add_bos=False, add_eos=False, add_space_prefix=False)
+    tok = Tokenizer(v)
+
+    hello, world, hell = n - 4, n - 3, n - 2
+    ids = tok.encode("hello world", add_special=False)
+    assert ids == [hello, world]
+    # longest match wins over prefix token
+    ids = tok.encode("hellx", add_special=False)
+    assert ids == [hell, 1 + ord("x")]
+    # arbitrary bytes fall back to byte tokens; decode roundtrips
+    text = "hello \tworld\x00é"
+    ids = tok.encode(text, add_special=False)
+    assert tok.decode(ids) == text
