@@ -67,6 +67,10 @@ class HParams:
     act: str = "silu"
     swiglu_limit: float = 7.0     # swiglu_oai clamp
     swiglu_alpha: float = 1.702   # swiglu_oai sigmoid sharpening
+    # T5 (encoder-decoder)
+    n_rel_attn_bkts: int = 0
+    dec_n_layer: int = 0
+    dec_start_token_id: int = 0
     # RWKV (wkv linear attention)
     wkv_head_size: int = 0
     rescale_every_n_layers: int = 0
@@ -177,10 +181,14 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         ssm_d_inner=int(_k(md, arch, "ssm.inner_size", 0)),
         ssm_d_state=int(_k(md, arch, "ssm.state_size", 0)),
         ssm_dt_rank=int(_k(md, arch, "ssm.time_step_rank", 0)),
+        n_rel_attn_bkts=int(_k(md, arch, "attention.relative_buckets_count", 0)),
+        dec_start_token_id=int(_k(md, arch, "decoder_start_token_id", 0)),
         wkv_head_size=int(_k(md, arch, "wkv.head_size", 0)),
         rescale_every_n_layers=int(_k(md, arch, "rescale_every_n_layers", 0)),
         token_shift_count=int(_k(md, arch, "token_shift_count", 2)),
     )
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5
+    if arch in ("t5", "t5encoder"):
+        hp.dec_n_layer = int(_k(md, arch, "decoder_block_count", hp.n_layer))
     return hp

@@ -89,6 +89,61 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
 
     g = lambda name, t=True: _get(reader, name, dtype, t, sharder, keep_quantized)
 
+    if hp.arch in ("t5", "t5encoder"):
+        # encoder-decoder namespaces enc./dec. (src/llama-arch.cpp:409-435)
+        params = {
+            "token_embd": g("token_embd.weight", t=False),
+            "output": g("output.weight"),
+            "output_norm_enc": g("enc.output_norm.weight", t=False),
+            "output_norm": g("dec.output_norm.weight", t=False),
+            "enc_layers": [],
+            "dec_layers": [],
+        }
+        for il in range(hp.n_layer):
+            p = f"enc.blk.{il}."
+            layer = {
+                "attn_norm_enc": g(p + "attn_norm.weight", t=False),
+                "wq_enc": g(p + "attn_q.weight"),
+                "wk_enc": g(p + "attn_k.weight"),
+                "wv_enc": g(p + "attn_v.weight"),
+                "wo_enc": g(p + "attn_o.weight"),
+                "attn_rel_b_enc": g(p + "attn_rel_b.weight", t=False),
+                "ffn_norm_enc": g(p + "ffn_norm.weight", t=False),
+                "ffn_gate_enc": g(p + "ffn_gate.weight"),
+                "ffn_up_enc": g(p + "ffn_up.weight"),
+                "ffn_down_enc": g(p + "ffn_down.weight"),
+            }
+            params["enc_layers"].append(
+                {k: v for k, v in layer.items() if v is not None})
+        for il in range(hp.dec_n_layer or hp.n_layer):
+            p = f"dec.blk.{il}."
+            layer = {
+                "attn_norm": g(p + "attn_norm.weight", t=False),
+                "wq": g(p + "attn_q.weight"),
+                "wk": g(p + "attn_k.weight"),
+                "wv": g(p + "attn_v.weight"),
+                "wo": g(p + "attn_o.weight"),
+                "attn_rel_b": g(p + "attn_rel_b.weight", t=False),
+                "attn_norm_cross": g(p + "cross_attn_norm.weight", t=False),
+                "wq_cross": g(p + "cross_attn_q.weight"),
+                "wk_cross": g(p + "cross_attn_k.weight"),
+                "wv_cross": g(p + "cross_attn_v.weight"),
+                "wo_cross": g(p + "cross_attn_o.weight"),
+                "ffn_norm": g(p + "ffn_norm.weight", t=False),
+                "ffn_gate": g(p + "ffn_gate.weight"),
+                "ffn_up": g(p + "ffn_up.weight"),
+                "ffn_down": g(p + "ffn_down.weight"),
+            }
+            params["dec_layers"].append(
+                {k: v for k, v in layer.items() if v is not None})
+        md = dict(reader.metadata)
+        tok_t5 = (Tokenizer(vocab_from_gguf(reader))
+                  if "tokenizer.ggml.tokens" in reader.metadata else None)
+        name = md.get("general.name", "")
+        reader.close()
+        return LoadedModel(hparams=hp, params=params, tokenizer=tok_t5,
+                           metadata=md, name=name)
+
     params: dict[str, Any] = {
         "token_embd": g("token_embd.weight", t=False),   # (V, E) row-lookup
         "output_norm": g("output_norm.weight", t=False),
