@@ -75,13 +75,28 @@ class HParams:
     wkv_head_size: int = 0
     rescale_every_n_layers: int = 0
     token_shift_count: int = 2
+    # hybrid (jamba-family): per-layer attention head counts; 0 = SSM layer
+    n_head_kv_arr: list[int] | None = None
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
 
+    def n_head_kv_il(self, il: int) -> int:
+        if self.n_head_kv_arr is not None:
+            return self.n_head_kv_arr[il]
+        return self.n_head_kv
+
+    @property
+    def is_hybrid(self) -> bool:
+        """Mixed attention + recurrent layers (jamba/falcon-h1-style)."""
+        return (self.ssm_d_inner > 0 and self.n_head_kv_arr is not None
+                and any(h > 0 for h in self.n_head_kv_arr))
+
     @property
     def is_recurrent(self) -> bool:
         """State-space/recurrent memory instead of a KV cache."""
+        if self.is_hybrid:
+            return False
         return self.ssm_d_inner > 0 or self.wkv_head_size > 0
 
     @property
@@ -132,7 +147,13 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     arch = md["general.architecture"]
     n_embd = int(_k(md, arch, "embedding_length"))
     n_head = int(_k(md, arch, "attention.head_count", 0))
-    n_head_kv = int(_k(md, arch, "attention.head_count_kv", n_head))
+    hkv_raw = _k(md, arch, "attention.head_count_kv", n_head)
+    n_head_kv_arr = None
+    if isinstance(hkv_raw, (list, tuple)):  # per-layer (jamba-family hybrid)
+        n_head_kv_arr = [int(x) for x in hkv_raw]
+        n_head_kv = max(n_head_kv_arr)
+    else:
+        n_head_kv = int(hkv_raw)
     head_dim = int(_k(md, arch, "attention.key_length",
                       n_embd // n_head if n_head else 0))
     head_dim_v = int(_k(md, arch, "attention.value_length", head_dim))
@@ -186,6 +207,7 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         wkv_head_size=int(_k(md, arch, "wkv.head_size", 0)),
         rescale_every_n_layers=int(_k(md, arch, "rescale_every_n_layers", 0)),
         token_shift_count=int(_k(md, arch, "token_shift_count", 2)),
+        n_head_kv_arr=n_head_kv_arr,
     )
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5

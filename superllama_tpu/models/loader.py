@@ -202,6 +202,10 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ssm_a": g(p + "ssm_a.weight", t=False),
             "ssm_d": g(p + "ssm_d.weight", t=False),
             "ssm_out": g(p + "ssm_out.weight"),
+            # jamba hybrid: RMS norms on the dt/B/C selection streams
+            "ssm_dt_norm": g(p + "ssm_dt_norm.weight", t=False),
+            "ssm_b_norm": g(p + "ssm_b_norm.weight", t=False),
+            "ssm_c_norm": g(p + "ssm_c_norm.weight", t=False),
             # MoE
             "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
             "ffn_gate_inp_b": g(p + "ffn_gate_inp.bias", t=False),

@@ -43,6 +43,10 @@ def _mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
     dt = sel[..., :rank]
     Bm = sel[..., rank:rank + ds].astype(jnp.float32)   # (B, T, ds)
     Cm = sel[..., rank + ds:].astype(jnp.float32)
+    if "ssm_dt_norm" in layer:  # jamba: RMS-normed dt/B/C selection streams
+        dt = ops.rms_norm(dt, layer["ssm_dt_norm"], hp.rms_eps)
+        Bm = ops.rms_norm(Bm, layer["ssm_b_norm"], hp.rms_eps)
+        Cm = ops.rms_norm(Cm, layer["ssm_c_norm"], hp.rms_eps)
     dt = mm(dt, layer["ssm_dt"]) + layer["ssm_dt_b"]
     dt = jax.nn.softplus(dt.astype(jnp.float32))        # (B, T, di)
 

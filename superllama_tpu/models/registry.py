@@ -50,6 +50,10 @@ from .mamba import mamba_forward  # noqa: E402
 
 register("mamba", mamba_forward)
 
+from .jamba import jamba_forward  # noqa: E402
+
+register("jamba", jamba_forward)
+
 from .rwkv import rwkv6_forward, rwkv7_forward  # noqa: E402
 
 register("rwkv6", rwkv6_forward)

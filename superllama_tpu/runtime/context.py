@@ -61,6 +61,11 @@ class Context:
 
     def new_cache(self):
         hp = self.hp
+        if hp.is_hybrid:  # jamba-family: KV for attn layers + SSM state
+            from ..models.jamba import hybrid_cache_init
+
+            return hybrid_cache_init(hp, self.n_batch, self.n_ctx,
+                                     dtype=self.kv_dtype)
         if hp.recurrent_kind == "rwkv":  # token-shift + wkv matrix state
             from .recurrent import rwkv_cache_init
 
@@ -107,6 +112,8 @@ class Context:
                     f"({s_swa} slots - window {self.hp.swa_window}); split it"
                 )
             cursor = jnp.maximum(self.cache.full.cursor, self.cache.swa.cursor)
+        elif hasattr(self.cache, "attn"):  # HybridCache
+            cursor = self.cache.attn.cursor
         else:
             cursor = self.cache.cursor
         max_cursor = int(jax.device_get(cursor).max())

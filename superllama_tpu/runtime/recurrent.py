@@ -34,6 +34,15 @@ def seq_keep_row(cache: RecurrentCache, b: int) -> RecurrentCache:
                           ssm=jnp.where(mask[..., 0], cache.ssm, 0))
 
 
+class HybridCache(NamedTuple):
+    """Hybrid memory (llama_memory_hybrid counterpart): a KV cache for the
+    attention layers + a recurrent store for the SSM layers. Each sub-cache
+    is indexed by its own compact layer list (static routing from hparams)."""
+
+    attn: "object"          # KVCache over the attention layers only
+    rec: "RecurrentCache"   # conv+ssm state over the SSM layers only
+
+
 class RWKVCache(NamedTuple):
     """RWKV recurrent state (token_shift_count == 2 layout, as stored by
     llama_memory_recurrent for LLM_ARCH_RWKV6/7): per layer the last
