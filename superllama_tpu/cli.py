@@ -112,6 +112,37 @@ def cmd_serve(args):
     return 0
 
 
+def cmd_diffusion(args):
+    """Diffusion-LM demasking generation (examples/diffusion counterpart)."""
+    from .models.registry import get_forward
+    from .runtime.diffusion import DiffusionParams, diffusion_generate
+
+    model, _ = _load(args)
+    tok = model.tokenizer
+    ids = tok.encode(args.prompt, add_special=True, parse_special=True)
+    mask_id = args.mask_token_id
+    if mask_id < 0:
+        mask_id = int(model.metadata.get("tokenizer.ggml.mask_token_id", -1))
+    if mask_id < 0:
+        print("error: no mask token (set --mask-token-id)", file=sys.stderr)
+        return 1
+    dp = DiffusionParams(
+        steps=args.steps, max_length=args.max_length, mask_token_id=mask_id,
+        algorithm=args.algorithm, schedule=args.schedule,
+        temperature=args.temp, top_k=args.top_k, top_p=args.top_p,
+        block_length=args.block_length, cfg_scale=args.cfg_scale,
+        shift_logits=(model.hparams.arch == "dream"), seed=args.seed)
+    out = diffusion_generate(get_forward(model.hparams.arch), model.params,
+                             model.hparams, ids, dp,
+                             step_callback=(lambda s, n, t: print(
+                                 f"\rstep {s}/{n}", end="", file=sys.stderr))
+                             if args.progress else None)
+    if args.progress:
+        print(file=sys.stderr)
+    print(tok.decode(out[len(ids):]))
+    return 0
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -203,6 +234,24 @@ def main(argv=None) -> int:
     p.add_argument("--preset", default=None,
                    help="named preset or JSON file (common/preset counterpart)")
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("diffusion", help="diffusion-LM generation (LLaDA/Dream)")
+    _add_model_args(p)
+    p.add_argument("-p", "--prompt", required=True)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--max-length", type=int, default=128)
+    p.add_argument("--mask-token-id", type=int, default=-1)
+    p.add_argument("--algorithm", default="confidence",
+                   choices=["confidence", "entropy", "margin", "random", "origin"])
+    p.add_argument("--schedule", default="timestep", choices=["timestep", "block"])
+    p.add_argument("--block-length", type=int, default=32)
+    p.add_argument("--cfg-scale", type=float, default=0.0)
+    p.add_argument("--temp", type=float, default=0.0)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--progress", action="store_true")
+    p.set_defaults(fn=cmd_diffusion)
 
     p = sub.add_parser("serve", help="HTTP server")
     _add_model_args(p)

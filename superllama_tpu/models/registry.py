@@ -59,3 +59,9 @@ from .rwkv import rwkv6_forward, rwkv7_forward  # noqa: E402
 register("rwkv6", rwkv6_forward)
 register("rwkv7", rwkv7_forward)
 register("arwkv7", rwkv7_forward)
+
+from .llada import llada_forward  # noqa: E402
+
+register("llada", llada_forward)
+register("llada-moe", llada_forward)
+register("dream", llada_forward)
