@@ -8,9 +8,11 @@ inserting copies, we annotate every weight with a PartitionSpec over a Mesh
 and let GSPMD insert/overlap the collectives over ICI.
 
 Axes:
-  dp — data parallel (batch)          [DCN or ICI]
-  tp — tensor parallel (heads / ffn)  [ICI]
-  ep — expert parallel (MoE experts)  [ICI]
+  dp — data parallel (batch)             [DCN or ICI]
+  sp — sequence parallel (activations T) [ICI]
+  tp — tensor parallel (heads / ffn)     [ICI]
+  ep — expert parallel (MoE experts)     [ICI]
+  pp — pipeline parallel (layer stages)  [ICI] — see parallel/pipeline.py
 """
 
 from __future__ import annotations
@@ -24,17 +26,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
-              tp: int | None = None, ep: int = 1) -> Mesh:
+              tp: int | None = None, ep: int = 1, sp: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     if tp is None:
         # default: all-TP within a host (ICI-friendly), DP across what's left
-        tp = n if dp is None else n // (dp * ep)
+        tp = n if dp is None else n // (dp * sp * ep)
     if dp is None:
-        dp = n // (tp * ep)
-    assert dp * tp * ep == n, f"mesh {dp}x{tp}x{ep} != {n} devices"
-    grid = np.array(devs[:n]).reshape(dp, tp, ep)
-    return Mesh(grid, ("dp", "tp", "ep"))
+        dp = n // (sp * tp * ep)
+    assert dp * sp * tp * ep == n, f"mesh {dp}x{sp}x{tp}x{ep} != {n} devices"
+    grid = np.array(devs[:n]).reshape(dp, sp, tp, ep)
+    return Mesh(grid, ("dp", "sp", "tp", "ep"))
 
 
 # weight-name pattern → PartitionSpec (matmul weights are stored (in, out))
@@ -109,6 +111,10 @@ def make_sharder(mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Token batches (B, T): batch over dp, sequence over sp — GSPMD inserts
+    the attention all-gathers when sp > 1 (sequence/context parallelism)."""
+    if "sp" in mesh.axis_names:
+        return NamedSharding(mesh, P("dp", "sp"))
     return NamedSharding(mesh, P("dp"))
 
 
