@@ -248,6 +248,55 @@ def seq_add(cache: KVCache, b: int, p0: int, p1: int, delta: int) -> KVCache:
     return cache._replace(pos=pos)
 
 
+def _rerope_k(cache: KVCache, delta: jax.Array, inv_freq: jax.Array,
+              rope_type: int = 0, mscale: float = 1.0) -> jax.Array:
+    """Re-rotate stored K by a per-(row, slot) position delta (the reference's
+    shift-via-rope-rerun, src/llama-kv-cache.cpp)."""
+    from ..ops.jnp_ref import apply_rope
+
+    k = cache.k.transpose(0, 1, 3, 2, 4)                 # (L,B,S,Hkv,D)
+    k = apply_rope(k, delta[None].astype(jnp.int32), inv_freq, rope_type, mscale)
+    return k.transpose(0, 1, 3, 2, 4)
+
+
+def seq_add_rerope(cache: KVCache, b: int, p0: int, p1: int, delta: int,
+                   inv_freq: jax.Array, rope_type: int = 0,
+                   mscale: float = 1.0) -> KVCache:
+    """seq_add with K rope-rerun: positions in [p0, p1) of row b shift by
+    delta and K is re-rotated to match (exact llama_memory_seq_add)."""
+    sel = (cache.pos[b] >= p0) & (cache.pos[b] < p1)
+    d = jnp.zeros_like(cache.pos).at[b].set(
+        jnp.where(sel, jnp.int32(delta), 0))
+    k = _rerope_k(cache, d, inv_freq, rope_type, mscale)
+    pos = cache.pos.at[b].set(
+        jnp.where(sel, cache.pos[b] + delta, cache.pos[b]))
+    return cache._replace(k=k, pos=pos)
+
+
+def seq_div(cache: KVCache, b: int, p0: int, p1: int, d: int,
+            inv_freq: jax.Array, rope_type: int = 0,
+            mscale: float = 1.0) -> KVCache:
+    """Integer-divide positions in [p0, p1) of row b by d, re-roping K by the
+    per-slot delta — self-extend / grouped attention
+    (llama_memory_seq_div; examples/passkey/passkey.cpp:138-139)."""
+    sel = (cache.pos[b] >= p0) & (cache.pos[b] < p1)
+    new_pos = jnp.where(sel, cache.pos[b] // d, cache.pos[b])
+    delta = jnp.zeros_like(cache.pos).at[b].set(
+        jnp.where(sel, new_pos - cache.pos[b], 0))
+    k = _rerope_k(cache, delta, inv_freq, rope_type, mscale)
+    pos = cache.pos.at[b].set(new_pos)
+    return cache._replace(k=k, pos=pos)
+
+
+def seq_cp(cache: KVCache, src: int, dst: int) -> KVCache:
+    """Copy row src over row dst (llama_memory_seq_cp for batch-row seqs)."""
+    k = cache.k.at[:, dst].set(cache.k[:, src])
+    v = cache.v.at[:, dst].set(cache.v[:, src])
+    pos = cache.pos.at[dst].set(cache.pos[src])
+    cursor = cache.cursor.at[dst].set(cache.cursor[src])
+    return KVCache(k=k, v=v, pos=pos, cursor=cursor)
+
+
 def seq_keep(cache: KVCache, b: int) -> KVCache:
     """Clear all rows except b."""
     mask = jnp.arange(cache.pos.shape[0])[:, None] == b
