@@ -194,15 +194,31 @@ def cmd_imatrix(args):
 
 def cmd_perplexity(args):
     from .models import load_model
-    from .tools.perplexity import compute_perplexity
+    from .tools.perplexity import (
+        compute_perplexity,
+        score_hellaswag,
+        score_multiple_choice,
+        score_winogrande,
+    )
 
     model = load_model(args.model, keep_quantized=args.keep_quantized)
     text = open(args.file).read()
-    ids = model.tokenizer.encode(text, add_special=False)
-    if args.chunks:
-        ids = ids[: args.chunks * args.ctx_size]
-    res = compute_perplexity(model, ids, n_ctx=args.ctx_size)
-    print(res)
+    if args.hellaswag:
+        res = score_hellaswag(model, text, args.tasks or None, args.ctx_size)
+    elif args.winogrande:
+        res = score_winogrande(model, text, args.tasks or None, args.ctx_size)
+    elif args.multiple_choice:
+        res = score_multiple_choice(model, text, args.tasks or None,
+                                    args.ctx_size)
+    else:
+        ids = model.tokenizer.encode(text, add_special=False)
+        if args.chunks:
+            ids = ids[: args.chunks * args.ctx_size]
+        res = compute_perplexity(model, ids, n_ctx=args.ctx_size)
+        print(res)
+        return 0
+    print(f"{res['task']}: acc = {100.0 * res['acc']:.4f}% "
+          f"over {res['n']} tasks")
     return 0
 
 
@@ -296,6 +312,13 @@ def main(argv=None) -> int:
     _add_model_args(p)
     p.add_argument("-f", "--file", required=True)
     p.add_argument("--chunks", type=int, default=0)
+    p.add_argument("--hellaswag", action="store_true",
+                   help="score 6-line hellaswag tasks (acc_norm)")
+    p.add_argument("--winogrande", action="store_true",
+                   help="score winogrande CSV tasks")
+    p.add_argument("--multiple-choice", action="store_true",
+                   help="score JSONL multiple-choice tasks (MMLU-style)")
+    p.add_argument("--tasks", type=int, default=0, help="max tasks to score")
     p.set_defaults(fn=cmd_perplexity)
 
     p = sub.add_parser("tokenize", help="tokenizer inspection")

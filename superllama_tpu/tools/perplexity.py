@@ -94,3 +94,108 @@ def compute_kl_divergence(model: LoadedModel, token_ids: np.ndarray,
         "kl_max": float(allkl.max()),
         "same_top_p": same_top / total,
     }
+
+
+# --- benchmark-task scoring (hellaswag / winogrande / multiple-choice) --------
+#
+# Counterparts of hellaswag_score / winogrande_score / multiple_choice_score
+# in tools/perplexity/perplexity.cpp:741,1091,1274. Input formats:
+#   hellaswag: 6 lines per task — context, gold index, 4 endings (:752-760)
+#   winogrande: CSV — index,"sentence with _","opt1","opt2",answer∈{1,2}
+#   multiple-choice: JSONL {"question","choices","answer"} (the reference
+#     uses a packed binary; JSONL carries the same fields readably)
+
+
+def _continuation_logprob(ctx: Context, ctx_ids: list[int],
+                          cont_ids: list[int]) -> tuple[float, int]:
+    """Σ log p(cont | context) teacher-forced, and the token count."""
+    ids = np.asarray(ctx_ids + cont_ids, np.int32)
+    ctx.reset()
+    logits = ctx.forward(ids[None, :-1] if len(cont_ids) else ids[None])
+    logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+    start = len(ctx_ids) - 1
+    tgt = jnp.asarray(ids[len(ctx_ids):], jnp.int32)
+    sel = jnp.take_along_axis(logp[start:start + len(cont_ids)],
+                              tgt[:, None], axis=-1)[:, 0]
+    return float(np.asarray(sel).sum()), len(cont_ids)
+
+
+def score_hellaswag(model: LoadedModel, text: str, n_tasks: int | None = None,
+                    n_ctx: int = 512) -> dict:
+    """acc_norm over 6-line tasks; endings scored by mean token log-prob."""
+    lines = [l for l in text.split("\n") if l != ""]
+    assert len(lines) % 6 == 0, "hellaswag input must be 6 lines per task"
+    tasks = [lines[i:i + 6] for i in range(0, len(lines), 6)]
+    if n_tasks:
+        tasks = tasks[:n_tasks]
+    tok = model.tokenizer
+    ctx = Context(model, n_batch=1, n_ctx=n_ctx)
+    correct = 0
+    for t in tasks:
+        context, gold, endings = t[0], int(t[1]), t[2:6]
+        ctx_ids = tok.encode(context, add_special=True)
+        scores = []
+        for e in endings:
+            cont = tok.encode(" " + e.strip(), add_special=False)
+            lp, n = _continuation_logprob(ctx, ctx_ids, cont)
+            scores.append(lp / max(n, 1))
+        if int(np.argmax(scores)) == gold:
+            correct += 1
+    return {"task": "hellaswag", "acc": correct / len(tasks), "n": len(tasks)}
+
+
+def score_winogrande(model: LoadedModel, text: str, n_tasks: int | None = None,
+                     n_ctx: int = 512) -> dict:
+    """Each choice fills the blank; score the sentence part AFTER the blank
+    given the filled prefix (perplexity.cpp:1091 partial evaluation)."""
+    import csv
+    import io
+
+    rows = [r for r in csv.reader(io.StringIO(text)) if r and r[0].strip()]
+    if rows and rows[0][-1].lower() in ("answer",):
+        rows = rows[1:]
+    if n_tasks:
+        rows = rows[:n_tasks]
+    tok = model.tokenizer
+    ctx = Context(model, n_batch=1, n_ctx=n_ctx)
+    correct = 0
+    for r in rows:
+        _, sentence, opt1, opt2, answer = r[:5]
+        gold = int(answer) - 1
+        scores = []
+        for opt in (opt1, opt2):
+            blank = sentence.index("_")
+            prefix = sentence[:blank] + opt
+            suffix = sentence[blank + 1:]
+            pre_ids = tok.encode(prefix, add_special=True)
+            suf_ids = tok.encode(suffix, add_special=False)
+            lp, n = _continuation_logprob(ctx, pre_ids, suf_ids)
+            scores.append(lp / max(n, 1))
+        if int(np.argmax(scores)) == gold:
+            correct += 1
+    return {"task": "winogrande", "acc": correct / len(rows), "n": len(rows)}
+
+
+def score_multiple_choice(model: LoadedModel, text: str,
+                          n_tasks: int | None = None, n_ctx: int = 512) -> dict:
+    """JSONL tasks {"question", "choices", "answer"}: pick the choice with
+    the highest mean token log-prob given the question."""
+    import json
+
+    tasks = [json.loads(l) for l in text.splitlines() if l.strip()]
+    if n_tasks:
+        tasks = tasks[:n_tasks]
+    tok = model.tokenizer
+    ctx = Context(model, n_batch=1, n_ctx=n_ctx)
+    correct = 0
+    for t in tasks:
+        q_ids = tok.encode(t["question"], add_special=True)
+        scores = []
+        for choice in t["choices"]:
+            cont = tok.encode(" " + str(choice).strip(), add_special=False)
+            lp, n = _continuation_logprob(ctx, q_ids, cont)
+            scores.append(lp / max(n, 1))
+        if int(np.argmax(scores)) == int(t["answer"]):
+            correct += 1
+    return {"task": "multiple_choice", "acc": correct / len(tasks),
+            "n": len(tasks)}

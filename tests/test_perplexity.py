@@ -83,3 +83,64 @@ def test_kl_divergence(model_pair):
                                base_sink, n_ctx=N_CTX)
     assert kl["kl_mean"] < 0.01
     assert kl["same_top_p"] > 0.95
+
+
+@pytest.fixture(scope="module")
+def spm_model(tmp_path_factory):
+    """Tiny llama with the real SPM vocab (natural-text tasks need it)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from superllama_tpu.gguf import GGUFReader
+    from superllama_tpu.models import load_model
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    r = GGUFReader("/root/reference/models/ggml-vocab-llama-spm.gguf")
+    tok_fields = {k: v for k, v in r.metadata.items() if k.startswith("tokenizer.")}
+    r.close()
+    path = tmp_path_factory.mktemp("tasks") / "m.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32,
+                       tokenizer_fields=tok_fields)
+    return load_model(str(path))
+
+
+def test_task_scoring(spm_model):
+    """hellaswag / winogrande / multiple-choice scorers (perplexity.cpp:741,
+    1091,1274 counterparts): end-to-end, deterministic, valid accuracy."""
+    import json
+
+    from superllama_tpu.tools.perplexity import (
+        score_hellaswag,
+        score_multiple_choice,
+        score_winogrande,
+    )
+
+    model = spm_model
+
+    hs = "\n".join([
+        "Cooking: the chef heats the pan", "1",
+        "and throws it away immediately",
+        "and adds oil to fry the onions",
+        "then sings a loud song",
+        "and the moon is cheese",
+    ]) + "\n"
+    r1 = score_hellaswag(model, hs)
+    r2 = score_hellaswag(model, hs)
+    assert r1["n"] == 1 and r1["acc"] in (0.0, 1.0) and r1 == r2
+
+    wg = '1,"The trophy did not fit in the case because the _ was too big.","trophy","case",1\n'
+    r = score_winogrande(model, wg)
+    assert r["n"] == 1 and r["acc"] in (0.0, 1.0)
+
+    mc = json.dumps({"question": "Two plus two equals",
+                     "choices": ["four", "banana", "seven", "blue"],
+                     "answer": 0}) + "\n"
+    r = score_multiple_choice(model, mc)
+    assert r["n"] == 1 and r["acc"] in (0.0, 1.0)
