@@ -29,6 +29,20 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="keep repackable weights packed (fused dequant matmul)")
     p.add_argument("--kv-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--lora", action="append", metavar="FILE[:SCALE]",
+                   help="apply a LoRA adapter (repeatable)")
+    p.add_argument("--control-vector", action="append", metavar="FILE[:SCALE]",
+                   help="apply a control vector (repeatable)")
+
+
+def _file_scale(spec: str) -> tuple[str, float]:
+    if ":" in spec and not spec.rsplit(":", 1)[0].endswith(("/", "\\")):
+        path, s = spec.rsplit(":", 1)
+        try:
+            return path, float(s)
+        except ValueError:
+            pass
+    return spec, 1.0
 
 
 def _load(args):
@@ -38,6 +52,23 @@ def _load(args):
 
     t0 = time.perf_counter()
     model = load_model(args.model, keep_quantized=args.keep_quantized)
+    for spec in getattr(args, "lora", None) or []:
+        from .models.lora import load_lora, merge_lora
+
+        path, scale = _file_scale(spec)
+        model.params = merge_lora(model.params, load_lora(path), scale)
+        print(f"applied lora {path} x{scale}", file=sys.stderr)
+    for spec in getattr(args, "control_vector", None) or []:
+        import numpy as _np
+
+        from .models.cvector import load_control_vector
+
+        path, scale = _file_scale(spec)
+        cv = load_control_vector(path, model.hparams.n_layer,
+                                 model.hparams.n_embd, scale)
+        prev = model.params.get("cvec")
+        model.params["cvec"] = cv if prev is None else prev + cv
+        print(f"applied control vector {path} x{scale}", file=sys.stderr)
     print(f"loaded {args.model} [{model.hparams.arch}] "
           f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     return model, getattr(jnp, args.kv_dtype)
@@ -140,6 +171,37 @@ def cmd_diffusion(args):
     if args.progress:
         print(file=sys.stderr)
     print(tok.decode(out[len(ids):]))
+    return 0
+
+
+def cmd_cvector_generator(args):
+    """PCA steering directions from +/- prompts (tools/cvector-generator)."""
+    from .models import load_model
+    from .models.cvector import generate_control_vector, save_control_vector
+
+    model = load_model(args.model)
+    pos = [l for l in open(args.positive_file).read().splitlines() if l.strip()]
+    neg = [l for l in open(args.negative_file).read().splitlines() if l.strip()]
+    n = min(len(pos), len(neg))
+    dirs = generate_control_vector(model, pos[:n], neg[:n])
+    save_control_vector(args.output, dirs)
+    print(f"wrote {args.output} ({dirs.shape[0]} layers)", file=sys.stderr)
+    return 0
+
+
+def cmd_export_lora(args):
+    """Merge LoRA adapters into the base model → new GGUF (tools/export-lora)."""
+    from .models import load_model
+    from .models.lora import load_lora, merge_lora
+    from .models.saver import save_model_gguf
+
+    model = load_model(args.model)
+    for spec in args.lora or []:
+        path, scale = _file_scale(spec)
+        model.params = merge_lora(model.params, load_lora(path), scale)
+        print(f"merged {path} x{scale}", file=sys.stderr)
+    save_model_gguf(model, args.output)
+    print(f"wrote {args.output}", file=sys.stderr)
     return 0
 
 
@@ -320,6 +382,20 @@ def main(argv=None) -> int:
                    help="score JSONL multiple-choice tasks (MMLU-style)")
     p.add_argument("--tasks", type=int, default=0, help="max tasks to score")
     p.set_defaults(fn=cmd_perplexity)
+
+    p = sub.add_parser("cvector-generator",
+                       help="generate a control vector from +/- prompts")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--positive-file", required=True)
+    p.add_argument("--negative-file", required=True)
+    p.add_argument("-o", "--output", default="control_vector.gguf")
+    p.set_defaults(fn=cmd_cvector_generator)
+
+    p = sub.add_parser("export-lora", help="merge LoRA adapters into a GGUF")
+    p.add_argument("-m", "--model", required=True)
+    p.add_argument("--lora", action="append", metavar="FILE[:SCALE]")
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_export_lora)
 
     p = sub.add_parser("tokenize", help="tokenizer inspection")
     p.add_argument("-m", "--model", required=True)

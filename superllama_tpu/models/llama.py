@@ -132,6 +132,7 @@ def llama_forward(
     flash: bool | None = None,
     imatrix: dict | None = None,
     embeds: jax.Array | None = None,
+    hidden_sink: list | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
 
@@ -278,6 +279,12 @@ def llama_forward(
         if "ffn_post_norm" in layer:
             ffn = ops.rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
         x = x + ffn
+        # control vector (llama_adapter_cvec::apply_to — per-layer steer add)
+        cv = params.get("cvec")
+        if cv is not None:
+            x = x + cv[il]
+        if hidden_sink is not None:  # cvector-generator per-layer taps
+            hidden_sink.append(x)
 
     x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
     w_out = params.get("output")
