@@ -211,6 +211,21 @@ def cmd_bench(args):
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def cmd_llama_bench(args):
+    """Perf matrix (tools/llama-bench counterpart)."""
+    from .tools.llama_bench import FORMATTERS, run_bench
+
+    model, kvd = _load(args)
+    res = run_bench(
+        model,
+        pp=[int(x) for x in args.n_prompt.split(",") if int(x) > 0],
+        tg=[int(x) for x in args.n_gen.split(",") if int(x) > 0],
+        depths=[int(x) for x in args.depth.split(",")],
+        reps=args.reps, kv_dtype=kvd)
+    print(FORMATTERS[args.output](res))
+    return 0
+
+
 def cmd_batched_bench(args):
     import jax.numpy as jnp
 
@@ -346,6 +361,16 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("bench", help="throughput bench")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("llama-bench", help="perf matrix (pp/tg × depth × reps)")
+    _add_model_args(p)
+    p.add_argument("-p", "--n-prompt", default="512")
+    p.add_argument("-n", "--n-gen", default="128")
+    p.add_argument("-d", "--depth", default="0")
+    p.add_argument("-r", "--reps", type=int, default=3)
+    p.add_argument("-o", "--output", default="md",
+                   choices=["md", "json", "jsonl", "csv"])
+    p.set_defaults(fn=cmd_llama_bench)
 
     p = sub.add_parser("batched-bench", help="batched decode scaling bench")
     _add_model_args(p)

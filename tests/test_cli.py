@@ -144,3 +144,23 @@ def test_cli_run_with_preset(model_path, capsys):
     rc = cli_main(["run", "-m", model_path, "-p", "Hello", "-n", "4",
                    "--preset", "greedy", "-c", "128", "--kv-dtype", "float32"])
     assert rc == 0
+
+
+def test_cli_llama_bench(model_path, capsys):
+    """Perf-matrix tool (tools/llama-bench counterpart): md table + json."""
+    rc = cli_main(["llama-bench", "-m", model_path, "-p", "8", "-n", "4",
+                   "-d", "0,8", "-r", "2", "-c", "64",
+                   "--kv-dtype", "float32", "-o", "md"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "| pp8 |" in out and "| tg4 |" in out
+    assert "pp8@d8" in out and "tg4@d8" in out
+
+    rc = cli_main(["llama-bench", "-m", model_path, "-p", "8", "-n", "0",
+                   "-r", "2", "-c", "64", "--kv-dtype", "float32",
+                   "-o", "json"])
+    assert rc == 0
+    import json as _json
+
+    rows = _json.loads(capsys.readouterr().out)
+    assert rows and rows[0]["test"] == "pp8" and rows[0]["avg_ts"] > 0
