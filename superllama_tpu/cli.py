@@ -174,6 +174,23 @@ def cmd_diffusion(args):
     return 0
 
 
+def cmd_tts(args):
+    """OuteTTS text-to-speech (tools/tts counterpart)."""
+    from .models import load_model
+    from .tools.tts import save_wav, tts_generate
+
+    ttc = load_model(args.model)
+    cts = load_model(args.model_vocoder)
+    audio = tts_generate(ttc, cts, args.prompt, n_predict=args.n_predict)
+    if audio.size == 0:
+        print("error: no audio codes generated", file=sys.stderr)
+        return 1
+    save_wav(args.output, audio)
+    print(f"wrote {args.output} ({audio.size} samples, "
+          f"{audio.size/24000:.2f}s)", file=sys.stderr)
+    return 0
+
+
 def cmd_cvector_generator(args):
     """PCA steering directions from +/- prompts (tools/cvector-generator)."""
     from .models import load_model
@@ -407,6 +424,15 @@ def main(argv=None) -> int:
                    help="score JSONL multiple-choice tasks (MMLU-style)")
     p.add_argument("--tasks", type=int, default=0, help="max tasks to score")
     p.set_defaults(fn=cmd_perplexity)
+
+    p = sub.add_parser("tts", help="text-to-speech (OuteTTS + WavTokenizer)")
+    p.add_argument("-m", "--model", required=True, help="voice LM GGUF")
+    p.add_argument("-mv", "--model-vocoder", required=True,
+                   help="WavTokenizer decoder GGUF")
+    p.add_argument("-p", "--prompt", required=True)
+    p.add_argument("-o", "--output", default="output.wav")
+    p.add_argument("-n", "--n-predict", type=int, default=1024)
+    p.set_defaults(fn=cmd_tts)
 
     p = sub.add_parser("cvector-generator",
                        help="generate a control vector from +/- prompts")

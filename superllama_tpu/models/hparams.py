@@ -75,6 +75,14 @@ class HParams:
     wkv_head_size: int = 0
     rescale_every_n_layers: int = 0
     token_shift_count: int = 2
+    # wavtokenizer (audio codec decoder)
+    n_embd_features: int = 0
+    posnet_n_embd: int = 0
+    posnet_n_layer: int = 0
+    convnext_n_embd: int = 0
+    convnext_n_layer: int = 0
+    n_norm_groups: int = 32
+    f_norm_group_eps: float = 1e-6
     # hybrid (jamba-family): per-layer attention head counts; 0 = SSM layer
     n_head_kv_arr: list[int] | None = None
     # misc
@@ -166,7 +174,7 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         n_vocab=n_vocab,
         n_ctx_train=int(_k(md, arch, "context_length", 2048)),
         n_embd=n_embd,
-        n_layer=int(_k(md, arch, "block_count")),
+        n_layer=int(_k(md, arch, "block_count", 0) or 0),
         n_head=n_head,
         n_head_kv=n_head_kv,
         n_ff=int(_k(md, arch, "feed_forward_length", 0)),
@@ -213,4 +221,13 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.f_embedding_scale = float(n_embd) ** 0.5
     if arch in ("t5", "t5encoder"):
         hp.dec_n_layer = int(_k(md, arch, "decoder_block_count", hp.n_layer))
+    if arch == "wavtokenizer-dec":
+        hp.n_embd_features = int(_k(md, arch, "features_length", 0))
+        hp.posnet_n_embd = int(_k(md, arch, "posnet.embedding_length", 0))
+        hp.posnet_n_layer = int(_k(md, arch, "posnet.block_count", 0))
+        hp.convnext_n_embd = int(_k(md, arch, "convnext.embedding_length", 0))
+        hp.convnext_n_layer = int(_k(md, arch, "convnext.block_count", 0))
+        hp.n_norm_groups = int(_k(md, arch, "attention.group_norm_groups", 32))
+        hp.f_norm_group_eps = float(
+            _k(md, arch, "attention.group_norm_epsilon", 1e-6))
     return hp

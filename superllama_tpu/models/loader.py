@@ -89,6 +89,68 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
 
     g = lambda name, t=True: _get(reader, name, dtype, t, sharder, keep_quantized)
 
+    if hp.arch == "wavtokenizer-dec":
+        # audio codec decoder (src/llama-model.cpp:5925-6022 tensor list)
+        params = {
+            "token_embd": g("token_embd.weight", t=False),
+            "conv1d": g("conv1d.weight", t=False),
+            "conv1d_b": g("conv1d.bias", t=False),
+            "token_embd_norm": g("token_embd_norm.weight", t=False),
+            "token_embd_norm_b": g("token_embd_norm.bias", t=False),
+            "output_norm": g("output_norm.weight", t=False),
+            "output_norm_b": g("output_norm.bias", t=False),
+            "output": g("output.weight"),
+            "output_b": g("output.bias", t=False),
+            "posnet": [],
+            "convnext": [],
+        }
+        for il in range(hp.posnet_n_layer):
+            p = f"posnet.{il}."
+            layer = {
+                "norm1_w": g(p + "norm1.weight", t=False),
+                "norm1_b": g(p + "norm1.bias", t=False),
+                "conv1": g(p + "conv1.weight", t=False),
+                "conv1_b": g(p + "conv1.bias", t=False),
+                "norm2_w": g(p + "norm2.weight", t=False),
+                "norm2_b": g(p + "norm2.bias", t=False),
+                "conv2": g(p + "conv2.weight", t=False),
+                "conv2_b": g(p + "conv2.bias", t=False),
+                "attn_norm_w": g(p + "attn_norm.weight", t=False),
+                "attn_norm_b": g(p + "attn_norm.bias", t=False),
+                "attn_q": g(p + "attn_q.weight", t=False),
+                "attn_q_b": g(p + "attn_q.bias", t=False),
+                "attn_k": g(p + "attn_k.weight", t=False),
+                "attn_k_b": g(p + "attn_k.bias", t=False),
+                "attn_v": g(p + "attn_v.weight", t=False),
+                "attn_v_b": g(p + "attn_v.bias", t=False),
+                "attn_o": g(p + "attn_output.weight", t=False),
+                "attn_o_b": g(p + "attn_output.bias", t=False),
+                "norm_w": g(p + "norm.weight", t=False),
+                "norm_b": g(p + "norm.bias", t=False),
+            }
+            params["posnet"].append(
+                {k: v for k, v in layer.items() if v is not None})
+        for il in range(hp.convnext_n_layer):
+            p = f"convnext.{il}."
+            layer = {
+                "dw": g(p + "dw.weight", t=False),
+                "dw_b": g(p + "dw.bias", t=False),
+                "norm": g(p + "norm.weight", t=False),
+                "norm_b": g(p + "norm.bias", t=False),
+                "pw1": g(p + "pw1.weight"),
+                "pw1_b": g(p + "pw1.bias", t=False),
+                "pw2": g(p + "pw2.weight"),
+                "pw2_b": g(p + "pw2.bias", t=False),
+                "gamma": g(p + "gamma.weight", t=False),
+            }
+            params["convnext"].append(
+                {k: v for k, v in layer.items() if v is not None})
+        md = dict(reader.metadata)
+        name = md.get("general.name", "")
+        reader.close()
+        return LoadedModel(hparams=hp, params=params, tokenizer=None,
+                           metadata=md, name=name)
+
     if hp.arch in ("t5", "t5encoder"):
         # encoder-decoder namespaces enc./dec. (src/llama-arch.cpp:409-435)
         params = {
