@@ -94,3 +94,142 @@ def quantize(x: np.ndarray, ttype: int, block_size: int,
     out = np.empty(nb * type_size, np.uint8)
     rc = lib.slq_quantize(int(ttype), x.ctypes.data, x.size, out.ctypes.data)
     return out if rc == 0 else None
+
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOK_SRC = Path(__file__).with_name("tokenizer.cpp")
+_TOK_LIB = None
+_TOK_TRIED = False
+
+
+def _load_tok() -> ctypes.CDLL | None:
+    global _TOK_LIB, _TOK_TRIED
+    if _TOK_LIB is not None or _TOK_TRIED:
+        return _TOK_LIB
+    _TOK_TRIED = True
+    if os.environ.get("SLT_NO_NATIVE"):
+        return None
+    try:
+        src = _TOK_SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        so = _build_dir() / f"libsltok-{tag}.so"
+        if not so.exists():
+            tmp = so.with_suffix(".so.tmp")
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 str(_TOK_SRC), "-o", str(tmp)],
+                check=True, capture_output=True, timeout=240)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(str(so))
+        lib.slt_spm_new.restype = ctypes.c_void_p
+        lib.slt_spm_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
+        lib.slt_spm_free.argtypes = [ctypes.c_void_p]
+        lib.slt_spm_encode.restype = ctypes.c_int32
+        lib.slt_spm_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32]
+        lib.slt_bpe_new.restype = ctypes.c_void_p
+        lib.slt_bpe_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32]
+        lib.slt_bpe_free.argtypes = [ctypes.c_void_p]
+        lib.slt_bpe_encode_word.restype = ctypes.c_int32
+        lib.slt_bpe_encode_word.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32]
+        _TOK_LIB = lib
+    except (OSError, subprocess.SubprocessError):
+        _TOK_LIB = None
+    return _TOK_LIB
+
+
+def _blob(strings: list[str]) -> tuple[bytes, np.ndarray]:
+    enc = [s.encode("utf-8") for s in strings]
+    off = np.zeros(len(enc) + 1, np.int64)
+    np.cumsum([len(e) for e in enc], out=off[1:])
+    return b"".join(enc), off
+
+
+class NativeSPM:
+    """Native SPM tokenize (bit-identical to Tokenizer._spm_tokenize)."""
+
+    def __init__(self, vocab):
+        lib = _load_tok()
+        if lib is None:
+            raise OSError("native tokenizer unavailable")
+        self._lib = lib
+        blob, off = _blob(vocab.tokens)
+        scores = np.asarray(vocab.scores, np.float32)
+        normal = np.asarray([1 if vocab.is_normal(i) else 0
+                             for i in range(vocab.n_tokens)], np.uint8)
+        bytes_map = np.asarray([vocab.byte_to_token(b) for b in range(256)],
+                               np.int32)
+        self._h = lib.slt_spm_new(
+            blob, off.ctypes.data, scores.ctypes.data, normal.ctypes.data,
+            vocab.n_tokens, bytes_map.ctypes.data,
+            vocab.unk_id if vocab.unk_id >= 0 else 0)
+
+    def encode(self, text: str) -> list[int]:
+        data = text.encode("utf-8")
+        out = np.empty(max(len(data) * 2, 16), np.int32)
+        n = self._lib.slt_spm_encode(self._h, data, len(data),
+                                     out.ctypes.data, out.size)
+        if n > out.size:  # retry with exact size (pathological)
+            out = np.empty(n, np.int32)
+            n = self._lib.slt_spm_encode(self._h, data, len(data),
+                                         out.ctypes.data, out.size)
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.slt_spm_free(self._h)
+        except Exception:
+            pass
+
+
+class NativeBPE:
+    """Native BPE merge+lookup for one byte-encoded word."""
+
+    def __init__(self, vocab):
+        lib = _load_tok()
+        if lib is None:
+            raise OSError("native tokenizer unavailable")
+        self._lib = lib
+        tblob, toff = _blob(vocab.tokens)
+        mblob, moff = _blob(vocab.merges)
+        self._h = lib.slt_bpe_new(tblob, toff.ctypes.data, vocab.n_tokens,
+                                  mblob, moff.ctypes.data, len(vocab.merges))
+
+    def encode_word(self, enc: str) -> list[int]:
+        data = enc.encode("utf-8")
+        out = np.empty(max(len(data) * 2, 16), np.int32)
+        n = self._lib.slt_bpe_encode_word(self._h, data, len(data),
+                                          out.ctypes.data, out.size)
+        if n > out.size:
+            out = np.empty(n, np.int32)
+            n = self._lib.slt_bpe_encode_word(self._h, data, len(data),
+                                              out.ctypes.data, out.size)
+        return out[:n].tolist()
+
+    def __del__(self):
+        try:
+            self._lib.slt_bpe_free(self._h)
+        except Exception:
+            pass
+
+
+def native_spm(vocab) -> "NativeSPM | None":
+    try:
+        return NativeSPM(vocab)
+    except OSError:
+        return None
+
+
+def native_bpe(vocab) -> "NativeBPE | None":
+    try:
+        return NativeBPE(vocab)
+    except OSError:
+        return None

@@ -169,3 +169,52 @@ def test_rwkv_trie_tokenizer():
     text = "hello \tworld\x00é"
     ids = tok.encode(text, add_special=False)
     assert tok.decode(ids) == text
+
+
+def test_native_tokenizer_bitexact():
+    """Native C++ SPM/BPE cores must match the python reference token-for-
+    token on every ecosystem golden fixture + random fuzz strings."""
+    import glob
+    import os
+    import random
+
+    from superllama_tpu import native
+    from superllama_tpu.gguf import GGUFReader
+    from superllama_tpu.tokenizer import Tokenizer, vocab_from_gguf
+
+    if native._load_tok() is None:
+        pytest.skip("native toolchain unavailable")
+
+    rng = random.Random(0)
+    fuzz = []
+    for _ in range(60):
+        n = rng.randint(0, 40)
+        fuzz.append("".join(chr(rng.choice(
+            [rng.randint(32, 126), rng.randint(0xA0, 0x2FF),
+             rng.randint(0x4E00, 0x4FFF), 0x1F600 + rng.randint(0, 60)]))
+            for _ in range(n)))
+    fuzz += ["", " ", "  leading", "trail  ", "a\nb\tc", "ő﷽🦙🦙", "\x00ab"]
+
+    for path in sorted(glob.glob("/root/reference/models/ggml-vocab-*.gguf")):
+        r = GGUFReader(path)
+        try:
+            v = vocab_from_gguf(r)
+        finally:
+            r.close()
+        if v.model not in ("llama", "gpt2"):
+            continue
+        tok_nat = Tokenizer(v)
+        if tok_nat._native() is None:
+            pytest.skip("native tokenizer failed to build")
+        tok_py = Tokenizer(v)
+        tok_py._nat_tried = True  # force python path
+
+        inp_file = path + ".inp"
+        cases = list(fuzz)
+        if os.path.exists(inp_file):
+            cases += open(inp_file, encoding="utf-8").read().split(
+                "\n__ggml_vocab_test__\n")
+        for text in cases:
+            a = tok_nat.encode(text, add_special=False)
+            b = tok_py.encode(text, add_special=False)
+            assert a == b, (os.path.basename(path), text[:40], a[:20], b[:20])
