@@ -110,6 +110,16 @@ class Tokenizer:
                     self._wpm_tokenize(frag, out)
             if add_special and v.sep_id >= 0:
                 out.append(v.sep_id)
+        elif self.model == "plamo2":  # suffix-table Viterbi
+            if add_special and v.add_bos and v.bos_id >= 0:
+                out.append(v.bos_id)
+            for frag, tid in fragments:
+                if tid >= 0:
+                    out.append(tid)
+                else:
+                    self._plamo2_tokenize(frag, out)
+            if add_special and v.add_eos and v.eos_id >= 0:
+                out.append(v.eos_id)
         elif self.model == "rwkv":  # greedy longest byte match via trie
             for frag, tid in fragments:
                 if tid >= 0:
@@ -189,6 +199,71 @@ class Tokenizer:
                 out.append(tid)
             elif not (k > 0 and ids[k - 1] < 0):  # fuse consecutive unknowns
                 out.append(v.unk_id if v.unk_id >= 0 else 0)
+
+    # ------------------------------------------------------------- PLAMO2
+
+    def _plamo2_tokenize(self, text: str, out: list[int]):
+        """PLaMo-2 tokenization (llm_tokenizer_plamo2 semantics,
+        src/llama-vocab.cpp): right-to-left Viterbi MINIMIZING Σ(−score) with
+        scores quantized to round(score·1e4); a 1-codepoint "unknown" piece
+        costs −UNKNOWN_SCORE and decodes to UTF-8 byte-fallback tokens. The
+        reference walks a suffix-automaton table; enumerating candidate pieces
+        longest-first at each position is the same decision order."""
+        import math
+
+        v = self.vocab
+        if text.startswith("﻿"):  # BOM skip
+            text = text[1:]
+        n = len(text)
+        if n == 0:
+            return
+        if not hasattr(self, "_plamo2_scores"):
+            UNKNOWN = -10000000
+            q = {}
+            max_len = 1
+            for i, t in enumerate(v.tokens):
+                if v.is_byte(i) or not t:
+                    continue
+                s = v.scores[i]
+                if not math.isfinite(s):
+                    continue
+                q[t] = (i, int(math.copysign(math.floor(abs(s) * 1e4 + 0.5), s)))
+                max_len = max(max_len, len(t))
+            self._plamo2_scores = q
+            self._plamo2_maxlen = max_len
+            self._plamo2_unknown = UNKNOWN
+        q = self._plamo2_scores
+        UNKNOWN = self._plamo2_unknown
+
+        BIG = 1 << 60
+        scores = [BIG] * (n + 1)
+        scores[n] = 0
+        tok_len = [1] * (n + 1)
+        tok_id = [-1] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            # real pieces, longest first (suffix-table row order)
+            for j in range(min(i + self._plamo2_maxlen, n), i, -1):
+                hit = q.get(text[i:j])
+                if hit is None:
+                    continue
+                s = scores[j] - hit[1]
+                if s < scores[i]:
+                    scores[i] = s
+                    tok_len[i], tok_id[i] = j - i, hit[0]
+            s = scores[i + 1] - UNKNOWN  # sentinel: unknown single codepoint
+            if s < scores[i]:
+                scores[i] = s
+                tok_len[i], tok_id[i] = 1, -1
+
+        pos = 0
+        while pos < n:
+            if tok_id[pos] >= 0:
+                out.append(tok_id[pos])
+            else:
+                for b in text[pos].encode("utf-8"):
+                    bt = v.byte_to_token(b)
+                    out.append(bt if bt >= 0 else (v.unk_id if v.unk_id >= 0 else 0))
+            pos += tok_len[pos]
 
     # ------------------------------------------------------------- SPM
 

@@ -218,3 +218,36 @@ def test_native_tokenizer_bitexact():
             a = tok_nat.encode(text, add_special=False)
             b = tok_py.encode(text, add_special=False)
             assert a == b, (os.path.basename(path), text[:40], a[:20], b[:20])
+
+
+def test_plamo2_tokenizer():
+    """PLaMo-2 Viterbi (llm_tokenizer_plamo2 semantics): minimize Σ(−score·1e4)
+    with an unknown penalty; byte fallback for uncovered codepoints."""
+    from superllama_tpu.tokenizer.tokenizer import Tokenizer
+    from superllama_tpu.tokenizer.vocab import TokenAttr, Vocab
+
+    tokens = (["<|plamo:unk|>", "<|plamo:bos|>", "<|plamo:eos|>",
+               "<|plamo:pad|>"]
+              + [f"<0x{b:02X}>" for b in range(256)]
+              + ["a", "b", "ab", "abc", "c", "hello", "hell", "o"])
+    n = len(tokens)
+    scores = [0.0] * 4 + [0.0] * 256 + [-3.0, -3.0, -2.0, -10.0, -3.5,
+                                        -4.0, -6.0, -3.0]
+    attrs = ([TokenAttr.UNKNOWN, TokenAttr.CONTROL, TokenAttr.CONTROL,
+              TokenAttr.CONTROL] + [TokenAttr.BYTE] * 256
+             + [TokenAttr.NORMAL] * 8)
+    v = Vocab(model="plamo2", pre="", tokens=tokens, scores=scores,
+              attrs=attrs, bos_id=1, eos_id=2, unk_id=0, add_bos=False,
+              add_eos=False, add_space_prefix=False)
+    tok = Tokenizer(v)
+    A, AB, ABC, C = n - 8, n - 6, n - 5, n - 4
+    HELLO = n - 3
+    # "abc" as one token (-10) loses to ab+c (-2 + -3.5 = -5.5): minimizing
+    # -score means choosing the SMALLER total cost = larger score sum
+    assert tok.encode("abc", add_special=False) == [AB, C]
+    assert tok.encode("hello", add_special=False) == [HELLO]
+    # uncovered codepoint → UTF-8 byte fallback tokens
+    ids = tok.encode("aé", add_special=False)
+    assert ids[0] == A and ids[1:] == [4 + b for b in "é".encode("utf-8")]
+    # BOM skipped
+    assert tok.encode("﻿a", add_special=False) == [A]
