@@ -16,6 +16,14 @@ import time
 import numpy as np
 
 
+def fetch(x):
+    """Completion barrier: through the axon tunnel, block_until_ready returns
+    before remote execution finishes — only a host fetch truly waits. Every
+    timed region must end with fetch() on a (small) value that depends on all
+    timed work."""
+    return np.asarray(x)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -48,29 +56,49 @@ def main():
     prompt = jnp.asarray(rng.integers(0, hp.n_vocab, (B, T_PREFILL)), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(T_PREFILL, dtype=jnp.int32)[None], (B, T_PREFILL))
 
-    # prefill: warm up compile on a throwaway cache, then time with a prompt
-    # DERIVED from the warmup output (the axon tunnel memoizes identical
-    # dispatches, so the timed call must be data-dependent on the warmup)
+    # prefill throughput: T=2048 prefills are ~100 ms of real compute each,
+    # well above the tunnel's dispatch-pipelining window, so a 1-vs-5 chained
+    # differential is robust. Prompts are salted per link so no call dedups.
+    TP = 2048
+    SP = TP + 128
+    pos_p = jnp.broadcast_to(jnp.arange(TP, dtype=jnp.int32)[None], (B, TP))
+    prompt_p = jnp.asarray(rng.integers(0, hp.n_vocab, (B, TP)), jnp.int32)
+    step_p = jax.jit(step, donate_argnums=(3,))
+
+    def chained_big_prefills(k, pr):
+        t0 = time.perf_counter()
+        for i in range(k):
+            c = kv_cache_init(hp.n_layer, B, SP, hp.n_head_kv, hp.head_dim,
+                              hp.head_dim_v, dtype=jnp.bfloat16)
+            lg, c = step_p(params, pr, pos_p, c)
+            pr = (jnp.argmax(lg, axis=-1).astype(jnp.int32) + i) % hp.n_vocab
+        fetch(pr[:, -1])
+        return time.perf_counter() - t0, pr
+
+    _, prw = chained_big_prefills(1, prompt_p)          # compile + warm
+    t_lo, prw = chained_big_prefills(1, prw)
+    t_hi, prw = chained_big_prefills(5, prw)
+    prefill_s = max((t_hi - t_lo) / 4, 1e-9) * (T_PREFILL / TP)
+
+    # warm the decode-shape compile and seed the stepwise loop
     warm = kv_cache_init(hp.n_layer, B, S, hp.n_head_kv, hp.head_dim,
                          hp.head_dim_v, dtype=jnp.bfloat16)
     wlogits, _ = step_j(params, prompt, pos, warm)
-    prompt2 = jnp.argmax(wlogits, axis=-1).astype(jnp.int32) % hp.n_vocab
-    t0 = time.perf_counter()
+    prompt2 = (jnp.argmax(wlogits, axis=-1).astype(jnp.int32) % hp.n_vocab)
+    prompt2 = jnp.asarray(fetch(prompt2))
     logits, cache = step_j(params, prompt2, pos, cache)
-    logits.block_until_ready()
-    prefill_s = time.perf_counter() - t0
 
     tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
     # decode warmup (compile T=1 shape)
     p = jnp.full((B, 1), T_PREFILL, jnp.int32)
     logits, cache = step_j(params, tok, p, cache)
-    logits.block_until_ready()
+    fetch(logits[:, -1].sum())
 
     t0 = time.perf_counter()
     for i in range(1, N_DECODE):
         tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
         logits, cache = step_j(params, tok, p + i, cache)
-    logits.block_until_ready()
+    fetch(logits[:, -1].sum())
     decode_s = time.perf_counter() - t0
     stepwise_tps = (N_DECODE - 1) / decode_s
 
@@ -91,27 +119,30 @@ def main():
             body, (tok0, pos0, cache), None, length=n_steps)
         return toks, cache
 
-    toks, cache = scan_decode(params, tok, cache, p + 1, n_steps=N_DECODE)
-    toks.block_until_ready()  # compile
-    # timed run: a DATA-DEPENDENT chain of scans (each consumes the previous
-    # scan's last token and cache) — the axon tunnel memoizes repeated
-    # identical dispatches, so only dependent chains measure real compute
-    cache2 = kv_cache_init(hp.n_layer, B, S, hp.n_head_kv, hp.head_dim,
-                           hp.head_dim_v, dtype=jnp.bfloat16)
-    logits2, cache2 = step_j(params, prompt, pos, cache2)
-    tok2 = jnp.argmax(logits2[:, -1:], axis=-1).astype(jnp.int32)
-    N_CHAIN = 4
-    t0 = time.perf_counter()
-    pcur = p
-    for _ in range(N_CHAIN):
-        toks, cache2 = scan_decode(params, tok2, cache2, pcur, n_steps=N_DECODE)
-        tok2 = toks[-1]
-        pcur = pcur + N_DECODE
-    toks.block_until_ready()
-    scan_s = time.perf_counter() - t0
-    scan_tps = N_CHAIN * N_DECODE / scan_s
+    # differential timing: per-step time = slope between two scan lengths
+    # (cancels tunnel round-trip and fixed overheads); each timed call ends
+    # with a host fetch of a value depending on the whole scan
+    S2 = T_PREFILL + 1100
+    n_lo, n_hi = 256, 1024
+    times = {}
+    for n in (n_lo, n_hi):
+        c = kv_cache_init(hp.n_layer, B, S2, hp.n_head_kv, hp.head_dim,
+                          hp.head_dim_v, dtype=jnp.bfloat16)
+        lg, c = step_j(params, prompt, pos, c)
+        tok0 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+        t_, c = scan_decode(params, tok0, c, p, n_steps=n)   # compile + warm
+        fetch(t_[-1])
+        c = kv_cache_init(hp.n_layer, B, S2, hp.n_head_kv, hp.head_dim,
+                          hp.head_dim_v, dtype=jnp.bfloat16)
+        lg, c = step_j(params, prompt2, pos, c)
+        tok0 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
+        t0 = time.perf_counter()
+        t_, c = scan_decode(params, tok0, c, p, n_steps=n)
+        fetch(t_[-1])
+        times[n] = time.perf_counter() - t0
+    scan_tps = (n_hi - n_lo) / (times[n_hi] - times[n_lo])
 
-    tok_per_s = max(stepwise_tps, scan_tps)
+    tok_per_s = scan_tps  # on-device loop = the serving path
     prefill_tps = T_PREFILL / prefill_s
     baseline = 86.58  # gpt-oss-20B tg32 on DGX Spark (dgx-spark.md:61)
     print(json.dumps({
