@@ -2,11 +2,12 @@
 """Benchmark entry (driver contract: print ONE JSON line).
 
 Measures steady-state greedy decode throughput on a TinyLlama-1.1B-dimension
-model (BASELINE config 1 scale) with synthetic bf16 weights on the available
-accelerator. vs_baseline anchors against the reference's only committed
-single-stream decode number (gpt-oss-20B MXFP4 tg32 on DGX Spark = 86.58 t/s,
-benches/dgx-spark/dgx-spark.md:61) — an imperfect cross-hardware anchor until
-quantized-in-HBM 8B weights land (see BASELINE.md).
+model (BASELINE config 1 scale), weights Q4_K-quantized in HBM and decoded
+through the int8-activation MXU GEMV kernel (ops/qmatmul.py mmvq analog);
+bf16-weight numbers are reported alongside. vs_baseline anchors against the
+reference's only committed single-stream decode number (gpt-oss-20B MXFP4
+tg32 on DGX Spark = 86.58 t/s, benches/dgx-spark/dgx-spark.md:61) — an
+imperfect cross-hardware anchor (see BASELINE.md).
 """
 
 import json
@@ -119,40 +120,72 @@ def main():
             body, (tok0, pos0, cache), None, length=n_steps)
         return toks, cache
 
-    # differential timing: per-step time = slope between two scan lengths
-    # (cancels tunnel round-trip and fixed overheads); each timed call ends
-    # with a host fetch of a value depending on the whole scan
-    S2 = T_PREFILL + 1100
-    n_lo, n_hi = 256, 1024
-    times = {}
-    for n in (n_lo, n_hi):
-        c = kv_cache_init(hp.n_layer, B, S2, hp.n_head_kv, hp.head_dim,
-                          hp.head_dim_v, dtype=jnp.bfloat16)
-        lg, c = step_j(params, prompt, pos, c)
-        tok0 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
-        t_, c = scan_decode(params, tok0, c, p, n_steps=n)   # compile + warm
-        fetch(t_[-1])
-        c = kv_cache_init(hp.n_layer, B, S2, hp.n_head_kv, hp.head_dim,
-                          hp.head_dim_v, dtype=jnp.bfloat16)
-        lg, c = step_j(params, prompt2, pos, c)
-        tok0 = jnp.argmax(lg[:, -1:], axis=-1).astype(jnp.int32)
-        t0 = time.perf_counter()
-        t_, c = scan_decode(params, tok0, c, p, n_steps=n)
-        fetch(t_[-1])
-        times[n] = time.perf_counter() - t0
-    scan_tps = (n_hi - n_lo) / (times[n_hi] - times[n_lo])
+    # differential timing: ONE compiled scan length; per-step time = slope
+    # between 1 and 5 chained calls (host-salted start tokens keep every call
+    # distinct; ~0.5 s of real compute per chain ≫ the tunnel's pipelining
+    # window, so the slope cancels fixed round-trip overheads)
+    S2 = T_PREFILL + 8 * 260
+    N_SCAN = 256
 
-    tok_per_s = scan_tps  # on-device loop = the serving path
+    # two-length differential: per-step time = (t(640) − t(128)) / 512.
+    # Single calls (no chaining — inter-call tunnel latency ≈ 250 ms would
+    # swamp the slope); each timed call is value-distinct from its warmup and
+    # ends in a host fetch (the only real completion barrier).
+    S2 = T_PREFILL + 680
+    n_lo, n_hi = 128, 640
+
+    def scan_slope(prm):
+        times = {}
+        for n in (n_lo, n_hi):
+            for salt, timed in ((3, False), (11, True)):
+                c = kv_cache_init(hp.n_layer, B, S2, hp.n_head_kv,
+                                  hp.head_dim, hp.head_dim_v,
+                                  dtype=jnp.bfloat16)
+                t0 = time.perf_counter()
+                toks, c = scan_decode(prm, jnp.asarray([[salt]], jnp.int32),
+                                      c, p, n_steps=n)
+                fetch(toks[-1])
+                if timed:
+                    times[n] = time.perf_counter() - t0
+        return (n_hi - n_lo) / max(times[n_hi] - times[n_lo], 1e-9)
+
+    scan_tps = scan_slope(params)
+
+    # ---- Q4_K weights: int8-activation MXU GEMV decode (the production
+    # quantized path; BASELINE's north star is a Q4_K_M model) ----
+    from superllama_tpu.gguf import GGMLType
+    from superllama_tpu.gguf.quants import quantize as q_encode
+    from superllama_tpu.ops.qtensor import repack
+
+    pn = synthetic_params(hp, dtype=np.float32, seed=0)
+
+    def to_q(w):
+        wt = np.asarray(w, np.float32).T
+        return repack(q_encode(wt, GGMLType.Q4_K), GGMLType.Q4_K, wt.shape)
+
+    qparams = {"token_embd": to_dev(pn["token_embd"]),
+               "output_norm": to_dev(pn["output_norm"]),
+               "output": to_q(pn["output"]), "layers": []}
+    qnames = ("wq", "wk", "wv", "wo", "ffn_gate", "ffn_up", "ffn_down")
+    for l in pn["layers"]:
+        qparams["layers"].append(
+            {k: (to_q(v) if (v.ndim == 2 and k in qnames) else to_dev(v))
+             for k, v in l.items()})
+    del pn
+    q4k_tps = scan_slope(qparams)
+
+    tok_per_s = q4k_tps  # quantized on-device loop = the serving path
     prefill_tps = T_PREFILL / prefill_s
     baseline = 86.58  # gpt-oss-20B tg32 on DGX Spark (dgx-spark.md:61)
     print(json.dumps({
-        "metric": "decode_tok_per_s_tinyllama1.1b_bf16_b1",
+        "metric": "decode_tok_per_s_tinyllama1.1b_q4k_b1",
         "value": round(tok_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_per_s / baseline, 3),
         "extra": {"prefill_tok_per_s": round(prefill_tps, 1),
                    "stepwise_tok_per_s": round(stepwise_tps, 2),
-                   "scan_tok_per_s": round(scan_tps, 2),
+                   "bf16_tok_per_s": round(scan_tps, 2),
+                   "q4k_tok_per_s": round(q4k_tps, 2),
                    "device": str(jax.devices()[0])},
     }))
 

@@ -31,9 +31,11 @@ from .hparams import ROPE_SCALING_YARN, HParams
 
 
 def mm(x: jax.Array, w) -> jax.Array:
-    """Matmul dispatch: dense array or fused-dequant QTensor."""
+    """Matmul dispatch: dense array or fused-dequant QTensor. Decode-sized
+    batches take the int8-activation GEMV kernel (mmvq analog)."""
     if isinstance(w, QTensor):
-        return qmatmul(x, w)
+        rows = x.size // x.shape[-1]
+        return qmatmul(x, w, act_quant=rows <= 16)
     return x @ w
 
 

@@ -88,3 +88,20 @@ def test_memory_footprint():
     qt = repack(raw, GGMLType.Q4_K, w.shape)
     bits_per_weight = qt.nbytes * 8 / (256 * 1024)
     assert bits_per_weight < 7.0, bits_per_weight  # 4 code + 2×f32/32 scales
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q4_0, GGMLType.Q8_0,
+                                   GGMLType.Q4_K, GGMLType.Q5_K,
+                                   GGMLType.Q6_K])
+def test_qmatmul_int8_gemv(ttype):
+    """int8-activation GEMV path (mmvq analog): Q8 per-group activations →
+    integer MXU dots; accuracy bound = llama.cpp's Q8_1 standard."""
+    rng = np.random.default_rng(3)
+    K, N = 512, 384
+    w = rng.normal(0, 0.1, (N, K)).astype(np.float32)
+    qt = repack(quantize(w, ttype), ttype, (N, K))
+    x = jnp.asarray(rng.normal(0, 1.0, (2, K)).astype(np.float32))
+    ref = qmatmul_ref(x, qt)
+    got = qmatmul(x, qt, act_quant=True, interpret=None)
+    nmse = float(jnp.mean((got - ref) ** 2) / jnp.mean(ref ** 2))
+    assert nmse < 5e-4, f"{ttype.name}: NMSE {nmse:g}"
