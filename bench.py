@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Benchmark entry (driver contract: print ONE JSON line).
 
-Measures steady-state greedy decode throughput on a TinyLlama-1.1B-dimension
-model (BASELINE config 1 scale), weights Q4_K-quantized in HBM and decoded
-through the int8-activation MXU GEMV kernel (ops/qmatmul.py mmvq analog);
-bf16-weight numbers are reported alongside. vs_baseline anchors against the
-reference's only committed single-stream decode number (gpt-oss-20B MXFP4
-tg32 on DGX Spark = 86.58 t/s, benches/dgx-spark/dgx-spark.md:61) — an
-imperfect cross-hardware anchor (see BASELINE.md).
+Headline: single-chip greedy decode + prefill throughput at Llama-3-8B
+dimensions (BASELINE config 2 / the north-star metric), weights Q4_K-
+quantized in HBM and decoded through the int8-activation MXU GEMV kernel
+(ops/qmatmul.py mmvq analog). Weights are generated directly on-device
+(random codes, production byte layout) — identical kernels/HBM traffic to a
+real Q4_K_M load without pushing ~6 GB through the axon tunnel. A
+TinyLlama-1.1B section (config 1 scale, bf16 + Q4_K) is reported in extra.
+vs_baseline anchors against the reference's only committed single-stream
+decode number (gpt-oss-20B MXFP4 tg32 on DGX Spark = 86.58 t/s,
+benches/dgx-spark/dgx-spark.md:61) — an imperfect cross-hardware anchor
+(see BASELINE.md). Pass --small to skip the 8B section (CPU smoke).
 """
 
 import json
@@ -173,20 +177,87 @@ def main():
              for k, v in l.items()})
     del pn
     q4k_tps = scan_slope(qparams)
+    del qparams, params, cache, warm
 
-    tok_per_s = q4k_tps  # quantized on-device loop = the serving path
     prefill_tps = T_PREFILL / prefill_s
     baseline = 86.58  # gpt-oss-20B tg32 on DGX Spark (dgx-spark.md:61)
+    extra = {"tiny_prefill_tok_per_s": round(prefill_tps, 1),
+             "tiny_stepwise_tok_per_s": round(stepwise_tps, 2),
+             "tiny_bf16_tok_per_s": round(scan_tps, 2),
+             "tiny_q4k_tok_per_s": round(q4k_tps, 2),
+             "device": str(jax.devices()[0])}
+
+    if "--small" in sys.argv:
+        print(json.dumps({
+            "metric": "decode_tok_per_s_tinyllama1.1b_q4k_b1",
+            "value": round(q4k_tps, 2), "unit": "tok/s",
+            "vs_baseline": round(q4k_tps / baseline, 3), "extra": extra}))
+        return
+
+    # ---- Llama-3-8B Q4_K single chip (BASELINE config 2, the north star) ---
+    from superllama_tpu.models.synthetic import (llama3_8b_hparams,
+                                                 synthetic_qparams_device)
+
+    hp8 = llama3_8b_hparams()
+    p8 = synthetic_qparams_device(hp8, seed=0)
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(2,))
+    def scan_decode8(params, tok0, cache, pos0, n_steps: int):
+        def body(carry, _):
+            tok, pp, cache = carry
+            lg, cache = llama_forward(params, hp8, tok, pp, cache)
+            nxt = device_sampling.greedy(lg[:, -1])[:, None]
+            return (nxt, pp + 1, cache), nxt
+        (_, _, cache), toks = jax.lax.scan(
+            body, (tok0, pos0, cache), None, length=n_steps)
+        return toks, cache
+
+    n8_lo, n8_hi = 64, 320
+    S8 = 384
+    p0 = jnp.zeros((B, 1), jnp.int32)
+    times8 = {}
+    for n in (n8_lo, n8_hi):
+        for salt, timed in ((5, False), (13, True)):
+            c = kv_cache_init(hp8.n_layer, B, S8, hp8.n_head_kv,
+                              hp8.head_dim, hp8.head_dim_v, dtype=jnp.bfloat16)
+            t0 = time.perf_counter()
+            toks, c = scan_decode8(p8, jnp.asarray([[salt]], jnp.int32),
+                                   c, p0, n_steps=n)
+            fetch(toks[-1])
+            if timed:
+                times8[n] = time.perf_counter() - t0
+    tps8 = (n8_hi - n8_lo) / max(times8[n8_hi] - times8[n8_lo], 1e-9)
+
+    # 8B prefill (fused-dequant matmul path), T=2048 chained differential
+    T8 = 2048
+    S8p = T8 + 8
+    pos8 = jnp.broadcast_to(jnp.arange(T8, dtype=jnp.int32)[None], (B, T8))
+    step8 = jax.jit(lambda prm, tok, pos, c: llama_forward(prm, hp8, tok, pos, c),
+                    donate_argnums=(3,))
+    pr8 = jnp.asarray(rng.integers(0, hp8.n_vocab, (B, T8)), jnp.int32)
+
+    def chained_prefills8(k, pr):
+        t0 = time.perf_counter()
+        for i in range(k):
+            c = kv_cache_init(hp8.n_layer, B, S8p, hp8.n_head_kv, hp8.head_dim,
+                              hp8.head_dim_v, dtype=jnp.bfloat16)
+            lg, c = step8(p8, pr, pos8, c)
+            pr = (jnp.argmax(lg, axis=-1).astype(jnp.int32) + i) % hp8.n_vocab
+        fetch(pr[:, -1])
+        return time.perf_counter() - t0, pr
+
+    _, pr8 = chained_prefills8(1, pr8)          # compile + warm
+    t_lo, pr8 = chained_prefills8(1, pr8)
+    t_hi, pr8 = chained_prefills8(3, pr8)
+    prefill8_tps = T8 / max((t_hi - t_lo) / 2, 1e-9)
+
+    extra["prefill_tok_per_s"] = round(prefill8_tps, 1)
     print(json.dumps({
-        "metric": "decode_tok_per_s_tinyllama1.1b_q4k_b1",
-        "value": round(tok_per_s, 2),
+        "metric": "decode_tok_per_s_llama3_8b_q4k_b1",
+        "value": round(tps8, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tok_per_s / baseline, 3),
-        "extra": {"prefill_tok_per_s": round(prefill_tps, 1),
-                   "stepwise_tok_per_s": round(stepwise_tps, 2),
-                   "bf16_tok_per_s": round(scan_tps, 2),
-                   "q4k_tok_per_s": round(q4k_tps, 2),
-                   "device": str(jax.devices()[0])},
+        "vs_baseline": round(tps8 / baseline, 3),
+        "extra": extra,
     }))
 
 

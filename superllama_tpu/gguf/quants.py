@@ -591,6 +591,169 @@ def dequant_iq4_xs(raw: np.ndarray) -> np.ndarray:
     return y.reshape(-1)
 
 
+# ===================== codebook i-quants (IQ1/IQ2/IQ3) ======================
+#
+# These decode through trained lattice codebooks shipped as wire-format data
+# (iq_grids.npz, extracted from the ecosystem's shared tables — see
+# _gen_iq_grids.py). Semantics mirror dequantize_row_iq* in the reference
+# (ggml/src/ggml-quants.c:2275-2510), vectorized over blocks.
+
+_IQ_GRIDS: dict | None = None
+
+
+def _iq_grids() -> dict:
+    global _IQ_GRIDS
+    if _IQ_GRIDS is None:
+        import os
+
+        with np.load(os.path.join(os.path.dirname(__file__), "iq_grids.npz")) as z:
+            g = {k: z[k] for k in z.files}
+        _IQ_GRIDS = {
+            "iq2xxs": g["iq2xxs_grid"].view(np.uint8).reshape(-1, 8),
+            "iq2xs": g["iq2xs_grid"].view(np.uint8).reshape(-1, 8),
+            "iq2s": g["iq2s_grid"].view(np.uint8).reshape(-1, 8),
+            "iq3xxs": g["iq3xxs_grid"].view(np.uint8).reshape(-1, 4),
+            "iq3s": g["iq3s_grid"].view(np.uint8).reshape(-1, 4),
+            "iq1s": g["iq1s_grid"].view(np.int8).reshape(-1, 8),
+        }
+    return _IQ_GRIDS
+
+
+# 7-bit sign index → 8 sign bits, bit 7 = odd parity (ksigns_iq2xs)
+_KSIGNS = (np.arange(128, dtype=np.uint8)
+           | ((np.unpackbits(np.arange(128, dtype=np.uint8)[:, None], axis=1)
+               .sum(axis=1) & 1) << 7).astype(np.uint8))
+_IQ1_DELTA = 0.125  # IQ1S_DELTA / IQ1M_DELTA
+
+
+def _signs8(sign_bytes: np.ndarray) -> np.ndarray:
+    """uint8 (...,) → float32 (..., 8): bit j set ⇒ −1 else +1."""
+    bits = (sign_bytes[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return 1.0 - 2.0 * bits.astype(np.float32)
+
+
+def dequant_iq2_xxs(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 66)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(nb)
+    q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(nb, 8, 4).astype(np.uint32)
+    aux0 = q16[:, :, 0] | (q16[:, :, 1] << 16)              # 4 grid bytes
+    aux1 = q16[:, :, 2] | (q16[:, :, 3] << 16)              # signs + scale
+    db = d[:, None] * (0.5 + (aux1 >> 28)) * 0.25           # (nb, 8)
+    gidx = (aux0[..., None] >> (8 * np.arange(4, dtype=np.uint32))) & 255
+    sidx = (aux1[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+    vals = _iq_grids()["iq2xxs"][gidx].astype(np.float32)   # (nb,8,4,8)
+    sgn = _signs8(_KSIGNS[sidx])
+    return (db[..., None, None] * vals * sgn).astype(np.float32).reshape(-1)
+
+
+def dequant_iq2_xs(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 74)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(nb)
+    q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(nb, 8, 4)
+    sc = b[:, 66:74]                                        # (nb, 8)
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=-1).astype(np.float32)
+    db = d[:, None, None] * (0.5 + ls) * 0.25               # (nb,8,2)
+    vals = _iq_grids()["iq2xs"][q16 & 511].astype(np.float32)
+    sgn = _signs8(_KSIGNS[q16 >> 9])
+    dbl = db[:, :, [0, 0, 1, 1]]                            # (nb,8,4)
+    return (dbl[..., None] * vals * sgn).astype(np.float32).reshape(-1)
+
+
+def dequant_iq2_s(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 82)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(nb)
+    qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+    signs = b[:, 34:66].reshape(nb, 8, 4)
+    qh = b[:, 66:74].astype(np.uint16)
+    sc = b[:, 74:82]
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=-1).astype(np.float32)
+    db = d[:, None, None] * (0.5 + ls) * 0.25
+    shift = (8 - 2 * np.arange(4, dtype=np.uint16))
+    idx = qs | ((qh[:, :, None] << shift) & 0x300)
+    vals = _iq_grids()["iq2s"][idx].astype(np.float32)
+    sgn = _signs8(signs)
+    dbl = db[:, :, [0, 0, 1, 1]]
+    return (dbl[..., None] * vals * sgn).astype(np.float32).reshape(-1)
+
+
+def dequant_iq3_xxs(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 98)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(nb)
+    qs = b[:, 2:66].reshape(nb, 8, 4, 2)                    # 2 grid bytes per l
+    sas = np.ascontiguousarray(b[:, 66:98]).view("<u4").reshape(nb, 8).astype(np.uint32)
+    db = d[:, None] * (0.5 + (sas >> 28)) * 0.5             # (nb,8)
+    sidx = (sas[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+    vals = _iq_grids()["iq3xxs"][qs].astype(np.float32).reshape(nb, 8, 4, 8)
+    sgn = _signs8(_KSIGNS[sidx])
+    return (db[..., None, None] * vals * sgn).astype(np.float32).reshape(-1)
+
+
+def dequant_iq3_s(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 110)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(nb)
+    qs = b[:, 2:66].reshape(nb, 8, 4, 2).astype(np.uint16)
+    qh = b[:, 66:74].astype(np.uint16)
+    signs = b[:, 74:106].reshape(nb, 8, 4)
+    sc = b[:, 106:110]                                      # (nb,4) nibble pairs
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=-1).reshape(nb, 8).astype(np.float32)
+    db = d[:, None] * (1.0 + 2.0 * ls)                      # (nb,8) per ib32
+    sh1 = (8 - 2 * np.arange(4, dtype=np.uint16))
+    sh2 = (7 - 2 * np.arange(4, dtype=np.uint16))
+    idx1 = qs[:, :, :, 0] | ((qh[:, :, None] << sh1) & 256)
+    idx2 = qs[:, :, :, 1] | ((qh[:, :, None] << sh2) & 256)
+    idx = np.stack([idx1, idx2], axis=-1)                   # (nb,8,4,2)
+    vals = _iq_grids()["iq3s"][idx].astype(np.float32).reshape(nb, 8, 4, 8)
+    sgn = _signs8(signs)
+    return (db[..., None, None] * vals * sgn).astype(np.float32).reshape(-1)
+
+
+def dequant_iq1_s(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 50)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(nb)
+    qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.uint16)
+    qh = np.ascontiguousarray(b[:, 34:50]).view("<u2").reshape(nb, 8)
+    dl = d[:, None] * (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0)
+    delta = np.where(qh & 0x8000, -_IQ1_DELTA, _IQ1_DELTA).astype(np.float32)
+    idx = qs | ((((qh[:, :, None] >> (3 * np.arange(4, dtype=np.uint16))) & 7) << 8))
+    vals = _iq_grids()["iq1s"][idx].astype(np.float32)      # (nb,8,4,8)
+    y = dl[..., None, None] * (vals + delta[..., None, None])
+    return y.astype(np.float32).reshape(-1)
+
+
+def dequant_iq1_m(raw: np.ndarray) -> np.ndarray:
+    b = _blocks(raw, 56)
+    nb = b.shape[0]
+    qs = b[:, 0:32].reshape(nb, 8, 4).astype(np.uint16)
+    qh = b[:, 32:48].reshape(nb, 8, 2).astype(np.uint16)
+    sc = np.ascontiguousarray(b[:, 48:56]).view("<u2").reshape(nb, 4).astype(np.uint16)
+    d16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+           | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)).astype("<u2")
+    d = d16.view(np.dtype("<f2")).astype(np.float32)
+    ib = np.arange(8)
+    sh = 6 * (ib % 2)
+    sc_ib = sc[:, ib // 2]                                  # (nb,8)
+    dl1 = d[:, None] * (2.0 * ((sc_ib >> sh) & 7).astype(np.float32) + 1.0)
+    dl2 = d[:, None] * (2.0 * ((sc_ib >> (sh + 3)) & 7).astype(np.float32) + 1.0)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=-1)            # (nb,8,4)
+    idx = np.empty((nb, 8, 4), np.uint16)
+    idx[:, :, 0] = qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700)
+    idx[:, :, 1] = qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700)
+    idx[:, :, 2] = qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700)
+    idx[:, :, 3] = qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700)
+    hbit = np.stack([qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+                     qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80], axis=-1)
+    delta = np.where(hbit, -_IQ1_DELTA, _IQ1_DELTA).astype(np.float32)
+    vals = _iq_grids()["iq1s"][idx].astype(np.float32)
+    y = dl[..., None] * (vals + delta[..., None])
+    return y.astype(np.float32).reshape(-1)
+
+
 def dequant_tq1_0(raw: np.ndarray) -> np.ndarray:
     b = _blocks(raw, 54)
     qs = b[:, 0:48]
@@ -688,6 +851,13 @@ DEQUANTIZERS = {
     GGMLType.Q8_K: dequant_q8_k,
     GGMLType.IQ4_NL: dequant_iq4_nl,
     GGMLType.IQ4_XS: dequant_iq4_xs,
+    GGMLType.IQ2_XXS: dequant_iq2_xxs,
+    GGMLType.IQ2_XS: dequant_iq2_xs,
+    GGMLType.IQ2_S: dequant_iq2_s,
+    GGMLType.IQ3_XXS: dequant_iq3_xxs,
+    GGMLType.IQ3_S: dequant_iq3_s,
+    GGMLType.IQ1_S: dequant_iq1_s,
+    GGMLType.IQ1_M: dequant_iq1_m,
     GGMLType.TQ1_0: dequant_tq1_0,
     GGMLType.TQ2_0: dequant_tq2_0,
 }

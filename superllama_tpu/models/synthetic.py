@@ -70,6 +70,69 @@ def llama3_8b_hparams(**kw) -> HParams:
     return HParams(**d)
 
 
+def _rand_q4k_parts(key, N: int, K: int):
+    """Random Q4_K-layout QTensor parts, generated on-device (jit per shape).
+
+    Codes are uniform nibbles; scales are sized and adds chosen so the
+    dequantized weight is zero-mean with std ≈ 0.6/sqrt(K) — sane activations
+    through a deep stack. Byte layout identical to repacked real weights, so
+    benches on these tensors exercise the exact production kernels/HBM
+    traffic."""
+    import jax
+    import jax.numpy as jnp
+
+    kc, ks = jax.random.split(key)
+    codes = jax.random.bits(kc, (K // 2, N), dtype=jnp.uint8)
+    s0 = 1.0 / (7.5 * np.sqrt(K))
+    scales = jax.random.uniform(ks, (K // 32, N), jnp.float32, 0.5 * s0, 1.5 * s0)
+    return codes, scales, -7.5 * scales
+
+
+def synthetic_qparams_device(hp: HParams, seed: int = 0) -> dict:
+    """Q4_K QTensor matmul weights + bf16 embeddings/norms, all generated
+    directly on the accelerator (no host→device weight upload — essential
+    through the slow axon tunnel). Bench-only: values are random but layouts,
+    dtypes, and byte counts match a real Q4_K_M repacked load."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..gguf.constants import GGMLType
+    from ..ops.qtensor import QTensor
+
+    rq = jax.jit(_rand_q4k_parts, static_argnums=(1, 2))
+    root = jax.random.PRNGKey(seed)
+
+    def qt(name: str, N: int, K: int) -> QTensor:
+        codes, scales, adds = rq(jax.random.fold_in(root, hash(name) & 0x7FFFFFFF), N, K)
+        return QTensor(codes, scales, adds, 32, 0, True, K, N, GGMLType.Q4_K)
+
+    normal = jax.jit(
+        lambda key, sd: (jax.random.normal(key, (hp.n_vocab, hp.n_embd), jnp.float32) * sd
+                         ).astype(jnp.bfloat16))
+    E, H, Hkv, D, Dv, F = (hp.n_embd, hp.n_head, hp.n_head_kv, hp.head_dim,
+                           hp.head_dim_v, hp.n_ff)
+    ones = jnp.ones(E, jnp.bfloat16)
+    params = {
+        "token_embd": normal(jax.random.fold_in(root, 1), 0.02),
+        "output_norm": ones,
+        "output": qt("output", hp.n_vocab, E),
+        "layers": [],
+    }
+    for il in range(hp.n_layer):
+        params["layers"].append({
+            "attn_norm": ones,
+            "wq": qt(f"l{il}.wq", H * D, E),
+            "wk": qt(f"l{il}.wk", Hkv * D, E),
+            "wv": qt(f"l{il}.wv", Hkv * Dv, E),
+            "wo": qt(f"l{il}.wo", E, H * Dv),
+            "ffn_norm": ones,
+            "ffn_gate": qt(f"l{il}.ffn_gate", F, E),
+            "ffn_up": qt(f"l{il}.ffn_up", F, E),
+            "ffn_down": qt(f"l{il}.ffn_down", E, F),
+        })
+    return params
+
+
 def tiny_test_hparams(**kw) -> HParams:
     d = dict(
         arch="llama", n_vocab=256, n_ctx_train=128, n_embd=64,

@@ -26,8 +26,11 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, KVALUES_IQ4NL, KVALUES_MXFP4
 from ..gguf.quants import (
+    _IQ1_DELTA,
+    _KSIGNS,
     _e8m0_to_fp32_half,
     _f16,
+    _iq_grids,
     _q3k_unpack_scales,
     _unpack_scale_min_k4,
 )
@@ -233,6 +236,114 @@ def _extract(raw: np.ndarray, ttype: GGMLType, N: int, K: int):
                 m <<= 1
             m = m  # m continues across halves (1..128 over 8 shifts)
         return codes, scales, None, 16, 0, False
+    # --- codebook i-quants: codes = signed grid values (int8), scales carry
+    # the block scale; IQ1 additionally folds dl*delta into adds ---
+    def _sgn_i8(sign_bytes):
+        bits = (sign_bytes[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+        return (1 - 2 * bits.astype(np.int16))
+
+    nsb = N * (K // 256)
+    if ttype == t.IQ2_XXS:
+        b = raw.reshape(nsb, 66)
+        d = _f16(b[:, 0:2]).reshape(nsb)
+        q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(nsb, 8, 4).astype(np.uint32)
+        aux0 = q16[:, :, 0] | (q16[:, :, 1] << 16)
+        aux1 = q16[:, :, 2] | (q16[:, :, 3] << 16)
+        scales = (d[:, None] * (0.5 + (aux1 >> 28)) * 0.25).astype(np.float32)
+        gidx = (aux0[..., None] >> (8 * np.arange(4, dtype=np.uint32))) & 255
+        sidx = (aux1[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+        vals = _iq_grids()["iq2xxs"][gidx].astype(np.int16)
+        codes = (vals * _sgn_i8(_KSIGNS[sidx])).astype(np.int8)
+        return (codes.reshape(N, K // 256, 256), scales.reshape(N, K // 32),
+                None, 32, 0, False)
+    if ttype in (t.IQ2_XS, t.IQ2_S):
+        if ttype == t.IQ2_XS:
+            b = raw.reshape(nsb, 74)
+            d = _f16(b[:, 0:2]).reshape(nsb)
+            q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(nsb, 8, 4)
+            sc = b[:, 66:74]
+            vals = _iq_grids()["iq2xs"][q16 & 511].astype(np.int16)
+            sgn = _sgn_i8(_KSIGNS[q16 >> 9])
+        else:
+            b = raw.reshape(nsb, 82)
+            d = _f16(b[:, 0:2]).reshape(nsb)
+            qs = b[:, 2:34].reshape(nsb, 8, 4).astype(np.uint16)
+            signs = b[:, 34:66].reshape(nsb, 8, 4)
+            qh = b[:, 66:74].astype(np.uint16)
+            sc = b[:, 74:82]
+            shift = (8 - 2 * np.arange(4, dtype=np.uint16))
+            idx = qs | ((qh[:, :, None] << shift) & 0x300)
+            vals = _iq_grids()["iq2s"][idx].astype(np.int16)
+            sgn = _sgn_i8(signs)
+        ls = np.stack([sc & 0x0F, sc >> 4], axis=-1).astype(np.float32)
+        scales = (d[:, None, None] * (0.5 + ls) * 0.25).reshape(nsb, 16)
+        codes = (vals * sgn).astype(np.int8)
+        return (codes.reshape(N, K // 256, 256), scales.reshape(N, K // 16),
+                None, 16, 0, False)
+    if ttype == t.IQ3_XXS:
+        b = raw.reshape(nsb, 98)
+        d = _f16(b[:, 0:2]).reshape(nsb)
+        qs = b[:, 2:66].reshape(nsb, 8, 4, 2)
+        sas = np.ascontiguousarray(b[:, 66:98]).view("<u4").reshape(nsb, 8).astype(np.uint32)
+        scales = (d[:, None] * (0.5 + (sas >> 28)) * 0.5).astype(np.float32)
+        sidx = (sas[..., None] >> (7 * np.arange(4, dtype=np.uint32))) & 127
+        vals = _iq_grids()["iq3xxs"][qs].astype(np.int16).reshape(nsb, 8, 4, 8)
+        codes = (vals * _sgn_i8(_KSIGNS[sidx])).astype(np.int8)
+        return (codes.reshape(N, K // 256, 256), scales.reshape(N, K // 32),
+                None, 32, 0, False)
+    if ttype == t.IQ3_S:
+        b = raw.reshape(nsb, 110)
+        d = _f16(b[:, 0:2]).reshape(nsb)
+        qs = b[:, 2:66].reshape(nsb, 8, 4, 2).astype(np.uint16)
+        qh = b[:, 66:74].astype(np.uint16)
+        signs = b[:, 74:106].reshape(nsb, 8, 4)
+        sc = b[:, 106:110]
+        ls = np.stack([sc & 0x0F, sc >> 4], axis=-1).reshape(nsb, 8).astype(np.float32)
+        scales = (d[:, None] * (1.0 + 2.0 * ls)).astype(np.float32)
+        sh1 = (8 - 2 * np.arange(4, dtype=np.uint16))
+        sh2 = (7 - 2 * np.arange(4, dtype=np.uint16))
+        idx = np.stack([qs[:, :, :, 0] | ((qh[:, :, None] << sh1) & 256),
+                        qs[:, :, :, 1] | ((qh[:, :, None] << sh2) & 256)], axis=-1)
+        vals = _iq_grids()["iq3s"][idx].astype(np.int16).reshape(nsb, 8, 4, 8)
+        codes = (vals * _sgn_i8(signs)).astype(np.int8)
+        return (codes.reshape(N, K // 256, 256), scales.reshape(N, K // 32),
+                None, 32, 0, False)
+    if ttype == t.IQ1_S:
+        b = raw.reshape(nsb, 50)
+        d = _f16(b[:, 0:2]).reshape(nsb)
+        qs = b[:, 2:34].reshape(nsb, 8, 4).astype(np.uint16)
+        qh = np.ascontiguousarray(b[:, 34:50]).view("<u2").reshape(nsb, 8)
+        dl = (d[:, None] * (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0))
+        delta = np.where(qh & 0x8000, -_IQ1_DELTA, _IQ1_DELTA).astype(np.float32)
+        idx = qs | ((((qh[:, :, None] >> (3 * np.arange(4, dtype=np.uint16))) & 7) << 8))
+        codes = _iq_grids()["iq1s"][idx]                     # (nsb,8,4,8) int8
+        return (codes.reshape(N, K // 256, 256), dl.reshape(N, K // 32),
+                (dl * delta).reshape(N, K // 32), 32, 0, False)
+    if ttype == t.IQ1_M:
+        b = raw.reshape(nsb, 56)
+        qs = b[:, 0:32].reshape(nsb, 8, 4).astype(np.uint16)
+        qh = b[:, 32:48].reshape(nsb, 8, 2).astype(np.uint16)
+        sc = np.ascontiguousarray(b[:, 48:56]).view("<u2").reshape(nsb, 4).astype(np.uint16)
+        d16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+               | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)).astype("<u2")
+        d = d16.view(np.dtype("<f2")).astype(np.float32)
+        ib = np.arange(8)
+        sh = 6 * (ib % 2)
+        sc_ib = sc[:, ib // 2]
+        dl1 = d[:, None] * (2.0 * ((sc_ib >> sh) & 7).astype(np.float32) + 1.0)
+        dl2 = d[:, None] * (2.0 * ((sc_ib >> (sh + 3)) & 7).astype(np.float32) + 1.0)
+        dl = np.stack([dl1, dl1, dl2, dl2], axis=-1)         # (nsb,8,4) per 8
+        idx = np.empty((nsb, 8, 4), np.uint16)
+        idx[:, :, 0] = qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700)
+        idx[:, :, 1] = qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700)
+        idx[:, :, 2] = qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700)
+        idx[:, :, 3] = qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700)
+        hbit = np.stack([qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+                         qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80], axis=-1)
+        delta = np.where(hbit, -_IQ1_DELTA, _IQ1_DELTA).astype(np.float32)
+        codes = _iq_grids()["iq1s"][idx]                     # (nsb,8,4,8) int8
+        return (codes.reshape(N, K // 256, 256), dl.reshape(N, K // 8),
+                (dl * delta).reshape(N, K // 8), 8, 0, False)
     raise NotImplementedError(f"no repack for {ttype.name}")
 
 
@@ -261,6 +372,8 @@ REPACKABLE = {
     GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
     GGMLType.MXFP4, GGMLType.IQ4_NL, GGMLType.Q2_K, GGMLType.Q3_K,
     GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
 }
 
 

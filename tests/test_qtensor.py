@@ -25,9 +25,27 @@ def _weight(N=64, K=512, seed=0):
     return (rng.normal(0, 0.5, (N, K)) + 0.05 * np.cos(np.arange(K))).astype(np.float32)
 
 
+IQ_CODEBOOK = {GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+               GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
+               GGMLType.IQ1_M}
+
+
 def _packed(w, ttype):
     """Reference-encoded GGUF bytes when the oracle is available (exercises
-    real encoder output incl. search-based scales), else our encoder."""
+    real encoder output incl. search-based scales), else our encoder. The
+    codebook i-quants have no imatrix-free encoder, so conformance for them
+    uses random wire bytes (every byte string is a valid block; the f16 block
+    scale is kept finite)."""
+    if ttype in IQ_CODEBOOK:
+        from superllama_tpu.gguf.constants import GGML_TYPE_TRAITS
+        tr = GGML_TYPE_TRAITS[ttype]
+        nb = w.size // tr.block_size
+        rng = np.random.default_rng(int(ttype))
+        raw = rng.integers(0, 256, nb * tr.type_size, dtype=np.uint8)
+        raw.reshape(nb, -1)[:, 1] &= 0x3F
+        if ttype == GGMLType.IQ1_M:
+            raw.reshape(nb, -1)[:, 48:56] &= 0x3F
+        return raw
     if ggml_oracle.available():
         return ggml_oracle.quantize_ref(w, ttype)
     return quantize(w, ttype)

@@ -72,6 +72,47 @@ def test_decode_matches_reference(goldens, ttype):
     np.testing.assert_array_equal(mine, ref, err_msg=f"{ttype.name} decode mismatch")
 
 
+IQ_TYPES = [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+            GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M]
+IQ_GOLDENS = Path(__file__).parent / "goldens" / "iq_decode.npz"
+
+
+@pytest.fixture(scope="module")
+def iq_goldens():
+    """Codebook i-quants: random wire bytes decoded by the reference.
+
+    Their encoders need an imatrix (codebook search), so conformance is
+    decode-only: any byte string is a valid block (indices are masked to the
+    grid size), and our decode must bit-match the reference's."""
+    if IQ_GOLDENS.exists():
+        return dict(np.load(IQ_GOLDENS))
+    if not ggml_oracle.available():
+        pytest.skip("no oracle and no goldens")
+    data = {}
+    for t in IQ_TYPES:
+        rng = np.random.default_rng(int(t))
+        nbytes = 8 * GGML_TYPE_TRAITS[t].type_size      # 8 superblocks
+        packed = rng.integers(0, 256, nbytes, dtype=np.uint8)
+        # keep the block scale finite: clear the f16 exponent-top bits so a
+        # random d can't be inf/NaN (NaN payloads aren't comparable)
+        packed.reshape(8, -1)[:, 1] &= 0x3F
+        if t == GGMLType.IQ1_M:                         # scale packed in
+            packed.reshape(8, -1)[:, 48:56] &= 0x3F     # nibble tops
+        data[f"{t.name}_packed"] = packed
+        data[f"{t.name}_ref"] = ggml_oracle.dequantize_ref(packed, t, 8 * 256)
+    IQ_GOLDENS.parent.mkdir(exist_ok=True)
+    np.savez_compressed(IQ_GOLDENS, **data)
+    return data
+
+
+@pytest.mark.parametrize("ttype", IQ_TYPES, ids=lambda t: t.name)
+def test_iq_decode_matches_reference(iq_goldens, ttype):
+    packed = iq_goldens[f"{ttype.name}_packed"]
+    ref = iq_goldens[f"{ttype.name}_ref"]
+    mine = dequantize(packed, ttype)
+    np.testing.assert_array_equal(mine, ref, err_msg=f"{ttype.name} decode mismatch")
+
+
 @pytest.mark.parametrize("ttype", ENC_TYPES, ids=lambda t: t.name)
 def test_encode_layout_valid(ttype):
     """Bytes we encode must decode identically under the reference decoder."""
