@@ -85,6 +85,15 @@ class HParams:
     f_norm_group_eps: float = 1e-6
     # hybrid (jamba-family): per-layer attention head counts; 0 = SSM layer
     n_head_kv_arr: list[int] | None = None
+    # classic GPT family (gpt2/gptneox/falcon/phi2/starcoder/bloom/mpt)
+    norm_type: str = "rms"            # "rms" | "ln" (LayerNorm, opt. biases)
+    parallel_residual: bool = False   # x + attn(h) + ffn(h2) in one add
+    alibi: bool = False               # ALiBi position bias (bloom/mpt)
+    max_alibi_bias: float = 8.0       # ggml soft_max_ext max_bias
+    logit_scale: float = 1.0          # multiplier on final logits (command-r;
+                                      # granite stores the divisor — inverted
+                                      # at load)
+    f_residual_scale: float = 1.0     # granite residual_multiplier
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
@@ -133,7 +142,9 @@ ROPE_TYPE_BY_ARCH = {
     "gemma2": 2, "gemma3": 2, "stablelm": 2, "gptneox": 2, "olmo": 0,
     "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
     "exaone": 0, "nemotron": 2, "cohere2": 2, "glm4": 2, "deepseek2": 2,
-    "gpt-oss": 2, "gptoss": 2,
+    "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
+    "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
+    "refact": -1,
 }
 
 # iSWA layer pattern per arch: every Nth layer is full attention
@@ -141,9 +152,30 @@ ROPE_TYPE_BY_ARCH = {
 SWA_PATTERN_BY_ARCH = {"gemma2": 2, "gemma3": 6, "gpt-oss": 2, "gptoss": 2,
                        "cohere2": 4}
 
-# FFN activation per arch (llm_build_* act choices in src/models/)
+# FFN activation per arch (llm_build_* act choices in src/models/).
+# HF "gelu" is erf-based for neox/falcon/mpt; gpt2/phi2/starcoder use the
+# tanh approximation ("gelu_new"/"gelu_pytorch_tanh").
 ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh",
-               "gpt-oss": "swiglu_oai", "gptoss": "swiglu_oai"}
+               "gpt-oss": "swiglu_oai", "gptoss": "swiglu_oai",
+               "gpt2": "gelu_tanh", "starcoder": "gelu_tanh",
+               "starcoder2": "gelu_tanh", "phi2": "gelu_tanh",
+               "bloom": "gelu_tanh", "gptneox": "gelu_erf",
+               "falcon": "gelu_erf", "mpt": "gelu_erf",
+               "refact": "gelu_tanh"}
+
+# archs built on LayerNorm (weight + optional bias) rather than RMSNorm
+LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
+            "stablelm", "bloom", "mpt", "command-r", "cohere2", "dbrx",
+            "olmo", "refact", "jais"}
+
+# parallel-residual archs (default; gptneox models can override via the
+# use_parallel_residual KV). Whether the FFN shares the attn norm output is
+# tensor-driven (ffn_norm present or not).
+PARALLEL_RES_BY_ARCH = {"gptneox": True, "falcon": True, "phi2": True,
+                        "command-r": True, "cohere2": True}
+
+# archs with no rotary embedding (learned/alibi positions instead)
+NO_ROPE_ARCHS = {"gpt2", "starcoder", "bloom", "mpt", "jais", "refact"}
 
 
 def _k(md: dict, arch: str, suffix: str, default=None):
@@ -217,6 +249,18 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         token_shift_count=int(_k(md, arch, "token_shift_count", 2)),
         n_head_kv_arr=n_head_kv_arr,
     )
+    hp.norm_type = "ln" if arch in LN_ARCHS else "rms"
+    if arch in ("bloom", "mpt"):
+        hp.alibi = True
+        hp.max_alibi_bias = float(_k(md, arch, "attention.max_alibi_bias", 8.0))
+    par_def = PARALLEL_RES_BY_ARCH.get(arch, False)
+    hp.parallel_residual = bool(_k(md, arch, "use_parallel_residual", par_def))
+    ls = _k(md, arch, "logit_scale")
+    if ls:
+        hp.logit_scale = 1.0 / float(ls) if arch.startswith("granite") else float(ls)
+    hp.f_residual_scale = float(_k(md, arch, "residual_scale", 1.0))
+    if _k(md, arch, "embedding_scale") is not None:
+        hp.f_embedding_scale = float(_k(md, arch, "embedding_scale"))
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5
     if arch in ("t5", "t5encoder"):

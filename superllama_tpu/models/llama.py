@@ -51,6 +51,18 @@ def _im(imx: dict | None, key: str, x: jax.Array) -> None:
     imx[key + ".__count"] = imx.get(key + ".__count", 0) + xf.shape[0]
 
 
+def _norm(x: jax.Array, obj: dict, key: str, hp: HParams) -> jax.Array:
+    """Norm dispatch (build_norm counterpart): RMSNorm or LayerNorm(+bias)
+    per hp.norm_type. A missing weight means no norm for RMS archs
+    (olmo2-style post-norm blocks) or a non-parametric LayerNorm (olmo)."""
+    w = obj.get(key)
+    if hp.norm_type == "ln":
+        return ops.layer_norm(x, w, obj.get(key + "_b"), hp.norm_eps)
+    if w is None:
+        return x
+    return ops.rms_norm(x, w, hp.rms_eps)
+
+
 def _glu(gate: jax.Array, up: jax.Array, hp: HParams) -> jax.Array:
     if hp.act == "swiglu_oai":
         return ops.swiglu_oai(gate, up, hp.swiglu_alpha, hp.swiglu_limit)
@@ -81,8 +93,10 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     """Mixture-of-experts FFN (semantics of build_moe_ffn, llama-graph.h:738).
 
     Correctness-first dense formulation: every expert computes, selection
-    weights zero out unused experts. The expert-parallel sparse path lives in
-    parallel/expert.py. Router softmax-over-top-k (renormalize) vs raw
+    weights zero out unused experts; expert parallelism comes from sharding
+    the expert axis over the mesh (parallel/mesh.py ep rules — GSPMD turns
+    the dense einsums into per-device expert slabs + collectives). Router
+    softmax-over-top-k (renormalize) vs raw
     softmax weights follows hp.expert_weights_norm; gpt-oss's
     softmax(top-k(logits)) is algebraically the renormalized form.
     """
@@ -154,6 +168,8 @@ def llama_forward(
     B, T = tokens.shape
     if flash is None:
         flash = jax.default_backend() == "tpu" and T >= 32
+    if hp.alibi:
+        flash = False  # alibi rides the additive mask (reference attn path)
     H, Hkv, D, Dv = hp.n_head, hp.n_head_kv, hp.head_dim, hp.head_dim_v
 
     if hp.rope_scaling == ROPE_SCALING_YARN and hp.rope_orig_ctx > 0:
@@ -172,13 +188,21 @@ def llama_forward(
         inv_freq_swa, mscale_swa = inv_freq, mscale
     kq_scale = hp.f_attn_scale if hp.f_attn_scale > 0.0 else 1.0 / (D ** 0.5)
 
+    safe_pos = jnp.maximum(pos, 0)
     if embeds is not None:
         x = embeds.astype(params["token_embd"].dtype) * hp.f_embedding_scale
     else:
         x = params["token_embd"][tokens] * hp.f_embedding_scale
+    if params.get("position_embd") is not None:  # learned positions (gpt2)
+        x = x + params["position_embd"][safe_pos]
+    if params.get("token_embd_norm") is not None:  # bloom embedding LN
+        x = ops.layer_norm(x, params["token_embd_norm"],
+                           params.get("token_embd_norm_b"), hp.norm_eps)
     iswa = isinstance(cache, ISWACache)
     paged = not iswa and not isinstance(cache, KVCache)  # PagedKVCache
     if paged:
+        if hp.alibi:
+            raise NotImplementedError("alibi models need the regular KV cache")
         from ..ops.paged_attention import paged_flash_attention
         from ..runtime.paged_kv import paged_advance, paged_update_layer
         cache, pslots, poffs = paged_advance(cache, pos)
@@ -200,11 +224,22 @@ def llama_forward(
         if not flash:  # flash masks positionally in-kernel; no HBM mask needed
             mask_full = causal_mask(cache.pos, pos)
             mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
-    safe_pos = jnp.maximum(pos, 0)
+        if hp.alibi:
+            # ALiBi as a per-head additive bias slope·k_pos (shift-invariant
+            # equivalent of −slope·(q_pos − k_pos)); ggml slope schedule
+            n2 = 1 << (H.bit_length() - 1)
+            m0 = 2.0 ** (-hp.max_alibi_bias / n2)
+            m1 = 2.0 ** (-hp.max_alibi_bias / (2 * n2))
+            slopes = jnp.asarray(
+                [m0 ** (i + 1) if i < n2 else m1 ** (2 * (i - n2) + 1)
+                 for i in range(H)], jnp.float32)
+            kp = jnp.maximum(cache.pos, 0).astype(jnp.float32)
+            mask_full = mask_full + slopes[None, :, None, None] * kp[:, None, None, :]
+            mask_swa = mask_full
 
     for il, layer in enumerate(params["layers"]):
         pfx = f"blk.{il}."
-        h = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        h = _norm(x, layer, "attn_norm", hp)
 
         _im(imatrix, pfx + "attn_q.weight", h)
         q = mm(h, layer["wq"])
@@ -216,17 +251,25 @@ def llama_forward(
             k = k + layer["bk"]
         if "bv" in layer:
             v = v + layer["bv"]
+        if "attn_q_norm" in layer and layer["attn_q_norm"].shape[-1] == H * D:
+            # olmo2-style full-width q/k norms (applied before head split)
+            q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
+            k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
+            per_head_qk_norm = False
+        else:
+            per_head_qk_norm = "attn_q_norm" in layer
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, Dv)
-        if "attn_q_norm" in layer:  # qwen3-style per-head norms
+        if per_head_qk_norm:  # qwen3-style per-head norms
             q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
             k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
 
         swa = hp.swa_window if hp.is_swa_layer(il) else 0
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
-        q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
-        k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
+        if hp.rope_type >= 0 and hp.n_rot > 0:
+            q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
+            k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
 
         sinks = layer.get("attn_sinks")
         if paged:
@@ -269,18 +312,27 @@ def llama_forward(
         if "bo" in layer:
             attn = attn + layer["bo"]
         if "attn_post_norm" in layer:
-            attn = ops.rms_norm(attn, layer["attn_post_norm"], hp.rms_eps)
-        x = x + attn
+            attn = _norm(attn, layer, "attn_post_norm", hp)
 
-        h = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
-        if "ffn_gate_exps" in layer:
-            _im(imatrix, pfx + "ffn_up_exps.weight", h)
-            ffn = moe_ffn(h, layer, hp)
+        # parallel residual (gptneox/falcon/phi2/command-r): FFN reads its own
+        # norm of x when the model ships one (gptneox, falcon-40b ln_mlp),
+        # else the shared attn-norm output; one residual add
+        if hp.parallel_residual:
+            h2 = _norm(x, layer, "ffn_norm", hp) if "ffn_norm" in layer else h
         else:
-            ffn = dense_ffn(h, layer, hp, imatrix, pfx)
+            x = x + attn * hp.f_residual_scale
+            h2 = _norm(x, layer, "ffn_norm", hp)
+        if "ffn_gate_exps" in layer:
+            _im(imatrix, pfx + "ffn_up_exps.weight", h2)
+            ffn = moe_ffn(h2, layer, hp)
+        else:
+            ffn = dense_ffn(h2, layer, hp, imatrix, pfx)
         if "ffn_post_norm" in layer:
-            ffn = ops.rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
-        x = x + ffn
+            ffn = _norm(ffn, layer, "ffn_post_norm", hp)
+        if hp.parallel_residual:
+            x = x + attn + ffn
+        else:
+            x = x + ffn * hp.f_residual_scale
         # control vector (llama_adapter_cvec::apply_to — per-layer steer add)
         cv = params.get("cvec")
         if cv is not None:
@@ -288,9 +340,13 @@ def llama_forward(
         if hidden_sink is not None:  # cvector-generator per-layer taps
             hidden_sink.append(x)
 
-    x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
+    x = _norm(x, params, "output_norm", hp)
     w_out = params.get("output")
     logits = mm(x, w_out) if w_out is not None else x @ params["token_embd"].T
+    if params.get("output_b") is not None:  # phi2 lm head bias
+        logits = logits + params["output_b"]
+    if hp.logit_scale != 1.0:
+        logits = logits * hp.logit_scale
     if hp.final_logit_softcap > 0.0:
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap

@@ -211,6 +211,7 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
         "output_norm": g("output_norm.weight", t=False),
         "output_norm_b": g("output_norm.bias", t=False),
         "output": g("output.weight"),                     # None → tied embeddings
+        "output_b": g("output.bias", t=False),            # phi2 lm-head bias
         # encoder (bert-family) extras
         "token_embd_norm": g("token_embd_norm.weight", t=False),
         "token_embd_norm_b": g("token_embd_norm.bias", t=False),

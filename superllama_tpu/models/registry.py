@@ -38,9 +38,13 @@ def supported_archs() -> list[str]:
 for _arch in (
     "llama", "llama2", "mistral", "mixtral", "tinyllama",
     "qwen2", "qwen2moe", "qwen3", "qwen3moe",
-    "stablelm", "olmo", "exaone", "granite", "internlm2", "smollm3",
+    "stablelm", "olmo", "olmo2", "exaone", "granite", "internlm2", "smollm3",
     # optional-tensor + hparams variants of the same shared forward
     "gemma", "gemma2", "gemma3", "gpt-oss", "gptoss", "phi3",
+    # classic GPT family: LayerNorm / parallel residual / learned positions
+    "gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
+    "command-r", "cohere2", "dbrx", "nemotron", "minicpm", "refact", "jais",
+    "bloom", "mpt",
 ):
     register(_arch, llama_forward)
 

@@ -28,11 +28,15 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
     return (out * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None, eps: float = 1e-5) -> jax.Array:
+def layer_norm(x: jax.Array, weight: jax.Array | None, bias: jax.Array | None,
+               eps: float = 1e-5) -> jax.Array:
+    """LayerNorm; weight=None → non-parametric (olmo-style)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
-    out = (xf - mu) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)

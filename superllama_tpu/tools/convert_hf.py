@@ -42,6 +42,18 @@ _ARCH_MAP = {
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
     "MambaForCausalLM": "mamba",
+    "GPT2LMHeadModel": "gpt2",
+    "GPTNeoXForCausalLM": "gptneox",
+    "FalconForCausalLM": "falcon",
+    "Starcoder2ForCausalLM": "starcoder2",
+    "PhiForCausalLM": "phi2",
+    "CohereForCausalLM": "command-r",
+    "Cohere2ForCausalLM": "cohere2",
+    "Olmo2ForCausalLM": "olmo2",
+    "OlmoForCausalLM": "olmo",
+    "StableLmForCausalLM": "stablelm",
+    "BloomForCausalLM": "bloom",
+    "MptForCausalLM": "mpt",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm)
@@ -104,6 +116,160 @@ def _convert_mamba(w, put, get, config):
         put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
 
 
+def _convert_gpt2(w, put, get, config):
+    """GPT-2 mapping: Conv1D weights are (in, out) → transpose; fused c_attn
+    splits straight into q|k|v; learned positions (wpe)."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("position_embd.weight", get("transformer.wpe.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output_norm.bias", get("transformer.ln_f.bias"))
+    E = config.hidden_size
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "ln_1.bias"))
+        ca = get(hf + "attn.c_attn.weight").T
+        cb = get(hf + "attn.c_attn.bias")
+        for i, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(gg + nm + ".weight", ca[i * E:(i + 1) * E])
+            put(gg + nm + ".bias", cb[i * E:(i + 1) * E])
+        put(gg + "attn_output.weight", get(hf + "attn.c_proj.weight").T)
+        put(gg + "attn_output.bias", get(hf + "attn.c_proj.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "ln_2.bias"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.c_fc.weight").T)
+        put(gg + "ffn_up.bias", get(hf + "mlp.c_fc.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight").T)
+        put(gg + "ffn_down.bias", get(hf + "mlp.c_proj.bias"))
+
+
+def _convert_gptneox(w, put, get, config):
+    """GPT-NeoX/pythia mapping: per-head-interleaved fused QKV."""
+    put("token_embd.weight", get("gpt_neox.embed_in.weight"))
+    put("output.weight", get("embed_out.weight"))
+    put("output_norm.weight", get("gpt_neox.final_layer_norm.weight"))
+    put("output_norm.bias", get("gpt_neox.final_layer_norm.bias"))
+    H = config.num_attention_heads
+    E = config.hidden_size
+    D = E // H
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"gpt_neox.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "post_attention_layernorm.bias"))
+        qkv = get(hf + "attention.query_key_value.weight").reshape(H, 3, D, E)
+        qkvb = get(hf + "attention.query_key_value.bias").reshape(H, 3, D)
+        for i, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(gg + nm + ".weight", qkv[:, i].reshape(H * D, E))
+            put(gg + nm + ".bias", qkvb[:, i].reshape(H * D))
+        put(gg + "attn_output.weight", get(hf + "attention.dense.weight"))
+        put(gg + "attn_output.bias", get(hf + "attention.dense.bias"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.dense_h_to_4h.weight"))
+        put(gg + "ffn_up.bias", get(hf + "mlp.dense_h_to_4h.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.dense_4h_to_h.weight"))
+        put(gg + "ffn_down.bias", get(hf + "mlp.dense_4h_to_h.bias"))
+
+
+def _convert_falcon(w, put, get, config):
+    """Falcon mapping: three fused-QKV layouts (grouped new-arch, MQA,
+    per-head interleaved) and one or two parallel-attn norms."""
+    put("token_embd.weight", get("transformer.word_embeddings.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output_norm.bias", get("transformer.ln_f.bias"))
+    if not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", get("lm_head.weight"))
+    H = config.num_attention_heads
+    E = config.hidden_size
+    D = E // H
+    new = getattr(config, "new_decoder_architecture", False)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        if get(hf + "ln_attn.weight") is not None:      # 40b: dual norms
+            put(gg + "attn_norm.weight", get(hf + "ln_attn.weight"))
+            put(gg + "attn_norm.bias", get(hf + "ln_attn.bias"))
+            put(gg + "ffn_norm.weight", get(hf + "ln_mlp.weight"))
+            put(gg + "ffn_norm.bias", get(hf + "ln_mlp.bias"))
+        else:
+            put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+            put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
+            put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+            put(gg + "ffn_norm.bias", get(hf + "post_attention_layernorm.bias"))
+        qkv = get(hf + "self_attention.query_key_value.weight")
+        if new:
+            n_kv = config.num_kv_heads
+            qpg = H // n_kv
+            g4 = qkv.reshape(n_kv, qpg + 2, D, E)
+            put(gg + "attn_q.weight", g4[:, :qpg].reshape(H * D, E))
+            put(gg + "attn_k.weight", g4[:, qpg].reshape(n_kv * D, E))
+            put(gg + "attn_v.weight", g4[:, qpg + 1].reshape(n_kv * D, E))
+        elif getattr(config, "multi_query", True):
+            put(gg + "attn_q.weight", qkv[:E])
+            put(gg + "attn_k.weight", qkv[E:E + D])
+            put(gg + "attn_v.weight", qkv[E + D:])
+        else:
+            g4 = qkv.reshape(H, 3, D, E)
+            put(gg + "attn_q.weight", g4[:, 0].reshape(H * D, E))
+            put(gg + "attn_k.weight", g4[:, 1].reshape(H * D, E))
+            put(gg + "attn_v.weight", g4[:, 2].reshape(H * D, E))
+        put(gg + "attn_output.weight", get(hf + "self_attention.dense.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.dense_h_to_4h.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.dense_4h_to_h.weight"))
+
+
+def _convert_bloom(w, put, get, config):
+    """BLOOM mapping: embedding LayerNorm, per-head-interleaved fused QKV,
+    ALiBi positions (no rope)."""
+    put("token_embd.weight", get("transformer.word_embeddings.weight"))
+    put("token_embd_norm.weight", get("transformer.word_embeddings_layernorm.weight"))
+    put("token_embd_norm.bias", get("transformer.word_embeddings_layernorm.bias"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output_norm.bias", get("transformer.ln_f.bias"))
+    H = config.num_attention_heads
+    E = config.hidden_size
+    D = E // H
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "post_attention_layernorm.bias"))
+        qkv = get(hf + "self_attention.query_key_value.weight").reshape(H, 3, D, E)
+        qkvb = get(hf + "self_attention.query_key_value.bias").reshape(H, 3, D)
+        for i, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            put(gg + nm + ".weight", qkv[:, i].reshape(H * D, E))
+            put(gg + nm + ".bias", qkvb[:, i].reshape(H * D))
+        put(gg + "attn_output.weight", get(hf + "self_attention.dense.weight"))
+        put(gg + "attn_output.bias", get(hf + "self_attention.dense.bias"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.dense_h_to_4h.weight"))
+        put(gg + "ffn_up.bias", get(hf + "mlp.dense_h_to_4h.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.dense_4h_to_h.weight"))
+        put(gg + "ffn_down.bias", get(hf + "mlp.dense_4h_to_h.bias"))
+
+
+def _convert_mpt(w, put, get, config):
+    """MPT mapping: straight-split fused Wqkv, ALiBi, biasless LayerNorms."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("output_norm.weight", get("transformer.norm_f.weight"))
+    put("output_norm.bias", get("transformer.norm_f.bias"))
+    E = config.hidden_size
+    n_kv = getattr(config, "num_key_value_heads", None) or config.num_attention_heads
+    kvd = E // config.num_attention_heads * n_kv
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.blocks.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "norm_1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "norm_1.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "norm_2.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "norm_2.bias"))
+        qkv = get(hf + "attn.Wqkv.weight")               # [q; k; v] straight
+        put(gg + "attn_q.weight", qkv[:E])
+        put(gg + "attn_k.weight", qkv[E:E + kvd])
+        put(gg + "attn_v.weight", qkv[E + kvd:])
+        put(gg + "attn_output.weight", get(hf + "attn.out_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "ffn.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "ffn.down_proj.weight"))
+
+
 def _convert_bert(w, put, get, config):
     """BERT encoder mapping (convert_hf_to_gguf BertModel counterpart)."""
     pre = "bert." if get("bert.embeddings.word_embeddings.weight") is not None else ""
@@ -151,19 +317,24 @@ def convert_state_dict(
     arch = arch or (_ARCH_MAP.get(archs[0]) if archs else None) or "llama"
 
     n_head = getattr(config, "num_attention_heads", 0)
-    n_kv = getattr(config, "num_key_value_heads", n_head)
+    n_kv = getattr(config, "num_key_value_heads", None) or n_head
     n_embd = config.hidden_size
     head_dim = getattr(config, "head_dim", None) or (n_embd // n_head if n_head else 0)
     if arch == "deepseek2":  # MLA: k head = nope + rope dims, v head separate
         head_dim = int(config.qk_nope_head_dim) + int(config.qk_rope_head_dim)
         n_kv = n_head
+    if arch == "falcon":
+        n_kv = (config.num_kv_heads if getattr(config, "new_decoder_architecture", False)
+                else (1 if getattr(config, "multi_query", True) else n_head))
 
     w = GGUFWriter(out_path, arch=arch)
     w.add("general.name", getattr(config, "name_or_path", "") or "converted")
     w.add(f"{arch}.context_length", int(getattr(config, "max_position_embeddings", 2048)))
     w.add(f"{arch}.embedding_length", int(n_embd))
     w.add(f"{arch}.block_count", int(config.num_hidden_layers))
-    w.add(f"{arch}.feed_forward_length", int(config.intermediate_size))
+    n_ff = (getattr(config, "intermediate_size", None)
+            or getattr(config, "n_inner", None) or 4 * n_embd)
+    w.add(f"{arch}.feed_forward_length", int(n_ff))
     w.add(f"{arch}.attention.head_count", int(n_head))
     w.add(f"{arch}.attention.head_count_kv", int(n_kv))
     if arch == "deepseek2":
@@ -179,8 +350,23 @@ def convert_state_dict(
     else:
         w.add(f"{arch}.attention.key_length", int(head_dim))
         w.add(f"{arch}.attention.value_length", int(head_dim))
-        w.add(f"{arch}.rope.dimension_count", int(head_dim))
+        rot_pct = (getattr(config, "partial_rotary_factor", None)
+                   or getattr(config, "rotary_pct", None) or 1.0)
+        w.add(f"{arch}.rope.dimension_count", int(head_dim * rot_pct))
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(getattr(config, "rms_norm_eps", 1e-5)))
+    ln_eps = (getattr(config, "layer_norm_eps", None)
+              or getattr(config, "layer_norm_epsilon", None)
+              or getattr(config, "layernorm_epsilon", None))
+    if ln_eps:
+        w.add(f"{arch}.attention.layer_norm_epsilon", float(ln_eps))
+    if arch == "gptneox":
+        w.add(f"{arch}.use_parallel_residual",
+              bool(getattr(config, "use_parallel_residual", True)))
+    if arch == "falcon":
+        w.add(f"{arch}.use_parallel_residual",
+              bool(getattr(config, "parallel_attn", True)))
+    if getattr(config, "logit_scale", None):
+        w.add(f"{arch}.logit_scale", float(config.logit_scale))
     w.add(f"{arch}.rope.freq_base", float(getattr(config, "rope_theta", 10000.0)))
     w.add(f"{arch}.vocab_size", int(config.vocab_size))
     n_expert = int(getattr(config, "num_local_experts", 0)
@@ -250,12 +436,42 @@ def convert_state_dict(
         _convert_mamba(w, put, get, config)
         w.write()
         return
+    if arch == "gpt2":
+        _convert_gpt2(w, put, get, config)
+        w.write()
+        return
+    if arch == "gptneox":
+        _convert_gptneox(w, put, get, config)
+        w.write()
+        return
+    if arch == "falcon":
+        _convert_falcon(w, put, get, config)
+        w.write()
+        return
+    if arch == "bloom":
+        _convert_bloom(w, put, get, config)
+        w.write()
+        return
+    if arch == "mpt":
+        ac = getattr(config, "attn_config", None)
+        w.add(f"{arch}.attention.max_alibi_bias",
+              float(getattr(ac, "alibi_bias_max", 8.0) if ac is not None else 8.0))
+        _convert_mpt(w, put, get, config)
+        w.write()
+        return
 
     put("token_embd.weight", get("model.embed_tokens.weight"))
-    put("output_norm.weight", get_norm("model.norm.weight"))
+    fln = get("model.final_layernorm.weight")          # phi2-style final LN
+    if fln is not None:
+        put("output_norm.weight", fln)
+        put("output_norm.bias", get("model.final_layernorm.bias"))
+    else:
+        put("output_norm.weight", get_norm("model.norm.weight"))
+        put("output_norm.bias", get("model.norm.bias"))
     lm_head = get("lm_head.weight")
     if lm_head is not None and not getattr(config, "tie_word_embeddings", False):
         put("output.weight", lm_head)
+        put("output.bias", get("lm_head.bias"))
 
     for il in range(config.num_hidden_layers):
         hf = f"model.layers.{il}."
@@ -277,7 +493,11 @@ def convert_state_dict(
             k = permute_qk(k, n_kv)
         put(gg + "attn_q.weight", q)
         put(gg + "attn_k.weight", k)
-        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        o_proj = get(hf + "self_attn.o_proj.weight")
+        if o_proj is None:                               # phi2 names it dense
+            o_proj = get(hf + "self_attn.dense.weight")
+            put(gg + "attn_output.bias", get(hf + "self_attn.dense.bias"))
+        put(gg + "attn_output.weight", o_proj)
         for bias_hf, bias_gg in (
             ("self_attn.q_proj.bias", "attn_q.bias"),
             ("self_attn.k_proj.bias", "attn_k.bias"),
@@ -288,14 +508,20 @@ def convert_state_dict(
         put(gg + "attn_q_norm.weight", get_norm(hf + "self_attn.q_norm.weight"))
         put(gg + "attn_k_norm.weight", get_norm(hf + "self_attn.k_norm.weight"))
         put(gg + "attn_norm.weight", get_norm(hf + "input_layernorm.weight"))
+        put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
         put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
-        # norm wiring differs: gemma has pre+post norms around both blocks
-        if get(hf + "pre_feedforward_layernorm.weight") is not None:  # gemma
+        # norm wiring differs: gemma has pre+post norms around both blocks;
+        # olmo2 has post-norms only (no input norms)
+        if arch == "olmo2":
+            put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
+        elif get(hf + "pre_feedforward_layernorm.weight") is not None:  # gemma
             put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
             put(gg + "ffn_norm.weight", get_norm(hf + "pre_feedforward_layernorm.weight"))
             put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
         else:
             put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "ffn_norm.bias", get(hf + "post_attention_layernorm.bias"))
 
         if get(hf + "block_sparse_moe.gate.weight") is not None:  # mixtral
             put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
@@ -324,6 +550,16 @@ def convert_state_dict(
             put(gg + "ffn_gate.weight", gu[:F])
             put(gg + "ffn_up.weight", gu[F:])
             put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+        elif get(hf + "mlp.fc1.weight") is not None:    # phi2 dense mlp
+            put(gg + "ffn_up.weight", get(hf + "mlp.fc1.weight"))
+            put(gg + "ffn_up.bias", get(hf + "mlp.fc1.bias"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.fc2.weight"))
+            put(gg + "ffn_down.bias", get(hf + "mlp.fc2.bias"))
+        elif get(hf + "mlp.c_fc.weight") is not None:   # starcoder2
+            put(gg + "ffn_up.weight", get(hf + "mlp.c_fc.weight"))
+            put(gg + "ffn_up.bias", get(hf + "mlp.c_fc.bias"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight"))
+            put(gg + "ffn_down.bias", get(hf + "mlp.c_proj.bias"))
         else:
             put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
             put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))

@@ -1,0 +1,207 @@
+"""Forward-pass parity vs HF transformers for the classic GPT family:
+LayerNorm (+biases), learned positions, fused QKV layouts, parallel
+residual, partial rotary. Counterparts of src/models/{gpt2,gptneox,falcon,
+starcoder2,phi2,command-r,olmo2,stablelm}.cpp validated against upstream."""
+
+import numpy as np
+import pytest
+import torch
+
+from test_arch_family import _convert_and_load, _parity
+
+torch.manual_seed(7)
+
+
+def test_gpt2_parity(tmp_path):
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    cfg = GPT2Config(
+        vocab_size=256, n_embd=64, n_layer=3, n_head=4, n_positions=128,
+        attn_implementation="eager", architectures=["GPT2LMHeadModel"],
+    )
+    hf = GPT2LMHeadModel(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "gpt2.gguf")
+    hp = model.hparams
+    assert hp.norm_type == "ln" and hp.rope_type == -1
+    assert model.params.get("position_embd") is not None
+    _parity(hf, model)
+
+
+def test_gptneox_parity(tmp_path):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    cfg = GPTNeoXConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, rotary_pct=0.5,
+        max_position_embeddings=128, use_parallel_residual=True,
+        attn_implementation="eager", architectures=["GPTNeoXForCausalLM"],
+    )
+    hf = GPTNeoXForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "neox.gguf")
+    hp = model.hparams
+    assert hp.parallel_residual and hp.norm_type == "ln" and hp.n_rot == 8
+    _parity(hf, model)
+
+
+def test_gptneox_sequential_residual(tmp_path):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+
+    cfg = GPTNeoXConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=1.0,
+        max_position_embeddings=64, use_parallel_residual=False,
+        attn_implementation="eager", architectures=["GPTNeoXForCausalLM"],
+    )
+    hf = GPTNeoXForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "neox2.gguf")
+    assert not model.hparams.parallel_residual
+    _parity(hf, model, n_tokens=12)
+
+
+def test_falcon_mqa_parity(tmp_path):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    cfg = FalconConfig(
+        vocab_size=256, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, multi_query=True, parallel_attn=True,
+        new_decoder_architecture=False, bias=False, alibi=False,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["FalconForCausalLM"],
+    )
+    hf = FalconForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "falcon.gguf")
+    hp = model.hparams
+    assert hp.n_head_kv == 1 and hp.parallel_residual
+    assert "ffn_norm" not in model.params["layers"][0]   # shared norm
+    _parity(hf, model)
+
+
+def test_falcon_new_arch_parity(tmp_path):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    cfg = FalconConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, multi_query=False,
+        parallel_attn=True, new_decoder_architecture=True, bias=False,
+        alibi=False, max_position_embeddings=64,
+        attn_implementation="eager", architectures=["FalconForCausalLM"],
+    )
+    hf = FalconForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "falcon40.gguf")
+    assert model.hparams.n_head_kv == 2
+    assert "ffn_norm" in model.params["layers"][0]       # ln_attn + ln_mlp
+    _parity(hf, model, n_tokens=12)
+
+
+def test_starcoder2_parity(tmp_path):
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    cfg = Starcoder2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        use_bias=True, max_position_embeddings=128, sliding_window=None,
+        attn_implementation="eager", architectures=["Starcoder2ForCausalLM"],
+        tie_word_embeddings=True,
+    )
+    hf = Starcoder2ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "sc2.gguf")
+    assert model.hparams.norm_type == "ln"
+    assert "bq" in model.params["layers"][0]
+    _parity(hf, model)
+
+
+def test_phi2_parity(tmp_path):
+    from transformers import PhiConfig, PhiForCausalLM
+
+    cfg = PhiConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["PhiForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = PhiForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "phi2.gguf")
+    hp = model.hparams
+    assert hp.parallel_residual and hp.n_rot == 8
+    assert model.params.get("output_b") is not None      # lm-head bias
+    _parity(hf, model)
+
+
+def test_cohere_parity(tmp_path):
+    from transformers import CohereConfig, CohereForCausalLM
+
+    cfg = CohereConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        logit_scale=0.25, use_qk_norm=False, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["CohereForCausalLM"],
+        tie_word_embeddings=True,
+    )
+    hf = CohereForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "cohere.gguf")
+    hp = model.hparams
+    assert hp.logit_scale == 0.25 and hp.parallel_residual
+    _parity(hf, model)
+
+
+def test_olmo2_parity(tmp_path):
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    cfg = Olmo2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["Olmo2ForCausalLM"], tie_word_embeddings=False,
+    )
+    hf = Olmo2ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "olmo2.gguf")
+    layer0 = model.params["layers"][0]
+    assert "attn_norm" not in layer0 and "attn_post_norm" in layer0
+    _parity(hf, model)
+
+
+def test_bloom_parity(tmp_path):
+    from transformers import BloomConfig, BloomForCausalLM
+
+    cfg = BloomConfig(
+        vocab_size=256, hidden_size=64, n_layer=3, n_head=4,
+        attn_implementation="eager", architectures=["BloomForCausalLM"],
+    )
+    hf = BloomForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "bloom.gguf")
+    hp = model.hparams
+    assert hp.alibi and hp.norm_type == "ln" and hp.rope_type == -1
+    assert model.params.get("token_embd_norm") is not None
+    _parity(hf, model)
+
+
+def test_mpt_parity(tmp_path):
+    from transformers import MptConfig, MptForCausalLM
+
+    cfg = MptConfig(
+        vocab_size=256, d_model=64, n_layers=3, n_heads=4,
+        attn_implementation="eager", architectures=["MptForCausalLM"],
+    )
+    hf = MptForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "mpt.gguf")
+    hp = model.hparams
+    assert hp.alibi and hp.max_alibi_bias == 8.0
+    _parity(hf, model)
+
+
+def test_stablelm_parity(tmp_path):
+    from transformers import StableLmConfig, StableLmForCausalLM
+
+    cfg = StableLmConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.25, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["StableLmForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = StableLmForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "stablelm.gguf")
+    hp = model.hparams
+    assert hp.norm_type == "ln" and hp.n_rot == 4
+    _parity(hf, model)
