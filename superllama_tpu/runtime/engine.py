@@ -141,10 +141,21 @@ class Engine:
         # --- speculative decoding (draft model shadow cache) ---
         self.draft_model = draft_model
         self.n_draft = n_draft
+        self.spec_translator = None
         if draft_model is not None:
             dhp = draft_model.hparams
-            assert dhp.n_vocab == hp.n_vocab, (
-                "draft/target vocab mismatch (vocab translation not supported)")
+            from .speculative import VocabTranslator, are_compatible
+
+            if dhp.n_vocab != hp.n_vocab or (
+                    model.tokenizer is not None
+                    and draft_model.tokenizer is not None
+                    and not are_compatible(model.tokenizer, draft_model.tokenizer)):
+                if model.tokenizer is None or draft_model.tokenizer is None:
+                    raise ValueError(
+                        "draft/target vocab mismatch and no tokenizers to "
+                        "translate through (common/speculative.cpp:89-148)")
+                self.spec_translator = VocabTranslator(
+                    model.tokenizer, draft_model.tokenizer)
             dfwd = get_forward(dhp.arch)
 
             def d_step(params, tokens, pos, cache):
@@ -418,15 +429,19 @@ class Engine:
         self.metrics["n_prompt_tokens"] += n
         self.metrics["prefill_s"] += time.perf_counter() - t0
 
-        # draft-model shadow prefill of the same prompt
+        # draft-model shadow prefill of the same prompt (retokenized into the
+        # draft vocab when translating)
         if self.draft_model is not None:
             dhp = self.draft_model.hparams
+            d_ids = (self.spec_translator.tgt_to_dft([int(t) for t in ids])
+                     if self.spec_translator is not None else ids)
+            dn = len(d_ids)
             d_scratch = kv_cache_init(dhp.n_layer, 1, self.n_ctx, dhp.n_head_kv,
                                       dhp.head_dim, dhp.head_dim_v,
                                       dtype=self.kv_dtype)
             off = 0
-            while off < n:
-                chunk = ids[off : off + P]
+            while off < dn:
+                chunk = d_ids[off : off + P]
                 tok = np.full((1, P), 0, np.int32)
                 dpos = np.full((1, P), -1, np.int32)
                 tok[0, : len(chunk)] = chunk
@@ -435,8 +450,8 @@ class Engine:
                     self.draft_model.params, jnp.asarray(tok),
                     jnp.asarray(dpos), d_scratch)
                 off += len(chunk)
-            self.d_cache = self._d_insert(self.d_cache, d_scratch, slot.idx, n)
-            slot.d_past = n
+            self.d_cache = self._d_insert(self.d_cache, d_scratch, slot.idx, dn)
+            slot.d_past = dn
             del d_scratch
 
         # sample the first token from the prefill logits
@@ -452,6 +467,8 @@ class Engine:
             self._maybe_context_shift(active)
         if self.draft_model is not None and all(
                 s.n_past + self.n_draft + 1 <= self.n_ctx for s in active):
+            if self.spec_translator is not None:
+                return self._spec_translate_step(active)
             return self._spec_decode_step(active)
         if self.lookup_k and all(
                 s.n_past + self.lookup_k + 1 <= self.n_ctx for s in active):
@@ -555,6 +572,109 @@ class Engine:
             s.cache_tokens.extend(int(x) for x in vtok[s.idx, :accepted + 1])
             keep_t[s.idx] = s.n_past
         self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
+
+    def _spec_translate_step(self, active: list[_Slot]) -> bool:
+        """Speculative round with draft-vocab translation (the reference's
+        retokenization path, common/speculative.cpp:200-222,351-359): each
+        slot's pending target tokens are detokenized → retokenized into the
+        draft vocab, the draft proposes K draft-vocab tokens, and the proposal
+        is translated back to target ids (variable length) for one batched
+        verify pass. Drafted draft-cache entries are rolled back each round;
+        accepted text is committed next round via the tail."""
+        t0 = time.perf_counter()
+        K, B = self.n_draft, self.n_slots
+        tr = self.spec_translator
+        dparams = self.draft_model.params
+
+        tails = {s.idx: tr.tgt_to_dft(s.draft_tail) for s in active}
+        live = [s for s in active if tails[s.idx]]
+        drafts_d = np.zeros((B, K), np.int32)
+        if live:
+            # commit pending text into the draft cache (bucketed width to
+            # bound recompiles), draft token 0 from the last fed position
+            wmax = max(len(tails[s.idx]) for s in live)
+            W = 2
+            while W < wmax:
+                W *= 2
+            tok = np.zeros((B, W), np.int32)
+            dpos = np.full((B, W), -1, np.int32)
+            for s in live:
+                tl = tails[s.idx][:W]
+                tok[s.idx, :len(tl)] = tl
+                dpos[s.idx, :len(tl)] = s.d_past + np.arange(len(tl))
+            logits, self.d_cache = self._d_step(dparams, jnp.asarray(tok),
+                                                jnp.asarray(dpos), self.d_cache)
+            last_tok = np.asarray(jnp.argmax(logits, axis=-1))
+            d_base = {}
+            for s in live:
+                nfed = len(tails[s.idx][:W])
+                drafts_d[s.idx, 0] = last_tok[s.idx, nfed - 1]
+                s.d_past += nfed
+                d_base[s.idx] = s.d_past       # committed; drafts roll back
+                s.draft_tail = []
+            for k in range(1, K):
+                tok1 = np.zeros((B, 1), np.int32)
+                pos1 = np.full((B, 1), -1, np.int32)
+                for s in live:
+                    tok1[s.idx, 0] = drafts_d[s.idx, k - 1]
+                    pos1[s.idx, 0] = d_base[s.idx] + (k - 1)
+                logits, self.d_cache = self._d_step(
+                    dparams, jnp.asarray(tok1), jnp.asarray(pos1), self.d_cache)
+                nxt = np.asarray(jnp.argmax(logits[:, 0], axis=-1))
+                for s in live:
+                    drafts_d[s.idx, k] = nxt[s.idx]
+
+        # translate proposals back to target ids (variable length)
+        drafts = np.zeros((B, K), np.int32)
+        lens = np.zeros(B, np.int32)
+        for s in live:
+            tgt = tr.dft_to_tgt([int(x) for x in drafts_d[s.idx]])[:K]
+            lens[s.idx] = len(tgt)
+            drafts[s.idx, :len(tgt)] = tgt
+
+        # batched target verify over [last_emitted, draft...]
+        vtok = np.zeros((B, K + 1), np.int32)
+        vpos = np.full((B, K + 1), -1, np.int32)
+        for s in active:
+            vtok[s.idx, 0] = s.generated[-1]
+            vtok[s.idx, 1:] = drafts[s.idx]
+            vpos[s.idx] = s.n_past + np.arange(K + 1)
+        vlogits, self.cache = self._decode(self.model.params, jnp.asarray(vtok),
+                                           jnp.asarray(vpos), self.cache)
+        vlogits = np.asarray(vlogits, np.float32)
+
+        keep_t = np.zeros(B, np.int32)
+        keep_d = np.zeros(B, np.int32)
+        for s in self.slots:
+            keep_t[s.idx] = s.n_past
+            keep_d[s.idx] = s.d_past
+        for s in active:
+            L = int(lens[s.idx])
+            n_past0 = s.n_past
+            accepted = 0
+            for i in range(L + 1):
+                t = s.sampler.sample(vlogits[s.idx, i])
+                self._emit(s, t)
+                if i < L and t == int(drafts[s.idx, i]) and \
+                        s.state == SlotState.GENERATING:
+                    accepted += 1
+                    continue
+                break
+            self.metrics["n_spec_drafted"] += L
+            self.metrics["n_spec_accepted"] += accepted
+            n_emitted = accepted + 1
+            s.n_past = n_past0 + n_emitted
+            s.cache_tokens.extend(int(x) for x in vtok[s.idx, :n_emitted])
+            keep_t[s.idx] = s.n_past
+            keep_d[s.idx] = s.d_past           # drop drafted entries only
+            if s.state == SlotState.GENERATING:
+                s.draft_tail = s.draft_tail + [int(x) for x in
+                                               s.generated[-n_emitted:]]
+        self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
+        self.d_cache = self._truncate(self.d_cache, jnp.asarray(keep_d))
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True

@@ -120,3 +120,64 @@ def test_spec_two_concurrent_slots(models):
     eng.run_until_drained()
     assert r1.result(timeout=120)["tokens"] == solo1
     assert r2.result(timeout=120)["tokens"] == solo2
+
+
+def _mk_model_vocab(tmp, name, vocab_gguf, n_layer, hidden, seed):
+    """Tiny llama with a specific tokenizer vocab (for translation tests)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    r = GGUFReader(f"/root/reference/models/{vocab_gguf}")
+    tok_fields = {k: v for k, v in r.metadata.items() if k.startswith("tokenizer.")}
+    n_vocab = len(tok_fields["tokenizer.ggml.tokens"])
+    r.close()
+    cfg = LlamaConfig(
+        vocab_size=n_vocab, hidden_size=hidden, intermediate_size=hidden * 2,
+        num_hidden_layers=n_layer, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    path = tmp / f"{name}.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32, tokenizer_fields=tok_fields)
+    return load_model(str(path))
+
+
+def test_spec_vocab_translation_identical_output(tmp_path):
+    """Draft with a DIFFERENT vocab (SPM target, BPE draft): the engine must
+    route through the retokenization path (common/speculative.cpp:200-222)
+    and still produce output identical to plain decoding."""
+    target = _mk_model_vocab(tmp_path, "tgt", "ggml-vocab-llama-spm.gguf",
+                             n_layer=2, hidden=64, seed=1)
+    draft = _mk_model_vocab(tmp_path, "dft", "ggml-vocab-gpt-2.gguf",
+                            n_layer=1, hidden=32, seed=2)
+    prompt = target.tokenizer.encode("Once upon a time", add_special=True)
+
+    eng0 = Engine(target, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                  prefill_buckets=(16, 64))
+    r0 = eng0.generate(prompt, max_tokens=16, stop_eog=False)
+
+    eng1 = Engine(target, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                  prefill_buckets=(16, 64), draft_model=draft, n_draft=4)
+    assert eng1.spec_translator is not None
+    req = GenRequest(prompt_ids=prompt, max_tokens=16, stop_eog=False)
+    eng1.submit(req)
+    eng1.run_until_drained()
+    r1 = req.result(timeout=120)
+    assert r1["tokens"] == r0["tokens"]
+
+
+def test_spec_are_compatible():
+    from superllama_tpu.models import load_model as _lm
+    from superllama_tpu.runtime.speculative import are_compatible
+    from superllama_tpu.tokenizer.tokenizer import Tokenizer
+    from superllama_tpu.tokenizer.vocab import vocab_from_gguf
+
+    r1 = GGUFReader("/root/reference/models/ggml-vocab-llama-spm.gguf")
+    spm = Tokenizer(vocab_from_gguf(r1)); r1.close()
+    r2 = GGUFReader("/root/reference/models/ggml-vocab-gpt-2.gguf")
+    bpe = Tokenizer(vocab_from_gguf(r2)); r2.close()
+    assert are_compatible(spm, spm)
+    assert not are_compatible(spm, bpe)
+    assert not are_compatible(spm, None)
