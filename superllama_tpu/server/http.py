@@ -537,7 +537,18 @@ def make_handler(app: ServerApp):
         def do_GET(self):
             path = self.path.split("?")[0]
             is_router = hasattr(app, "app_for")
-            if path == "/health":
+            if path in ("/", "/index.html"):
+                # built-in chat UI (reference: tools/server webui)
+                import os
+                with open(os.path.join(os.path.dirname(__file__),
+                                       "webui.html"), "rb") as f:
+                    page = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            elif path == "/health":
                 if is_router:
                     self._send_json({"status": "ok",
                                      "models": [m["id"] for m in app.models()]})

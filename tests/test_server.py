@@ -310,3 +310,17 @@ def test_logit_bias_param(server):
         "logit_bias": {"5": 100.0},
     }, headers={"Authorization": "Bearer sk-good"})
     assert out["choices"][0]["text"] == out2["choices"][0]["text"]
+
+
+def test_webui_served_at_root(server):
+    """Built-in chat UI (reference webui counterpart) at / as text/html."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    assert resp.status == 200
+    assert "text/html" in resp.getheader("Content-Type", "")
+    assert "superllama_tpu" in body and "/v1/chat/completions" in body
+    conn.close()
