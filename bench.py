@@ -81,9 +81,9 @@ def main():
         return time.perf_counter() - t0, pr
 
     _, prw = chained_big_prefills(1, prompt_p)          # compile + warm
-    t_lo, prw = chained_big_prefills(1, prw)
-    t_hi, prw = chained_big_prefills(5, prw)
-    prefill_s = max((t_hi - t_lo) / 4, 1e-9) * (T_PREFILL / TP)
+    t_lo, prw = chained_big_prefills(2, prw)
+    t_hi, prw = chained_big_prefills(14, prw)
+    prefill_s = max((t_hi - t_lo) / 12, 1e-9) * (T_PREFILL / TP)
 
     # warm the decode-shape compile and seed the stepwise loop
     warm = kv_cache_init(hp.n_layer, B, S, hp.n_head_kv, hp.head_dim,

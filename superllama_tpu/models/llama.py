@@ -139,6 +139,31 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     return out
 
 
+def rope_setup(params: dict, hp: HParams):
+    """Rope frequency tables for the full-attention and SWA layer classes:
+    (inv_freq, mscale, inv_freq_swa, mscale_swa). Handles yarn/linear scaling
+    and llama-3.1 per-dim frequency factors (rope_freqs.weight, applied as
+    ggml_rope_ext freq_factors: theta_i /= factor_i)."""
+    D = hp.head_dim
+    if hp.rope_scaling == ROPE_SCALING_YARN and hp.rope_orig_ctx > 0:
+        inv_freq, mscale = ops.rope_frequencies(
+            D, hp.n_rot, hp.rope_freq_base, 1.0 / hp.rope_scale_factor,
+            ext_factor=1.0, attn_factor=hp.rope_attn_factor, orig_ctx=hp.rope_orig_ctx,
+        )
+    else:
+        scale = 1.0 / hp.rope_scale_factor if hp.rope_scaling == "linear" else 1.0
+        inv_freq, mscale = ops.rope_frequencies(D, hp.n_rot, hp.rope_freq_base, scale)
+    if params.get("rope_freqs") is not None:
+        inv_freq = inv_freq / params["rope_freqs"].astype(inv_freq.dtype)
+    # SWA layers may use a different (unscaled) rope base — gemma3 local layers
+    if hp.rope_freq_base_swa > 0.0:
+        inv_freq_swa, mscale_swa = ops.rope_frequencies(
+            D, hp.n_rot, hp.rope_freq_base_swa, 1.0)
+    else:
+        inv_freq_swa, mscale_swa = inv_freq, mscale
+    return inv_freq, mscale, inv_freq_swa, mscale_swa
+
+
 def llama_forward(
     params: dict,
     hp: HParams,
@@ -172,20 +197,7 @@ def llama_forward(
         flash = False  # alibi rides the additive mask (reference attn path)
     H, Hkv, D, Dv = hp.n_head, hp.n_head_kv, hp.head_dim, hp.head_dim_v
 
-    if hp.rope_scaling == ROPE_SCALING_YARN and hp.rope_orig_ctx > 0:
-        inv_freq, mscale = ops.rope_frequencies(
-            D, hp.n_rot, hp.rope_freq_base, 1.0 / hp.rope_scale_factor,
-            ext_factor=1.0, attn_factor=hp.rope_attn_factor, orig_ctx=hp.rope_orig_ctx,
-        )
-    else:
-        scale = 1.0 / hp.rope_scale_factor if hp.rope_scaling == "linear" else 1.0
-        inv_freq, mscale = ops.rope_frequencies(D, hp.n_rot, hp.rope_freq_base, scale)
-    # SWA layers may use a different (unscaled) rope base — gemma3 local layers
-    if hp.rope_freq_base_swa > 0.0:
-        inv_freq_swa, mscale_swa = ops.rope_frequencies(
-            D, hp.n_rot, hp.rope_freq_base_swa, 1.0)
-    else:
-        inv_freq_swa, mscale_swa = inv_freq, mscale
+    inv_freq, mscale, inv_freq_swa, mscale_swa = rope_setup(params, hp)
     kq_scale = hp.f_attn_scale if hp.f_attn_scale > 0.0 else 1.0 / (D ** 0.5)
 
     safe_pos = jnp.maximum(pos, 0)

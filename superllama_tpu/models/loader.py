@@ -66,7 +66,13 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
 
     ``sharder(name, np_array) -> jax.Array`` lets parallel/ place each tensor
     onto a mesh with the right PartitionSpec; default is single-device put.
+
+    Encrypted models (server/security.py AES-256-GCM container) are
+    transparently decrypted when SLT_MODEL_KEY is set.
     """
+    from ..server.security import maybe_decrypt
+
+    path = maybe_decrypt(path)
     reader = GGUFReader(path)
     extra_readers: list[GGUFReader] = []
     if int(reader.metadata.get("split.count", 1) or 1) > 1:
@@ -212,6 +218,7 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
         "output_norm_b": g("output_norm.bias", t=False),
         "output": g("output.weight"),                     # None → tied embeddings
         "output_b": g("output.bias", t=False),            # phi2 lm-head bias
+        "rope_freqs": g("rope_freqs.weight", t=False),    # llama3 freq factors
         # encoder (bert-family) extras
         "token_embd_norm": g("token_embd_norm.weight", t=False),
         "token_embd_norm_b": g("token_embd_norm.bias", t=False),

@@ -389,6 +389,7 @@ def convert_state_dict(
     if getattr(config, "rope_local_base_freq", None):  # gemma3 SWA layers
         w.add(f"{arch}.rope.freq_base_swa", float(config.rope_local_base_freq))
     rs = getattr(config, "rope_scaling", None)
+    rope_freqs = None
     if rs:
         rtype = rs.get("rope_type") or rs.get("type")
         if rtype in ("linear", "yarn"):
@@ -397,6 +398,27 @@ def convert_state_dict(
             if rtype == "yarn":
                 w.add(f"{arch}.rope.scaling.original_context_length",
                       int(rs.get("original_max_position_embeddings", 0)))
+        elif rtype == "llama3":
+            # llama-3.1 wavelength-banded factors → rope_freqs.weight tensor
+            # (convert_hf_to_gguf LlamaModel.generate_extra_tensors semantics)
+            factor = float(rs.get("factor", 8.0))
+            lo_f = float(rs.get("low_freq_factor", 1.0))
+            hi_f = float(rs.get("high_freq_factor", 4.0))
+            octx = int(rs.get("original_max_position_embeddings", 8192))
+            base = float(getattr(config, "rope_theta", 10000.0))
+            dims = int(head_dim * (getattr(config, "partial_rotary_factor", None)
+                                   or getattr(config, "rotary_pct", None) or 1.0))
+            freqs = 1.0 / base ** (np.arange(0, dims, 2, dtype=np.float64) / dims)
+            wavelen = 2.0 * np.pi / freqs
+            lo_wl, hi_wl = octx / lo_f, octx / hi_f
+            smooth = (octx / wavelen - lo_f) / (hi_f - lo_f)
+            facs = np.where(
+                wavelen < hi_wl, 1.0,
+                np.where(wavelen > lo_wl, factor,
+                         1.0 / ((1.0 - smooth) / factor + smooth)))
+            rope_freqs = facs.astype(np.float32)
+    if rope_freqs is not None:
+        w.add_tensor("rope_freqs.weight", rope_freqs, GGMLType.F32)
     for key, val in (tokenizer_fields or {}).items():
         w.add(key, val)
 

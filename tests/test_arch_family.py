@@ -219,3 +219,25 @@ def test_mamba_parity(tmp_path):
     for t in ids[0]:
         step_logits.append(np.asarray(ctx2.forward(np.asarray([t], np.int32))[0, -1]))
     np.testing.assert_allclose(np.stack(step_logits), got, rtol=1e-3, atol=1e-4)
+
+
+def test_llama31_rope_freqs_parity(tmp_path):
+    """Llama-3.1 rope scaling ("llama3" wavelength-banded freq factors →
+    rope_freqs.weight tensor, applied as ggml_rope_ext freq_factors)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=50000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+        attn_implementation="eager", architectures=["LlamaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "l31.gguf")
+    assert model.params.get("rope_freqs") is not None
+    assert (np.asarray(model.params["rope_freqs"]) > 1.0).any()  # low-freq band scaled
+    _parity(hf, model, n_tokens=48)
