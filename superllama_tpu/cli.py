@@ -132,7 +132,9 @@ def cmd_serve(args):
                     metrics_path=args.metrics_file,
                     draft_model=draft, n_draft=args.draft_n,
                     embed_model=embed)
-    srv = Server(app, host=args.host, port=args.port)
+    srv = Server(app, host=args.host, port=args.port,
+                 tls_cert=getattr(args, "ssl_cert_file", None),
+                 tls_key=getattr(args, "ssl_key_file", None))
     srv.start()
     print(f"listening on http://{args.host}:{srv.port}", file=sys.stderr)
     try:
@@ -316,6 +318,18 @@ def cmd_perplexity(args):
     return 0
 
 
+def cmd_encrypt(args):
+    from .server.security import ModelEncryptor
+
+    enc = ModelEncryptor(args.key)
+    if args.decrypt:
+        enc.decrypt_file(args.input, args.output)
+    else:
+        enc.encrypt_file(args.input, args.output)
+    print(f"{'decrypted' if args.decrypt else 'encrypted'} -> {args.output}")
+    return 0
+
+
 def cmd_tokenize(args):
     from .models import load_model
 
@@ -374,7 +388,16 @@ def main(argv=None) -> int:
     p.add_argument("--draft-model", default=None, help="speculative draft GGUF")
     p.add_argument("--draft-n", type=int, default=8)
     p.add_argument("--embed-model", default=None, help="encoder GGUF for /embeddings")
+    p.add_argument("--ssl-cert-file", default=None, help="enable TLS")
+    p.add_argument("--ssl-key-file", default=None)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("encrypt-model", help="AES-256-GCM encrypt/decrypt a GGUF")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--key", required=True, help="32-byte hex key or passphrase")
+    p.add_argument("--decrypt", action="store_true")
+    p.set_defaults(fn=cmd_encrypt)
 
     p = sub.add_parser("bench", help="throughput bench")
     p.set_defaults(fn=cmd_bench)

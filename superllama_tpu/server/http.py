@@ -769,9 +769,20 @@ def make_handler(app: ServerApp):
 
 
 class Server:
-    def __init__(self, app: ServerApp, host: str = "127.0.0.1", port: int = 8080):
+    def __init__(self, app: ServerApp, host: str = "127.0.0.1", port: int = 8080,
+                 tls_cert: str | None = None, tls_key: str | None = None):
         self.app = app
         self.httpd = ThreadingHTTPServer((host, port), make_handler(app))
+        if tls_cert:
+            # real TLS (the reference's llama_tls_context only stores paths,
+            # src/llama-security.h:225-262)
+            import ssl
+
+            sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            sctx.load_cert_chain(tls_cert, tls_key or tls_cert)
+            self.httpd.socket = sctx.wrap_socket(self.httpd.socket,
+                                                 server_side=True)
+        self.tls = bool(tls_cert)
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
