@@ -228,6 +228,24 @@ def main():
                 times8[n] = time.perf_counter() - t0
     tps8 = (n8_hi - n8_lo) / max(times8[n8_hi] - times8[n8_lo], 1e-9)
 
+    # batched serving decode, B=8 streams on one chip (config 3 flavor):
+    # per-step weight reads amortize across streams
+    B8 = 8
+    nb_lo, nb_hi = 32, 160
+    times8b = {}
+    for n in (nb_lo, nb_hi):
+        for salt, timed in ((7, False), (17, True)):
+            c = kv_cache_init(hp8.n_layer, B8, S8, hp8.n_head_kv,
+                              hp8.head_dim, hp8.head_dim_v, dtype=jnp.bfloat16)
+            tok0 = (salt + jnp.arange(B8, dtype=jnp.int32)[:, None]) % 1000
+            t0 = time.perf_counter()
+            toks, c = scan_decode8(p8, tok0, c,
+                                   jnp.zeros((B8, 1), jnp.int32), n_steps=n)
+            fetch(toks[-1])
+            if timed:
+                times8b[n] = time.perf_counter() - t0
+    tps8b = B8 * (nb_hi - nb_lo) / max(times8b[nb_hi] - times8b[nb_lo], 1e-9)
+
     # 8B prefill (fused-dequant matmul path), T=2048 chained differential
     T8 = 2048
     S8p = T8 + 8
@@ -252,6 +270,7 @@ def main():
     prefill8_tps = T8 / max((t_hi - t_lo) / 2, 1e-9)
 
     extra["prefill_tok_per_s"] = round(prefill8_tps, 1)
+    extra["batched_b8_tok_per_s"] = round(tps8b, 1)
     print(json.dumps({
         "metric": "decode_tok_per_s_llama3_8b_q4k_b1",
         "value": round(tps8, 2),
