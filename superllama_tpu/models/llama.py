@@ -89,27 +89,94 @@ def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None,
     return out
 
 
-def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
-    """Mixture-of-experts FFN (semantics of build_moe_ffn, llama-graph.h:738).
-
-    Correctness-first dense formulation: every expert computes, selection
-    weights zero out unused experts; expert parallelism comes from sharding
-    the expert axis over the mesh (parallel/mesh.py ep rules — GSPMD turns
-    the dense einsums into per-device expert slabs + collectives). Router
-    softmax-over-top-k (renormalize) vs raw
-    softmax weights follows hp.expert_weights_norm; gpt-oss's
-    softmax(top-k(logits)) is algebraically the renormalized form.
-    """
-    B, T, E = *x.shape[:2], hp.n_expert
+def _moe_route(x: jax.Array, layer: dict, hp: HParams):
+    """Router: top-k expert ids + combine weights (shared by both MoE paths)."""
     logits = mm(x, layer["ffn_gate_inp"])                       # (B,T,E)
     if "ffn_gate_inp_b" in layer:
         logits = logits + layer["ffn_gate_inp_b"]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)    # (B,T,K)
+    top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)       # (B,T,K)
     if hp.expert_weights_norm:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     if hp.expert_weights_scale != 1.0:  # deepseek2 routed_scaling_factor
         top_w = top_w * hp.expert_weights_scale
+    return probs, top_w, top_i
+
+
+def _moe_shared_expert(x: jax.Array, layer: dict, hp: HParams, out: jax.Array):
+    if "ffn_up_shexp" in layer:  # always-on shared expert
+        shexp = {
+            "ffn_gate": layer.get("ffn_gate_shexp"),
+            "ffn_up": layer["ffn_up_shexp"],
+            "ffn_down": layer["ffn_down_shexp"],
+        }
+        shexp = {k: v for k, v in shexp.items() if v is not None}
+        sh = dense_ffn(x, shexp, hp)
+        if "ffn_gate_inp_shexp" in layer:
+            sh = sh * jax.nn.sigmoid(mm(x, layer["ffn_gate_inp_shexp"]))
+        out = out + sh
+    return out
+
+
+def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+    """Grouped-GEMM MoE: compute ONLY the K routed experts per token.
+
+    The TPU analog of the reference's indexed expert GEMMs (ggml mul_mat_id /
+    ggml-cuda topk-moe + mmid): token rows are sorted by expert and fed to
+    ``jax.lax.ragged_dot`` (Mosaic grouped matmul), so FLOPs are S·K·D·F
+    instead of the dense path's S·E·D·F — the K/E reduction that makes
+    Mixtral-class serving viable (BASELINE config 4)."""
+    B, T, Dm = x.shape
+    E, K = hp.n_expert, hp.n_expert_used
+    S = B * T
+    _, top_w, top_i = _moe_route(x, layer, hp)
+    xf = x.reshape(S, Dm)
+    ei = top_i.reshape(S * K)
+    order = jnp.argsort(ei)                     # stable: keeps token order
+    tok = order // K                            # source token per sorted row
+    ei_s = ei[order]
+    xs = xf[tok]                                # (S·K, D)
+    counts = jnp.bincount(ei, length=E)
+    f32 = jnp.float32
+    gate = jax.lax.ragged_dot(xs, layer["ffn_gate_exps"], counts,
+                              preferred_element_type=f32)
+    up = jax.lax.ragged_dot(xs, layer["ffn_up_exps"], counts,
+                            preferred_element_type=f32)
+    if "ffn_gate_exps_b" in layer:
+        gate = gate + layer["ffn_gate_exps_b"][ei_s]
+    if "ffn_up_exps_b" in layer:
+        up = up + layer["ffn_up_exps_b"][ei_s]
+    act = _glu(gate.astype(x.dtype), up.astype(x.dtype), hp)
+    down = jax.lax.ragged_dot(act, layer["ffn_down_exps"], counts,
+                              preferred_element_type=f32)
+    if "ffn_down_exps_b" in layer:
+        down = down + layer["ffn_down_exps_b"][ei_s]
+    w_s = top_w.reshape(S * K)[order]
+    y = jnp.zeros((S, down.shape[-1]), f32).at[tok].add(down * w_s[:, None])
+    out = y.astype(x.dtype).reshape(B, T, -1)
+    return _moe_shared_expert(x, layer, hp, out)
+
+
+def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+    """Mixture-of-experts FFN (semantics of build_moe_ffn, llama-graph.h:738).
+
+    Dispatch: grouped-GEMM sparse path by default (K/E of the dense FLOPs);
+    the dense formulation (every expert computes, selection weights zero out
+    unused experts) remains for expert-sharded meshes where GSPMD partitions
+    the dense einsums into per-device expert slabs + collectives
+    (hp.extra["moe_dense"]) and as the conformance reference. Router
+    softmax-over-top-k (renormalize) vs raw softmax weights follows
+    hp.expert_weights_norm; gpt-oss's softmax(top-k(logits)) is
+    algebraically the renormalized form.
+    """
+    if not hp.extra.get("moe_dense"):
+        return moe_ffn_sparse(x, layer, hp)
+    return moe_ffn_dense(x, layer, hp)
+
+
+def moe_ffn_dense(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+    B, T, E = *x.shape[:2], hp.n_expert
+    probs, top_w, top_i = _moe_route(x, layer, hp)
     # scatter top-k weights back to dense (B,T,E)
     w = jnp.zeros_like(probs).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_i
@@ -125,18 +192,7 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     if "ffn_down_exps_b" in layer:
         down = down + layer["ffn_down_exps_b"][None, None]
     out = jnp.einsum("bteo,bte->bto", down, w).astype(x.dtype)
-    if "ffn_up_shexp" in layer:  # always-on shared expert
-        shexp = {
-            "ffn_gate": layer.get("ffn_gate_shexp"),
-            "ffn_up": layer["ffn_up_shexp"],
-            "ffn_down": layer["ffn_down_shexp"],
-        }
-        shexp = {k: v for k, v in shexp.items() if v is not None}
-        sh = dense_ffn(x, shexp, hp)
-        if "ffn_gate_inp_shexp" in layer:
-            sh = sh * jax.nn.sigmoid(mm(x, layer["ffn_gate_inp_shexp"]))
-        out = out + sh
-    return out
+    return _moe_shared_expert(x, layer, hp, out)
 
 
 def rope_setup(params: dict, hp: HParams):

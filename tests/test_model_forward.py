@@ -131,3 +131,21 @@ def test_moe_logits_match_hf(tiny_mixtral):
     ours = np.asarray(ctx.forward(ids), np.float32)
     ref = _hf_logits(hf, ids)
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_moe_sparse_equals_dense():
+    """Grouped-GEMM MoE (ragged_dot) must match the dense all-experts path."""
+    import jax.numpy as jnp
+
+    from superllama_tpu.models.llama import moe_ffn_dense, moe_ffn_sparse
+    from superllama_tpu.models.synthetic import synthetic_params, tiny_test_hparams
+
+    hp = tiny_test_hparams(n_expert=4, n_expert_used=2, n_ff_exp=32)
+    pn = synthetic_params(hp, dtype=np.float32, seed=9)
+    layer = {k: jnp.asarray(v) for k, v in pn["layers"][0].items()
+             if k.startswith("ffn_")}
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 5, hp.n_embd)),
+                    jnp.float32)
+    dense = np.asarray(moe_ffn_dense(x, layer, hp), np.float32)
+    sparse = np.asarray(moe_ffn_sparse(x, layer, hp), np.float32)
+    np.testing.assert_allclose(sparse, dense, rtol=2e-5, atol=2e-5)
