@@ -230,6 +230,7 @@ def llama_forward(
     imatrix: dict | None = None,
     embeds: jax.Array | None = None,
     hidden_sink: list | None = None,
+    attn_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
 
@@ -241,6 +242,9 @@ def llama_forward(
     multimodal path (mtmd chunked image-token injection counterpart) feeds
     vision-projector outputs here; ``tokens`` is then only used for shape.
 
+    ``attn_mask``: additive (B, 1, T, S) mask REPLACING the internal causal
+    mask (tree attention — lookahead decoding's sequence-membership mask).
+
     flash=None auto-selects the Pallas flash-attention kernel on TPU for
     prefill-sized T (where the T×S logits matrix dominates memory); decode
     (T small) currently uses the XLA-fused reference — the batched-head
@@ -249,8 +253,8 @@ def llama_forward(
     B, T = tokens.shape
     if flash is None:
         flash = jax.default_backend() == "tpu" and T >= 32
-    if hp.alibi:
-        flash = False  # alibi rides the additive mask (reference attn path)
+    if hp.alibi or attn_mask is not None:
+        flash = False  # bias/custom masks ride the additive-mask attn path
     H, Hkv, D, Dv = hp.n_head, hp.n_head_kv, hp.head_dim, hp.head_dim_v
 
     inv_freq, mscale, inv_freq_swa, mscale_swa = rope_setup(params, hp)
@@ -292,6 +296,10 @@ def llama_forward(
         if not flash:  # flash masks positionally in-kernel; no HBM mask needed
             mask_full = causal_mask(cache.pos, pos)
             mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
+        if attn_mask is not None:
+            # caller-supplied additive mask (B,1,T,S): tree attention for
+            # lookahead decoding / custom sequence-membership visibility
+            mask_full = mask_swa = attn_mask.astype(jnp.float32)
         if hp.alibi:
             # ALiBi as a per-head additive bias slope·k_pos (shift-invariant
             # equivalent of −slope·(q_pos − k_pos)); ggml slope schedule

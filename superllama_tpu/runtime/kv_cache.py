@@ -96,6 +96,22 @@ def causal_mask(cache_pos: jax.Array, q_pos: jax.Array,
     return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
 
 
+def kv_gather_slots(cache: KVCache, idx: jax.Array, n_valid: jax.Array) -> KVCache:
+    """Reorder/compact cache rows by slot index: new slot j takes old slot
+    idx[b, j]; slots ≥ n_valid[b] become empty. Powers tree-decoding accept
+    (lookahead: keep prefix + the winning branch's entries, drop the rest)."""
+    L, B, H, S, _ = cache.k.shape
+    gi = idx[None, :, None, :, None]
+    k = jnp.take_along_axis(cache.k, jnp.broadcast_to(
+        gi, (L, B, H, S, cache.k.shape[-1])), axis=3)
+    v = jnp.take_along_axis(cache.v, jnp.broadcast_to(
+        gi, (L, B, H, S, cache.v.shape[-1])), axis=3)
+    pos = jnp.take_along_axis(cache.pos, idx, axis=1)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_valid[:, None]
+    pos = jnp.where(valid, pos, -1)
+    return KVCache(k=k, v=v, pos=pos, cursor=n_valid.astype(jnp.int32))
+
+
 def kv_truncate_rows(cache: KVCache, keep: jax.Array) -> KVCache:
     """Per-row truncation to the first ``keep[b]`` slots (speculative-decoding
     rollback of rejected draft entries). Slots are append-ordered, so slot

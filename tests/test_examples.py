@@ -118,3 +118,10 @@ def test_gguf_demo(tmp_path):
     import gguf_demo
 
     gguf_demo.main(str(tmp_path / "demo.gguf"))
+
+
+def test_lookahead_example(model_path):
+    import lookahead
+
+    la = lookahead.main(model_path, n=12)
+    assert la.n_steps > 0
