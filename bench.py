@@ -7,7 +7,7 @@ quantized in HBM and decoded through the int8-activation MXU GEMV kernel
 (ops/qmatmul.py mmvq analog). Weights are generated directly on-device
 (random codes, production byte layout) — identical kernels/HBM traffic to a
 real Q4_K_M load without pushing ~6 GB through the axon tunnel. A
-TinyLlama-1.1B section (config 1 scale, bf16 + Q4_K) is reported in extra.
+TinyLlama-1.1B Q4_K section (config 1 scale) is reported in extra.
 vs_baseline anchors against the reference's only committed single-stream
 decode number (gpt-oss-20B MXFP4 tg32 on DGX Spark = 86.58 t/s,
 benches/dgx-spark/dgx-spark.md:61) — an imperfect cross-hardware anchor
@@ -85,27 +85,7 @@ def main():
     t_hi, prw = chained_big_prefills(14, prw)
     prefill_s = max((t_hi - t_lo) / 12, 1e-9) * (T_PREFILL / TP)
 
-    # warm the decode-shape compile and seed the stepwise loop
-    warm = kv_cache_init(hp.n_layer, B, S, hp.n_head_kv, hp.head_dim,
-                         hp.head_dim_v, dtype=jnp.bfloat16)
-    wlogits, _ = step_j(params, prompt, pos, warm)
-    prompt2 = (jnp.argmax(wlogits, axis=-1).astype(jnp.int32) % hp.n_vocab)
-    prompt2 = jnp.asarray(fetch(prompt2))
-    logits, cache = step_j(params, prompt2, pos, cache)
-
-    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-    # decode warmup (compile T=1 shape)
     p = jnp.full((B, 1), T_PREFILL, jnp.int32)
-    logits, cache = step_j(params, tok, p, cache)
-    fetch(logits[:, -1].sum())
-
-    t0 = time.perf_counter()
-    for i in range(1, N_DECODE):
-        tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-        logits, cache = step_j(params, tok, p + i, cache)
-    fetch(logits[:, -1].sum())
-    decode_s = time.perf_counter() - t0
-    stepwise_tps = (N_DECODE - 1) / decode_s
 
     # fully-jitted scan decode loop with on-device sampling (backend
     # sampling): one dispatch for the whole token stream — the serving path
@@ -123,13 +103,6 @@ def main():
         (_, _, cache), toks = jax.lax.scan(
             body, (tok0, pos0, cache), None, length=n_steps)
         return toks, cache
-
-    # differential timing: ONE compiled scan length; per-step time = slope
-    # between 1 and 5 chained calls (host-salted start tokens keep every call
-    # distinct; ~0.5 s of real compute per chain ≫ the tunnel's pipelining
-    # window, so the slope cancels fixed round-trip overheads)
-    S2 = T_PREFILL + 8 * 260
-    N_SCAN = 256
 
     # two-length differential: per-step time = (t(640) − t(128)) / 512.
     # Single calls (no chaining — inter-call tunnel latency ≈ 250 ms would
@@ -153,8 +126,7 @@ def main():
                     times[n] = time.perf_counter() - t0
         return (n_hi - n_lo) / max(times[n_hi] - times[n_lo], 1e-9)
 
-    scan_tps = scan_slope(params)
-
+    del params, cache
     # ---- Q4_K weights: int8-activation MXU GEMV decode (the production
     # quantized path; BASELINE's north star is a Q4_K_M model) ----
     from superllama_tpu.gguf import GGMLType
@@ -177,13 +149,11 @@ def main():
              for k, v in l.items()})
     del pn
     q4k_tps = scan_slope(qparams)
-    del qparams, params, cache, warm
+    del qparams
 
     prefill_tps = T_PREFILL / prefill_s
     baseline = 86.58  # gpt-oss-20B tg32 on DGX Spark (dgx-spark.md:61)
     extra = {"tiny_prefill_tok_per_s": round(prefill_tps, 1),
-             "tiny_stepwise_tok_per_s": round(stepwise_tps, 2),
-             "tiny_bf16_tok_per_s": round(scan_tps, 2),
              "tiny_q4k_tok_per_s": round(q4k_tps, 2),
              "device": str(jax.devices()[0])}
 

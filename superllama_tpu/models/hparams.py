@@ -94,6 +94,7 @@ class HParams:
                                       # granite stores the divisor — inverted
                                       # at load)
     f_residual_scale: float = 1.0     # granite residual_multiplier
+    f_clamp_kqv: float = 0.0          # clamp |q|,|k|,|v| (dbrx/mpt clip_qkv)
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
@@ -141,7 +142,7 @@ ROPE_TYPE_BY_ARCH = {
     "mistral": 0, "mixtral": 0, "phi2": 2, "phi3": 2, "gemma": 2,
     "gemma2": 2, "gemma3": 2, "stablelm": 2, "gptneox": 2, "olmo": 0,
     "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
-    "exaone": 0, "nemotron": 2, "cohere2": 2, "glm4": 2, "deepseek2": 2,
+    "exaone": 0, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 2,
     "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
@@ -161,12 +162,12 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "starcoder2": "gelu_tanh", "phi2": "gelu_tanh",
                "bloom": "gelu_tanh", "gptneox": "gelu_erf",
                "falcon": "gelu_erf", "mpt": "gelu_erf",
-               "refact": "gelu_tanh"}
+               "refact": "gelu_tanh", "nemotron": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
             "stablelm", "bloom", "mpt", "command-r", "cohere2", "dbrx",
-            "olmo", "refact", "jais"}
+            "olmo", "refact", "jais", "nemotron"}
 
 # parallel-residual archs (default; gptneox models can override via the
 # use_parallel_residual KV). Whether the FFN shares the attn norm output is
@@ -259,6 +260,7 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     if ls:
         hp.logit_scale = 1.0 / float(ls) if arch.startswith("granite") else float(ls)
     hp.f_residual_scale = float(_k(md, arch, "residual_scale", 1.0))
+    hp.f_clamp_kqv = float(_k(md, arch, "attention.clamp_kqv", 0.0))
     if _k(md, arch, "embedding_scale") is not None:
         hp.f_embedding_scale = float(_k(md, arch, "embedding_scale"))
     if arch.startswith("gemma"):

@@ -327,6 +327,9 @@ def llama_forward(
             k = k + layer["bk"]
         if "bv" in layer:
             v = v + layer["bv"]
+        if hp.f_clamp_kqv > 0.0:  # dbrx/mpt clip_qkv
+            c = hp.f_clamp_kqv
+            q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
         if "attn_q_norm" in layer and layer["attn_q_norm"].shape[-1] == H * D:
             # olmo2-style full-width q/k norms (applied before head split)
             q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)

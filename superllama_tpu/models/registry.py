@@ -44,7 +44,7 @@ for _arch in (
     # classic GPT family: LayerNorm / parallel residual / learned positions
     "gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
     "command-r", "cohere2", "dbrx", "nemotron", "minicpm", "refact", "jais",
-    "bloom", "mpt",
+    "bloom", "mpt", "glm4", "chatglm",
 ):
     register(_arch, llama_forward)
 

@@ -181,6 +181,12 @@ def relu(x):
     return jnp.maximum(x, 0)
 
 
+def relu_sq(x):
+    """Squared ReLU (nemotron hidden_act="relu2")."""
+    r = jnp.maximum(x, 0)
+    return r * r
+
+
 def quick_gelu(x):
     xf = x.astype(jnp.float32)
     return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)
@@ -211,7 +217,7 @@ GLU_FNS = {
     "relu": lambda g, u: relu(g) * u,
 }
 ACT_FNS = {"silu": silu, "gelu": gelu, "gelu_tanh": gelu, "gelu_erf": gelu_erf,
-           "relu": relu}
+           "relu": relu, "relu2": relu_sq}
 
 
 # ----------------------------------------------------------------- softmax / misc

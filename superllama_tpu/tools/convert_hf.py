@@ -54,10 +54,16 @@ _ARCH_MAP = {
     "StableLmForCausalLM": "stablelm",
     "BloomForCausalLM": "bloom",
     "MptForCausalLM": "mpt",
+    "Qwen2MoeForCausalLM": "qwen2moe",
+    "GlmForCausalLM": "glm4",
+    "Glm4ForCausalLM": "glm4",
+    "NemotronForCausalLM": "nemotron",
+    "DbrxForCausalLM": "dbrx",
 }
 
-# archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm)
-_NORM_PLUS_ONE = {"gemma2", "gemma3"}
+# archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
+# nemotron LayerNorm1P)
+_NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
 _PERMUTE_QK = {"llama"}
 
@@ -217,6 +223,35 @@ def _convert_falcon(w, put, get, config):
         put(gg + "ffn_down.weight", get(hf + "mlp.dense_4h_to_h.weight"))
 
 
+def _convert_dbrx(w, put, get, config):
+    """DBRX mapping: flat-packed expert weights (E*F, D) -> (E, ., .),
+    straight-split fused Wqkv, biasless LayerNorms, clip_qkv."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("output_norm.weight", get("transformer.norm_f.weight"))
+    if not getattr(config, "tie_word_embeddings", False):
+        put("output.weight", get("lm_head.weight"))
+    E = config.hidden_size
+    fc = config.ffn_config
+    n_exp, F = fc.moe_num_experts, fc.ffn_hidden_size
+    kvd = E // config.num_attention_heads * config.attn_config.kv_n_heads
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.blocks.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "norm_attn_norm.norm_1.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "norm_attn_norm.norm_2.weight"))
+        qkv = get(hf + "norm_attn_norm.attn.Wqkv.weight")
+        put(gg + "attn_q.weight", qkv[:E])
+        put(gg + "attn_k.weight", qkv[E:E + kvd])
+        put(gg + "attn_v.weight", qkv[E + kvd:])
+        put(gg + "attn_output.weight", get(hf + "norm_attn_norm.attn.out_proj.weight"))
+        put(gg + "ffn_gate_inp.weight", get(hf + "ffn.router.layer.weight"))
+        w1 = get(hf + "ffn.experts.mlp.w1").reshape(n_exp, F, E)
+        v1 = get(hf + "ffn.experts.mlp.v1").reshape(n_exp, F, E)
+        w2 = get(hf + "ffn.experts.mlp.w2").reshape(n_exp, F, E)
+        put(gg + "ffn_gate_exps.weight", w1)     # (E_exp, F, D) = GGUF layout
+        put(gg + "ffn_up_exps.weight", v1)
+        put(gg + "ffn_down_exps.weight", w2.transpose(0, 2, 1).copy())
+
+
 def _convert_bloom(w, put, get, config):
     """BLOOM mapping: embedding LayerNorm, per-head-interleaved fused QKV,
     ALiBi positions (no rope)."""
@@ -326,6 +361,8 @@ def convert_state_dict(
     if arch == "falcon":
         n_kv = (config.num_kv_heads if getattr(config, "new_decoder_architecture", False)
                 else (1 if getattr(config, "multi_query", True) else n_head))
+    if arch == "dbrx":
+        n_kv = config.attn_config.kv_n_heads
 
     w = GGUFWriter(out_path, arch=arch)
     w.add("general.name", getattr(config, "name_or_path", "") or "converted")
@@ -333,7 +370,9 @@ def convert_state_dict(
     w.add(f"{arch}.embedding_length", int(n_embd))
     w.add(f"{arch}.block_count", int(config.num_hidden_layers))
     n_ff = (getattr(config, "intermediate_size", None)
-            or getattr(config, "n_inner", None) or 4 * n_embd)
+            or getattr(config, "n_inner", None)
+            or getattr(getattr(config, "ffn_config", None), "ffn_hidden_size", None)
+            or 4 * n_embd)
     w.add(f"{arch}.feed_forward_length", int(n_ff))
     w.add(f"{arch}.attention.head_count", int(n_head))
     w.add(f"{arch}.attention.head_count_kv", int(n_kv))
@@ -367,14 +406,23 @@ def convert_state_dict(
               bool(getattr(config, "parallel_attn", True)))
     if getattr(config, "logit_scale", None):
         w.add(f"{arch}.logit_scale", float(config.logit_scale))
-    w.add(f"{arch}.rope.freq_base", float(getattr(config, "rope_theta", 10000.0)))
+    clip_qkv = getattr(getattr(config, "attn_config", None), "clip_qkv", None)
+    if clip_qkv:
+        w.add(f"{arch}.attention.clamp_kqv", float(clip_qkv))
+    rope_theta = (getattr(config, "rope_theta", None)
+                  or getattr(getattr(config, "attn_config", None), "rope_theta", None)
+                  or 10000.0)
+    w.add(f"{arch}.rope.freq_base", float(rope_theta))
     w.add(f"{arch}.vocab_size", int(config.vocab_size))
     n_expert = int(getattr(config, "num_local_experts", 0)
                    or getattr(config, "num_experts", 0)
-                   or getattr(config, "n_routed_experts", 0) or 0)
+                   or getattr(config, "n_routed_experts", 0)
+                   or getattr(getattr(config, "ffn_config", None), "moe_num_experts", 0) or 0)
     if n_expert:
         w.add(f"{arch}.expert_count", n_expert)
-        w.add(f"{arch}.expert_used_count", int(getattr(config, "num_experts_per_tok", 2)))
+        w.add(f"{arch}.expert_used_count",
+              int(getattr(config, "num_experts_per_tok", 0)
+                  or getattr(getattr(config, "ffn_config", None), "moe_top_k", 0) or 2))
         if getattr(config, "norm_topk_prob", None) is not None:
             w.add(f"{arch}.expert_weights_norm", bool(config.norm_topk_prob))
     if getattr(config, "sliding_window", None):
@@ -474,6 +522,10 @@ def convert_state_dict(
         _convert_bloom(w, put, get, config)
         w.write()
         return
+    if arch == "dbrx":
+        _convert_dbrx(w, put, get, config)
+        w.write()
+        return
     if arch == "mpt":
         ac = getattr(config, "attn_config", None)
         w.add(f"{arch}.attention.max_alibi_bias",
@@ -533,8 +585,12 @@ def convert_state_dict(
         put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
         put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
         # norm wiring differs: gemma has pre+post norms around both blocks;
-        # olmo2 has post-norms only (no input norms)
-        if arch == "olmo2":
+        # olmo2 has post-norms only (no input norms); glm4 has sandwich norms
+        if get(hf + "post_self_attn_layernorm.weight") is not None:  # glm4
+            put(gg + "attn_post_norm.weight", get_norm(hf + "post_self_attn_layernorm.weight"))
+            put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "ffn_post_norm.weight", get_norm(hf + "post_mlp_layernorm.weight"))
+        elif arch == "olmo2":
             put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
             put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
         elif get(hf + "pre_feedforward_layernorm.weight") is not None:  # gemma
@@ -572,6 +628,17 @@ def convert_state_dict(
             put(gg + "ffn_gate.weight", gu[:F])
             put(gg + "ffn_up.weight", gu[F:])
             put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+        elif get(hf + "mlp.experts.0.gate_proj.weight") is not None:  # qwen-moe
+            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+            for kind in ("gate", "up", "down"):
+                stack = np.stack([get(hf + f"mlp.experts.{e}.{kind}_proj.weight")
+                                  for e in range(n_expert)])
+                put(gg + f"ffn_{kind}_exps.weight", stack)
+            if get(hf + "mlp.shared_expert.gate_proj.weight") is not None:
+                put(gg + "ffn_gate_shexp.weight", get(hf + "mlp.shared_expert.gate_proj.weight"))
+                put(gg + "ffn_up_shexp.weight", get(hf + "mlp.shared_expert.up_proj.weight"))
+                put(gg + "ffn_down_shexp.weight", get(hf + "mlp.shared_expert.down_proj.weight"))
+                put(gg + "ffn_gate_inp_shexp.weight", get(hf + "mlp.shared_expert_gate.weight"))
         elif get(hf + "mlp.fc1.weight") is not None:    # phi2 dense mlp
             put(gg + "ffn_up.weight", get(hf + "mlp.fc1.weight"))
             put(gg + "ffn_up.bias", get(hf + "mlp.fc1.bias"))

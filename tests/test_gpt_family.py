@@ -205,3 +205,96 @@ def test_stablelm_parity(tmp_path):
     hp = model.hparams
     assert hp.norm_type == "ln" and hp.n_rot == 4
     _parity(hf, model)
+
+
+def test_qwen2moe_parity(tmp_path):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    cfg = Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, shared_expert_intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=False, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["Qwen2MoeForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = Qwen2MoeForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "q2moe.gguf")
+    l0 = model.params["layers"][0]
+    assert "ffn_gate_exps" in l0 and "ffn_gate_inp_shexp" in l0
+    assert not model.hparams.expert_weights_norm
+    _parity(hf, model)
+
+
+def test_qwen3moe_parity(tmp_path):
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg = Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["Qwen3MoeForCausalLM"], tie_word_embeddings=False,
+    )
+    hf = Qwen3MoeForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "q3moe.gguf")
+    assert "attn_q_norm" in model.params["layers"][0]
+    assert model.hparams.expert_weights_norm
+    _parity(hf, model)
+
+
+def test_glm4_parity(tmp_path):
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    cfg = Glm4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, head_dim=16, attention_bias=True,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["Glm4ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=2, bos_token_id=1,
+    )
+    hf = Glm4ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "glm4.gguf")
+    l0 = model.params["layers"][0]
+    assert "attn_post_norm" in l0 and "ffn_post_norm" in l0  # sandwich norms
+    _parity(hf, model)
+
+
+def test_nemotron_parity(tmp_path):
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    cfg = NemotronConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["NemotronForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = NemotronForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "nemo.gguf")
+    hp = model.hparams
+    assert hp.norm_type == "ln" and hp.act == "relu2"
+    assert "ffn_gate" not in model.params["layers"][0]
+    _parity(hf, model)
+
+
+def test_dbrx_parity(tmp_path):
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    cfg = DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=128, vocab_size=256,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0, "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                    "moe_top_k": 2},
+        attn_implementation="eager", architectures=["DbrxForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = DbrxForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "dbrx.gguf")
+    hp = model.hparams
+    assert hp.f_clamp_kqv == 8.0 and hp.n_expert == 4
+    assert "ffn_gate_exps" in model.params["layers"][0]
+    _parity(hf, model)
