@@ -318,6 +318,14 @@ def cmd_perplexity(args):
     return 0
 
 
+def cmd_fit_params(args):
+    from .tools.fit_params import main as fp_main
+
+    argv = [args.model, "--hbm-gb", str(args.hbm_gb), "--slots",
+            str(args.slots), "--min-ctx", str(args.min_ctx)]
+    return fp_main(argv)
+
+
 def cmd_encrypt(args):
     from .server.security import ModelEncryptor
 
@@ -391,6 +399,13 @@ def main(argv=None) -> int:
     p.add_argument("--ssl-cert-file", default=None, help="enable TLS")
     p.add_argument("--ssl-key-file", default=None)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("fit-params", help="fit n_ctx / layer residency to HBM")
+    p.add_argument("model")
+    p.add_argument("--hbm-gb", type=float, default=16.0)
+    p.add_argument("--slots", type=int, default=1)
+    p.add_argument("--min-ctx", type=int, default=512)
+    p.set_defaults(fn=cmd_fit_params)
 
     p = sub.add_parser("encrypt-model", help="AES-256-GCM encrypt/decrypt a GGUF")
     p.add_argument("input")

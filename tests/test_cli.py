@@ -164,3 +164,16 @@ def test_cli_llama_bench(model_path, capsys):
 
     rows = _json.loads(capsys.readouterr().out)
     assert rows and rows[0]["test"] == "pp8" and rows[0]["avg_ts"] > 0
+
+
+def test_fit_params_tool(model_path):
+    """fit-params (tools/fit-params counterpart): n_ctx fits memory; a
+    too-small budget flips to layer-stream residency."""
+    from superllama_tpu.tools.fit_params import fit_params
+
+    fr = fit_params(model_path, hbm_bytes=1 << 30)
+    assert fr.fits_resident and fr.n_ctx > 512
+    tiny_budget = fr.weight_bytes // 2 + (1 << 20)
+    fr2 = fit_params(model_path, hbm_bytes=tiny_budget, min_ctx=64)
+    assert not fr2.fits_resident
+    assert 1 <= fr2.n_resident < fr.n_resident
