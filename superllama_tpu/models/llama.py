@@ -22,6 +22,7 @@ from ..runtime.kv_cache import (
     causal_mask,
     iswa_layer_split,
     kv_advance,
+    kv_layer,
     kv_ring_advance,
     kv_ring_slots,
     kv_update_layer,
@@ -371,7 +372,8 @@ def llama_forward(
                 ck, cv, cpos = cache.full.k[li], cache.full.v[li], cache.full.pos
             else:
                 cache = kv_update_layer(cache, il, slots, k, v)
-                ck, cv, cpos = cache.k[il], cache.v[il], cache.pos
+                ck, cv = kv_layer(cache, il, k.dtype)
+                cpos = cache.pos
             if flash:
                 attn = flash_attention(
                     q, ck, cv, pos, cpos,

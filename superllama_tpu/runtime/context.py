@@ -61,6 +61,11 @@ class Context:
 
     def new_cache(self):
         hp = self.hp
+        if isinstance(self.kv_dtype, str) and (
+                hp.is_recurrent or hp.is_hybrid or self.iswa):
+            raise ValueError(
+                "q8_0 KV cache is supported for standard attention caches "
+                "only (not iswa/recurrent/hybrid)")
         if hp.is_hybrid:  # jamba-family: KV for attn layers + SSM state
             from ..models.jamba import hybrid_cache_init
 

@@ -134,7 +134,14 @@ class Engine:
             row_pos = jnp.pad(small.pos[0], (0, pad), constant_values=-1)
             pos = jax.lax.dynamic_update_slice(big.pos, row_pos[None, :], (row, 0))
             cursor = big.cursor.at[row].set(n_valid)
-            return KVCache(k=k, v=v, pos=pos, cursor=cursor)
+            ksc = vsc = None
+            if big.k_scale is not None:   # Q8_0 KV: carry the scale planes
+                ksc = jax.lax.dynamic_update_slice(
+                    big.k_scale, small.k_scale, (0, row, 0, 0))
+                vsc = jax.lax.dynamic_update_slice(
+                    big.v_scale, small.v_scale, (0, row, 0, 0))
+            return KVCache(k=k, v=v, pos=pos, cursor=cursor,
+                           k_scale=ksc, v_scale=vsc)
 
         self._insert = jax.jit(insert, donate_argnums=(0,))
 

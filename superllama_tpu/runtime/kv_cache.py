@@ -23,22 +23,58 @@ class KVCache(NamedTuple):
     v: jax.Array        # (n_layer, B, H_kv, S, Dv)
     pos: jax.Array      # (B, S) int32; -1 = empty slot
     cursor: jax.Array   # (B,) int32 next write slot
+    # Q8_0-style quantized KV (cache_type_k/v counterpart, llama.h:372-373):
+    # k/v hold int8 codes, scales are per-(layer,row,head,slot) f32
+    k_scale: jax.Array | None = None   # (n_layer, B, H_kv, S)
+    v_scale: jax.Array | None = None
 
     @property
     def max_seq(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def kv_cache_init(n_layer: int, batch: int, max_seq: int, n_head_kv: int,
                   head_dim: int, head_dim_v: int | None = None,
                   dtype=jnp.bfloat16) -> KVCache:
+    """dtype may be a float dtype or the string "q8_0" for int8-quantized KV
+    with per-row scales (the reference's cache_type_k/v=q8_0)."""
     head_dim_v = head_dim_v if head_dim_v is not None else head_dim
+    quant = isinstance(dtype, str) and dtype in ("q8_0", "q8", "int8")
+    store = jnp.int8 if quant else dtype
+    sh = (n_layer, batch, n_head_kv, max_seq)
     return KVCache(
-        k=jnp.zeros((n_layer, batch, n_head_kv, max_seq, head_dim), dtype),
-        v=jnp.zeros((n_layer, batch, n_head_kv, max_seq, head_dim_v), dtype),
+        k=jnp.zeros((*sh, head_dim), store),
+        v=jnp.zeros((*sh, head_dim_v), store),
         pos=jnp.full((batch, max_seq), -1, jnp.int32),
         cursor=jnp.zeros((batch,), jnp.int32),
+        k_scale=jnp.zeros(sh, jnp.float32) if quant else None,
+        v_scale=jnp.zeros(sh, jnp.float32) if quant else None,
     )
+
+
+def q8_quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., D) float → (int8 codes, f32 per-row scale): Q8_0 semantics."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    codes = jnp.round(xf * inv[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
+def kv_layer(cache: KVCache, il: int, dtype=jnp.float32):
+    """K/V arrays of one layer, dequantized when the cache is Q8_0."""
+    ck, cv = cache.k[il], cache.v[il]
+    if cache.k_scale is not None:
+        ck = (ck.astype(jnp.float32)
+              * cache.k_scale[il][..., None]).astype(dtype)
+        cv = (cv.astype(jnp.float32)
+              * cache.v_scale[il][..., None]).astype(dtype)
+    return ck, cv
 
 
 def kv_write_slots(cache: KVCache, n_new: int) -> jax.Array:
@@ -59,10 +95,18 @@ def kv_update_layer(cache: KVCache, layer: int, slots: jax.Array,
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None]      # (B,1,1)
     h_idx = jnp.arange(Hkv, dtype=jnp.int32)[None, :, None]    # (1,Hkv,1)
     s_idx = slots[:, None, :]                                  # (B,1,T)
-    kt = k_new.transpose(0, 2, 1, 3).astype(cache.k.dtype)     # (B,Hkv,T,D)
-    vt = v_new.transpose(0, 2, 1, 3).astype(cache.v.dtype)
-    k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kt, mode=mode)
-    v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vt, mode=mode)
+    kt = k_new.transpose(0, 2, 1, 3)                           # (B,Hkv,T,D)
+    vt = v_new.transpose(0, 2, 1, 3)
+    if cache.k_scale is not None:
+        kc, ks = q8_quantize_rows(kt)
+        vc, vs = q8_quantize_rows(vt)
+        k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kc, mode=mode)
+        v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vc, mode=mode)
+        k_scale = cache.k_scale.at[layer, b_idx, h_idx, s_idx].set(ks, mode=mode)
+        v_scale = cache.v_scale.at[layer, b_idx, h_idx, s_idx].set(vs, mode=mode)
+        return cache._replace(k=k, v=v, k_scale=k_scale, v_scale=v_scale)
+    k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kt.astype(cache.k.dtype), mode=mode)
+    v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vt.astype(cache.v.dtype), mode=mode)
     return cache._replace(k=k, v=v)
 
 
@@ -109,7 +153,13 @@ def kv_gather_slots(cache: KVCache, idx: jax.Array, n_valid: jax.Array) -> KVCac
     pos = jnp.take_along_axis(cache.pos, idx, axis=1)
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_valid[:, None]
     pos = jnp.where(valid, pos, -1)
-    return KVCache(k=k, v=v, pos=pos, cursor=n_valid.astype(jnp.int32))
+    ksc = vsc = None
+    if cache.k_scale is not None:
+        gs = idx[None, :, None, :]
+        ksc = jnp.take_along_axis(cache.k_scale, gs, axis=3)
+        vsc = jnp.take_along_axis(cache.v_scale, gs, axis=3)
+    return KVCache(k=k, v=v, pos=pos, cursor=n_valid.astype(jnp.int32),
+                   k_scale=ksc, v_scale=vsc)
 
 
 def kv_truncate_rows(cache: KVCache, keep: jax.Array) -> KVCache:
@@ -145,9 +195,7 @@ def kv_context_shift(cache: KVCache, keep: jax.Array, discard: jax.Array,
     delta = jnp.where(sel_shift, -discard[:, None], 0).astype(jnp.int32)
 
     # re-rope K by the (per-slot) position delta: (L,B,Hkv,S,D) → rope over S
-    k = cache.k.transpose(0, 1, 3, 2, 4)                 # (L,B,S,Hkv,D)
-    k = apply_rope(k, delta[None].astype(jnp.int32), inv_freq, rope_type, mscale)
-    k = k.transpose(0, 1, 3, 2, 4)
+    k, k_scale = _rerope_k(cache, delta, inv_freq, rope_type, mscale)
 
     # compact: stable-sort slots by new position (holes → end)
     big = jnp.int32(2**30)
@@ -160,8 +208,14 @@ def kv_context_shift(cache: KVCache, keep: jax.Array, discard: jax.Array,
 
     k_c = gather_s(k)
     v_c = gather_s(cache.v)
+    ksc = vsc = None
+    if cache.k_scale is not None:
+        gs = order[None, :, None, :]
+        ksc = jnp.take_along_axis(k_scale, gs, axis=3)
+        vsc = jnp.take_along_axis(cache.v_scale, gs, axis=3)
     cursor = jnp.sum(pos_c >= 0, axis=1).astype(jnp.int32)
-    return KVCache(k=k_c, v=v_c, pos=pos_c, cursor=cursor)
+    return KVCache(k=k_c, v=v_c, pos=pos_c, cursor=cursor,
+                   k_scale=ksc, v_scale=vsc)
 
 
 # --- iSWA two-tier cache ------------------------------------------------------
@@ -265,14 +319,21 @@ def seq_add(cache: KVCache, b: int, p0: int, p1: int, delta: int) -> KVCache:
 
 
 def _rerope_k(cache: KVCache, delta: jax.Array, inv_freq: jax.Array,
-              rope_type: int = 0, mscale: float = 1.0) -> jax.Array:
+              rope_type: int = 0, mscale: float = 1.0):
     """Re-rotate stored K by a per-(row, slot) position delta (the reference's
-    shift-via-rope-rerun, src/llama-kv-cache.cpp)."""
+    shift-via-rope-rerun, src/llama-kv-cache.cpp). Q8_0 caches dequantize,
+    rotate, and requantize. Returns (k, k_scale_or_None)."""
     from ..ops.jnp_ref import apply_rope
 
-    k = cache.k.transpose(0, 1, 3, 2, 4)                 # (L,B,S,Hkv,D)
+    k = cache.k
+    if cache.k_scale is not None:
+        k = k.astype(jnp.float32) * cache.k_scale[..., None]
+    k = k.transpose(0, 1, 3, 2, 4)                       # (L,B,S,Hkv,D)
     k = apply_rope(k, delta[None].astype(jnp.int32), inv_freq, rope_type, mscale)
-    return k.transpose(0, 1, 3, 2, 4)
+    k = k.transpose(0, 1, 3, 2, 4)
+    if cache.k_scale is not None:
+        return q8_quantize_rows(k)
+    return k.astype(cache.k.dtype), None
 
 
 def seq_add_rerope(cache: KVCache, b: int, p0: int, p1: int, delta: int,
@@ -283,9 +344,11 @@ def seq_add_rerope(cache: KVCache, b: int, p0: int, p1: int, delta: int,
     sel = (cache.pos[b] >= p0) & (cache.pos[b] < p1)
     d = jnp.zeros_like(cache.pos).at[b].set(
         jnp.where(sel, jnp.int32(delta), 0))
-    k = _rerope_k(cache, d, inv_freq, rope_type, mscale)
+    k, ks = _rerope_k(cache, d, inv_freq, rope_type, mscale)
     pos = cache.pos.at[b].set(
         jnp.where(sel, cache.pos[b] + delta, cache.pos[b]))
+    if ks is not None:
+        return cache._replace(k=k, pos=pos, k_scale=ks)
     return cache._replace(k=k, pos=pos)
 
 
@@ -299,8 +362,10 @@ def seq_div(cache: KVCache, b: int, p0: int, p1: int, d: int,
     new_pos = jnp.where(sel, cache.pos[b] // d, cache.pos[b])
     delta = jnp.zeros_like(cache.pos).at[b].set(
         jnp.where(sel, new_pos - cache.pos[b], 0))
-    k = _rerope_k(cache, delta, inv_freq, rope_type, mscale)
+    k, ks = _rerope_k(cache, delta, inv_freq, rope_type, mscale)
     pos = cache.pos.at[b].set(new_pos)
+    if ks is not None:
+        return cache._replace(k=k, pos=pos, k_scale=ks)
     return cache._replace(k=k, pos=pos)
 
 
@@ -310,7 +375,12 @@ def seq_cp(cache: KVCache, src: int, dst: int) -> KVCache:
     v = cache.v.at[:, dst].set(cache.v[:, src])
     pos = cache.pos.at[dst].set(cache.pos[src])
     cursor = cache.cursor.at[dst].set(cache.cursor[src])
-    return KVCache(k=k, v=v, pos=pos, cursor=cursor)
+    ksc = vsc = None
+    if cache.k_scale is not None:
+        ksc = cache.k_scale.at[:, dst].set(cache.k_scale[:, src])
+        vsc = cache.v_scale.at[:, dst].set(cache.v_scale[:, src])
+    return KVCache(k=k, v=v, pos=pos, cursor=cursor,
+                   k_scale=ksc, v_scale=vsc)
 
 
 def seq_keep(cache: KVCache, b: int) -> KVCache:
