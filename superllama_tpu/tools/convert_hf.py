@@ -58,6 +58,7 @@ _ARCH_MAP = {
     "GlmForCausalLM": "glm4",
     "Glm4ForCausalLM": "glm4",
     "NemotronForCausalLM": "nemotron",
+    "GraniteForCausalLM": "granite",
     "DbrxForCausalLM": "dbrx",
 }
 
@@ -65,7 +66,7 @@ _ARCH_MAP = {
 # nemotron LayerNorm1P)
 _NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
-_PERMUTE_QK = {"llama"}
+_PERMUTE_QK = {"llama", "granite"}
 
 
 def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
@@ -406,6 +407,14 @@ def convert_state_dict(
               bool(getattr(config, "parallel_attn", True)))
     if getattr(config, "logit_scale", None):
         w.add(f"{arch}.logit_scale", float(config.logit_scale))
+    if getattr(config, "embedding_multiplier", None):
+        w.add(f"{arch}.embedding_scale", float(config.embedding_multiplier))
+    if getattr(config, "residual_multiplier", None):
+        w.add(f"{arch}.residual_scale", float(config.residual_multiplier))
+    if getattr(config, "attention_multiplier", None):
+        w.add(f"{arch}.attention.scale", float(config.attention_multiplier))
+    if getattr(config, "logits_scaling", None):
+        w.add(f"{arch}.logit_scale", float(config.logits_scaling))
     clip_qkv = getattr(getattr(config, "attn_config", None), "clip_qkv", None)
     if clip_qkv:
         w.add(f"{arch}.attention.clamp_kqv", float(clip_qkv))

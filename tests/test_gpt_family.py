@@ -298,3 +298,24 @@ def test_dbrx_parity(tmp_path):
     assert hp.f_clamp_kqv == 8.0 and hp.n_expert == 4
     assert "ffn_gate_exps" in model.params["layers"][0]
     _parity(hf, model)
+
+
+def test_granite_parity(tmp_path):
+    """Granite: llama + four scalar multipliers (embedding/residual/
+    attention/logits) threaded through hparams."""
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    cfg = GraniteConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        embedding_multiplier=6.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["GraniteForCausalLM"], tie_word_embeddings=False,
+    )
+    hf = GraniteForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "granite.gguf")
+    hp = model.hparams
+    assert hp.f_embedding_scale == 6.0 and hp.f_residual_scale == 0.5
+    assert abs(hp.f_attn_scale - 0.1) < 1e-6 and hp.logit_scale == 0.25
+    _parity(hf, model)
