@@ -318,6 +318,13 @@ def cmd_perplexity(args):
     return 0
 
 
+def cmd_gguf_dump(args):
+    from .tools.gguf_dump import dump
+
+    print(dump(args.model, show_tensors=not args.no_tensors))
+    return 0
+
+
 def cmd_fit_params(args):
     from .tools.fit_params import main as fp_main
 
@@ -399,6 +406,11 @@ def main(argv=None) -> int:
     p.add_argument("--ssl-cert-file", default=None, help="enable TLS")
     p.add_argument("--ssl-key-file", default=None)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("gguf-dump", help="inspect GGUF metadata + tensors")
+    p.add_argument("model")
+    p.add_argument("--no-tensors", action="store_true")
+    p.set_defaults(fn=cmd_gguf_dump)
 
     p = sub.add_parser("fit-params", help="fit n_ctx / layer residency to HBM")
     p.add_argument("model")

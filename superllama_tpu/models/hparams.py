@@ -142,7 +142,7 @@ ROPE_TYPE_BY_ARCH = {
     "mistral": 0, "mixtral": 0, "phi2": 2, "phi3": 2, "gemma": 2,
     "gemma2": 2, "gemma3": 2, "stablelm": 2, "gptneox": 2, "olmo": 0,
     "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
-    "exaone": 0, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 2,
+    "exaone": 0, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 0,
     "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,

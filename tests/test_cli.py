@@ -177,3 +177,29 @@ def test_fit_params_tool(model_path):
     fr2 = fit_params(model_path, hbm_bytes=tiny_budget, min_ctx=64)
     assert not fr2.fits_resident
     assert 1 <= fr2.n_resident < fr.n_resident
+
+
+def test_gguf_dump_tool(model_path, capsys):
+    rc = cli_main(["gguf-dump", model_path, "--no-tensors"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "architecture: llama" in out
+
+    rc = cli_main(["gguf-dump", model_path])
+    out = capsys.readouterr().out
+    assert "blk.0.attn_q.weight" in out
+
+
+def test_logger_ring_and_levels(capsys):
+    from superllama_tpu.utils.log import Logger
+
+    lg = Logger(level="warn", color=False)
+    lg.debug("hidden %d", 1)
+    lg.info("hidden too")
+    lg.warn("visible %s", "warning")
+    lg.error("boom")
+    err = capsys.readouterr().err
+    assert "visible warning" in err and "boom" in err and "hidden" not in err
+    assert len(lg.tail()) == 2
+    lg.set_level("debug")
+    lg.debug("now shown")
+    assert "now shown" in lg.tail(1)[0]
