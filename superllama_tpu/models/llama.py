@@ -381,7 +381,7 @@ def llama_forward(
                     logit_softcap=hp.attn_logit_softcap, sinks=sinks,
                 )
             else:
-                attn = ops.attention_ref(
+                attn = ops.attention_gqa(
                     q, ck, cv,
                     mask_swa if swa else mask_full,
                     scale=kq_scale,

@@ -58,6 +58,10 @@ def _load() -> ctypes.CDLL | None:
         lib.slq_quantize.restype = ctypes.c_int
         lib.slq_quantize.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.slq_repack.restype = ctypes.c_int
+        lib.slq_repack.argtypes = [
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
     except (OSError, subprocess.SubprocessError):
         _LIB = None
@@ -233,3 +237,31 @@ def native_bpe(vocab) -> "NativeBPE | None":
         return NativeBPE(vocab)
     except OSError:
         return None
+
+
+# (ttype, gs, offset, nibble) for the natively repackable formats
+_REPACK_META = {2: (32, 8, True), 8: (32, 0, False), 12: (32, 0, True),
+                13: (32, 0, False), 14: (16, 0, False)}
+
+
+def repack(raw: np.ndarray, ttype: int, N: int, K: int):
+    """Native load-path repack → (codes, scales, adds, gs, offset, nibble)
+    in the exact ops/qtensor.py layouts, or None when unsupported."""
+    lib = _load()
+    meta = _REPACK_META.get(int(ttype))
+    if lib is None or meta is None or K % 256 and int(ttype) not in (2, 8):
+        return None
+    gs, offset, nibble = meta
+    raw = np.ascontiguousarray(raw.reshape(-1), dtype=np.uint8)
+    codes = np.empty((K // 2 if nibble else K, N), np.uint8)
+    scales = np.empty((K // gs, N), np.float32)
+    has_adds = int(ttype) in (12, 13)
+    adds = np.empty((K // gs, N), np.float32) if has_adds else None
+    rc = lib.slq_repack(int(ttype), raw.ctypes.data, N, K, codes.ctypes.data,
+                        scales.ctypes.data,
+                        adds.ctypes.data if has_adds else None)
+    if rc != 0:
+        return None
+    if not nibble:
+        codes = codes.view(np.int8)
+    return codes, scales, adds, gs, offset, nibble

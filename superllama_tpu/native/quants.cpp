@@ -605,3 +605,129 @@ int slq_quantize(int ttype, const float* x, int64_t n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ----------------------------- repack (load path) ---------------------------
+// Wire blocks (row-major N x K/bs) -> the SoA QTensor planes of
+// ops/qtensor.py, bit-identical: codes nibble-packed (K/2, N) for
+// Q4_0/Q4_K or int8 (K, N) otherwise; scales/adds f32 (K/gs, N).
+// This is the model-load hot loop (ggml-cpu/repack.cpp role).
+
+namespace {
+
+void rep_q4_0(const uint8_t* b, int64_t n, int64_t bi, int64_t N,
+              uint8_t* codes, float* scales, float* adds) {
+    (void)adds;
+    scales[bi * N + n] = h2f(b);
+    // group-local nibble pack == the wire layout for Q4_0 (lo nibbles are
+    // elements 0-15, hi nibbles 16-31)
+    for (int t = 0; t < 16; t++) codes[(bi * 16 + t) * N + n] = b[2 + t];
+}
+
+void rep_q8_0(const uint8_t* b, int64_t n, int64_t bi, int64_t N,
+              uint8_t* codes, float* scales, float* adds) {
+    (void)adds;
+    scales[bi * N + n] = h2f(b);
+    for (int e = 0; e < 32; e++) codes[(bi * 32 + e) * N + n] = b[2 + e];
+}
+
+void rep_q4_k(const uint8_t* b, int64_t n, int64_t bi, int64_t N,
+              uint8_t* codes, float* scales, float* adds) {
+    float d = h2f(b), dmin = h2f(b + 2);
+    uint8_t sc[8], mn[8];
+    unpack_scale_min_k4(b + 4, sc, mn);
+    for (int j = 0; j < 8; j++) {
+        scales[(bi * 8 + j) * N + n] = d * (float)sc[j];
+        adds[(bi * 8 + j) * N + n] = -(dmin * (float)mn[j]);
+    }
+    const uint8_t* qs = b + 16;
+    uint8_t out[128] = {0};
+    for (int e = 0; e < 256; e++) {
+        int c = e >> 6, w = e & 63;
+        uint8_t q = qs[c * 32 + (w & 31)];
+        uint8_t val = (w < 32) ? (uint8_t)(q & 0x0F) : (uint8_t)(q >> 4);
+        int m = e & 31;
+        int r = (e >> 5) * 16 + (m & 15);
+        out[r] |= (uint8_t)(val << (m >= 16 ? 4 : 0));
+    }
+    for (int r = 0; r < 128; r++) codes[(bi * 128 + r) * N + n] = out[r];
+}
+
+void rep_q5_k(const uint8_t* b, int64_t n, int64_t bi, int64_t N,
+              uint8_t* codes, float* scales, float* adds) {
+    float d = h2f(b), dmin = h2f(b + 2);
+    uint8_t sc[8], mn[8];
+    unpack_scale_min_k4(b + 4, sc, mn);
+    for (int j = 0; j < 8; j++) {
+        scales[(bi * 8 + j) * N + n] = d * (float)sc[j];
+        adds[(bi * 8 + j) * N + n] = -(dmin * (float)mn[j]);
+    }
+    const uint8_t* qh = b + 16;
+    const uint8_t* ql = b + 48;
+    int8_t out[256];
+    for (int j = 0; j < 4; j++) {
+        uint8_t u1 = (uint8_t)(1u << (2 * j)), u2 = (uint8_t)(2u << (2 * j));
+        for (int i = 0; i < 32; i++) {
+            uint8_t q = ql[j * 32 + i];
+            out[j * 64 + i] = (int8_t)((q & 0x0F) + ((qh[i] & u1) ? 16 : 0));
+            out[j * 64 + 32 + i] = (int8_t)((q >> 4) + ((qh[i] & u2) ? 16 : 0));
+        }
+    }
+    for (int e = 0; e < 256; e++)
+        codes[(bi * 256 + e) * N + n] = (uint8_t)out[e];
+}
+
+void rep_q6_k(const uint8_t* b, int64_t n, int64_t bi, int64_t N,
+              uint8_t* codes, float* scales, float* adds) {
+    (void)adds;
+    const uint8_t* ql = b;
+    const uint8_t* qh = b + 128;
+    const int8_t* sc8 = (const int8_t*)(b + 192);
+    float d = h2f(b + 208);
+    for (int j = 0; j < 16; j++)
+        scales[(bi * 16 + j) * N + n] = d * (float)sc8[j];
+    int8_t out[256];
+    for (int half = 0; half < 2; half++) {
+        const uint8_t* lq = ql + half * 64;
+        const uint8_t* hq = qh + half * 32;
+        int n0 = half * 128;
+        for (int i = 0; i < 32; i++) {
+            out[n0 + i] = (int8_t)(((lq[i] & 0x0F) | (((hq[i] >> 0) & 3) << 4)) - 32);
+            out[n0 + 32 + i] = (int8_t)(((lq[32 + i] & 0x0F) | (((hq[i] >> 2) & 3) << 4)) - 32);
+            out[n0 + 64 + i] = (int8_t)(((lq[i] >> 4) | (((hq[i] >> 4) & 3) << 4)) - 32);
+            out[n0 + 96 + i] = (int8_t)(((lq[32 + i] >> 4) | (((hq[i] >> 6) & 3) << 4)) - 32);
+        }
+    }
+    for (int e = 0; e < 256; e++)
+        codes[(bi * 256 + e) * N + n] = (uint8_t)out[e];
+}
+
+using rep_fn = void (*)(const uint8_t*, int64_t, int64_t, int64_t,
+                        uint8_t*, float*, float*);
+
+inline rep_fn rep_for(int ttype) {
+    switch (ttype) {
+        case 2: return rep_q4_0;   // Q4_0
+        case 8: return rep_q8_0;   // Q8_0
+        case 12: return rep_q4_k;  // Q4_K
+        case 13: return rep_q5_k;  // Q5_K
+        case 14: return rep_q6_k;  // Q6_K
+        default: return nullptr;
+    }
+}
+}  // namespace
+
+extern "C" int slq_repack(int ttype, const uint8_t* raw, int64_t N, int64_t K,
+                          uint8_t* codes, float* scales, float* adds) {
+    rep_fn fn = rep_for(ttype);
+    Fmt f = fmt_for(ttype);
+    if (!fn || !f.type_size || K % f.block_size) return -1;
+    int64_t nbr = K / f.block_size;
+    int64_t ts = f.type_size;
+    parallel_blocks(nbr, [&](int64_t lo, int64_t hi) {
+        for (int64_t bi = lo; bi < hi; bi++)
+            for (int64_t n = 0; n < N; n++)
+                fn(raw + (n * nbr + bi) * ts, n, bi, N, codes, scales, adds);
+    });
+    return 0;
+}
+

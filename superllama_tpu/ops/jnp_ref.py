@@ -159,6 +159,47 @@ def attention_ref(
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
+def attention_gqa(
+    q: jax.Array,        # (B, T, H, D)
+    k: jax.Array,        # (B, H_kv, S, D)
+    v: jax.Array,        # (B, H_kv, S, Dv)
+    mask: jax.Array,     # (B, 1 or H, T, S) additive
+    scale: float | None = None,
+    logit_softcap: float = 0.0,
+    sinks: jax.Array | None = None,
+) -> jax.Array:
+    """Bandwidth-lean attention for the XLA (non-flash) path: grouped-query
+    einsums instead of repeating K/V to H heads (attention_ref materializes
+    the repeat — ~G× the KV traffic, ruinous at long context), dots in the
+    stored dtype with f32 accumulation, f32 softmax. Conformance-tested
+    against attention_ref."""
+    B, T, H, D = q.shape
+    H_kv, S = k.shape[1], k.shape[2]
+    G = H // H_kv
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    qg = q.reshape(B, T, H_kv, G, D).transpose(0, 2, 3, 1, 4)  # (B,Hkv,G,T,D)
+    logits = jnp.einsum("bkgtd,bksd->bkgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if logit_softcap > 0.0:
+        logits = logit_softcap * jnp.tanh(logits / logit_softcap)
+    if mask.shape[1] == 1:
+        logits = logits + mask[:, :, None].astype(jnp.float32)
+    else:  # per-head mask (alibi)
+        logits = logits + mask.reshape(B, H_kv, G, T, S).astype(jnp.float32)
+    if sinks is not None:
+        sink = sinks.astype(jnp.float32).reshape(1, H_kv, G, 1, 1)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
+        p = jnp.exp(logits - m)
+        probs = p / (jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sink - m))
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)      # (B,Hkv,G,T,Dv)
+    return (out.transpose(0, 3, 1, 2, 4)
+            .reshape(B, T, H, v.shape[3]).astype(q.dtype))
+
+
 # ----------------------------------------------------------------- activations
 
 

@@ -349,16 +349,26 @@ def _extract(raw: np.ndarray, ttype: GGMLType, N: int, K: int):
 
 def repack(raw: np.ndarray, ttype: GGMLType, out_in_shape: tuple[int, int],
            device_put=None) -> QTensor:
-    """Repack GGUF packed bytes (row-major (N,K) blocks) into a QTensor."""
+    """Repack GGUF packed bytes (row-major (N,K) blocks) into a QTensor.
+
+    Routes through the threaded C++ fast path (native/quants.cpp slq_repack,
+    bit-identical by tests) for the mainstream formats; numpy otherwise."""
     N, K = out_in_shape
-    codes, scales, adds, gs, offset, nibble = _extract(
-        np.frombuffer(raw.tobytes(), np.uint8), ttype, N, K
-    )
-    codes = codes.reshape(N, K).T                           # (K, N)
-    codes = _pack_nib4(codes.astype(np.uint8)) if nibble else codes.astype(np.int8)
-    scales = np.ascontiguousarray(scales.reshape(N, K // gs).T, np.float32)
-    if adds is not None:
-        adds = np.ascontiguousarray(adds.reshape(N, K // gs).T, np.float32)
+    from .. import native
+
+    nat = native.repack(np.frombuffer(raw.tobytes(), np.uint8),
+                        int(ttype), N, K)
+    if nat is not None:
+        codes, scales, adds, gs, offset, nibble = nat
+    else:
+        codes, scales, adds, gs, offset, nibble = _extract(
+            np.frombuffer(raw.tobytes(), np.uint8), ttype, N, K
+        )
+        codes = codes.reshape(N, K).T                       # (K, N)
+        codes = _pack_nib4(codes.astype(np.uint8)) if nibble else codes.astype(np.int8)
+        scales = np.ascontiguousarray(scales.reshape(N, K // gs).T, np.float32)
+        if adds is not None:
+            adds = np.ascontiguousarray(adds.reshape(N, K // gs).T, np.float32)
     put = device_put or jax.numpy.asarray
     return QTensor(
         codes=put(np.ascontiguousarray(codes)),

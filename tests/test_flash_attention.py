@@ -8,6 +8,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
 from superllama_tpu.ops.flash_attention import flash_attention
+from superllama_tpu.ops import jnp_ref as ops
 from superllama_tpu.ops.jnp_ref import attention_ref
 from superllama_tpu.runtime.kv_cache import causal_mask
 
@@ -101,3 +102,24 @@ def test_attention_sinks_with_swa():
     got = flash_attention(q, k, v, q_pos, kv_pos, swa_window=4, sinks=sinks)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("gqa,softcap,sinks", [(1, 0.0, False), (4, 0.0, False),
+                                               (2, 30.0, False), (4, 0.0, True)])
+def test_attention_gqa_matches_ref(gqa, softcap, sinks):
+    """Grouped-query XLA attention (no K/V repeat) vs the reference."""
+    rng = np.random.default_rng(11)
+    B, T, Hkv, S, D = 2, 5, 2, 24, 16
+    H = Hkv * gqa
+    q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    cache_pos = jnp.where(jnp.arange(S)[None] < 20, jnp.arange(S)[None], -1)
+    cache_pos = jnp.broadcast_to(cache_pos, (B, S)).astype(jnp.int32)
+    q_pos = jnp.broadcast_to(15 + jnp.arange(T)[None], (B, T)).astype(jnp.int32)
+    mask = causal_mask(cache_pos, q_pos)
+    sk = jnp.asarray(rng.normal(0, 1, (H,)), jnp.float32) if sinks else None
+    ref = ops.attention_ref(q, k, v, mask, logit_softcap=softcap, sinks=sk)
+    got = ops.attention_gqa(q, k, v, mask, logit_softcap=softcap, sinks=sk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -86,3 +86,36 @@ def test_native_speedup_large():
     t_numpy = time.perf_counter() - t0
     np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
     assert t_native < t_numpy * 2.0, (t_native, t_numpy)
+
+
+@pytest.mark.parametrize("ttype", [GGMLType.Q4_0, GGMLType.Q8_0,
+                                   GGMLType.Q4_K, GGMLType.Q5_K,
+                                   GGMLType.Q6_K], ids=lambda t: t.name)
+def test_native_repack_bit_identical(ttype):
+    """slq_repack (C++ load path) must produce byte-identical planes to the
+    numpy _extract+pack path."""
+    from superllama_tpu import native
+    from superllama_tpu.gguf.quants import quantize
+    from superllama_tpu.ops.qtensor import _extract, _pack_nib4
+
+    if native._load() is None:
+        pytest.skip("no toolchain")
+    rng = np.random.default_rng(int(ttype) + 5)
+    N, K = 96, 512
+    w = rng.normal(0, 0.3, (N, K)).astype(np.float32)
+    raw = np.frombuffer(quantize(w, ttype).tobytes(), np.uint8)
+    got = native.repack(raw, int(ttype), N, K)
+    assert got is not None
+    codes_n, scales_n, adds_n, gs, offset, nibble = got
+    codes, scales, adds, gs2, off2, nib2 = _extract(raw, ttype, N, K)
+    assert (gs, offset, nibble) == (gs2, off2, nib2)
+    codes = codes.reshape(N, K).T
+    codes = _pack_nib4(codes.astype(np.uint8)) if nibble else codes.astype(np.int8)
+    np.testing.assert_array_equal(codes_n, codes)
+    np.testing.assert_array_equal(scales_n,
+                                  np.ascontiguousarray(scales.reshape(N, K // gs).T, np.float32))
+    if adds is not None:
+        np.testing.assert_array_equal(adds_n,
+                                      np.ascontiguousarray(adds.reshape(N, K // gs).T, np.float32))
+    else:
+        assert adds_n is None
