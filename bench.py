@@ -216,6 +216,32 @@ def main():
                 times8b[n] = time.perf_counter() - t0
     tps8b = B8 * (nb_hi - nb_lo) / max(times8b[nb_hi] - times8b[nb_lo], 1e-9)
 
+    # deep-context decode (the reference's tg@d32768 dimension): cache
+    # pre-filled to depth d with on-device random K/V
+    from superllama_tpu.runtime.kv_cache import KVCache
+
+    DD = 16384
+    S8d = DD + 512
+    mkkv = jax.jit(lambda k: jax.random.normal(
+        k, (hp8.n_layer, B, hp8.n_head_kv, S8d, hp8.head_dim),
+        jnp.bfloat16) * 0.3)
+    dkey = jax.random.PRNGKey(1)
+    dpos = jnp.where(jnp.arange(S8d)[None] < DD,
+                     jnp.arange(S8d)[None], -1).astype(jnp.int32)
+    times8d = {}
+    for n in (n8_lo, n8_hi):
+        for salt, timed in ((9, False), (19, True)):
+            c = KVCache(k=mkkv(jax.random.fold_in(dkey, 1)),
+                        v=mkkv(jax.random.fold_in(dkey, 2)),
+                        pos=dpos, cursor=jnp.asarray([DD], jnp.int32))
+            t0 = time.perf_counter()
+            toks, c = scan_decode8(p8, jnp.asarray([[salt]], jnp.int32),
+                                   c, jnp.asarray([[DD]], jnp.int32), n_steps=n)
+            fetch(toks[-1])
+            if timed:
+                times8d[n] = time.perf_counter() - t0
+    tps8d = (n8_hi - n8_lo) / max(times8d[n8_hi] - times8d[n8_lo], 1e-9)
+
     # 8B prefill (fused-dequant matmul path), T=2048 chained differential
     T8 = 2048
     S8p = T8 + 8
@@ -241,6 +267,7 @@ def main():
 
     extra["prefill_tok_per_s"] = round(prefill8_tps, 1)
     extra["batched_b8_tok_per_s"] = round(tps8b, 1)
+    extra["depth16k_tok_per_s"] = round(tps8d, 2)
     print(json.dumps({
         "metric": "decode_tok_per_s_llama3_8b_q4k_b1",
         "value": round(tps8, 2),
