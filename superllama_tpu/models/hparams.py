@@ -95,6 +95,7 @@ class HParams:
                                       # at load)
     f_residual_scale: float = 1.0     # granite residual_multiplier
     f_clamp_kqv: float = 0.0          # clamp |q|,|k|,|v| (dbrx/mpt clip_qkv)
+    n_no_rope_layer_step: int = 0     # every Nth layer skips rope (smollm3)
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
@@ -144,6 +145,8 @@ ROPE_TYPE_BY_ARCH = {
     "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
     "exaone": 0, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 0,
     "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
+    "olmoe": 2, "seed_oss": 2, "hunyuan-dense": 2, "ernie4_5": 0,
+    "exaone4": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -251,6 +254,8 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         n_head_kv_arr=n_head_kv_arr,
     )
     hp.norm_type = "ln" if arch in LN_ARCHS else "rms"
+    if arch == "smollm3":
+        hp.n_no_rope_layer_step = 4   # hardcoded per arch (llama-model.cpp:2249)
     if arch in ("bloom", "mpt"):
         hp.alibi = True
         hp.max_alibi_bias = float(_k(md, arch, "attention.max_alibi_bias", 8.0))

@@ -347,7 +347,9 @@ def llama_forward(
 
         swa = hp.swa_window if hp.is_swa_layer(il) else 0
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
-        if hp.rope_type >= 0 and hp.n_rot > 0:
+        nope = (hp.n_no_rope_layer_step > 0
+                and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3 NoPE
+        if hp.rope_type >= 0 and hp.n_rot > 0 and not nope:
             q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
             k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
 

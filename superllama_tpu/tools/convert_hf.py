@@ -59,6 +59,11 @@ _ARCH_MAP = {
     "Glm4ForCausalLM": "glm4",
     "NemotronForCausalLM": "nemotron",
     "GraniteForCausalLM": "granite",
+    "OlmoeForCausalLM": "olmoe",
+    "SeedOssForCausalLM": "seed_oss",
+    "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
+    "Ernie4_5ForCausalLM": "ernie4_5",
+    "SmolLM3ForCausalLM": "smollm3",
     "DbrxForCausalLM": "dbrx",
 }
 
@@ -66,7 +71,7 @@ _ARCH_MAP = {
 # nemotron LayerNorm1P)
 _NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
-_PERMUTE_QK = {"llama", "granite"}
+_PERMUTE_QK = {"llama", "granite", "smollm3"}
 
 
 def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
@@ -565,10 +570,15 @@ def convert_state_dict(
         q = get(hf + "self_attn.q_proj.weight")
         k = get(hf + "self_attn.k_proj.weight")
         if q is None and get(hf + "self_attn.qkv_proj.weight") is not None:
-            qkv = get(hf + "self_attn.qkv_proj.weight")  # phi3 fused (out,in)
+            qkv = get(hf + "self_attn.qkv_proj.weight")  # phi3/ernie fused
             nq, nk = n_head * head_dim, n_kv * head_dim
             q, k = qkv[:nq], qkv[nq:nq + nk]
             put(gg + "attn_v.weight", qkv[nq + nk:])
+            bqkv = get(hf + "self_attn.qkv_proj.bias")
+            if bqkv is not None:
+                put(gg + "attn_q.bias", bqkv[:nq])
+                put(gg + "attn_k.bias", bqkv[nq:nq + nk])
+                put(gg + "attn_v.bias", bqkv[nq + nk:])
         else:
             put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
         if arch in _PERMUTE_QK:  # adjacent-pair rope layout needs permuted q/k

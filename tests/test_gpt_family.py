@@ -319,3 +319,66 @@ def test_granite_parity(tmp_path):
     assert hp.f_embedding_scale == 6.0 and hp.f_residual_scale == 0.5
     assert abs(hp.f_attn_scale - 0.1) < 1e-6 and hp.logit_scale == 0.25
     _parity(hf, model)
+
+
+def test_olmoe_parity(tmp_path):
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    cfg = OlmoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["OlmoeForCausalLM"], tie_word_embeddings=False,
+    )
+    hf = OlmoeForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "olmoe.gguf")
+    l0 = model.params["layers"][0]
+    assert "ffn_gate_exps" in l0 and "attn_q_norm" in l0
+    _parity(hf, model)
+
+
+def test_seed_oss_parity(tmp_path):
+    from transformers import SeedOssConfig, SeedOssForCausalLM
+
+    cfg = SeedOssConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["SeedOssForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = SeedOssForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "seed.gguf")
+    _parity(hf, model)
+
+
+def test_ernie45_parity(tmp_path):
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+    cfg = Ernie4_5Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["Ernie4_5ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = Ernie4_5ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "ernie.gguf")
+    assert model.hparams.rope_type == 0
+    _parity(hf, model)
+
+
+def test_smollm3_parity(tmp_path):
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    cfg = SmolLM3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, no_rope_layers=None,
+        attn_implementation="eager", architectures=["SmolLM3ForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = SmolLM3ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "smol.gguf")
+    _parity(hf, model)
