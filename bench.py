@@ -216,28 +216,43 @@ def main():
                 times8b[n] = time.perf_counter() - t0
     tps8b = B8 * (nb_hi - nb_lo) / max(times8b[nb_hi] - times8b[nb_lo], 1e-9)
 
-    # deep-context decode (the reference's tg@d32768 dimension): cache
-    # pre-filled to depth d with on-device random K/V
+    # deep-context decode (the reference's tg@d32768 dimension): the deep
+    # random K/V cache is built INSIDE the jitted call so its buffers live
+    # only for the call (16k measured 72.5 tok/s standalone; 8k here keeps
+    # peak HBM friendly next to the 6.7 GB of weights)
     from superllama_tpu.runtime.kv_cache import KVCache
 
-    DD = 16384
+    DD = 8192
     S8d = DD + 512
-    mkkv = jax.jit(lambda k: jax.random.normal(
-        k, (hp8.n_layer, B, hp8.n_head_kv, S8d, hp8.head_dim),
-        jnp.bfloat16) * 0.3)
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def depth_decode(params, key, salt, n_steps: int):
+        sh = (hp8.n_layer, B, hp8.n_head_kv, S8d, hp8.head_dim)
+        c = KVCache(
+            k=jax.random.normal(jax.random.fold_in(key, 1), sh, jnp.bfloat16) * 0.3,
+            v=jax.random.normal(jax.random.fold_in(key, 2), sh, jnp.bfloat16) * 0.3,
+            pos=jnp.where(jnp.arange(S8d)[None] < DD,
+                          jnp.arange(S8d)[None], -1).astype(jnp.int32),
+            cursor=jnp.asarray([DD], jnp.int32))
+
+        def body(carry, _):
+            tok, pp, c = carry
+            lg, c = llama_forward(params, hp8, tok, pp, c)
+            nxt = device_sampling.greedy(lg[:, -1])[:, None]
+            return (nxt, pp + 1, c), nxt
+        (_, _, c), toks = jax.lax.scan(
+            body, (salt[None, None], jnp.asarray([[DD]], jnp.int32), c),
+            None, length=n_steps)
+        return toks[-1]
+
     dkey = jax.random.PRNGKey(1)
-    dpos = jnp.where(jnp.arange(S8d)[None] < DD,
-                     jnp.arange(S8d)[None], -1).astype(jnp.int32)
     times8d = {}
     for n in (n8_lo, n8_hi):
         for salt, timed in ((9, False), (19, True)):
-            c = KVCache(k=mkkv(jax.random.fold_in(dkey, 1)),
-                        v=mkkv(jax.random.fold_in(dkey, 2)),
-                        pos=dpos, cursor=jnp.asarray([DD], jnp.int32))
             t0 = time.perf_counter()
-            toks, c = scan_decode8(p8, jnp.asarray([[salt]], jnp.int32),
-                                   c, jnp.asarray([[DD]], jnp.int32), n_steps=n)
-            fetch(toks[-1])
+            out = depth_decode(p8, jax.random.fold_in(dkey, salt),
+                               jnp.int32(salt), n_steps=n)
+            fetch(out)
             if timed:
                 times8d[n] = time.perf_counter() - t0
     tps8d = (n8_hi - n8_lo) / max(times8d[n8_hi] - times8d[n8_lo], 1e-9)
@@ -267,7 +282,7 @@ def main():
 
     extra["prefill_tok_per_s"] = round(prefill8_tps, 1)
     extra["batched_b8_tok_per_s"] = round(tps8b, 1)
-    extra["depth16k_tok_per_s"] = round(tps8d, 2)
+    extra["depth8k_tok_per_s"] = round(tps8d, 2)
     print(json.dumps({
         "metric": "decode_tok_per_s_llama3_8b_q4k_b1",
         "value": round(tps8, 2),
