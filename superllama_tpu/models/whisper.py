@@ -160,3 +160,126 @@ def params_from_hf_state_dict(sd: dict, n_head: int) -> dict:
         })
         il += 1
     return params
+
+
+def stack_audio_frames(x: jax.Array, stack_factor: int) -> jax.Array:
+    """Ultravox StackAudioFrames: pad T to a multiple of k, reshape to
+    (B, T/k, k·d) (whisper-enc.cpp build_stack)."""
+    B, T, D = x.shape
+    pad = (-T) % stack_factor
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    return x.reshape(B, (T + pad) // stack_factor, stack_factor * D)
+
+
+def audio_project_ultravox(proj: dict, x: jax.Array) -> jax.Array:
+    """UltravoxProjector (whisper-enc.cpp:55-74): stack → RMS-norm·w_pre →
+    mm_1 → swapped swiglu (second half through silu) → RMS-norm·w_mid →
+    mm_2."""
+    x = stack_audio_frames(x, int(proj["stack_factor"]))
+    x = ops.rms_norm(x, proj["norm_pre"], 1e-6)
+    x = x @ proj["mm_1"]
+    h1, h2 = jnp.split(x, 2, axis=-1)
+    x = h1 * ops.silu(h2)
+    x = ops.rms_norm(x, proj["norm_mid"], 1e-6)
+    return x @ proj["mm_2"]
+
+
+def load_audio_mmproj(path: str) -> dict:
+    """Read an audio mmproj GGUF (mtmd 'a.' / 'mm.a.' names) into
+    whisper_encoder + projector params."""
+    from ..gguf import GGUFReader
+
+    r = GGUFReader(path)
+    md = r.metadata
+
+    def g(name, t=False):
+        ti = r.tensors.get(name)
+        if ti is None:
+            return None
+        arr = ti.astype_f32()
+        return jnp.asarray(arr.T if t and arr.ndim == 2 else arr)
+
+    n_head = int(md.get("clip.audio.attention.head_count", 8))
+    params = {
+        "conv1_w": g("a.conv1d.1.weight"),
+        "conv1_b": g("a.conv1d.1.bias"),
+        "conv2_w": g("a.conv1d.2.weight"),
+        "conv2_b": g("a.conv1d.2.bias"),
+        "pos_embd": g("a.position_embd.weight"),
+        "ln_post_w": g("a.post_ln.weight"),
+        "ln_post_b": g("a.post_ln.bias"),
+        "layers": [],
+    }
+    il = 0
+    while f"a.blk.{il}.attn_q.weight" in r.tensors:
+        p = f"a.blk.{il}."
+        params["layers"].append({
+            "n_head": n_head,
+            "attn_ln_w": g(p + "ln_1.weight"), "attn_ln_b": g(p + "ln_1.bias"),
+            "wq": g(p + "attn_q.weight", t=True), "bq": g(p + "attn_q.bias"),
+            "wk": g(p + "attn_k.weight", t=True),
+            "wv": g(p + "attn_v.weight", t=True), "bv": g(p + "attn_v.bias"),
+            "wo": g(p + "attn_out.weight", t=True), "bo": g(p + "attn_out.bias"),
+            "mlp_ln_w": g(p + "ln_2.weight"), "mlp_ln_b": g(p + "ln_2.bias"),
+            "fc1": g(p + "ffn_up.weight", t=True), "fc1_b": g(p + "ffn_up.bias"),
+            "fc2": g(p + "ffn_down.weight", t=True), "fc2_b": g(p + "ffn_down.bias"),
+        })
+        il += 1
+    proj = {
+        "stack_factor": int(md.get("clip.audio.projector.stack_factor", 8)),
+        "norm_pre": g("mm.a.norm_pre.weight"),
+        "norm_mid": g("mm.a.norm_mid.weight"),
+        "mm_1": g("mm.a.mlp.1.weight", t=True),
+        "mm_2": g("mm.a.mlp.2.weight", t=True),
+    }
+    r.close()
+    return {"encoder": params, "projector": proj,
+            "n_mel": int(md.get("clip.audio.num_mel_bins", 80))}
+
+
+def write_audio_mmproj(path: str, hf_whisper_sd: dict, n_head: int,
+                       projector: dict, stack_factor: int = 8) -> None:
+    """Write an ultravox-style audio mmproj GGUF from a HF whisper state
+    dict + projector arrays {norm_pre, norm_mid, mm_1 (out,in), mm_2}."""
+    from ..gguf import GGMLType, GGUFWriter
+
+    enc = params_from_hf_state_dict(hf_whisper_sd, n_head)
+    w = GGUFWriter(path, arch="clip")
+    w.add("clip.has_audio_encoder", True)
+    w.add("clip.audio.projector_type", "ultravox")
+    w.add("clip.audio.num_mel_bins", int(enc["conv1_w"].shape[1]))
+    w.add("clip.audio.attention.head_count", int(n_head))
+    w.add("clip.audio.embedding_length", int(enc["pos_embd"].shape[1]))
+    w.add("clip.audio.block_count", len(enc["layers"]))
+    w.add("clip.audio.projector.stack_factor", int(stack_factor))
+
+    def put(name, arr, transpose=False):
+        if arr is None:
+            return
+        a = np.asarray(arr, np.float32)
+        w.add_tensor(name, a.T if transpose and a.ndim == 2 else a,
+                     GGMLType.F32)
+
+    put("a.conv1d.1.weight", enc["conv1_w"])
+    put("a.conv1d.1.bias", enc["conv1_b"])
+    put("a.conv1d.2.weight", enc["conv2_w"])
+    put("a.conv1d.2.bias", enc["conv2_b"])
+    put("a.position_embd.weight", enc["pos_embd"])
+    put("a.post_ln.weight", enc["ln_post_w"])
+    put("a.post_ln.bias", enc["ln_post_b"])
+    for il, l in enumerate(enc["layers"]):
+        p = f"a.blk.{il}."
+        put(p + "ln_1.weight", l["attn_ln_w"]); put(p + "ln_1.bias", l["attn_ln_b"])
+        put(p + "attn_q.weight", l["wq"], True); put(p + "attn_q.bias", l["bq"])
+        put(p + "attn_k.weight", l["wk"], True)
+        put(p + "attn_v.weight", l["wv"], True); put(p + "attn_v.bias", l["bv"])
+        put(p + "attn_out.weight", l["wo"], True); put(p + "attn_out.bias", l["bo"])
+        put(p + "ln_2.weight", l["mlp_ln_w"]); put(p + "ln_2.bias", l["mlp_ln_b"])
+        put(p + "ffn_up.weight", l["fc1"], True); put(p + "ffn_up.bias", l["fc1_b"])
+        put(p + "ffn_down.weight", l["fc2"], True); put(p + "ffn_down.bias", l["fc2_b"])
+    put("mm.a.norm_pre.weight", projector["norm_pre"])
+    put("mm.a.norm_mid.weight", projector["norm_mid"])
+    put("mm.a.mlp.1.weight", projector["mm_1"])   # stored (out, in)
+    put("mm.a.mlp.2.weight", projector["mm_2"])
+    w.write()

@@ -67,3 +67,66 @@ class Multimodal:
             lambda p, t, po, c, e: fwd(p, hp, t, po, c, embeds=e),
             donate_argnums=(3,))(self.model.params, tokens, pos, cache, embeds)
         return logits, cache, int(tokens.shape[1])
+
+
+class AudioMultimodal:
+    """Audio input (mtmd audio path: whisper-enc + ultravox projector):
+    samples → log-mel → encoder → stacked projector → embedding chunk
+    injected like an image chunk."""
+
+    def __init__(self, model: LoadedModel, mmproj_path: str):
+        from ..models.whisper import (audio_project_ultravox,
+                                      load_audio_mmproj, whisper_encoder)
+
+        self.model = model
+        mm = load_audio_mmproj(mmproj_path)
+        self.n_mel = mm["n_mel"]
+        enc_params, proj = mm["encoder"], mm["projector"]
+        # statics (python ints) must not ride the traced pytree
+        n_head = enc_params["layers"][0]["n_head"]
+        stack = int(proj.pop("stack_factor"))
+        for l in enc_params["layers"]:
+            l.pop("n_head", None)
+
+        def enc(enc_arrays, proj_arrays, mel):
+            ep = dict(enc_arrays)
+            ep["layers"] = [dict(l, n_head=n_head) for l in enc_arrays["layers"]]
+            pj = dict(proj_arrays, stack_factor=stack)
+            return audio_project_ultravox(pj, whisper_encoder(ep, mel))
+
+        self._params = (enc_params, proj)
+        self._encode = jax.jit(enc)
+
+    def audio_embeds(self, samples: np.ndarray) -> jax.Array:
+        """16 kHz mono samples → (1, n_audio_tokens, n_embd_text)."""
+        from ..models.whisper import HOP_LENGTH, log_mel_spectrogram
+
+        n_frames = max(2, int(np.asarray(samples).size // HOP_LENGTH))
+        n_frames += n_frames % 2
+        mel = log_mel_spectrogram(samples, n_mels=self.n_mel, pad_to=n_frames)
+        return self._encode(*self._params, jnp.asarray(mel[None]))
+
+    def build_inputs(self, prompt_ids: list[int], samples: np.ndarray,
+                     audio_pos: int | None = None):
+        aud = np.asarray(self.audio_embeds(samples))[0]
+        tok_embd = np.asarray(self.model.params["token_embd"])
+        txt = tok_embd[np.asarray(prompt_ids, np.int32)]
+        at = 1 if audio_pos is None else audio_pos
+        embeds = np.concatenate([txt[:at], aud, txt[at:]], axis=0)
+        T = embeds.shape[0]
+        return (jnp.asarray(embeds[None]),
+                jnp.zeros((1, T), jnp.int32),
+                jnp.arange(T, dtype=jnp.int32)[None])
+
+    def prefill(self, prompt_ids: list[int], samples: np.ndarray,
+                n_ctx: int = 2048, kv_dtype=jnp.float32):
+        from ..models.registry import get_forward
+
+        hp = self.model.hparams
+        embeds, tokens, pos = self.build_inputs(prompt_ids, samples)
+        cache = kv_cache_init(hp.n_layer, 1, n_ctx, hp.n_head_kv, hp.head_dim,
+                              hp.head_dim_v, dtype=kv_dtype)
+        fwd = get_forward(hp.arch)
+        logits, cache = fwd(self.model.params, hp, tokens, pos, cache,
+                            embeds=embeds)
+        return logits, cache, int(tokens.shape[1])
