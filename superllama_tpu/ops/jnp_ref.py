@@ -178,25 +178,32 @@ def attention_gqa(
     G = H // H_kv
     if scale is None:
         scale = 1.0 / math.sqrt(D)
-    qg = q.reshape(B, T, H_kv, G, D).transpose(0, 2, 3, 1, 4)  # (B,Hkv,G,T,D)
-    logits = jnp.einsum("bkgtd,bksd->bkgts", qg, k,
+    # merge (G, T) into one row dim → plain 4-D batched GEMMs over Hkv
+    qg = (q.reshape(B, T, H_kv, G, D).transpose(0, 2, 3, 1, 4)
+          .reshape(B, H_kv, G * T, D))
+    logits = jnp.einsum("bkrd,bksd->bkrs", qg, k,
                         preferred_element_type=jnp.float32) * scale
     if logit_softcap > 0.0:
         logits = logit_softcap * jnp.tanh(logits / logit_softcap)
     if mask.shape[1] == 1:
-        logits = logits + mask[:, :, None].astype(jnp.float32)
-    else:  # per-head mask (alibi)
-        logits = logits + mask.reshape(B, H_kv, G, T, S).astype(jnp.float32)
+        mrow = jnp.broadcast_to(mask.astype(jnp.float32),
+                                (B, G, T, S)).reshape(B, 1, G * T, S)
+    else:  # per-head mask (alibi): (B,H,T,S) rows grouped by kv head
+        mrow = (mask.astype(jnp.float32).reshape(B, H_kv, G, T, S)
+                .reshape(B, H_kv, G * T, S))
+    logits = logits + mrow
     if sinks is not None:
-        sink = sinks.astype(jnp.float32).reshape(1, H_kv, G, 1, 1)
+        sink = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(H_kv, G, 1), (H_kv, G, T)
+        ).reshape(1, H_kv, G * T, 1)
         m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), sink)
         p = jnp.exp(logits - m)
         probs = p / (jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sink - m))
     else:
         probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bkgts,bksd->bkgtd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)      # (B,Hkv,G,T,Dv)
-    return (out.transpose(0, 3, 1, 2, 4)
+    out = jnp.einsum("bkrs,bksd->bkrd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return (out.reshape(B, H_kv, G, T, v.shape[3]).transpose(0, 3, 1, 2, 4)
             .reshape(B, T, H, v.shape[3]).astype(q.dtype))
 
 
