@@ -122,3 +122,36 @@ def test_kv_layer_dequant(model):
     ck, cv = kv_layer(c, 0)
     got = np.asarray(ck[0, :, :4], np.float32).transpose(1, 0, 2)
     np.testing.assert_allclose(got, np.asarray(k[0]), atol=0.02, rtol=0.02)
+
+
+def test_q8_context_shift_and_self_extend_ops():
+    """seq re-rope ops on a Q8_0 cache dequantize→rotate→requantize; results
+    track the f32 cache within Q8 tolerance."""
+    from superllama_tpu.ops.jnp_ref import rope_frequencies
+    from superllama_tpu.runtime.kv_cache import (kv_advance, kv_context_shift,
+                                                 kv_update_layer, kv_write_slots,
+                                                 seq_add_rerope)
+
+    L, B, H, S, D = 2, 1, 2, 16, 8
+    rng = np.random.default_rng(2)
+    inv_freq, ms = rope_frequencies(D, D)
+    k = jnp.asarray(rng.normal(0, 1, (B, 8, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, 8, H, D)), jnp.float32)
+    caches = {}
+    for name, dt in (("f32", jnp.float32), ("q8", "q8_0")):
+        c = kv_cache_init(L, B, S, H, D, D, dtype=dt)
+        slots = kv_write_slots(c, 8)
+        c = kv_advance(c, slots, jnp.arange(8, dtype=jnp.int32)[None])
+        for il in range(L):
+            c = kv_update_layer(c, il, slots, k, v)
+        c = kv_context_shift(c, jnp.asarray([2], jnp.int32),
+                             jnp.asarray([3], jnp.int32), inv_freq, 0, ms)
+        c = seq_add_rerope(c, 0, 2, 5, 1, inv_freq, 0, ms)
+        caches[name] = c
+    ref, q8 = caches["f32"], caches["q8"]
+    np.testing.assert_array_equal(np.asarray(ref.pos), np.asarray(q8.pos))
+    live = np.asarray(ref.pos)[0] >= 0
+    ck_q, _ = kv_layer(q8, 0)
+    np.testing.assert_allclose(np.asarray(ck_q, np.float32)[:, :, live],
+                               np.asarray(ref.k[0], np.float32)[:, :, live],
+                               atol=0.05, rtol=0.5)
