@@ -185,6 +185,20 @@ def audio_project_ultravox(proj: dict, x: jax.Array) -> jax.Array:
     return x @ proj["mm_2"]
 
 
+def audio_project(proj: dict, x: jax.Array) -> jax.Array:
+    """Projector dispatch by type (whisper-enc.cpp:55-105): ultravox
+    (stack+swiglu), qwen2a (single FC), voxtral (gelu-erf MLP)."""
+    kind = proj.get("type", "ultravox")
+    if kind == "ultravox":
+        return audio_project_ultravox(proj, x)
+    if kind == "qwen2a":
+        return x @ proj["fc"] + proj["fc_b"]
+    if kind == "voxtral":
+        h = ops.gelu_erf(x @ proj["mm_1"])
+        return h @ proj["mm_2"]
+    raise NotImplementedError(f"audio projector {kind!r}")
+
+
 def load_audio_mmproj(path: str) -> dict:
     """Read an audio mmproj GGUF (mtmd 'a.' / 'mm.a.' names) into
     whisper_encoder + projector params."""
@@ -227,12 +241,16 @@ def load_audio_mmproj(path: str) -> dict:
         })
         il += 1
     proj = {
+        "type": str(md.get("clip.audio.projector_type", "ultravox")),
         "stack_factor": int(md.get("clip.audio.projector.stack_factor", 8)),
         "norm_pre": g("mm.a.norm_pre.weight"),
         "norm_mid": g("mm.a.norm_mid.weight"),
         "mm_1": g("mm.a.mlp.1.weight", t=True),
         "mm_2": g("mm.a.mlp.2.weight", t=True),
+        "fc": g("mm.a.fc.weight", t=True),
+        "fc_b": g("mm.a.fc.bias"),
     }
+    proj = {k: v for k, v in proj.items() if v is not None}
     r.close()
     return {"encoder": params, "projector": proj,
             "n_mel": int(md.get("clip.audio.num_mel_bins", 80))}

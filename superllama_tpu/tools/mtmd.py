@@ -75,8 +75,8 @@ class AudioMultimodal:
     injected like an image chunk."""
 
     def __init__(self, model: LoadedModel, mmproj_path: str):
-        from ..models.whisper import (audio_project_ultravox,
-                                      load_audio_mmproj, whisper_encoder)
+        from ..models.whisper import (audio_project, load_audio_mmproj,
+                                      whisper_encoder)
 
         self.model = model
         mm = load_audio_mmproj(mmproj_path)
@@ -84,15 +84,16 @@ class AudioMultimodal:
         enc_params, proj = mm["encoder"], mm["projector"]
         # statics (python ints) must not ride the traced pytree
         n_head = enc_params["layers"][0]["n_head"]
-        stack = int(proj.pop("stack_factor"))
+        stack = int(proj.pop("stack_factor", 8))
+        kind = proj.pop("type", "ultravox")
         for l in enc_params["layers"]:
             l.pop("n_head", None)
 
         def enc(enc_arrays, proj_arrays, mel):
             ep = dict(enc_arrays)
             ep["layers"] = [dict(l, n_head=n_head) for l in enc_arrays["layers"]]
-            pj = dict(proj_arrays, stack_factor=stack)
-            return audio_project_ultravox(pj, whisper_encoder(ep, mel))
+            pj = dict(proj_arrays, stack_factor=stack, type=kind)
+            return audio_project(pj, whisper_encoder(ep, mel))
 
         self._params = (enc_params, proj)
         self._encode = jax.jit(enc)
