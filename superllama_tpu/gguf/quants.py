@@ -233,6 +233,56 @@ def quant_iq4_nl(x: np.ndarray) -> np.ndarray:
     return np.concatenate([_to_f16_bytes(d.astype(np.float32)).reshape(-1, 2), lo | (hi << 4)], axis=1).reshape(-1)
 
 
+def quant_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """IQ4_XS encoder: per-32-block scale search over the NL codebook, block
+    scales stored as 6-bit (ls−32) against an f16 superscale. Layout matches
+    dequant_iq4_xs bit-for-bit (validated by the reference-decoder test);
+    scale selection is straightforward search, not the reference's."""
+    v = x.astype(np.float32).reshape(-1, 256)
+    nsb = v.shape[0]
+    blocks = v.reshape(nsb, 8, 32)
+    amax = np.abs(blocks).max(axis=2)                         # (nsb, 8)
+    # candidate scales: both sign conventions × a few multipliers
+    cands = []
+    for base in (-127.0, 113.0):
+        for m in (0.85, 0.95, 1.0, 1.05):
+            cands.append(amax / base * m)
+    best_err = np.full((nsb, 8), np.inf, np.float32)
+    best_s = np.zeros((nsb, 8), np.float32)
+    for s in cands:
+        s_safe = np.where(s == 0, 1.0, s)
+        scaled = blocks / s_safe[:, :, None]
+        code = np.abs(scaled[..., None] - _IQ4NL[None, None, None, :]).argmin(-1)
+        rec = s[:, :, None] * _IQ4NL[code]
+        err = ((blocks - rec) ** 2).sum(axis=2)
+        upd = err < best_err
+        best_err = np.where(upd, err, best_err)
+        best_s = np.where(upd, s, best_s)
+    # superscale: 6-bit signed block scales ls−32 ∈ [−32, 31]
+    d = np.abs(best_s).max(axis=1) / 31.0                     # (nsb,)
+    d16 = _f16(_to_f16_bytes(d).reshape(-1, 2)).reshape(-1)   # store-rounded
+    d_safe = np.where(d16 == 0, 1.0, d16)
+    ls = np.clip(np.round(best_s / d_safe[:, None]) + 32, 0, 63).astype(np.uint8)
+    dl = d16[:, None] * (ls.astype(np.float32) - 32.0)
+    dl_safe = np.where(dl == 0, 1.0, dl)
+    code = np.abs((blocks / dl_safe[:, :, None])[..., None]
+                  - _IQ4NL[None, None, None, :]).argmin(-1).astype(np.uint8)
+    code = np.where((dl == 0)[:, :, None], 0, code)
+    # pack: d f16 | scales_h u16 (2 hi bits per block) | scales_l 4B | qs 128B
+    scales_h = np.zeros(nsb, np.uint16)
+    for ib in range(8):
+        scales_h |= ((ls[:, ib].astype(np.uint16) >> 4) & 3) << (2 * ib)
+    scales_l = np.zeros((nsb, 4), np.uint8)
+    for ib in range(8):
+        scales_l[:, ib // 2] |= (ls[:, ib] & 0x0F) << (4 * (ib % 2))
+    qs = (code[:, :, :16] | (code[:, :, 16:] << 4)).reshape(nsb, 128)
+    out = np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        scales_h.astype("<u2").view(np.uint8).reshape(-1, 2),
+        scales_l, qs.astype(np.uint8)], axis=1)
+    return out.reshape(-1)
+
+
 # ================================ K-quants ==================================
 
 
@@ -878,6 +928,7 @@ QUANTIZERS = {
     GGMLType.Q5_K: quant_q5_k,
     GGMLType.Q6_K: quant_q6_k,
     GGMLType.IQ4_NL: quant_iq4_nl,
+    GGMLType.IQ4_XS: quant_iq4_xs,
 }
 
 

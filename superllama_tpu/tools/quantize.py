@@ -35,10 +35,16 @@ _FTYPE_RULES: dict[str, list[tuple[str, GGMLType]]] = {
     ],
     "Q6_K": [("output.weight", GGMLType.Q6_K)],
     "MXFP4": [("output.weight", GGMLType.Q8_0), ("token_embd.weight", GGMLType.Q8_0)],
+    "IQ4_XS": [
+        ("output.weight", GGMLType.Q6_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.Q5_K),
+    ],
 }
 _FTYPE_DEFAULT = {
     "Q4_0": GGMLType.Q4_0, "Q8_0": GGMLType.Q8_0, "Q4_K_M": GGMLType.Q4_K,
     "Q5_K_M": GGMLType.Q5_K, "Q6_K": GGMLType.Q6_K, "MXFP4": GGMLType.MXFP4,
+    "IQ4_XS": GGMLType.IQ4_XS,
 }
 
 

@@ -35,6 +35,7 @@ RT_RMSE = {
     GGMLType.Q5_1: 0.06, GGMLType.Q8_0: 0.008, GGMLType.MXFP4: 0.35,
     GGMLType.Q2_K: 0.40, GGMLType.Q3_K: 0.25, GGMLType.Q4_K: 0.10,
     GGMLType.Q5_K: 0.06, GGMLType.Q6_K: 0.03, GGMLType.IQ4_NL: 0.11,
+    GGMLType.IQ4_XS: 0.11,
 }
 
 
