@@ -374,13 +374,18 @@ def llama_forward(
                 ck, cv, cpos = cache.full.k[li], cache.full.v[li], cache.full.pos
             else:
                 cache = kv_update_layer(cache, il, slots, k, v)
-                ck, cv = kv_layer(cache, il, k.dtype)
+                ck, cv = (cache.k[il], cache.v[il]) if (flash and cache.quantized)                     else kv_layer(cache, il, k.dtype)
                 cpos = cache.pos
             if flash:
+                # Q8_0 caches stream int8 codes into the kernel (per-tile
+                # VMEM dequant — HBM traffic stays 1 byte/element)
+                qargs = ({"k_scale": cache.k_scale[il],
+                          "v_scale": cache.v_scale[il]}
+                         if getattr(cache, "quantized", False) else {})
                 attn = flash_attention(
                     q, ck, cv, pos, cpos,
                     scale=kq_scale, swa_window=swa,
-                    logit_softcap=hp.attn_logit_softcap, sinks=sinks,
+                    logit_softcap=hp.attn_logit_softcap, sinks=sinks, **qargs,
                 )
             else:
                 # grouped-query path wins when K/V traffic dominates (long

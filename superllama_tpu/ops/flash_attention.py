@@ -25,10 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = 1e9  # per-unit positional penalty; violations are ≥1 position apart
 
 
-def _fa_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, k_ref, v_ref, o_ref,
-               m_ref, l_ref, acc_ref, *,
+def _fa_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, k_ref, v_ref, ks_ref,
+               vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
                scale: float, n_s: int, swa: int, softcap: float,
-               has_sinks: bool):
+               has_sinks: bool, quantized: bool):
     s_idx = pl.program_id(3)
 
     @pl.when(s_idx == 0)
@@ -47,6 +47,12 @@ def _fa_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, k_ref, v_ref, o_ref,
     bt, g, d = q.shape
     k = k_ref[0, 0]                    # (BS, D)
     v = v_ref[0, 0]                    # (BS, Dv)
+    if quantized:
+        # Q8_0 KV: int8 codes stream from HBM, dequant per tile in VMEM
+        # (i8→i32→f32: Mosaic has no direct 8-bit→float cast)
+        k = k.astype(jnp.int32).astype(jnp.float32) * ks_ref[0, 0]
+        v = (v.astype(jnp.int32).astype(jnp.float32)
+             * vs_ref[0, 0]).astype(jnp.bfloat16)
 
     qf = q.reshape(bt * g, d).astype(jnp.float32)
     logits = jax.lax.dot_general(
@@ -98,6 +104,8 @@ def flash_attention(
     swa_window: int = 0,
     logit_softcap: float = 0.0,
     sinks: jax.Array | None = None,   # (H,) per-head sink logit (gpt-oss)
+    k_scale: jax.Array | None = None,  # (B, H_kv, S) Q8_0 per-row scales
+    v_scale: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     if interpret is None:
@@ -129,14 +137,17 @@ def flash_attention(
     else:
         sinks_exp = jnp.zeros((Hkv, bt * G, 1), jnp.float32)
 
+    quantized = k_scale is not None
     kern = functools.partial(
         _fa_kernel, scale=float(scale), n_s=n_s, swa=int(swa_window),
         softcap=float(logit_softcap), has_sinks=has_sinks,
+        quantized=quantized,
     )
-    out = pl.pallas_call(
-        kern,
-        grid=(B, Hkv, n_t, n_s),
-        in_specs=[
+    if not quantized:
+        inner = kern
+        kern = lambda qp, kp, sk, qr, kr, vr, o, m, l, a: inner(
+            qp, kp, sk, qr, kr, vr, None, None, o, m, l, a)
+    in_specs = [
             pl.BlockSpec((1, bt * G, 1), lambda b, h, t, s: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bs, 1), lambda b, h, t, s: (b, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt * G, 1), lambda b, h, t, s: (h, 0, 0), memory_space=pltpu.VMEM),
@@ -146,7 +157,20 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bs, Dv), lambda b, h, t, s: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
-        ],
+    ]
+    args = [qpos_exp, kv_pos[:, :, None], sinks_exp, qg, k, v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, bs, 1), lambda b, h, t, s: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, 1), lambda b, h, t, s: (b, h, s, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale[:, :, :, None], v_scale[:, :, :, None]]
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Hkv, n_t, n_s),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bt, 1, G, Dv), lambda b, h, t, s: (b, t, h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, Hkv, G, Dv), q.dtype),
@@ -164,5 +188,5 @@ def flash_attention(
             transcendentals=B * H * T * S,
         ),
         interpret=interpret,
-    )(qpos_exp, kv_pos[:, :, None], sinks_exp, qg, k, v)
+    )(*args)
     return out.reshape(B, T, H, Dv)

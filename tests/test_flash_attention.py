@@ -123,3 +123,29 @@ def test_attention_gqa_matches_ref(gqa, softcap, sinks):
     got = ops.attention_gqa(q, k, v, mask, logit_softcap=softcap, sinks=sk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_q8_kv():
+    """Q8_0 KV inside the kernel (int8 codes + per-row scales dequantized in
+    VMEM) vs the reference on dequantized arrays."""
+    from superllama_tpu.runtime.kv_cache import q8_quantize_rows
+
+    rng = np.random.default_rng(17)
+    B, T, Hkv, G, S, D = 1, 16, 2, 2, 64, 32
+    H = Hkv * G
+    q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    kf = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    kc, ks = q8_quantize_rows(kf)
+    vc, vs = q8_quantize_rows(vf)
+    kd = kc.astype(jnp.float32) * ks[..., None]
+    vd = vc.astype(jnp.float32) * vs[..., None]
+    kv_pos = jnp.where(jnp.arange(S)[None] < 40, jnp.arange(S)[None], -1)
+    kv_pos = jnp.broadcast_to(kv_pos, (B, S)).astype(jnp.int32)
+    q_pos = jnp.broadcast_to(24 + jnp.arange(T)[None], (B, T)).astype(jnp.int32)
+    mask = causal_mask(kv_pos, q_pos)
+    ref = attention_ref(q, kd, vd, mask)
+    got = flash_attention(q, kc, vc, q_pos, kv_pos,
+                          k_scale=ks, v_scale=vs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -24,6 +24,7 @@ torch.manual_seed(31)
 def model(tmp_path_factory):
     from transformers import LlamaConfig, LlamaForCausalLM
 
+    torch.manual_seed(31)   # in-fixture: immune to test collection order
     cfg = LlamaConfig(
         vocab_size=32000, hidden_size=128, intermediate_size=256,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
