@@ -1,0 +1,129 @@
+"""Qwen2-VL vision tower + M-RoPE (tools/mtmd/models/qwen2vl.cpp
+counterpart): native-resolution ViT with 2-D rotary embeddings and a
+spatial-merge projector, plus the multimodal rotary op the LM applies over
+(temporal, height, width) position streams.
+
+Parity-tested against transformers' Qwen2VisionTransformerPretrainedModel
+and apply_multimodal_rotary_pos_emb. Text-only inputs degenerate to the
+standard qwen2 forward (equal t/h/w positions ≡ 1-D rope), which is why the
+LM side needs no changes until image spans are injected.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import jnp_ref as ops
+
+
+def mrope_apply(x: jax.Array, pos3: jax.Array, inv_freq: jax.Array,
+                sections: tuple[int, ...]) -> jax.Array:
+    """Multimodal rotary (Qwen2-VL M-RoPE): x (B, T, H, D); pos3 (3, B, T)
+    temporal/height/width positions; sections are quarter-dim counts per
+    stream (HF mrope_section, e.g. (16, 24, 24) for D=128). Each frequency
+    slot picks the position stream its section owns; layout is NEOX
+    (half-split rotate)."""
+    D = x.shape[-1]
+    half = D // 2
+    sec = np.asarray(sections[:3])
+    owner = np.repeat(np.arange(3), sec)[:half]            # (half,)
+    angles = pos3[..., None].astype(jnp.float32) * inv_freq  # (3,B,T,half)
+    ang = jnp.take_along_axis(
+        angles, jnp.asarray(owner)[None, None, None, :].repeat(
+            angles.shape[1], 1).repeat(angles.shape[2], 2), axis=0)[0]
+    cos = jnp.cos(ang)[:, :, None, :]                       # (B,T,1,half)
+    sin = jnp.sin(ang)[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _vision_rope_tables(grid_thw, head_dim: int, merge: int):
+    """(cos, sin) (seq, head_dim) for the 2-D vision rotary, patch order =
+    spatial-merge blocks (rot_pos_emb semantics)."""
+    t, h, w = (int(v) for v in grid_thw)
+    hp = np.arange(h)[:, None].repeat(w, 1)
+    wp = np.arange(w)[None, :].repeat(h, 0)
+
+    def merge_order(p):
+        return (p.reshape(h // merge, merge, w // merge, merge)
+                .transpose(0, 2, 1, 3).reshape(-1))
+
+    hp, wp = merge_order(hp), merge_order(wp)
+    dim = head_dim // 4
+    inv = 1.0 / (10000.0 ** (np.arange(0, dim) / dim))
+    freqs = np.concatenate([hp[:, None] * inv[None, :],
+                            wp[:, None] * inv[None, :]], axis=1)  # (hw, D/2)
+    freqs = np.tile(freqs, (t, 1))
+    emb = np.concatenate([freqs, freqs], axis=1)            # (seq, D)
+    return jnp.asarray(np.cos(emb), jnp.float32), jnp.asarray(np.sin(emb), jnp.float32)
+
+
+def _rot_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def qwen2vl_vision_forward(params: dict, pixels: jax.Array,
+                           grid_thw: tuple[int, int, int]) -> jax.Array:
+    """pixels (seq, C·tps·ps²) flattened patches (HF processor layout) →
+    merged image embeddings (seq / merge², text_dim)."""
+    hpv = params["hp"]
+    nh, merge = hpv["n_head"], hpv["merge"]
+    x = pixels.astype(jnp.float32) @ params["patch_embd"]   # (seq, d)
+    seq, d = x.shape
+    hd = d // nh
+    cos, sin = _vision_rope_tables(grid_thw, hd, merge)
+    scale = 1.0 / math.sqrt(hd)
+    for blk in params["layers"]:
+        h = ops.layer_norm(x, blk["ln1_w"], blk["ln1_b"], 1e-6)
+        qkv = h @ blk["qkv_w"] + blk["qkv_b"]               # (seq, 3d)
+        q, k, v = (qkv.reshape(seq, 3, nh, hd).transpose(1, 0, 2, 3))
+        q = q * cos[:, None, :] + _rot_half(q) * sin[:, None, :]
+        k = k * cos[:, None, :] + _rot_half(k) * sin[:, None, :]
+        logits = jnp.einsum("thd,shd->hts", q, k) * scale   # full attention
+        probs = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("hts,shd->thd", probs, v).reshape(seq, d)
+        x = x + (attn @ blk["proj_w"] + blk["proj_b"])
+        h = ops.layer_norm(x, blk["ln2_w"], blk["ln2_b"], 1e-6)
+        h = ops.quick_gelu(h @ blk["fc1_w"] + blk["fc1_b"])
+        x = x + (h @ blk["fc2_w"] + blk["fc2_b"])
+    # PatchMerger: LN → group merge² patches → MLP to text dim
+    x = ops.layer_norm(x, params["mln_w"], params["mln_b"], 1e-6)
+    x = x.reshape(seq // (merge * merge), -1)
+    x = ops.gelu_erf(x @ params["mm0_w"] + params["mm0_b"])
+    return x @ params["mm2_w"] + params["mm2_b"]
+
+
+def params_from_hf_visual(sd: dict, n_head: int, merge: int = 2) -> dict:
+    """Map a transformers Qwen2-VL `visual.*` state dict."""
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    g = lambda k: np.asarray(sd[pre + k], np.float32)
+    conv = g("patch_embed.proj.weight")                     # (d, C, tps, ps, ps)
+    params = {
+        "hp": {"n_head": n_head, "merge": merge},
+        "patch_embd": conv.reshape(conv.shape[0], -1).T,
+        "mln_w": g("merger.ln_q.weight"), "mln_b": g("merger.ln_q.bias"),
+        "mm0_w": g("merger.mlp.0.weight").T, "mm0_b": g("merger.mlp.0.bias"),
+        "mm2_w": g("merger.mlp.2.weight").T, "mm2_b": g("merger.mlp.2.bias"),
+        "layers": [],
+    }
+    il = 0
+    while f"{pre}blocks.{il}.attn.qkv.weight" in sd:
+        p = f"blocks.{il}."
+        params["layers"].append({
+            "ln1_w": g(p + "norm1.weight"), "ln1_b": g(p + "norm1.bias"),
+            "ln2_w": g(p + "norm2.weight"), "ln2_b": g(p + "norm2.bias"),
+            "qkv_w": g(p + "attn.qkv.weight").T, "qkv_b": g(p + "attn.qkv.bias"),
+            "proj_w": g(p + "attn.proj.weight").T, "proj_b": g(p + "attn.proj.bias"),
+            "fc1_w": g(p + "mlp.fc1.weight").T, "fc1_b": g(p + "mlp.fc1.bias"),
+            "fc2_w": g(p + "mlp.fc2.weight").T, "fc2_b": g(p + "mlp.fc2.bias"),
+        })
+        il += 1
+    return params

@@ -1,0 +1,89 @@
+"""Qwen2-VL vision tower + M-RoPE parity vs transformers."""
+
+import numpy as np
+import pytest
+import torch
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from superllama_tpu.models.qwen2vl import (mrope_apply, params_from_hf_visual,
+                                           qwen2vl_vision_forward)
+
+
+def test_vision_tower_parity():
+    from transformers.models.qwen2_vl.configuration_qwen2_vl import (
+        Qwen2VLVisionConfig)
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        Qwen2VisionTransformerPretrainedModel)
+
+    torch.manual_seed(61)
+    cfg = Qwen2VLVisionConfig(
+        depth=2, embed_dim=64, hidden_size=48, num_heads=4, in_channels=3,
+        patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+        mlp_ratio=2, attn_implementation="eager")
+    hf = Qwen2VisionTransformerPretrainedModel(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_visual(sd, n_head=4)
+    assert len(params["layers"]) == 2
+
+    t, h, w = 1, 4, 6
+    seq = t * h * w
+    rng = np.random.default_rng(0)
+    pixels = rng.normal(0, 1, (seq, 3 * 2 * 14 * 14)).astype(np.float32)
+    grid = torch.tensor([[t, h, w]])
+    with torch.no_grad():
+        ref = hf(torch.tensor(pixels), grid).numpy()
+    got = np.asarray(qwen2vl_vision_forward(
+        jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+            params), jnp.asarray(pixels), (t, h, w)))
+    assert got.shape == ref.shape == (seq // 4, 48)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-4, err
+
+
+def test_mrope_matches_hf():
+    from transformers.models.qwen2_vl.modeling_qwen2_vl import (
+        apply_multimodal_rotary_pos_emb)
+
+    B, T, H, D = 2, 6, 4, 32
+    sections = (4, 6, 6)     # quarter-dims per stream: sums to D//4 * ... = 16
+    rng = np.random.default_rng(1)
+    q = rng.normal(0, 1, (B, H, T, D)).astype(np.float32)
+    k = rng.normal(0, 1, (B, H, T, D)).astype(np.float32)
+    pos3 = rng.integers(0, 50, (3, B, T)).astype(np.int64)
+    inv_freq = (1.0 / (10000.0 ** (np.arange(0, D, 2) / D))).astype(np.float32)
+    freqs = pos3[..., None] * inv_freq[None, None, None, :]   # (3,B,T,D/2)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    cos, sin = np.cos(emb), np.sin(emb)
+    with torch.no_grad():
+        rq, rk = apply_multimodal_rotary_pos_emb(
+            torch.tensor(q), torch.tensor(k), torch.tensor(cos),
+            torch.tensor(sin), list(sections))
+    gq = np.asarray(mrope_apply(jnp.asarray(q.transpose(0, 2, 1, 3)),
+                                jnp.asarray(pos3), jnp.asarray(inv_freq),
+                                sections)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(gq, rq.numpy(), rtol=2e-5, atol=2e-5)
+    gk = np.asarray(mrope_apply(jnp.asarray(k.transpose(0, 2, 1, 3)),
+                                jnp.asarray(pos3), jnp.asarray(inv_freq),
+                                sections)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(gk, rk.numpy(), rtol=2e-5, atol=2e-5)
+
+
+def test_mrope_equal_positions_is_plain_rope():
+    """Text-only: t == h == w positions ⇒ M-RoPE ≡ standard NEOX rope, which
+    is why text parity needs no LM changes."""
+    from superllama_tpu.ops.jnp_ref import ROPE_TYPE_NEOX, apply_rope
+
+    B, T, H, D = 1, 5, 2, 16
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    pos = jnp.asarray(rng.integers(0, 30, (B, T)), jnp.int32)
+    inv_freq = jnp.asarray(1.0 / (10000.0 ** (np.arange(0, D, 2) / D)),
+                           jnp.float32)
+    ref = apply_rope(x, pos, inv_freq, ROPE_TYPE_NEOX)
+    pos3 = jnp.broadcast_to(pos[None], (3, B, T))
+    got = mrope_apply(x, pos3, inv_freq, (2, 3, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
