@@ -146,7 +146,7 @@ ROPE_TYPE_BY_ARCH = {
     "exaone": 0, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 0,
     "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
     "olmoe": 2, "seed_oss": 2, "hunyuan-dense": 2, "ernie4_5": 0,
-    "exaone4": 2,
+    "exaone4": 2, "qwen2vl": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -254,6 +254,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         n_head_kv_arr=n_head_kv_arr,
     )
     hp.norm_type = "ln" if arch in LN_ARCHS else "rms"
+    ms = _k(md, arch, "rope.dimension_sections")
+    if ms is not None and len(ms):
+        hp.extra["mrope_sections"] = tuple(int(v) for v in ms)
     if arch == "smollm3":
         hp.n_no_rope_layer_step = 4   # hardcoded per arch (llama-model.cpp:2249)
     if arch in ("bloom", "mpt"):

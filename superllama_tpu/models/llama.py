@@ -232,6 +232,7 @@ def llama_forward(
     embeds: jax.Array | None = None,
     hidden_sink: list | None = None,
     attn_mask: jax.Array | None = None,
+    mrope_pos3: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
 
@@ -349,7 +350,13 @@ def llama_forward(
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
         nope = (hp.n_no_rope_layer_step > 0
                 and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3 NoPE
-        if hp.rope_type >= 0 and hp.n_rot > 0 and not nope:
+        if mrope_pos3 is not None:
+            from .qwen2vl import mrope_apply  # M-RoPE (qwen2-vl image spans)
+
+            sec = tuple(hp.extra["mrope_sections"])
+            q = mrope_apply(q, mrope_pos3, f, sec)
+            k = mrope_apply(k, mrope_pos3, f, sec)
+        elif hp.rope_type >= 0 and hp.n_rot > 0 and not nope:
             q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
             k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
 

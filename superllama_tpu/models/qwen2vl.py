@@ -127,3 +127,73 @@ def params_from_hf_visual(sd: dict, n_head: int, merge: int = 2) -> dict:
         })
         il += 1
     return params
+
+
+def qwen2vl_position_ids(ids, image_token_id: int, grids, merge: int = 2):
+    """(3, T) t/h/w position ids (get_rope_index semantics): text advances
+    all three streams together; an image span of t×(h/merge)×(w/merge)
+    merged patches gets grid positions starting at the running max; the next
+    text token resumes at max(vision)+1."""
+    ids = list(ids)
+    pos = np.zeros((3, len(ids)), np.int64)
+    cur, i, g = 0, 0, 0
+    while i < len(ids):
+        if ids[i] == image_token_id:
+            t, h, w = (int(v) for v in grids[g])
+            g += 1
+            hh, ww = h // merge, w // merge
+            n = t * hh * ww
+            pos[0, i:i + n] = cur + np.repeat(np.arange(t), hh * ww)
+            pos[1, i:i + n] = cur + np.tile(np.repeat(np.arange(hh), ww), t)
+            pos[2, i:i + n] = cur + np.tile(np.arange(ww), t * hh)
+            cur += max(t, hh, ww)
+            i += n
+        else:
+            pos[:, i] = cur
+            cur += 1
+            i += 1
+    return pos
+
+
+class Qwen2VLMultimodal:
+    """Image → LM pipeline (mtmd qwen2vl path): vision tower embeds replace
+    the image-placeholder tokens; the LM runs with M-RoPE positions."""
+
+    def __init__(self, model, visual_params: dict, image_token_id: int):
+        self.model = model
+        self.visual = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+            visual_params)
+        self.image_token_id = image_token_id
+        self.merge = visual_params["hp"]["merge"]
+
+    def build_inputs(self, prompt_ids, pixels: np.ndarray, grid_thw):
+        img = np.asarray(qwen2vl_vision_forward(
+            self.visual, jnp.asarray(pixels), tuple(int(v) for v in grid_thw)))
+        tok_embd = np.asarray(self.model.params["token_embd"])
+        ids = np.asarray(prompt_ids, np.int32)
+        embeds = tok_embd[ids].astype(np.float32)
+        is_img = ids == self.image_token_id
+        assert int(is_img.sum()) == img.shape[0], (is_img.sum(), img.shape)
+        embeds[is_img] = img
+        pos3 = qwen2vl_position_ids(prompt_ids, self.image_token_id,
+                                    [grid_thw], self.merge)
+        T = len(prompt_ids)
+        return (jnp.asarray(embeds[None]), jnp.zeros((1, T), jnp.int32),
+                jnp.arange(T, dtype=jnp.int32)[None],
+                jnp.asarray(pos3[:, None, :], jnp.int32))
+
+    def prefill(self, prompt_ids, pixels, grid_thw, n_ctx: int = 2048,
+                kv_dtype=jnp.float32):
+        from ..models.registry import get_forward
+        from ..runtime.kv_cache import kv_cache_init
+
+        hp = self.model.hparams
+        embeds, tokens, pos, pos3 = self.build_inputs(prompt_ids, pixels,
+                                                      grid_thw)
+        cache = kv_cache_init(hp.n_layer, 1, n_ctx, hp.n_head_kv, hp.head_dim,
+                              hp.head_dim_v, dtype=kv_dtype)
+        fwd = get_forward(hp.arch)
+        logits, cache = fwd(self.model.params, hp, tokens, pos, cache,
+                            embeds=embeds, mrope_pos3=pos3)
+        return logits, cache, len(prompt_ids)

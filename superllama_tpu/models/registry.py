@@ -45,7 +45,7 @@ for _arch in (
     "gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
     "command-r", "cohere2", "dbrx", "nemotron", "minicpm", "refact", "jais",
     "bloom", "mpt", "glm4", "chatglm",
-    "olmoe", "seed_oss", "hunyuan-dense", "ernie4_5", "exaone4",
+    "olmoe", "seed_oss", "hunyuan-dense", "ernie4_5", "exaone4", "qwen2vl",
 ):
     register(_arch, llama_forward)
 

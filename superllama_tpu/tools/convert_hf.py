@@ -64,6 +64,7 @@ _ARCH_MAP = {
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
     "Ernie4_5ForCausalLM": "ernie4_5",
     "SmolLM3ForCausalLM": "smollm3",
+    "Qwen2VLForConditionalGeneration": "qwen2vl",
     "DbrxForCausalLM": "dbrx",
 }
 
@@ -452,6 +453,9 @@ def convert_state_dict(
         w.add(f"{arch}.rope.freq_base_swa", float(config.rope_local_base_freq))
     rs = getattr(config, "rope_scaling", None)
     rope_freqs = None
+    if rs and rs.get("mrope_section"):
+        w.add(f"{arch}.rope.dimension_sections",
+              [int(v) for v in rs["mrope_section"]])
     if rs:
         rtype = rs.get("rope_type") or rs.get("type")
         if rtype in ("linear", "yarn"):

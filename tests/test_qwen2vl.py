@@ -87,3 +87,69 @@ def test_mrope_equal_positions_is_plain_rope():
     got = mrope_apply(x, pos3, inv_freq, (2, 3, 3))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_qwen2vl_end_to_end_parity(tmp_path):
+    """Full image+text forward vs HF Qwen2VLForConditionalGeneration: vision
+    tower → embed injection → M-RoPE LM."""
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    from superllama_tpu.gguf import GGMLType
+    from superllama_tpu.models import load_model
+    from superllama_tpu.models.qwen2vl import Qwen2VLMultimodal
+    from superllama_tpu.tools.convert_hf import convert_state_dict
+
+    torch.manual_seed(71)
+    IMG, VSTART = 250, 249
+    cfg = Qwen2VLConfig(
+        text_config=dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+        vision_config=dict(depth=2, embed_dim=64, hidden_size=64, num_heads=4,
+                           in_channels=3, patch_size=14, temporal_patch_size=2,
+                           spatial_merge_size=2, mlp_ratio=2),
+        image_token_id=IMG, vision_start_token_id=VSTART,
+        vision_end_token_id=248, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    # text side: strip the language_model prefix and convert as qwen2vl
+    tsd = {}
+    for k, v in sd.items():
+        if k.startswith("model.language_model."):
+            tsd["model." + k[len("model.language_model."):]] = v
+        elif k == "lm_head.weight":
+            tsd[k] = v
+    path = tmp_path / "q2vl.gguf"
+    convert_state_dict(str(path), cfg.text_config, tsd, GGMLType.F32,
+                       arch="qwen2vl")
+    model = load_model(str(path))
+    assert model.hparams.extra.get("mrope_sections") == (2, 3, 3)
+
+    visual = {k[len("model.visual."):]: v for k, v in sd.items()
+              if k.startswith("model.visual.")}
+    from superllama_tpu.models.qwen2vl import params_from_hf_visual
+
+    vp = params_from_hf_visual(visual, n_head=4)
+
+    t, h, w = 1, 4, 4
+    n_img = t * (h // 2) * (w // 2)
+    rng = np.random.default_rng(3)
+    pixels = rng.normal(0, 1, (t * h * w, 3 * 2 * 14 * 14)).astype(np.float32)
+    ids = [5, VSTART] + [IMG] * n_img + [248, 9, 17, 33]
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]),
+                 pixel_values=torch.tensor(pixels),
+                 image_grid_thw=torch.tensor([[t, h, w]])).logits[0].numpy()
+
+    mm = Qwen2VLMultimodal(model, vp, IMG)
+    logits, cache, n = mm.prefill(ids, pixels, (t, h, w), n_ctx=64)
+    got = np.asarray(logits[0], np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, err
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.9
