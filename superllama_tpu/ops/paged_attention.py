@@ -73,11 +73,11 @@ def paged_flash_attention(
 
     kern = functools.partial(
         _fa_kernel, scale=float(scale), n_s=MAXP, swa=int(swa_window),
-        softcap=float(logit_softcap), has_sinks=has_sinks,
+        softcap=float(logit_softcap), has_sinks=has_sinks, quantized=False,
     )
 
-    def wrapped(tbl_ref, *args):
-        kern(*args)
+    def wrapped(tbl_ref, qp, kp, sk, qr, kr, vr, o, m, l, a):
+        kern(qp, kp, sk, qr, kr, vr, None, None, o, m, l, a)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
