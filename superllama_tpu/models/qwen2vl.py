@@ -197,3 +197,91 @@ class Qwen2VLMultimodal:
         logits, cache = fwd(self.model.params, hp, tokens, pos, cache,
                             embeds=embeds, mrope_pos3=pos3)
         return logits, cache, len(prompt_ids)
+
+
+def _window_ids(grid_thw, merge: int, window_size: int, patch: int):
+    """Per-token window id in the ORIGINAL (merge-ordered) sequence.
+
+    Qwen2.5-VL reorders tokens into windows and runs chunked attention
+    (get_window_index); attending within the same window id over the
+    original order is the identical pair set, so no reordering is needed."""
+    t, h, w = (int(v) for v in grid_thw)
+    ws = max(window_size // merge // patch, 1)          # window in llm cells
+    hp = np.arange(h)[:, None].repeat(w, 1)
+    wp = np.arange(w)[None, :].repeat(h, 0)
+    nw_w = -(-(w // merge) // ws)
+    wid = (hp // merge // ws) * nw_w + (wp // merge // ws)
+
+    def merge_order(p):
+        return (p.reshape(h // merge, merge, w // merge, merge)
+                .transpose(0, 2, 1, 3).reshape(-1))
+
+    per = merge_order(wid)
+    return np.tile(per, t)
+
+
+def qwen25vl_vision_forward(params: dict, pixels: jax.Array,
+                            grid_thw: tuple[int, int, int]) -> jax.Array:
+    """Qwen2.5-VL tower: RMS norms, gated-silu MLP, window attention with
+    periodic full-attention blocks (fullatt_block_indexes)."""
+    hpv = params["hp"]
+    nh, merge = hpv["n_head"], hpv["merge"]
+    x = pixels.astype(jnp.float32) @ params["patch_embd"]
+    seq, d = x.shape
+    hd = d // nh
+    cos, sin = _vision_rope_tables(grid_thw, hd, merge)
+    wid = _window_ids(grid_thw, merge, hpv["window"], hpv["patch"])
+    wmask = jnp.asarray(
+        np.where(wid[:, None] == wid[None, :], 0.0, -1e30), jnp.float32)
+    scale = 1.0 / math.sqrt(hd)
+    for i, blk in enumerate(params["layers"]):
+        h = ops.rms_norm(x, blk["ln1_w"], 1e-6)
+        qkv = h @ blk["qkv_w"] + blk["qkv_b"]
+        q, k, v = (qkv.reshape(seq, 3, nh, hd).transpose(1, 0, 2, 3))
+        q = q * cos[:, None, :] + _rot_half(q) * sin[:, None, :]
+        k = k * cos[:, None, :] + _rot_half(k) * sin[:, None, :]
+        logits = jnp.einsum("thd,shd->hts", q, k) * scale
+        if i not in hpv["fullatt"]:
+            logits = logits + wmask[None]
+        probs = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("hts,shd->thd", probs, v).reshape(seq, d)
+        x = x + (attn @ blk["proj_w"] + blk["proj_b"])
+        h = ops.rms_norm(x, blk["ln2_w"], 1e-6)
+        g = ops.silu(h @ blk["gate_w"] + blk["gate_b"])
+        u = h @ blk["up_w"] + blk["up_b"]
+        x = x + ((g * u) @ blk["down_w"] + blk["down_b"])
+    x = ops.rms_norm(x, params["mln_w"], 1e-6)
+    x = x.reshape(seq // (merge * merge), -1)
+    x = ops.gelu_erf(x @ params["mm0_w"] + params["mm0_b"])
+    return x @ params["mm2_w"] + params["mm2_b"]
+
+
+def params_from_hf_visual_25(sd: dict, n_head: int, merge: int,
+                             window: int, patch: int,
+                             fullatt) -> dict:
+    """Map a transformers Qwen2.5-VL `visual.*` state dict."""
+    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    g = lambda k: np.asarray(sd[pre + k], np.float32)
+    conv = g("patch_embed.proj.weight")
+    params = {
+        "hp": {"n_head": n_head, "merge": merge, "window": window,
+               "patch": patch, "fullatt": set(int(v) for v in fullatt)},
+        "patch_embd": conv.reshape(conv.shape[0], -1).T,
+        "mln_w": g("merger.ln_q.weight"),
+        "mm0_w": g("merger.mlp.0.weight").T, "mm0_b": g("merger.mlp.0.bias"),
+        "mm2_w": g("merger.mlp.2.weight").T, "mm2_b": g("merger.mlp.2.bias"),
+        "layers": [],
+    }
+    il = 0
+    while f"{pre}blocks.{il}.attn.qkv.weight" in sd:
+        p = f"blocks.{il}."
+        params["layers"].append({
+            "ln1_w": g(p + "norm1.weight"), "ln2_w": g(p + "norm2.weight"),
+            "qkv_w": g(p + "attn.qkv.weight").T, "qkv_b": g(p + "attn.qkv.bias"),
+            "proj_w": g(p + "attn.proj.weight").T, "proj_b": g(p + "attn.proj.bias"),
+            "gate_w": g(p + "mlp.gate_proj.weight").T, "gate_b": g(p + "mlp.gate_proj.bias"),
+            "up_w": g(p + "mlp.up_proj.weight").T, "up_b": g(p + "mlp.up_proj.bias"),
+            "down_w": g(p + "mlp.down_proj.weight").T, "down_b": g(p + "mlp.down_proj.bias"),
+        })
+        il += 1
+    return params

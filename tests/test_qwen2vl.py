@@ -153,3 +153,38 @@ def test_qwen2vl_end_to_end_parity(tmp_path):
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 5e-4, err
     assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.9
+
+
+def test_qwen25vl_tower_parity():
+    """Qwen2.5-VL windowed tower: same-window masking in original order must
+    match HF's reorder + chunked attention."""
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLVisionConfig)
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VisionTransformerPretrainedModel)
+
+    from superllama_tpu.models.qwen2vl import (params_from_hf_visual_25,
+                                               qwen25vl_vision_forward)
+
+    torch.manual_seed(91)
+    cfg = Qwen2_5_VLVisionConfig(
+        depth=3, hidden_size=64, out_hidden_size=48, intermediate_size=96,
+        num_heads=4, in_channels=3, patch_size=14, temporal_patch_size=2,
+        spatial_merge_size=2, window_size=56, fullatt_block_indexes=[1],
+        attn_implementation="eager")
+    hf = Qwen2_5_VisionTransformerPretrainedModel(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_visual_25(sd, n_head=4, merge=2, window=56,
+                                      patch=14, fullatt=[1])
+    t, h, w = 1, 8, 8
+    rng = np.random.default_rng(7)
+    pixels = rng.normal(0, 1, (t * h * w, 3 * 2 * 14 * 14)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(pixels), torch.tensor([[t, h, w]])).numpy()
+    got = np.asarray(qwen25vl_vision_forward(
+        jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+            params), jnp.asarray(pixels), (t, h, w)))
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-4, err
