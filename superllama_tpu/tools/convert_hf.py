@@ -64,6 +64,7 @@ _ARCH_MAP = {
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
     "Ernie4_5ForCausalLM": "ernie4_5",
     "SmolLM3ForCausalLM": "smollm3",
+    "Exaone4ForCausalLM": "exaone4",
     "Qwen2VLForConditionalGeneration": "qwen2vl",
     "DbrxForCausalLM": "dbrx",
 }
@@ -602,8 +603,14 @@ def convert_state_dict(
             ("self_attn.o_proj.bias", "attn_output.bias"),
         ):
             put(gg + bias_gg, get(hf + bias_hf))
-        put(gg + "attn_q_norm.weight", get_norm(hf + "self_attn.q_norm.weight"))
-        put(gg + "attn_k_norm.weight", get_norm(hf + "self_attn.k_norm.weight"))
+        put(gg + "attn_q_norm.weight",
+            get_norm(hf + "self_attn.q_norm.weight")
+            if get(hf + "self_attn.q_norm.weight") is not None
+            else get_norm(hf + "self_attn.query_layernorm.weight"))  # hunyuan
+        put(gg + "attn_k_norm.weight",
+            get_norm(hf + "self_attn.k_norm.weight")
+            if get(hf + "self_attn.k_norm.weight") is not None
+            else get_norm(hf + "self_attn.key_layernorm.weight"))
         put(gg + "attn_norm.weight", get_norm(hf + "input_layernorm.weight"))
         put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
         put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
@@ -613,7 +620,7 @@ def convert_state_dict(
             put(gg + "attn_post_norm.weight", get_norm(hf + "post_self_attn_layernorm.weight"))
             put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
             put(gg + "ffn_post_norm.weight", get_norm(hf + "post_mlp_layernorm.weight"))
-        elif arch == "olmo2":
+        elif arch in ("olmo2", "exaone4"):  # post-norm blocks
             put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
             put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
         elif get(hf + "pre_feedforward_layernorm.weight") is not None:  # gemma

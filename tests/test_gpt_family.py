@@ -382,3 +382,29 @@ def test_smollm3_parity(tmp_path):
     hf = SmolLM3ForCausalLM(cfg).eval()
     model = _convert_and_load(hf, cfg, tmp_path / "smol.gguf")
     _parity(hf, model)
+def test_hunyuan_dense(tmp_path):
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+    torch.manual_seed(101)
+    cfg = HunYuanDenseV1Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, attn_implementation="eager",
+        architectures=["HunYuanDenseV1ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0)
+    hf = HunYuanDenseV1ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "hy.gguf")
+    _parity(hf, model, n_tokens=12)
+
+def test_exaone4(tmp_path):
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+    torch.manual_seed(102)
+    cfg = Exaone4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["Exaone4ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0, sliding_window=None,
+        layer_types=["full_attention"] * 2)
+    hf = Exaone4ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "ex4.gguf")
+    _parity(hf, model, n_tokens=12)
