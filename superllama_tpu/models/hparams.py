@@ -259,6 +259,17 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.extra["mrope_sections"] = tuple(int(v) for v in ms)
     if arch == "smollm3":
         hp.n_no_rope_layer_step = 4   # hardcoded per arch (llama-model.cpp:2249)
+    if arch == "llama4":
+        hp.n_no_rope_layer_step = int(_k(md, arch, "no_rope_layer_step", 4))
+        hp.expert_gating_softmax = False
+        hp.expert_weights_norm = False   # sigmoid weights used as-is
+        hp.extra["expert_weights_before_ffn"] = True
+        hp.extra["llama4"] = {
+            "temp_tuning": bool(_k(md, arch, "attention.temperature_tuning", True)),
+            "floor_scale": float(_k(md, arch, "attention.floor_scale", 8192.0)),
+            "attn_scale": float(_k(md, arch, "attention.scale_smooth", 0.1)),
+            "chunk": int(_k(md, arch, "attention.chunk_size", 0)),
+        }
     if arch in ("bloom", "mpt"):
         hp.alibi = True
         hp.max_alibi_bias = float(_k(md, arch, "attention.max_alibi_bias", 8.0))

@@ -95,8 +95,14 @@ def _moe_route(x: jax.Array, layer: dict, hp: HParams):
     logits = mm(x, layer["ffn_gate_inp"])                       # (B,T,E)
     if "ffn_gate_inp_b" in layer:
         logits = logits + layer["ffn_gate_inp_b"]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)       # (B,T,K)
+    if hp.expert_gating_softmax:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)   # (B,T,K)
+    else:  # llama4: top-k on raw logits, sigmoid weights
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        top_l, top_i = jax.lax.top_k(logits.astype(jnp.float32),
+                                     hp.n_expert_used)
+        top_w = jax.nn.sigmoid(top_l)
     if hp.expert_weights_norm:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     if hp.expert_weights_scale != 1.0:  # deepseek2 routed_scaling_factor
@@ -137,6 +143,10 @@ def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     tok = order // K                            # source token per sorted row
     ei_s = ei[order]
     xs = xf[tok]                                # (S·K, D)
+    w_s = top_w.reshape(S * K)[order]
+    before = bool(hp.extra.get("expert_weights_before_ffn"))
+    if before:  # llama4: scale the expert INPUT by its router weight
+        xs = xs * w_s[:, None].astype(xs.dtype)
     counts = jnp.bincount(ei, length=E)
     f32 = jnp.float32
     gate = jax.lax.ragged_dot(xs, layer["ffn_gate_exps"], counts,
@@ -152,8 +162,8 @@ def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
                               preferred_element_type=f32)
     if "ffn_down_exps_b" in layer:
         down = down + layer["ffn_down_exps_b"][ei_s]
-    w_s = top_w.reshape(S * K)[order]
-    y = jnp.zeros((S, down.shape[-1]), f32).at[tok].add(down * w_s[:, None])
+    contrib = down if before else down * w_s[:, None]
+    y = jnp.zeros((S, down.shape[-1]), f32).at[tok].add(contrib)
     out = y.astype(x.dtype).reshape(B, T, -1)
     return _moe_shared_expert(x, layer, hp, out)
 
@@ -182,6 +192,17 @@ def moe_ffn_dense(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     w = jnp.zeros_like(probs).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_i
     ].set(top_w)
+    if hp.extra.get("expert_weights_before_ffn"):  # llama4 input scaling
+        xe = x[:, :, None, :] * w[..., None].astype(x.dtype)   # (B,T,E,D)
+        gate = jnp.einsum("bted,edf->btef", xe, layer["ffn_gate_exps"],
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum("bted,edf->btef", xe, layer["ffn_up_exps"],
+                        preferred_element_type=jnp.float32)
+        act = _glu(gate.astype(x.dtype), up.astype(x.dtype), hp)
+        down = jnp.einsum("btef,efo->bteo", act, layer["ffn_down_exps"],
+                          preferred_element_type=jnp.float32)
+        out = down.sum(axis=2).astype(x.dtype)
+        return _moe_shared_expert(x, layer, hp, out)
     gate = jnp.einsum("btd,edf->btef", x, layer["ffn_gate_exps"], preferred_element_type=jnp.float32)
     up = jnp.einsum("btd,edf->btef", x, layer["ffn_up_exps"], preferred_element_type=jnp.float32)
     if "ffn_gate_exps_b" in layer:
@@ -272,6 +293,7 @@ def llama_forward(
     if params.get("token_embd_norm") is not None:  # bloom embedding LN
         x = ops.layer_norm(x, params["token_embd_norm"],
                            params.get("token_embd_norm_b"), hp.norm_eps)
+    mask_chunk = None
     iswa = isinstance(cache, ISWACache)
     paged = not iswa and not isinstance(cache, KVCache)  # PagedKVCache
     if paged:
@@ -302,6 +324,14 @@ def llama_forward(
             # caller-supplied additive mask (B,1,T,S): tree attention for
             # lookahead decoding / custom sequence-membership visibility
             mask_full = mask_swa = attn_mask.astype(jnp.float32)
+        l4c = (hp.extra.get("llama4") or {}).get("chunk", 0)
+        if l4c and not flash:
+            # llama4 chunked attention on rope layers: visible only within
+            # the same attention_chunk_size window
+            kp_ = jnp.maximum(cache.pos, 0)[:, None, None, :]
+            qp_ = jnp.maximum(pos, 0)[:, None, :, None]
+            mask_chunk = mask_full + jnp.where(
+                kp_ // l4c == qp_ // l4c, 0.0, -jnp.inf).astype(jnp.float32)
         if hp.alibi:
             # ALiBi as a per-head additive bias slope·k_pos (shift-invariant
             # equivalent of −slope·(q_pos − k_pos)); ggml slope schedule
@@ -349,7 +379,7 @@ def llama_forward(
         swa = hp.swa_window if hp.is_swa_layer(il) else 0
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
         nope = (hp.n_no_rope_layer_step > 0
-                and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3 NoPE
+                and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3/llama4
         if mrope_pos3 is not None:
             from .qwen2vl import mrope_apply  # M-RoPE (qwen2-vl image spans)
 
@@ -359,6 +389,20 @@ def llama_forward(
         elif hp.rope_type >= 0 and hp.n_rot > 0 and not nope:
             q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
             k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)
+        l4 = hp.extra.get("llama4")
+        if l4 is not None:
+            if not nope:  # L2 qk-norm after rope (Llama4TextL2Norm)
+                q = (q * jax.lax.rsqrt(
+                    jnp.mean(q.astype(jnp.float32) ** 2, -1, keepdims=True)
+                    + 1e-6).astype(q.dtype))
+                k = (k * jax.lax.rsqrt(
+                    jnp.mean(k.astype(jnp.float32) ** 2, -1, keepdims=True)
+                    + 1e-6).astype(k.dtype))
+            elif l4.get("temp_tuning"):  # temperature tuning on NoPE layers
+                ts = (jnp.log1p(jnp.floor(
+                    (safe_pos.astype(jnp.float32) + 1.0) / l4["floor_scale"]))
+                    * l4["attn_scale"] + 1.0)
+                q = (q * ts[:, :, None, None]).astype(q.dtype)
 
         sinks = layer.get("attn_sinks")
         if paged:
@@ -402,9 +446,12 @@ def llama_forward(
                 attn_fn = (ops.attention_gqa
                            if (ck.shape[2] >= 1024 or B >= 2)
                            else ops.attention_ref)
+                use_mask = mask_swa if swa else mask_full
+                if mask_chunk is not None and not nope:
+                    use_mask = mask_chunk   # llama4: rope layers are chunked
                 attn = attn_fn(
                     q, ck, cv,
-                    mask_swa if swa else mask_full,
+                    use_mask,
                     scale=kq_scale,
                     logit_softcap=hp.attn_logit_softcap, sinks=sinks,
                 )

@@ -46,6 +46,7 @@ for _arch in (
     "command-r", "cohere2", "dbrx", "nemotron", "minicpm", "refact", "jais",
     "bloom", "mpt", "glm4", "chatglm",
     "olmoe", "seed_oss", "hunyuan-dense", "ernie4_5", "exaone4", "qwen2vl",
+    "llama4",
 ):
     register(_arch, llama_forward)
 

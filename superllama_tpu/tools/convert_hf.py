@@ -65,6 +65,7 @@ _ARCH_MAP = {
     "Ernie4_5ForCausalLM": "ernie4_5",
     "SmolLM3ForCausalLM": "smollm3",
     "Exaone4ForCausalLM": "exaone4",
+    "Llama4ForCausalLM": "llama4",
     "Qwen2VLForConditionalGeneration": "qwen2vl",
     "DbrxForCausalLM": "dbrx",
 }
@@ -414,6 +415,17 @@ def convert_state_dict(
               bool(getattr(config, "parallel_attn", True)))
     if getattr(config, "logit_scale", None):
         w.add(f"{arch}.logit_scale", float(config.logit_scale))
+    if arch == "llama4":
+        w.add(f"{arch}.attention.temperature_tuning",
+              bool(getattr(config, "attn_temperature_tuning", True)))
+        w.add(f"{arch}.attention.floor_scale", float(config.floor_scale))
+        w.add(f"{arch}.attention.scale_smooth", float(config.attn_scale))
+        w.add(f"{arch}.attention.chunk_size",
+              int(getattr(config, "attention_chunk_size", 0) or 0))
+        nr = getattr(config, "no_rope_layers", None)
+        if nr:  # [1,1,1,0,...] — 0 every Nth; derive the step
+            step = nr.index(0) + 1 if 0 in nr else 0
+            w.add(f"{arch}.no_rope_layer_step", int(step))
     if getattr(config, "embedding_multiplier", None):
         w.add(f"{arch}.embedding_scale", float(config.embedding_multiplier))
     if getattr(config, "residual_multiplier", None):
@@ -631,7 +643,22 @@ def convert_state_dict(
             put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
             put(gg + "ffn_norm.bias", get(hf + "post_attention_layernorm.bias"))
 
-        if get(hf + "block_sparse_moe.gate.weight") is not None:  # mixtral
+        if get(hf + "feed_forward.router.weight") is not None:   # llama4 MoE
+            put(gg + "ffn_gate_inp.weight", get(hf + "feed_forward.router.weight"))
+            gu = get(hf + "feed_forward.experts.gate_up_proj")   # (E, in, 2f)
+            fdim = gu.shape[-1] // 2
+            put(gg + "ffn_gate_exps.weight", gu[..., :fdim].transpose(0, 2, 1))
+            put(gg + "ffn_up_exps.weight", gu[..., fdim:].transpose(0, 2, 1))
+            dn = get(hf + "feed_forward.experts.down_proj")      # (E, f, out)
+            put(gg + "ffn_down_exps.weight", dn.transpose(0, 2, 1))
+            put(gg + "ffn_up_shexp.weight", get(hf + "feed_forward.shared_expert.up_proj.weight"))
+            put(gg + "ffn_gate_shexp.weight", get(hf + "feed_forward.shared_expert.gate_proj.weight"))
+            put(gg + "ffn_down_shexp.weight", get(hf + "feed_forward.shared_expert.down_proj.weight"))
+        elif get(hf + "feed_forward.gate_proj.weight") is not None:  # llama4 dense
+            put(gg + "ffn_gate.weight", get(hf + "feed_forward.gate_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "feed_forward.up_proj.weight"))
+            put(gg + "ffn_down.weight", get(hf + "feed_forward.down_proj.weight"))
+        elif get(hf + "block_sparse_moe.gate.weight") is not None:  # mixtral
             put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
             w1 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w1.weight") for e in range(n_expert)])
             w2 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w2.weight") for e in range(n_expert)])

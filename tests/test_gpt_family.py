@@ -408,3 +408,33 @@ def test_exaone4(tmp_path):
     hf = Exaone4ForCausalLM(cfg).eval()
     model = _convert_and_load(hf, cfg, tmp_path / "ex4.gguf")
     _parity(hf, model, n_tokens=12)
+
+
+def test_llama4_parity(tmp_path):
+    """Llama4 text: sigmoid top-1 router with input scaling + shared expert,
+    L2 qk-norm after rope, NoPE every 4th layer with temperature tuning,
+    chunked attention mask."""
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    torch.manual_seed(111)
+    cfg = Llama4TextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        intermediate_size_mlp=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=1, use_qk_norm=True,
+        attention_chunk_size=8, attn_temperature_tuning=True,
+        floor_scale=8, attn_scale=0.1, max_position_embeddings=256,
+        rope_scaling=None, attn_implementation="eager",
+        architectures=["Llama4ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = Llama4ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "l4.gguf")
+    hp = model.hparams
+    assert not hp.expert_gating_softmax
+    assert hp.extra["llama4"]["chunk"] == 8
+    assert hp.n_no_rope_layer_step == 4
+    l0 = model.params["layers"][0]
+    assert "ffn_gate_exps" in l0 and "ffn_up_shexp" in l0
+    _parity(hf, model, n_tokens=24)
