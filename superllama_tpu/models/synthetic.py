@@ -71,21 +71,27 @@ def llama3_8b_hparams(**kw) -> HParams:
 
 
 def _rand_q4k_parts(key, N: int, K: int):
-    """Random Q4_K-layout QTensor parts, generated on-device (jit per shape).
+    """Random Q4_K-layout QTensor parts (compact wire-bpw form), generated
+    on-device (jit per shape).
 
-    Codes are uniform nibbles; scales are sized and adds chosen so the
-    dequantized weight is zero-mean with std ≈ 0.6/sqrt(K) — sane activations
-    through a deep stack. Byte layout identical to repacked real weights, so
-    benches on these tensors exercise the exact production kernels/HBM
-    traffic."""
+    Codes are uniform nibbles; sub-scales/mins are 6-bit ints and d/dmin are
+    sized so the dequantized weight is zero-mean with std ≈ 0.6/sqrt(K) —
+    sane activations through a deep stack. Byte layout identical to repacked
+    real weights, so benches on these tensors exercise the exact production
+    kernels/HBM traffic."""
     import jax
     import jax.numpy as jnp
 
-    kc, ks = jax.random.split(key)
+    kc, ks, kd = jax.random.split(key, 3)
     codes = jax.random.bits(kc, (K // 2, N), dtype=jnp.uint8)
-    s0 = 1.0 / (7.5 * np.sqrt(K))
-    scales = jax.random.uniform(ks, (K // 32, N), jnp.float32, 0.5 * s0, 1.5 * s0)
-    return codes, scales, -7.5 * scales
+    # 6-bit ints in [24, 41) — derived from raw bits (randint-to-u8 lowers
+    # badly through the remote-compile path)
+    sc = (jax.random.bits(ks, (K // 32, N), dtype=jnp.uint8)
+          .astype(jnp.int32) % 17 + 24).astype(jnp.uint8)
+    s0 = 1.0 / (7.5 * 32.0 * np.sqrt(K))
+    d = jax.random.uniform(kd, (K // 256, N), jnp.float32, 0.5 * s0, 1.5 * s0)
+    # mn == sc and dmin == 7.5·d ⇒ add = −7.5·scale: zero-mean dequant
+    return codes, sc, sc, d, 7.5 * d
 
 
 def synthetic_qparams_device(hp: HParams, seed: int = 0) -> dict:
@@ -103,8 +109,10 @@ def synthetic_qparams_device(hp: HParams, seed: int = 0) -> dict:
     root = jax.random.PRNGKey(seed)
 
     def qt(name: str, N: int, K: int) -> QTensor:
-        codes, scales, adds = rq(jax.random.fold_in(root, hash(name) & 0x7FFFFFFF), N, K)
-        return QTensor(codes, scales, adds, 32, 0, True, K, N, GGMLType.Q4_K)
+        codes, sc, mn, d, dmin = rq(
+            jax.random.fold_in(root, hash(name) & 0x7FFFFFFF), N, K)
+        return QTensor(codes, None, None, 32, 0, True, K, N, GGMLType.Q4_K,
+                       sc=sc, mn=mn, d=d, dmin=dmin, sb=8)
 
     normal = jax.jit(
         lambda key, sd: (jax.random.normal(key, (hp.n_vocab, hp.n_embd), jnp.float32) * sd

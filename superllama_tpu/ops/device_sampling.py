@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def greedy(logits: jax.Array) -> jax.Array:
@@ -57,3 +58,134 @@ def sample(logits: jax.Array, key: jax.Array, *, temp: float = 1.0,
         lf = _mask_top_p(lf, top_p)
     lf = lf / temp
     return jax.random.categorical(key, lf, axis=-1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# Per-row parameterized sampler chain for the serving engine's jitted decode
+# block (backend sampling, llama.h:1021/1270): every parameter is a (B,)
+# array so slots with different settings share ONE compiled graph. Chain
+# order matches runtime/sampling.py make_chain (common/sampling.cpp):
+# logit_bias → penalties → top-k → top-p → min-p → temp → dist.
+#
+# The cutting stages operate on the top-N_CAND candidates (lax.top_k once);
+# exact whenever the row's top_k ≤ N_CAND (the standard serving configs —
+# llama.cpp default top_k = 40). Rows with top_k == 0 are treated as
+# top_k = N_CAND; the host chain remains the full-distribution reference.
+
+N_CAND = 128   # candidates surviving to the cutting stages
+RING = 64      # recent-token window for penalties (llama.cpp default)
+N_BIAS = 16    # max per-row logit-bias entries on the fast path
+
+
+def chain_params(rows: list[dict | None], n_vocab: int) -> dict:
+    """Build the per-row parameter arrays from request sampling configs.
+
+    ``rows[i] is None`` → inert row (greedy, no penalties); the engine fills
+    idle slots this way. Raises ValueError for configs the fast path cannot
+    express (caller should gate with :func:`chain_supported`)."""
+    B = len(rows)
+    p = {
+        "temp": np.zeros(B, np.float32),
+        "top_k": np.full(B, N_CAND, np.int32),
+        "top_p": np.ones(B, np.float32),
+        "min_p": np.zeros(B, np.float32),
+        "pen_repeat": np.ones(B, np.float32),
+        "pen_freq": np.zeros(B, np.float32),
+        "pen_present": np.zeros(B, np.float32),
+        "pen_last_n": np.zeros(B, np.int32),
+        "bias_ids": np.full((B, N_BIAS), -1, np.int32),
+        "bias_vals": np.zeros((B, N_BIAS), np.float32),
+    }
+    for i, cfg in enumerate(rows):
+        if cfg is None:
+            continue
+        if not chain_supported(cfg):
+            raise ValueError(f"row {i}: config not fast-path expressible")
+        if cfg.get("greedy") or cfg.get("temp", 1.0) <= 0.0:
+            p["temp"][i] = 0.0
+        else:
+            p["temp"][i] = cfg.get("temp", 1.0)
+        tk = int(cfg.get("top_k", 40))
+        p["top_k"][i] = tk if 0 < tk <= N_CAND else N_CAND
+        p["top_p"][i] = cfg.get("top_p", 0.95)
+        p["min_p"][i] = cfg.get("min_p", 0.05)
+        p["pen_repeat"][i] = cfg.get("penalty_repeat", 1.0)
+        p["pen_freq"][i] = cfg.get("penalty_freq", 0.0)
+        p["pen_present"][i] = cfg.get("penalty_present", 0.0)
+        n = int(cfg.get("penalty_last_n", 64))
+        p["pen_last_n"][i] = min(n, RING) if n >= 0 else RING
+        for j, (tid, b) in enumerate((cfg.get("logit_bias") or {}).items()):
+            if 0 <= int(tid) < n_vocab:
+                p["bias_ids"][i, j] = int(tid)
+                p["bias_vals"][i, j] = float(b)
+    return p
+
+
+_UNSUPPORTED = ("dry_multiplier", "mirostat", "xtc_probability",
+                "dynatemp_range", "top_n_sigma")
+
+
+def chain_supported(cfg: dict) -> bool:
+    """True when the sampling config is expressible by the on-device chain."""
+    if cfg.get("typical_p", 1.0) < 1.0:
+        return False
+    for k in _UNSUPPORTED:
+        if cfg.get(k):
+            return False
+    if len(cfg.get("logit_bias") or {}) > N_BIAS:
+        return False
+    return True
+
+
+def chain_step(logits: jax.Array, ring: jax.Array, keys: jax.Array,
+               p: dict) -> tuple[jax.Array, jax.Array]:
+    """One chain application: (B, V) logits → (B,) tokens + updated ring.
+
+    ``ring`` (B, RING) int32: recent tokens, most recent in the LAST column,
+    -1 = empty. ``keys`` (B,) per-row PRNG keys for this step."""
+    B, V = logits.shape
+    lf = logits.astype(jnp.float32)
+
+    # logit bias (sparse per-row adds)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    bid = jnp.maximum(p["bias_ids"], 0)
+    bval = jnp.where(p["bias_ids"] >= 0, p["bias_vals"], 0.0)
+    lf = lf.at[rows, bid].add(bval)
+
+    # penalties over the ring window (llama_sampler_init_penalties semantics)
+    age = (RING - 1 - jnp.arange(RING, dtype=jnp.int32))[None, :]   # (1, RING)
+    valid = (ring >= 0) & (age < p["pen_last_n"][:, None])
+    counts = jnp.zeros((B, V), jnp.float32).at[
+        rows, jnp.maximum(ring, 0)].add(valid.astype(jnp.float32))
+    hit = counts > 0
+    rep = p["pen_repeat"][:, None]
+    lf = jnp.where(hit, jnp.where(lf > 0, lf / rep, lf * rep), lf)
+    lf = lf - (counts * p["pen_freq"][:, None]
+               + hit.astype(jnp.float32) * p["pen_present"][:, None])
+
+    # cutting stages over the top-N_CAND candidates
+    vals, idx = jax.lax.top_k(lf, N_CAND)                 # (B, N) desc
+    rank = jnp.arange(N_CAND, dtype=jnp.int32)[None, :]
+    vals = jnp.where(rank < p["top_k"][:, None], vals, -jnp.inf)
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    vals = jnp.where(cum_before < p["top_p"][:, None], vals, -jnp.inf)
+    # min-p: thresh = max + log(p); row max is vals[:, 0] (pre-cut max
+    # survives every cut — rank 0, cum_before 0)
+    minp = jnp.where(p["min_p"][:, None] > 0,
+                     vals[:, :1] + jnp.log(jnp.maximum(p["min_p"][:, None], 1e-30)),
+                     -jnp.inf)
+    vals = jnp.where(vals >= minp, vals, -jnp.inf)
+
+    # temp → dist (Gumbel-max over the survivors); temp ≤ 0 → greedy (rank 0)
+    temp = p["temp"][:, None]
+    scaled = vals / jnp.maximum(temp, 1e-6)
+    gumbel = -jnp.log(-jnp.log(
+        jax.vmap(lambda k: jax.random.uniform(
+            k, (N_CAND,), jnp.float32, 1e-7, 1.0 - 1e-7))(keys)))
+    j_samp = jnp.argmax(scaled + gumbel, axis=-1)
+    j = jnp.where(p["temp"] > 0, j_samp, 0).astype(jnp.int32)
+    tok = idx[jnp.arange(B), j].astype(jnp.int32)
+
+    ring = jnp.concatenate([ring[:, 1:], tok[:, None]], axis=1)
+    return tok, ring

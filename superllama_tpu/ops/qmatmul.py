@@ -6,7 +6,10 @@ dequantized group-wise in VMEM, and feed the MXU — HBM traffic is ~bits-per-
 weight instead of 16, which is the whole ballgame for decode (bandwidth-bound).
 
 One kernel covers every repacked format (see ops/qtensor.py): int8 or packed
-4-bit codes × per-group scales (+ optional additive term).
+4-bit codes (+ optional packed high-bit plane) × per-group scales — either
+full f32 planes or the compact factored form (integer sub-scales × f16
+superblock scale, decoded in VMEM like the reference's in-kernel 6-bit scale
+decode in ggml-cuda/mmvq.cu).
 """
 
 from __future__ import annotations
@@ -21,27 +24,87 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtensor import QTensor, dequant_qtensor
 
 
-def _qmm_kernel(x_ref, c_ref, s_ref, a_ref, o_ref, acc_ref, *,
-                nibble: bool, gs: int, offset: int, n_k: int, compute_dtype):
+def _weight_layout(qt: QTensor) -> tuple[tuple[str, tuple[int, int]], ...]:
+    """Static weight-ref layout: (field name, rows-per-k as num/den fraction).
+
+    Block row count for a k-tile of bk rows is bk·num//den; the same fractions
+    size full-K GEMV blocks."""
+    items = [("codes", (1, 2) if qt.nibble else (1, 1))]
+    if qt.hi is not None:
+        items.append(("hi", (qt.hi_bits, 8)))
+    if qt.scales is not None:
+        items.append(("scales", (1, qt.group)))
+        if qt.adds is not None:
+            items.append(("adds", (1, qt.group)))
+    else:  # compact factored form
+        items.append(("sc", (1, qt.group)))
+        if qt.mn is not None:
+            items.append(("mn", (1, qt.group)))
+        items.append(("d", (1, qt.group * qt.sb)))
+        if qt.dmin is not None:
+            items.append(("dmin", (1, qt.group * qt.sb)))
+    return tuple(items)
+
+
+def _k_align(qt: QTensor) -> int:
+    """k-tile sizes must cover whole scale/superblock rows."""
+    return qt.group * qt.sb if qt.d is not None else qt.group
+
+
+def _tile_codes(refs: dict, *, nibble: bool, hi_bits: int, gs: int):
+    """Unpack a weight tile's integer codes → (bk//gs, gs, bn) int32.
+
+    Mosaic has no 8-bit shifts and no u8→f32 cast; all bit ops ride i32."""
+    c = refs["codes"][:]
+    bn = c.shape[-1]
+    if nibble:
+        p = c.reshape(-1, 16, bn).astype(jnp.int32)      # (bk/32, 16, bn)
+        q = jnp.concatenate([p & 0x0F, p >> 4], axis=1)  # (bk/32, 32, bn)
+        if hi_bits:
+            nb, nf = 32 * hi_bits // 8, 8 // hi_bits
+            mask = (1 << hi_bits) - 1
+            h = refs["hi"][:].reshape(-1, nb, bn).astype(jnp.int32)
+            hv = jnp.concatenate(
+                [(h >> (hi_bits * j)) & mask for j in range(nf)], axis=1)
+            q = q + (hv << 4)
+        bk = q.shape[0] * 32
+        return q.reshape(bk // gs, gs, bn), bk
+    bk = c.shape[0]
+    return c.astype(jnp.int32).reshape(bk // gs, gs, bn), bk
+
+
+def _tile_scales(refs: dict, *, sb: int):
+    """(scales, adds) f32 for a weight tile; factored form decodes in VMEM."""
+    if "scales" in refs:
+        s = refs["scales"][:]
+        a = refs["adds"][:] if "adds" in refs else None
+        return s, a
+    dd = refs["d"][:]
+    gd, bn = dd.shape
+    rep = lambda v: jnp.broadcast_to(
+        v[:, None, :], (gd, sb, bn)).reshape(gd * sb, bn)
+    s = rep(dd) * refs["sc"][:].astype(jnp.int32).astype(jnp.float32)
+    a = None
+    if "mn" in refs:
+        a = -(rep(refs["dmin"][:])
+              * refs["mn"][:].astype(jnp.int32).astype(jnp.float32))
+    return s, a
+
+
+def _qmm_kernel(x_ref, wrefs, o_ref, acc_ref, *, nibble: bool, hi_bits: int,
+                gs: int, sb: int, offset: int, n_k: int, compute_dtype):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    c = c_ref[:]
-    bn = c.shape[-1]
-    if nibble:
-        # Mosaic has no 8-bit shifts and no u8→f32 cast; do bit ops in i32
-        p = c.reshape(-1, 16, bn).astype(jnp.int32)      # (BK/32, 16, BN)
-        q = jnp.concatenate([p & 0x0F, p >> 4], axis=1)  # (BK/32, 32, BN)
-        bk = q.shape[0] * 32
-    else:
-        bk = c.shape[0]
-        q = c.reshape(bk // gs, gs, bn).astype(jnp.int32)
-    w = (q.astype(jnp.float32) - float(offset)) * s_ref[:].reshape(-1, 1, bn)
-    if a_ref is not None:
-        w = w + a_ref[:].reshape(-1, 1, bn)
+    q, bk = _tile_codes(wrefs, nibble=nibble, hi_bits=hi_bits, gs=gs)
+    bn = q.shape[-1]
+    s, a = _tile_scales(wrefs, sb=sb)
+    w = (q.astype(jnp.float32) - float(offset)) * s.reshape(-1, 1, bn)
+    if a is not None:
+        w = w + a.reshape(-1, 1, bn)
     w = w.reshape(bk, bn).astype(compute_dtype)
     acc_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
                           preferred_element_type=jnp.float32)
@@ -51,47 +114,45 @@ def _qmm_kernel(x_ref, c_ref, s_ref, a_ref, o_ref, acc_ref, *,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _pick_blocks(M: int, K: int, N: int, gs: int):
+def _pick_blocks(M: int, K: int, N: int, align: int):
     bm = min(max(8, M), 256)
     bn = min(N, 512)
-    bk = min(K, 512)
+    bk = max(min(K, 512), align)
     # keep VMEM under ~8MB: w tile f32 + acc + x
-    while (bk * bn * 4 + bm * bn * 4 + bm * bk * 4) > 8 * 1024 * 1024 and bk > gs:
+    while (bk * bn * 4 + bm * bn * 4 + bm * bk * 4) > 8 * 1024 * 1024 and bk > align:
         bk //= 2
-    return bm, bk, bn
+    return bm, max(bk, align), bn
 
 
 @partial(jax.jit, static_argnames=("interpret", "out_dtype_name"))
 def _qmatmul_2d(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
     M, K = x.shape
     N = qt.N
-    gs = qt.group
     out_dtype = jnp.dtype(out_dtype_name)
-    bm, bk, bn = _pick_blocks(M, K, N, gs)
+    bm, bk, bn = _pick_blocks(M, K, N, _k_align(qt))
     n_m, n_n, n_k = pl.cdiv(M, bm), pl.cdiv(N, bn), pl.cdiv(K, bk)
-    c_rows = bk // 2 if qt.nibble else bk
     compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
+    witems = _weight_layout(qt)
+    names = tuple(n for n, _ in witems)
     in_specs = [
         pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c_rows, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // gs, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((bk * num // den, bn), lambda m, n, k: (k, n),
+                     memory_space=pltpu.VMEM)
+        for _, (num, den) in witems
     ]
-    args = [x, qt.codes, qt.scales]
-    if qt.adds is not None:
-        in_specs.append(
-            pl.BlockSpec((bk // gs, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM)
-        )
-        args.append(qt.adds)
-        kern = partial(_qmm_kernel, nibble=qt.nibble, gs=gs, offset=qt.offset,
-                       n_k=n_k, compute_dtype=compute_dtype)
-    else:
-        kern = lambda x_ref, c_ref, s_ref, o_ref, acc_ref: _qmm_kernel(
-            x_ref, c_ref, s_ref, None, o_ref, acc_ref,
-            nibble=qt.nibble, gs=gs, offset=qt.offset, n_k=n_k,
-            compute_dtype=compute_dtype,
-        )
+    args = [x] + [getattr(qt, n) for n in names]
+    impl = partial(_qmm_kernel, nibble=qt.nibble, hi_bits=qt.hi_bits,
+                   gs=qt.group, sb=qt.sb, offset=qt.offset, n_k=n_k,
+                   compute_dtype=compute_dtype)
 
+    def kern(x_ref, *rest):
+        wrefs = dict(zip(names, rest[: len(names)]))
+        o_ref, acc_ref = rest[len(names):]
+        impl(x_ref, wrefs, o_ref, acc_ref)
+
+    wbytes = sum(getattr(qt, n).nbytes for n in names)
     return pl.pallas_call(
         kern,
         grid=(n_m, n_n, n_k),
@@ -104,7 +165,7 @@ def _qmatmul_2d(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=qt.codes.nbytes + qt.scales.nbytes + M * K * 4 + M * N * 4,
+            bytes_accessed=wbytes + M * K * 4 + M * N * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -135,30 +196,23 @@ def _quantize_acts(x2: jax.Array, gs: int):
     return xq.reshape(M, K), sx, xsum
 
 
-def _qmv_kernel(xq_ref, sx_ref, xs_ref, c_ref, s_ref, a_ref, o_ref,
-                *, nibble: bool, gs: int, offset: int):
-    c = c_ref[:]
-    bn = c.shape[-1]
-    if nibble:
-        p = c.reshape(-1, 16, bn).astype(jnp.int32)
-        q = jnp.concatenate([p & 0x0F, p >> 4], axis=1)    # (K/32, 32, bn)
-        q = q.reshape(-1, gs, bn).astype(jnp.int8)
-    else:
-        q = c.reshape(-1, gs, bn).astype(jnp.int8)
+def _qmv_kernel(xq_ref, sx_ref, xs_ref, wrefs, o_ref, *, nibble: bool,
+                hi_bits: int, gs: int, sb: int, offset: int):
+    q, _ = _tile_codes(wrefs, nibble=nibble, hi_bits=hi_bits, gs=gs)
+    q = q.astype(jnp.int8)                                  # (G, gs, bn)
+    bn = q.shape[-1]
     G = q.shape[0]
+    s, a = _tile_scales(wrefs, sb=sb)                       # (G, bn)
     xq = xq_ref[:]                                          # (bm, K) int8
     sx = sx_ref[:]                                          # (bm, G)
     xs = xs_ref[:]                                          # (bm, G)
-    s = s_ref[:]                                            # (G, bn)
     acc = jnp.zeros((xq.shape[0], bn), jnp.float32)
     for g in range(G):
         ig = jax.lax.dot(xq[:, g * gs:(g + 1) * gs], q[g],
                          preferred_element_type=jnp.int32)  # (bm, bn)
         acc = acc + ig.astype(jnp.float32) * (sx[:, g][:, None] * s[g][None, :])
     # group-sum correction: adds term and/or folded code offset
-    corr = None
-    if a_ref is not None:
-        corr = a_ref[:]
+    corr = a
     if offset:
         off = -float(offset) * s
         corr = off if corr is None else corr + off
@@ -173,11 +227,14 @@ def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
     N = qt.N
     gs = qt.group
     out_dtype = jnp.dtype(out_dtype_name)
+    witems = _weight_layout(qt)
+    names = tuple(n for n, _ in witems)
     # full-K tiles (GEMV weights stream once; K/gs scale lanes must be a full
     # dimension for mosaic tiling); shrink bn to bound VMEM
-    c_rows = K // 2 if qt.nibble else K
+    per_n = sum((K * num) // den * getattr(qt, nm).dtype.itemsize
+                for nm, (num, den) in witems)
     bn = min(N, 512)
-    while c_rows * bn + (K // gs) * bn * 4 > 6 * 1024 * 1024 and bn > 128:
+    while per_n * bn > 6 * 1024 * 1024 and bn > 128:
         bn //= 2
     n_n = pl.cdiv(N, bn)
 
@@ -187,20 +244,20 @@ def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
         pl.BlockSpec((M, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((M, G), lambda n: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((M, G), lambda n: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((c_rows, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
-        pl.BlockSpec((G, bn), lambda n: (0, n), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(((K * num) // den, bn), lambda n: (0, n),
+                     memory_space=pltpu.VMEM)
+        for _, (num, den) in witems
     ]
-    args = [xq, sx, xs, qt.codes, qt.scales]
-    if qt.adds is not None:
-        in_specs.append(pl.BlockSpec((G, bn), lambda n: (0, n),
-                                     memory_space=pltpu.VMEM))
-        args.append(qt.adds)
-        kern = partial(_qmv_kernel, nibble=qt.nibble, gs=gs, offset=qt.offset)
-    else:
-        kern = lambda xq_ref, sx_ref, xs_ref, c_ref, s_ref, o_ref: \
-            _qmv_kernel(xq_ref, sx_ref, xs_ref, c_ref, s_ref, None, o_ref,
-                        nibble=qt.nibble, gs=gs, offset=qt.offset)
+    args = [xq, sx, xs] + [getattr(qt, n) for n in names]
+    impl = partial(_qmv_kernel, nibble=qt.nibble, hi_bits=qt.hi_bits,
+                   gs=gs, sb=qt.sb, offset=qt.offset)
 
+    def kern(xq_ref, sx_ref, xs_ref, *rest):
+        wrefs = dict(zip(names, rest[: len(names)]))
+        impl(xq_ref, sx_ref, xs_ref, wrefs, rest[len(names)])
+
+    wbytes = sum(getattr(qt, n).nbytes for n in names)
     return pl.pallas_call(
         kern,
         grid=(n_n,),
@@ -213,7 +270,7 @@ def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=qt.codes.nbytes + qt.scales.nbytes + M * K,
+            bytes_accessed=wbytes + M * K,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -40,7 +40,7 @@ from ..gguf.quants import (
 @dataclass
 class QTensor:
     codes: jax.Array            # int8 (K, N) or uint8 (K//2, N) nibbles
-    scales: jax.Array           # f32 (K//gs, N)
+    scales: jax.Array | None    # f32 (K//gs, N) — full-precision form
     adds: jax.Array | None      # f32 (K//gs, N) additive term, or None
     group: int                  # gs
     offset: int                 # subtracted from codes before scaling
@@ -48,15 +48,33 @@ class QTensor:
     K: int
     N: int
     ggml_type: GGMLType
+    # --- compact K-quant form (wire-bpw HBM; block_q4_K et al. re-laid out
+    # for 128-lane tiling instead of the 144-byte superblock stream the
+    # reference's mmvq decodes in-kernel, ggml-cuda/mmvq.cu):
+    #   scale[g, n] = d[g // sb, n] * sc[g, n]
+    #   add  [g, n] = -dmin[g // sb, n] * mn[g, n]
+    #   code [k, n] = lo_nibble + (hi_plane << 4)      (hi_bits ∈ {0, 1, 2})
+    sc: jax.Array | None = None     # u8/i8 (K//gs, N) integer sub-scales
+    mn: jax.Array | None = None     # u8 (K//gs, N) integer sub-mins
+    d: jax.Array | None = None      # f32 (K//(gs·sb), N) superblock scale
+    dmin: jax.Array | None = None   # f32 (K//(gs·sb), N) superblock min scale
+    hi: jax.Array | None = None     # u8 packed high-bit planes of the codes
+    hi_bits: int = 0                # bits per element in `hi` (0 = none)
+    sb: int = 0                     # groups per superblock (for d/dmin)
 
     def tree_flatten(self):
-        children = (self.codes, self.scales, self.adds)
-        aux = (self.group, self.offset, self.nibble, self.K, self.N, self.ggml_type)
+        children = (self.codes, self.scales, self.adds, self.sc, self.mn,
+                    self.d, self.dmin, self.hi)
+        aux = (self.group, self.offset, self.nibble, self.K, self.N,
+               self.ggml_type, self.hi_bits, self.sb)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        codes, scales, adds, sc, mn, d, dmin, hi = children
+        group, offset, nibble, K, N, ggml_type, hi_bits, sb = aux
+        return cls(codes, scales, adds, group, offset, nibble, K, N, ggml_type,
+                   sc=sc, mn=mn, d=d, dmin=dmin, hi=hi, hi_bits=hi_bits, sb=sb)
 
     @property
     def shape(self):  # logical (K, N) — matmul-ready (in, out)
@@ -64,8 +82,12 @@ class QTensor:
 
     @property
     def nbytes(self):
-        n = self.codes.nbytes + self.scales.nbytes
-        return n + (self.adds.nbytes if self.adds is not None else 0)
+        n = self.codes.nbytes
+        for a in (self.scales, self.adds, self.sc, self.mn, self.d,
+                  self.dmin, self.hi):
+            if a is not None:
+                n += a.nbytes
+        return n
 
 
 def _pack_nib4(codes_kn: np.ndarray) -> np.ndarray:
@@ -87,6 +109,36 @@ def unpack_nib4(packed, K: int):
     N = packed.shape[-1]
     p = packed.reshape(K // 32, 16, N)
     return xp.concatenate([p & 0x0F, p >> 4], axis=1).reshape(K, N)
+
+
+def _pack_bits(vals_kn: np.ndarray, bits: int) -> np.ndarray:
+    """(K, N) uint8 values < 2**bits → (K·bits//8, N) bit-plane packing.
+
+    Group-local layout (matching _pack_nib4's concatenate-unpack style): each
+    32-element k-group packs into 32·bits/8 bytes; unpacked element e of the
+    group comes from byte e % nbytes, bit-field e // nbytes — so the kernel
+    unpack is concatenate([(p >> bits·j) & mask for j], axis=1), which Mosaic
+    lowers without interleaves."""
+    K, N = vals_kn.shape
+    nbytes = 32 * bits // 8            # bytes per 32-group
+    nf = 8 // bits                     # bit-fields per byte
+    v = vals_kn.reshape(K // 32, nf, nbytes, N).astype(np.uint8)
+    out = np.zeros((K // 32, nbytes, N), np.uint8)
+    for j in range(nf):
+        out |= v[:, j] << (bits * j)
+    return out.reshape(K * bits // 8, N)
+
+
+def unpack_bits(packed, bits: int, K: int):
+    """Inverse of _pack_bits (numpy or jax)."""
+    xp = jax.numpy if isinstance(packed, jax.Array) else np
+    N = packed.shape[-1]
+    nbytes = 32 * bits // 8
+    nf = 8 // bits
+    mask = (1 << bits) - 1
+    p = packed.reshape(K // 32, nbytes, N)
+    return xp.concatenate([(p >> (bits * j)) & mask for j in range(nf)],
+                          axis=1).reshape(K, N)
 
 
 # --- per-format extraction: blocks (N, K/bs, type_size) → codes/scales/adds --
@@ -347,29 +399,88 @@ def _extract(raw: np.ndarray, ttype: GGMLType, N: int, K: int):
     raise NotImplementedError(f"no repack for {ttype.name}")
 
 
+# formats repacked to the compact wire-bpw layout (factored superblock
+# scales decoded in-kernel — the K-quant family the headline configs use)
+COMPACT = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
+
+
+def _compact_kquant(raw: np.ndarray, ttype: GGMLType, N: int, K: int,
+                    codes, nibble: bool):
+    """Factor a K-quant into wire-bpw parts: integer sub-scales (u8/i8) ×
+    per-superblock f16 d/dmin (kept f32), codes as lo-nibble (+ hi bit-plane
+    for Q5_K/Q6_K). Bit-exact: scale = d·sc reproduces the legacy f32 plane
+    value-for-value (f32 product of an exact f16 and a small int).
+
+    Byte budget per weight: Q4_K 0.59 (wire 0.5625), Q5_K 0.72 (wire 0.6875),
+    Q6_K 0.83 (wire 0.8203) — vs 0.75/1.25/1.28 for the legacy f32-plane form.
+    Layouts: ggml-common.h block_q4_K/q5_K/q6_K."""
+    t = GGMLType
+    if ttype in (t.Q4_K, t.Q5_K):
+        tsz = 144 if ttype == t.Q4_K else 176
+        b = raw.reshape(N, K // 256, tsz)
+        nb = N * (K // 256)
+        d = _f16(b[:, :, 0:2].reshape(-1, 2)).reshape(N, K // 256)
+        dmin = _f16(b[:, :, 2:4].reshape(-1, 2)).reshape(N, K // 256)
+        sc, mn = _unpack_scale_min_k4(b[:, :, 4:16].reshape(nb, 12))
+        parts = dict(
+            sc=np.ascontiguousarray(sc.reshape(N, K // 32).T),
+            mn=np.ascontiguousarray(mn.reshape(N, K // 32).T),
+            d=np.ascontiguousarray(d.T, np.float32),
+            dmin=np.ascontiguousarray(dmin.T, np.float32),
+            sb=8, offset=0)
+        if ttype == t.Q4_K:        # codes already nibble-packed (K//2, N)
+            return dict(parts, codes=codes, nibble=True, hi=None, hi_bits=0,
+                        gs=32)
+        q = codes.astype(np.uint8)                 # (K, N) values 0..31
+        return dict(parts, codes=_pack_nib4(q & 0x0F), nibble=True,
+                    hi=_pack_bits(q >> 4, 1), hi_bits=1, gs=32)
+    if ttype == t.Q6_K:
+        b = raw.reshape(N, K // 256, 210)
+        sc8 = np.ascontiguousarray(b[:, :, 192:208]).view(np.int8)
+        d = _f16(b[:, :, 208:210].reshape(-1, 2)).reshape(N, K // 256)
+        q = (codes.astype(np.int16) + 32).astype(np.uint8)   # (K, N) 0..63
+        return dict(
+            codes=_pack_nib4(q & 0x0F), nibble=True,
+            hi=_pack_bits(q >> 4, 2), hi_bits=2,
+            sc=np.ascontiguousarray(sc8.reshape(N, K // 16).T),
+            mn=None, d=np.ascontiguousarray(d.T, np.float32), dmin=None,
+            sb=16, offset=32, gs=16)
+    raise NotImplementedError(ttype)
+
+
 def repack(raw: np.ndarray, ttype: GGMLType, out_in_shape: tuple[int, int],
            device_put=None) -> QTensor:
     """Repack GGUF packed bytes (row-major (N,K) blocks) into a QTensor.
 
     Routes through the threaded C++ fast path (native/quants.cpp slq_repack,
-    bit-identical by tests) for the mainstream formats; numpy otherwise."""
+    bit-identical by tests) for the mainstream formats; numpy otherwise.
+    K-quants additionally factor into the compact wire-bpw layout."""
     N, K = out_in_shape
     from .. import native
 
-    nat = native.repack(np.frombuffer(raw.tobytes(), np.uint8),
-                        int(ttype), N, K)
+    rawu8 = np.frombuffer(raw.tobytes(), np.uint8)
+    nat = native.repack(rawu8, int(ttype), N, K)
     if nat is not None:
         codes, scales, adds, gs, offset, nibble = nat
     else:
-        codes, scales, adds, gs, offset, nibble = _extract(
-            np.frombuffer(raw.tobytes(), np.uint8), ttype, N, K
-        )
+        codes, scales, adds, gs, offset, nibble = _extract(rawu8, ttype, N, K)
         codes = codes.reshape(N, K).T                       # (K, N)
         codes = _pack_nib4(codes.astype(np.uint8)) if nibble else codes.astype(np.int8)
         scales = np.ascontiguousarray(scales.reshape(N, K // gs).T, np.float32)
         if adds is not None:
             adds = np.ascontiguousarray(adds.reshape(N, K // gs).T, np.float32)
     put = device_put or jax.numpy.asarray
+    if ttype in COMPACT:
+        c = _compact_kquant(rawu8, ttype, N, K, codes, nibble)
+        return QTensor(
+            codes=put(np.ascontiguousarray(c["codes"])),
+            scales=None, adds=None, group=c["gs"], offset=c["offset"],
+            nibble=c["nibble"], K=K, N=N, ggml_type=ttype,
+            sc=put(c["sc"]), mn=put(c["mn"]) if c["mn"] is not None else None,
+            d=put(c["d"]), dmin=put(c["dmin"]) if c["dmin"] is not None else None,
+            hi=put(np.ascontiguousarray(c["hi"])) if c["hi"] is not None else None,
+            hi_bits=c["hi_bits"], sb=c["sb"],
+        )
     return QTensor(
         codes=put(np.ascontiguousarray(codes)),
         scales=put(scales),
@@ -387,15 +498,44 @@ REPACKABLE = {
 }
 
 
+def qt_scales_adds(qt: QTensor):
+    """(scales, adds) f32 planes — reconstructed from the factored compact
+    form when present (bit-identical to the legacy planes: f32 product of an
+    exact f16 superblock scale and a small integer)."""
+    import jax.numpy as jnp
+
+    if qt.d is None:
+        return qt.scales, qt.adds
+    G = qt.K // qt.group
+    rep = lambda a: jnp.broadcast_to(
+        a[:, None, :], (G // qt.sb, qt.sb, qt.N)).reshape(G, qt.N)
+    scales = rep(qt.d) * qt.sc.astype(jnp.float32)
+    adds = None
+    if qt.mn is not None:
+        adds = -(rep(qt.dmin) * qt.mn.astype(jnp.float32))
+    return scales, adds
+
+
+def qt_codes(qt: QTensor):
+    """Unpacked integer codes (K, N) — lo nibble + hi bit-plane composed."""
+    import jax.numpy as jnp
+
+    codes = unpack_nib4(qt.codes, qt.K) if qt.nibble else qt.codes
+    if qt.hi_bits:
+        hi = unpack_bits(qt.hi, qt.hi_bits, qt.K)
+        codes = codes.astype(jnp.int32) + (hi.astype(jnp.int32) << 4)
+    return codes
+
+
 def dequant_qtensor(qt: QTensor, dtype=None):
     """Reference dequant of a QTensor → (K, N) array (jnp)."""
     import jax.numpy as jnp
 
-    codes = unpack_nib4(qt.codes, qt.K) if qt.nibble else qt.codes
-    q = codes.astype(jnp.float32) - qt.offset
+    q = qt_codes(qt).astype(jnp.float32) - qt.offset
     gs = qt.group
-    w = q.reshape(qt.K // gs, gs, qt.N) * qt.scales[:, None, :]
-    if qt.adds is not None:
-        w = w + qt.adds[:, None, :]
+    scales, adds = qt_scales_adds(qt)
+    w = q.reshape(qt.K // gs, gs, qt.N) * scales[:, None, :]
+    if adds is not None:
+        w = w + adds[:, None, :]
     w = w.reshape(qt.K, qt.N)
     return w.astype(dtype) if dtype is not None else w

@@ -44,6 +44,7 @@ PREFILL_BUCKETS = (32, 128, 512, 1024, 2048)
 class SlotState(Enum):
     IDLE = 0
     GENERATING = 1
+    PREFILL = 2
 
 
 @dataclass
@@ -89,6 +90,17 @@ class _Slot:
     # prompt cache: tokens whose KV currently occupy this row (kept across
     # requests for common-prefix reuse, server-context.cpp prompt caching)
     cache_tokens: list[int] = field(default_factory=list)
+    # chunked-prefill state (one chunk per engine step: prompt loading no
+    # longer stalls generating slots — update_slots mixed-batch semantics)
+    pending: list[int] = field(default_factory=list)
+    prefill_off: int = 0             # positions already prefilled
+    prefill_P: int = 0               # chunk bucket width
+    in_place: bool = False           # prefilling straight into the big cache
+    scratch: Any = None              # 1-row scratch cache (JetStream split)
+    # on-device decode-block fast path
+    fast: bool = False               # sampler expressible by the device chain
+    seed: int = 0
+    n_sampled: int = 0               # RNG stream position (tokens sampled)
 
 
 class Engine:
@@ -100,7 +112,8 @@ class Engine:
     def __init__(self, model: LoadedModel, n_slots: int = 4, n_ctx: int = 2048,
                  kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS,
                  draft_model: LoadedModel | None = None, n_draft: int = 8,
-                 ctx_shift: bool = False, lookup_ngrams: int = 0):
+                 ctx_shift: bool = False, lookup_ngrams: int = 0,
+                 block_size: int = 8):
         self.model = model
         hp = model.hparams
         self.hp = hp
@@ -110,6 +123,7 @@ class Engine:
         fwd = get_forward(hp.arch)
         self._fwd = fwd
         self.kv_dtype = kv_dtype
+        self.block_size = max(1, int(block_size))
 
         self.cache = kv_cache_init(hp.n_layer, n_slots, n_ctx, hp.n_head_kv,
                                    hp.head_dim, hp.head_dim_v, dtype=kv_dtype)
@@ -118,6 +132,35 @@ class Engine:
             return fwd(params, hp, tokens, pos, cache)
 
         self._decode = jax.jit(decode, donate_argnums=(3,))
+
+        # on-device multi-token decode block: N forward+sample steps in ONE
+        # dispatch with the per-row parameterized sampler chain fused into
+        # the graph (backend sampling, llama.h:1021/1270 + the fast decode
+        # loop the reference runs per-slot in update_slots). Host sees only
+        # (B, N) token ids per block; stop handling rolls back overshoot.
+        from ..ops import device_sampling as dsamp
+        self._dsamp = dsamp
+
+        def decode_block(params, tok0, pos0, cache, ring, base_keys, counts,
+                         sp, n_steps: int):
+            def body(carry, i):
+                tok, pos, cache, ring = carry
+                lg, cache = fwd(params, hp, tok, pos, cache)
+                keys = jax.vmap(jax.random.fold_in)(base_keys, counts + i)
+                nxt, ring = dsamp.chain_step(
+                    lg[:, -1].astype(jnp.float32), ring, keys, sp)
+                active = pos[:, 0] >= 0
+                nxt = jnp.where(active, nxt, tok[:, 0])
+                pos2 = jnp.where(active[:, None], pos + 1, pos)
+                return (nxt[:, None], pos2, cache, ring), nxt
+
+            (_, _, cache, _), toks = jax.lax.scan(
+                body, (tok0, pos0, cache, ring),
+                jnp.arange(n_steps, dtype=jnp.int32))
+            return jnp.transpose(toks), cache                 # (B, N)
+
+        self._block = jax.jit(decode_block, static_argnames=("n_steps",),
+                              donate_argnums=(3,))
 
         def prefill(params, tokens, pos, cache):
             return fwd(params, hp, tokens, pos, cache)
@@ -245,10 +288,16 @@ class Engine:
                 time.sleep(0.002)
 
     def step(self) -> bool:
-        """One scheduling iteration. Returns True if any work was done."""
+        """One scheduling iteration. Returns True if any work was done.
+
+        Order mirrors update_slots (server-context.cpp:1947): admit waiting
+        requests, advance each loading slot by ONE prompt chunk, then run a
+        decode block for the generating slots — prompt loading never stalls
+        generation for more than one chunk."""
         launched = self._launch_waiting()
+        prefilled = self._prefill_step()
         decoded = self._decode_step()
-        return launched or decoded
+        return launched or prefilled or decoded
 
     def _launch_waiting(self) -> bool:
         launched = False
@@ -277,6 +326,8 @@ class Engine:
                 req._done.set()
                 slot.state = SlotState.IDLE  # don't leave a half-started slot
                 slot.req = None
+                slot.pending = []
+                slot.scratch = None
                 slot.cache_tokens = []       # row contents are undefined now
         return launched
 
@@ -340,84 +391,12 @@ class Engine:
                 return b
         return self.buckets[-1]
 
-    def _start_request(self, slot: _Slot, req: GenRequest):
-        ids = list(req.prompt_ids)
-        if not ids:
-            raise ValueError("empty prompt")
-        if not self.ctx_shift and len(ids) + req.max_tokens > self.n_ctx:
-            raise ValueError(
-                f"prompt ({len(ids)}) + max_tokens ({req.max_tokens}) exceeds n_ctx ({self.n_ctx})"
-            )
-        if len(ids) + 1 > self.n_ctx:
-            raise ValueError(f"prompt ({len(ids)}) exceeds n_ctx ({self.n_ctx})")
-        t0 = time.perf_counter()
-        n = len(ids)
-        # prompt-cache common-prefix reuse (server-context.cpp prompt caching):
-        # if this row already holds a long matching prefix, truncate to it and
-        # prefill only the suffix IN PLACE (junk writes into other rows land
-        # beyond their cursors and are masked/overwritten)
-        n_cached = 0
-        if self.draft_model is None and slot.cache_tokens:
-            for a, b in zip(slot.cache_tokens, ids):
-                if a != b:
-                    break
-                n_cached += 1
-            n_cached = min(n_cached, n - 1)  # keep ≥1 token for logits
-            if n_cached < 16:
-                n_cached = 0
-        if n_cached:
-            keep = np.zeros(self.n_slots, np.int32)
-            for s in self.slots:
-                keep[s.idx] = s.n_past
-            keep[slot.idx] = n_cached
-            self.cache = self._truncate(self.cache, jnp.asarray(keep))
-            suffix = ids[n_cached:]
-            P = self._bucket(len(suffix))
-            off = 0
-            while off < len(suffix):
-                chunk = suffix[off : off + P]
-                tok = np.full((self.n_slots, P), 0, np.int32)
-                pos = np.full((self.n_slots, P), -1, np.int32)
-                tok[slot.idx, : len(chunk)] = chunk
-                pos[slot.idx, : len(chunk)] = np.arange(
-                    n_cached + off, n_cached + off + len(chunk))
-                logits, self.cache = self._decode(
-                    self.model.params, jnp.asarray(tok), jnp.asarray(pos), self.cache)
-                off += len(chunk)
-            last_idx = (len(suffix) - 1) % P if len(suffix) % P != 0 else P - 1
-            last_logits = np.asarray(logits[slot.idx, last_idx], np.float32)
-            self.metrics["n_prompt_cached"] += n_cached
-        else:
-            P = self._bucket(n)
-            # prompts longer than the biggest bucket prefill in several passes
-            scratch = kv_cache_init(self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
-                                    self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
-            off = 0
-            logits = None
-            while off < n:
-                chunk = ids[off : off + P]
-                tok = np.full((1, P), 0, np.int32)
-                pos = np.full((1, P), -1, np.int32)
-                tok[0, : len(chunk)] = chunk
-                pos[0, : len(chunk)] = np.arange(off, off + len(chunk))
-                logits, scratch = self._prefill(
-                    self.model.params, jnp.asarray(tok), jnp.asarray(pos), scratch)
-                off += len(chunk)
-            last_idx = (n - 1) % P if n % P != 0 else P - 1
-            last_logits = np.asarray(logits[0, last_idx], np.float32)
-
-            self.cache = self._insert(self.cache, scratch, slot.idx, n)
-            del scratch
-
-        slot.req = req
-        slot.state = SlotState.GENERATING
-        slot.n_past = n
-        slot.n_prompt = n
-        slot.generated = []
-        slot.cache_tokens = list(ids)
-        slot.text = ""
-        slot.t_start = t0
+    def _setup_sampler(self, slot: _Slot, req: GenRequest, ids: list[int]):
         slot.sampler = make_chain(**req.sampling) if req.sampling else make_chain(greedy=True)
+        slot.fast = (req.grammar is None
+                     and self._dsamp.chain_supported(req.sampling or {}))
+        slot.seed = int((req.sampling or {}).get("seed", 0))
+        slot.n_sampled = 0
         if req.grammar:
             from .sampling import GrammarSampler
             pieces, eos_ids = self._vocab_pieces()
@@ -433,37 +412,175 @@ class Engine:
                 trigger_patterns=req.grammar_triggers))
         for t in ids[-64:]:
             slot.sampler.ctx.recent_tokens.append(int(t))
+
+    def _start_request(self, slot: _Slot, req: GenRequest):
+        ids = list(req.prompt_ids)
+        if not ids:
+            raise ValueError("empty prompt")
+        if not self.ctx_shift and len(ids) + req.max_tokens > self.n_ctx:
+            raise ValueError(
+                f"prompt ({len(ids)}) + max_tokens ({req.max_tokens}) exceeds n_ctx ({self.n_ctx})"
+            )
+        if len(ids) + 1 > self.n_ctx:
+            raise ValueError(f"prompt ({len(ids)}) exceeds n_ctx ({self.n_ctx})")
+        if self.draft_model is not None:
+            return self._start_request_sync(slot, req)
+        t0 = time.perf_counter()
+        n = len(ids)
+        # prompt-cache common-prefix reuse (server-context.cpp prompt caching):
+        # if this row already holds a long matching prefix, truncate to it and
+        # prefill only the suffix IN PLACE (junk writes into other rows land
+        # beyond their cursors and are masked/overwritten)
+        n_cached = 0
+        if slot.cache_tokens:
+            for a, b in zip(slot.cache_tokens, ids):
+                if a != b:
+                    break
+                n_cached += 1
+            n_cached = min(n_cached, n - 1)  # keep ≥1 token for logits
+            if n_cached < 16:
+                n_cached = 0
+        slot.req = req
+        slot.state = SlotState.PREFILL
+        slot.n_prompt = n
+        slot.generated = []
+        slot.text = ""
+        slot.t_start = t0
+        if n_cached:
+            keep = np.zeros(self.n_slots, np.int32)
+            for s in self.slots:
+                keep[s.idx] = s.n_past
+            keep[slot.idx] = n_cached
+            self.cache = self._truncate(self.cache, jnp.asarray(keep))
+            slot.in_place = True
+            slot.pending = ids[n_cached:]
+            slot.prefill_off = n_cached
+            slot.scratch = None
+            self.metrics["n_prompt_cached"] += n_cached
+        else:
+            slot.in_place = False
+            slot.pending = ids
+            slot.prefill_off = 0
+            slot.scratch = kv_cache_init(
+                self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
+                self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
+        slot.prefill_P = self._bucket(len(slot.pending))
+        slot.cache_tokens = list(ids)
+        self._setup_sampler(slot, req, ids)
+        self.metrics["n_prompt_tokens"] += n
+
+    def _prefill_step(self) -> bool:
+        """Advance every loading slot by ONE prompt chunk (then let decode
+        run): the chunk-interleave that keeps generating streams flowing
+        while a long prompt loads."""
+        worked = False
+        for slot in [s for s in self.slots if s.state == SlotState.PREFILL]:
+            t0 = time.perf_counter()
+            P = slot.prefill_P
+            chunk = slot.pending[:P]
+            if slot.in_place:
+                tok = np.zeros((self.n_slots, P), np.int32)
+                pos = np.full((self.n_slots, P), -1, np.int32)
+                tok[slot.idx, : len(chunk)] = chunk
+                pos[slot.idx, : len(chunk)] = np.arange(
+                    slot.prefill_off, slot.prefill_off + len(chunk))
+                logits, self.cache = self._decode(
+                    self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                    self.cache)
+                row = slot.idx
+            else:
+                tok = np.zeros((1, P), np.int32)
+                pos = np.full((1, P), -1, np.int32)
+                tok[0, : len(chunk)] = chunk
+                pos[0, : len(chunk)] = np.arange(
+                    slot.prefill_off, slot.prefill_off + len(chunk))
+                logits, slot.scratch = self._prefill(
+                    self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                    slot.scratch)
+                row = 0
+            slot.pending = slot.pending[len(chunk):]
+            slot.prefill_off += len(chunk)
+            self.metrics["prefill_s"] += time.perf_counter() - t0
+            worked = True
+            if slot.pending:
+                continue
+            # last chunk: finalize — insert scratch, sample the first token
+            last_logits = np.asarray(logits[row, len(chunk) - 1], np.float32)
+            if not slot.in_place:
+                self.cache = self._insert(self.cache, slot.scratch, slot.idx,
+                                          slot.n_prompt)
+                slot.scratch = None
+            slot.state = SlotState.GENERATING
+            slot.n_past = slot.n_prompt
+            self._emit(slot, slot.sampler.sample(last_logits))
+        return worked
+
+    def _start_request_sync(self, slot: _Slot, req: GenRequest):
+        """Whole-prompt synchronous start (speculative-decoding engines: the
+        draft shadow cache prefills in lock-step with the target)."""
+        ids = list(req.prompt_ids)
+        t0 = time.perf_counter()
+        n = len(ids)
+        P = self._bucket(n)
+        # prompts longer than the biggest bucket prefill in several passes
+        scratch = kv_cache_init(self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
+                                self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
+        off = 0
+        logits = None
+        while off < n:
+            chunk = ids[off : off + P]
+            tok = np.full((1, P), 0, np.int32)
+            pos = np.full((1, P), -1, np.int32)
+            tok[0, : len(chunk)] = chunk
+            pos[0, : len(chunk)] = np.arange(off, off + len(chunk))
+            logits, scratch = self._prefill(
+                self.model.params, jnp.asarray(tok), jnp.asarray(pos), scratch)
+            off += len(chunk)
+        last_idx = (n - 1) % P if n % P != 0 else P - 1
+        last_logits = np.asarray(logits[0, last_idx], np.float32)
+
+        self.cache = self._insert(self.cache, scratch, slot.idx, n)
+        del scratch
+
+        slot.req = req
+        slot.state = SlotState.GENERATING
+        slot.n_past = n
+        slot.n_prompt = n
+        slot.generated = []
+        slot.cache_tokens = list(ids)
+        slot.text = ""
+        slot.t_start = t0
+        self._setup_sampler(slot, req, ids)
         self.metrics["n_prompt_tokens"] += n
         self.metrics["prefill_s"] += time.perf_counter() - t0
 
         # draft-model shadow prefill of the same prompt (retokenized into the
         # draft vocab when translating)
-        if self.draft_model is not None:
-            dhp = self.draft_model.hparams
-            d_ids = (self.spec_translator.tgt_to_dft([int(t) for t in ids])
-                     if self.spec_translator is not None else ids)
-            dn = len(d_ids)
-            d_scratch = kv_cache_init(dhp.n_layer, 1, self.n_ctx, dhp.n_head_kv,
-                                      dhp.head_dim, dhp.head_dim_v,
-                                      dtype=self.kv_dtype)
-            off = 0
-            while off < dn:
-                chunk = d_ids[off : off + P]
-                tok = np.full((1, P), 0, np.int32)
-                dpos = np.full((1, P), -1, np.int32)
-                tok[0, : len(chunk)] = chunk
-                dpos[0, : len(chunk)] = np.arange(off, off + len(chunk))
-                _, d_scratch = self._d_step(
-                    self.draft_model.params, jnp.asarray(tok),
-                    jnp.asarray(dpos), d_scratch)
-                off += len(chunk)
-            self.d_cache = self._d_insert(self.d_cache, d_scratch, slot.idx, dn)
-            slot.d_past = dn
-            del d_scratch
+        dhp = self.draft_model.hparams
+        d_ids = (self.spec_translator.tgt_to_dft([int(t) for t in ids])
+                 if self.spec_translator is not None else ids)
+        dn = len(d_ids)
+        d_scratch = kv_cache_init(dhp.n_layer, 1, self.n_ctx, dhp.n_head_kv,
+                                  dhp.head_dim, dhp.head_dim_v,
+                                  dtype=self.kv_dtype)
+        off = 0
+        while off < dn:
+            chunk = d_ids[off : off + P]
+            tok = np.full((1, P), 0, np.int32)
+            dpos = np.full((1, P), -1, np.int32)
+            tok[0, : len(chunk)] = chunk
+            dpos[0, : len(chunk)] = np.arange(off, off + len(chunk))
+            _, d_scratch = self._d_step(
+                self.draft_model.params, jnp.asarray(tok),
+                jnp.asarray(dpos), d_scratch)
+            off += len(chunk)
+        self.d_cache = self._d_insert(self.d_cache, d_scratch, slot.idx, dn)
+        slot.d_past = dn
+        del d_scratch
 
         # sample the first token from the prefill logits
         self._emit(slot, slot.sampler.sample(last_logits))
-        if self.draft_model is not None and slot.state == SlotState.GENERATING:
+        if slot.state == SlotState.GENERATING:
             slot.draft_tail = [slot.generated[-1]]
 
     def _decode_step(self) -> bool:
@@ -481,6 +598,12 @@ class Engine:
                 s.n_past + self.lookup_k + 1 <= self.n_ctx for s in active):
             if self._lookup_decode_step(active):
                 return True
+        if (self.block_size > 1 and self.draft_model is None
+                and not self.lookup_k
+                and all(s.fast for s in active)
+                and all(s.n_past + self.block_size + 1 <= self.n_ctx
+                        for s in active)):
+            return self._block_decode_step(active)
         t0 = time.perf_counter()
         tokens = np.zeros((self.n_slots, 1), np.int32)
         pos = np.full((self.n_slots, 1), -1, np.int32)
@@ -494,6 +617,63 @@ class Engine:
             s.n_past += 1
             s.cache_tokens.append(s.generated[-1])  # fed token entered cache
             self._emit(s, s.sampler.sample(logits_np[s.idx]))
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
+
+    def _block_decode_step(self, active: list[_Slot]) -> bool:
+        """N decode steps in ONE dispatch: the forward, the sampler chain, and
+        the token feed-back all stay on device (ops/device_sampling.chain_step
+        — the reference's backend-sampling hot loop). The host sees a (B, N)
+        int32 block, walks it for stop conditions, and rolls back any
+        overshoot rows with one truncate."""
+        t0 = time.perf_counter()
+        dsamp = self._dsamp
+        B, nb = self.n_slots, self.block_size
+        tok0 = np.zeros((B, 1), np.int32)
+        pos0 = np.full((B, 1), -1, np.int32)
+        ring = np.full((B, dsamp.RING), -1, np.int32)
+        base_keys = np.zeros((B, 2), np.uint32)
+        counts = np.zeros(B, np.int32)
+        cfgs: list[dict | None] = [None] * B
+        for s in active:
+            tok0[s.idx, 0] = s.generated[-1]
+            pos0[s.idx, 0] = s.n_past
+            recent = s.sampler.ctx.recent_tokens[-dsamp.RING:]
+            if recent:
+                ring[s.idx, -len(recent):] = recent
+            # threefry key from the 32-bit seed (PRNGKey layout, host-side)
+            base_keys[s.idx] = (s.seed >> 32 & 0xFFFFFFFF, s.seed & 0xFFFFFFFF)
+            counts[s.idx] = s.n_sampled
+            cfgs[s.idx] = s.req.sampling or {"greedy": True}
+        sp = {k: jnp.asarray(v)
+              for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
+        toks, self.cache = self._block(
+            self.model.params, jnp.asarray(tok0), jnp.asarray(pos0),
+            self.cache, jnp.asarray(ring), jnp.asarray(base_keys),
+            jnp.asarray(counts), sp, n_steps=nb)
+        toks = np.asarray(toks)
+        keep = np.zeros(B, np.int32)
+        for s in self.slots:
+            keep[s.idx] = s.n_past
+        overshoot = False
+        for s in active:
+            fed0 = int(tok0[s.idx, 0])
+            accepted = 0
+            for i in range(nb):
+                t = int(toks[s.idx, i])
+                s.n_past += 1
+                s.cache_tokens.append(fed0 if i == 0 else int(toks[s.idx, i - 1]))
+                s.sampler.accept(t)          # keeps the penalty-window mirror
+                self._emit(s, t)
+                accepted += 1
+                if s.state != SlotState.GENERATING:
+                    break
+            if accepted < nb:
+                overshoot = True             # rows advanced nb; roll back
+            keep[s.idx] = s.n_past
+        if overshoot:
+            self.cache = self._truncate(self.cache, jnp.asarray(keep))
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True
@@ -773,6 +953,7 @@ class Engine:
     def _emit(self, slot: _Slot, token: int):
         req = slot.req
         slot.generated.append(token)
+        slot.n_sampled += 1
         self.metrics["n_tokens_generated"] += 1
         if len(slot.generated) == 1:
             slot.t_first_token = time.perf_counter()
