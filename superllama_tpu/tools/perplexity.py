@@ -38,15 +38,19 @@ def compute_perplexity(model: LoadedModel, token_ids: np.ndarray, n_ctx: int = 5
     ids = np.asarray(token_ids, np.int32)
     bos = model.tokenizer.vocab.bos_id if model.tokenizer else -1
     first = min(512, n_ctx // 2)
-    n_chunks = (len(ids) - 1) // n_ctx
+    # reference chunk count (perplexity.cpp): floor(n_tokens / n_ctx) — the
+    # eval window first..n_ctx-2 never needs a target beyond the chunk itself
+    n_chunks = len(ids) // n_ctx
     if n_chunks < 1:
-        raise ValueError(f"need ≥{n_ctx + 1} tokens, got {len(ids)}")
+        raise ValueError(f"need ≥{n_ctx} tokens, got {len(ids)}")
 
     ctx = Context(model, n_batch=1, n_ctx=n_ctx)
     nll_sum, count = 0.0, 0
     per_chunk = []
     for c in range(n_chunks):
         chunk = ids[c * n_ctx : (c + 1) * n_ctx + 1]
+        if len(chunk) == n_ctx:       # final chunk: pad the unused last target
+            chunk = np.concatenate([chunk, chunk[-1:]])
         inp = chunk[:n_ctx].copy()
         if add_bos and bos >= 0:
             inp0 = inp.copy()
@@ -58,7 +62,10 @@ def compute_perplexity(model: LoadedModel, token_ids: np.ndarray, n_ctx: int = 5
         logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
         targets = jnp.asarray(chunk[1 : n_ctx + 1], jnp.int32)
         tok_logp = jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-        sel = np.asarray(tok_logp)[first - 1 :]
+        # exact reference window (perplexity.cpp:625-631): logits rows
+        # first..n_ctx-2 predicting chunk[first+1..n_ctx-1] — n_ctx-1-first
+        # positions per chunk
+        sel = np.asarray(tok_logp)[first : n_ctx - 1]
         if logits_sink is not None:
             logits_sink.append(np.asarray(logp, np.float32))
         chunk_nll = -float(sel.sum())

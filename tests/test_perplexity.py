@@ -54,8 +54,9 @@ def _torch_ppl(hf, corpus, n_ctx, bos=1, first=None):
         logp = torch.log_softmax(logits.float(), dim=-1)
         tgt = torch.tensor(chunk[1 : n_ctx + 1].astype(np.int64))
         tl = logp.gather(-1, tgt[:, None])[:, 0].numpy()
-        nll += -tl[first - 1 :].sum()
-        cnt += tl[first - 1 :].size
+        # reference window: rows first..n_ctx-2 (perplexity.cpp:625-631)
+        nll += -tl[first : n_ctx - 1].sum()
+        cnt += tl[first : n_ctx - 1].size
     return math.exp(nll / cnt)
 
 
