@@ -131,7 +131,8 @@ def cmd_serve(args):
                     rate_limit_rpm=args.rate_limit,
                     metrics_path=args.metrics_file,
                     draft_model=draft, n_draft=args.draft_n,
-                    embed_model=embed)
+                    embed_model=embed, paged=args.paged_kv,
+                    page_size=args.kv_page_size, n_pages=args.kv_pages)
     srv = Server(app, host=args.host, port=args.port,
                  tls_cert=getattr(args, "ssl_cert_file", None),
                  tls_key=getattr(args, "ssl_key_file", None))
@@ -405,6 +406,11 @@ def main(argv=None) -> int:
     p.add_argument("--embed-model", default=None, help="encoder GGUF for /embeddings")
     p.add_argument("--ssl-cert-file", default=None, help="enable TLS")
     p.add_argument("--ssl-key-file", default=None)
+    p.add_argument("--paged-kv", action="store_true",
+                   help="page-pool KV cache with HBM⇄host spill")
+    p.add_argument("--kv-page-size", type=int, default=256)
+    p.add_argument("--kv-pages", type=int, default=None,
+                   help="pool size in pages (default: slots*ctx/page + 1)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("gguf-dump", help="inspect GGUF metadata + tensors")

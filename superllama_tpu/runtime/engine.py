@@ -113,7 +113,9 @@ class Engine:
                  kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS,
                  draft_model: LoadedModel | None = None, n_draft: int = 8,
                  ctx_shift: bool = False, lookup_ngrams: int = 0,
-                 block_size: int = 8):
+                 block_size: int = 8, paged: bool = False,
+                 page_size: int = 256, n_pages: int | None = None,
+                 max_pages_per_seq: int | None = None):
         self.model = model
         hp = model.hparams
         self.hp = hp
@@ -125,13 +127,40 @@ class Engine:
         self.kv_dtype = kv_dtype
         self.block_size = max(1, int(block_size))
 
-        self.cache = kv_cache_init(hp.n_layer, n_slots, n_ctx, hp.n_head_kv,
-                                   hp.head_dim, hp.head_dim_v, dtype=kv_dtype)
+        # paged-KV mode (BASELINE config 3): page-pool cache + HBM⇄host spill
+        # with swap-scheduling admission — the integration the reference left
+        # dangling (src/llama-context.cpp:333 vs llama-kv-cache-paged.h)
+        self.paged = bool(paged)
+        if self.paged:
+            if draft_model is not None or lookup_ngrams or ctx_shift:
+                raise ValueError(
+                    "paged mode: speculative/lookup/ctx-shift not supported")
+            from .paged_kv import PagedKVManager, paged_cache_init
 
-        def decode(params, tokens, pos, cache):
+            self.page_size = int(page_size)
+            mpps = max_pages_per_seq or -(-n_ctx // self.page_size)
+            npg = n_pages or (n_slots * mpps + 1)
+            self.pkv = PagedKVManager(paged_cache_init(
+                hp.n_layer, npg, self.page_size, n_slots, mpps, hp.n_head_kv,
+                hp.head_dim, hp.head_dim_v, dtype=kv_dtype))
+            self.block_size = 1        # block scan is dense-cache only (yet)
+            self.cache = None
+            self._paged_rr = 0         # round-robin admission cursor
+        else:
+            self.cache = kv_cache_init(hp.n_layer, n_slots, n_ctx, hp.n_head_kv,
+                                       hp.head_dim, hp.head_dim_v, dtype=kv_dtype)
+
+        import inspect
+
+        self._win_ok = "s_window" in inspect.signature(fwd).parameters
+
+        def decode(params, tokens, pos, cache, s_window: int | None = None):
+            if s_window and self._win_ok:
+                return fwd(params, hp, tokens, pos, cache, s_window=s_window)
             return fwd(params, hp, tokens, pos, cache)
 
-        self._decode = jax.jit(decode, donate_argnums=(3,))
+        self._decode = jax.jit(decode, donate_argnums=(3,),
+                               static_argnames=("s_window",))
 
         # on-device multi-token decode block: N forward+sample steps in ONE
         # dispatch with the per-row parameterized sampler chain fused into
@@ -142,10 +171,14 @@ class Engine:
         self._dsamp = dsamp
 
         def decode_block(params, tok0, pos0, cache, ring, base_keys, counts,
-                         sp, n_steps: int):
+                         sp, n_steps: int, s_window: int | None = None):
             def body(carry, i):
                 tok, pos, cache, ring = carry
-                lg, cache = fwd(params, hp, tok, pos, cache)
+                if s_window and self._win_ok:
+                    lg, cache = fwd(params, hp, tok, pos, cache,
+                                    s_window=s_window)
+                else:
+                    lg, cache = fwd(params, hp, tok, pos, cache)
                 keys = jax.vmap(jax.random.fold_in)(base_keys, counts + i)
                 nxt, ring = dsamp.chain_step(
                     lg[:, -1].astype(jnp.float32), ring, keys, sp)
@@ -154,13 +187,21 @@ class Engine:
                 pos2 = jnp.where(active[:, None], pos + 1, pos)
                 return (nxt[:, None], pos2, cache, ring), nxt
 
-            (_, _, cache, _), toks = jax.lax.scan(
+            (tok_l, pos_l, cache, ring), toks = jax.lax.scan(
                 body, (tok0, pos0, cache, ring),
                 jnp.arange(n_steps, dtype=jnp.int32))
-            return jnp.transpose(toks), cache                 # (B, N)
+            # carry out: lets the engine chain block k+1 off device-resident
+            # state while block k's tokens are still in flight to the host
+            return (jnp.transpose(toks), tok_l, pos_l, ring,
+                    counts + n_steps, cache)
 
-        self._block = jax.jit(decode_block, static_argnames=("n_steps",),
+        self._block = jax.jit(decode_block,
+                              static_argnames=("n_steps", "s_window"),
                               donate_argnums=(3,))
+        # in-flight block: {"ids", "toks", "carry", "keys", "sp"} — the
+        # pipelined handoff (device runs block k+1 while the host inspects
+        # block k's tokens for stop conditions)
+        self._pending: dict | None = None
 
         def prefill(params, tokens, pos, cache):
             return fwd(params, hp, tokens, pos, cache)
@@ -240,6 +281,12 @@ class Engine:
         self._queue: "queue.PriorityQueue" = queue.PriorityQueue()
         self._qseq = 0
         self._lock = threading.Lock()
+        # serializes step() against external cache readers (slot save/
+        # restore/erase from server handler threads): with the pipelined
+        # block decode, request futures resolve MID-step while the chained
+        # block still holds/donates the cache — a concurrent slot_save would
+        # read a donated buffer
+        self._step_lock = threading.RLock()
         self._running = False
         self._thread: threading.Thread | None = None
         self.metrics = {
@@ -294,10 +341,11 @@ class Engine:
         requests, advance each loading slot by ONE prompt chunk, then run a
         decode block for the generating slots — prompt loading never stalls
         generation for more than one chunk."""
-        launched = self._launch_waiting()
-        prefilled = self._prefill_step()
-        decoded = self._decode_step()
-        return launched or prefilled or decoded
+        with self._step_lock:
+            launched = self._launch_waiting()
+            prefilled = self._prefill_step()
+            decoded = self._decode_step()
+            return launched or prefilled or decoded
 
     def _launch_waiting(self) -> bool:
         launched = False
@@ -336,45 +384,62 @@ class Engine:
     def slot_save(self, idx: int) -> dict:
         """Snapshot a slot's KV row + token history (llama_state_seq_get_data
         counterpart, include/llama.h:835-896; powers /slots/:id?action=save)."""
-        s = self.slots[idx]
-        if s.state != SlotState.IDLE:
-            raise RuntimeError(f"slot {idx} is busy")
-        return {
-            "k": np.asarray(self.cache.k[:, idx]),
-            "v": np.asarray(self.cache.v[:, idx]),
-            "pos": np.asarray(self.cache.pos[idx]),
-            "n_past": s.n_past,
-            "cache_tokens": np.asarray(s.cache_tokens, np.int32),
-        }
+        with self._step_lock:
+            s = self.slots[idx]
+            if s.state != SlotState.IDLE:
+                raise RuntimeError(f"slot {idx} is busy")
+            if self.paged:
+                raise NotImplementedError(
+                    "slot save/restore needs the dense cache")
+            self._flush_pending()
+            return {
+                "k": np.asarray(self.cache.k[:, idx]),
+                "v": np.asarray(self.cache.v[:, idx]),
+                "pos": np.asarray(self.cache.pos[idx]),
+                "n_past": s.n_past,
+                "cache_tokens": np.asarray(s.cache_tokens, np.int32),
+            }
 
     def slot_restore(self, idx: int, data: dict) -> int:
         """Load a snapshot into a slot row; returns the token count restored."""
-        s = self.slots[idx]
-        if s.state != SlotState.IDLE:
-            raise RuntimeError(f"slot {idx} is busy")
-        k = jnp.asarray(np.asarray(data["k"]), self.cache.k.dtype)
-        v = jnp.asarray(np.asarray(data["v"]), self.cache.v.dtype)
-        pos = jnp.asarray(np.asarray(data["pos"]), jnp.int32)
-        self.cache = self.cache._replace(
-            k=self.cache.k.at[:, idx].set(k),
-            v=self.cache.v.at[:, idx].set(v),
-            pos=self.cache.pos.at[idx].set(pos),
-            cursor=self.cache.cursor.at[idx].set(int(data["n_past"])),
-        )
-        s.n_past = int(data["n_past"])
-        s.cache_tokens = [int(t) for t in np.asarray(data["cache_tokens"])]
-        return len(s.cache_tokens)
+        with self._step_lock:
+            s = self.slots[idx]
+            if s.state != SlotState.IDLE:
+                raise RuntimeError(f"slot {idx} is busy")
+            if self.paged:
+                raise NotImplementedError(
+                    "slot save/restore needs the dense cache")
+            self._flush_pending()
+            k = jnp.asarray(np.asarray(data["k"]), self.cache.k.dtype)
+            v = jnp.asarray(np.asarray(data["v"]), self.cache.v.dtype)
+            pos = jnp.asarray(np.asarray(data["pos"]), jnp.int32)
+            self.cache = self.cache._replace(
+                k=self.cache.k.at[:, idx].set(k),
+                v=self.cache.v.at[:, idx].set(v),
+                pos=self.cache.pos.at[idx].set(pos),
+                cursor=self.cache.cursor.at[idx].set(int(data["n_past"])),
+            )
+            s.n_past = int(data["n_past"])
+            s.cache_tokens = [int(t) for t in np.asarray(data["cache_tokens"])]
+            return len(s.cache_tokens)
 
     def slot_erase(self, idx: int) -> None:
-        s = self.slots[idx]
-        if s.state != SlotState.IDLE:
-            raise RuntimeError(f"slot {idx} is busy")
-        self.cache = self.cache._replace(
-            pos=self.cache.pos.at[idx].set(-1),
-            cursor=self.cache.cursor.at[idx].set(0),
-        )
-        s.n_past = 0
-        s.cache_tokens = []
+        with self._step_lock:
+            s = self.slots[idx]
+            if s.state != SlotState.IDLE:
+                raise RuntimeError(f"slot {idx} is busy")
+            if self.paged:
+                self.pkv.free_seq(idx)
+                s.n_past = 0
+                s.cache_tokens = []
+                return
+            self._flush_pending()
+            self.cache = self.cache._replace(
+                pos=self.cache.pos.at[idx].set(-1),
+                cursor=self.cache.cursor.at[idx].set(0),
+            )
+            s.n_past = 0
+            s.cache_tokens = []
 
     def _vocab_pieces(self) -> tuple[list[bytes], set[int]]:
         """Cached (token→bytes table, EOG ids) for grammar filtering."""
@@ -425,6 +490,9 @@ class Engine:
             raise ValueError(f"prompt ({len(ids)}) exceeds n_ctx ({self.n_ctx})")
         if self.draft_model is not None:
             return self._start_request_sync(slot, req)
+        if self.paged:
+            return self._start_request_paged(slot, req)
+        self._flush_pending()
         t0 = time.perf_counter()
         n = len(ids)
         # prompt-cache common-prefix reuse (server-context.cpp prompt caching):
@@ -469,12 +537,76 @@ class Engine:
         self._setup_sampler(slot, req, ids)
         self.metrics["n_prompt_tokens"] += n
 
+    def _start_request_paged(self, slot: _Slot, req: GenRequest):
+        """Paged-mode admission: reclaim the slot's old pages, queue the whole
+        prompt for chunked in-place prefill (chunks capped at page size)."""
+        ids = list(req.prompt_ids)
+        self.pkv.free_seq(slot.idx)
+        slot.req = req
+        slot.state = SlotState.PREFILL
+        slot.n_prompt = len(ids)
+        slot.generated = []
+        slot.text = ""
+        slot.t_start = time.perf_counter()
+        slot.in_place = True
+        slot.pending = ids
+        slot.prefill_off = 0
+        slot.scratch = None
+        slot.prefill_P = min(self._bucket(len(ids)), self.page_size)
+        slot.cache_tokens = list(ids)
+        self._setup_sampler(slot, req, ids)
+        self.metrics["n_prompt_tokens"] += len(ids)
+
+    def _paged_prefill_chunk(self, slot: _Slot) -> None:
+        """One prompt chunk into the slot's page chain (≤ page_size tokens);
+        other rows ride along masked (NULL page)."""
+        t0 = time.perf_counter()
+        mgr = self.pkv
+        P = slot.prefill_P
+        chunk = slot.pending[:P]
+        mgr.ensure_resident(slot.idx)
+        mgr.pin(slot.idx, True)
+        try:
+            mgr.plan_step({slot.idx: len(chunk)})
+            tok = np.zeros((self.n_slots, P), np.int32)
+            pos = np.full((self.n_slots, P), -1, np.int32)
+            tok[slot.idx, : len(chunk)] = chunk
+            pos[slot.idx, : len(chunk)] = np.arange(
+                slot.prefill_off, slot.prefill_off + len(chunk))
+            logits, cache = self._decode(
+                self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                mgr.cache)
+            mgr.finish_step(cache)
+        finally:
+            mgr.pin(slot.idx, False)
+        slot.pending = slot.pending[len(chunk):]
+        slot.prefill_off += len(chunk)
+        self.metrics["prefill_s"] += time.perf_counter() - t0
+        if not slot.pending:
+            last_logits = np.asarray(logits[slot.idx, len(chunk) - 1],
+                                     np.float32)
+            slot.state = SlotState.GENERATING
+            slot.n_past = slot.n_prompt
+            self._emit(slot, slot.sampler.sample(last_logits))
+
     def _prefill_step(self) -> bool:
         """Advance every loading slot by ONE prompt chunk (then let decode
         run): the chunk-interleave that keeps generating streams flowing
         while a long prompt loads."""
         worked = False
         for slot in [s for s in self.slots if s.state == SlotState.PREFILL]:
+            if self.paged:
+                try:
+                    self._paged_prefill_chunk(slot)
+                except Exception as e:   # pool exhausted etc → fail request
+                    slot.req._result["error"] = str(e)
+                    slot.req._done.set()
+                    slot.state = SlotState.IDLE
+                    slot.req = None
+                    slot.pending = []
+                    self.pkv.free_seq(slot.idx)
+                worked = True
+                continue
             t0 = time.perf_counter()
             P = slot.prefill_P
             chunk = slot.pending[:P]
@@ -583,10 +715,74 @@ class Engine:
         if slot.state == SlotState.GENERATING:
             slot.draft_tail = [slot.generated[-1]]
 
+    def _flush_pending(self) -> None:
+        """Land any in-flight pipelined block before a non-block cache
+        mutation (legacy decode, context shift, slot ops, prompt-cache
+        truncate) — those paths compute keep vectors from host n_past and
+        would otherwise cut the block's still-unconsumed KV rows."""
+        if self._pending is not None:
+            pend, self._pending = self._pending, None
+            self._consume_block(pend)
+
+    def _paged_pick(self, active: list[_Slot]) -> list[_Slot]:
+        """Swap-scheduling admission: pick slots whose page chains fit the
+        pool this step (round-robin fairness); the rest wait preempted, their
+        pages LRU-spill to host as the admitted seqs allocate."""
+        mgr = self.pkv
+        cap = mgr.n_pool_pages
+        order = (active[self._paged_rr % len(active):]
+                 + active[: self._paged_rr % len(active)])
+        self._paged_rr += 1
+        picked, used = [], 0
+        for s in order:
+            need = mgr.seq_pages(s.idx) + 1     # +1: potential new open page
+            if used + need <= cap:
+                picked.append(s)
+                used += need
+        if not picked:
+            raise RuntimeError(
+                f"page pool too small for any sequence (cap {cap} pages)")
+        return picked
+
+    def _paged_decode_step(self, active: list[_Slot]) -> bool:
+        """One decode token for every admitted slot through the paged cache
+        (paged_flash_attention over the page tables); host sampling."""
+        t0 = time.perf_counter()
+        mgr = self.pkv
+        picked = self._paged_pick(active)
+        try:
+            for s in picked:
+                mgr.ensure_resident(s.idx)
+                mgr.pin(s.idx, True)
+            mgr.plan_step({s.idx: 1 for s in picked})
+            tokens = np.zeros((self.n_slots, 1), np.int32)
+            pos = np.full((self.n_slots, 1), -1, np.int32)
+            for s in picked:
+                tokens[s.idx, 0] = s.generated[-1]
+                pos[s.idx, 0] = s.n_past
+            logits, cache = self._decode(
+                self.model.params, jnp.asarray(tokens), jnp.asarray(pos),
+                mgr.cache)
+            mgr.finish_step(cache)
+        finally:
+            for s in picked:
+                mgr.pin(s.idx, False)
+        logits_np = np.asarray(logits[:, 0], np.float32)
+        for s in picked:
+            s.n_past += 1
+            s.cache_tokens.append(s.generated[-1])
+            self._emit(s, s.sampler.sample(logits_np[s.idx]))
+        self.metrics["paged"] = dict(mgr.stats)
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
+
     def _decode_step(self) -> bool:
         active = [s for s in self.slots if s.state == SlotState.GENERATING]
         if not active:
             return False
+        if self.paged:
+            return self._paged_decode_step(active)
         if self.ctx_shift:
             self._maybe_context_shift(active)
         if self.draft_model is not None and all(
@@ -601,9 +797,10 @@ class Engine:
         if (self.block_size > 1 and self.draft_model is None
                 and not self.lookup_k
                 and all(s.fast for s in active)
-                and all(s.n_past + self.block_size + 1 <= self.n_ctx
+                and all(s.n_past + 2 * self.block_size + 1 <= self.n_ctx
                         for s in active)):
             return self._block_decode_step(active)
+        self._flush_pending()
         t0 = time.perf_counter()
         tokens = np.zeros((self.n_slots, 1), np.int32)
         pos = np.full((self.n_slots, 1), -1, np.int32)
@@ -611,7 +808,9 @@ class Engine:
             tokens[s.idx, 0] = s.generated[-1]
             pos[s.idx, 0] = s.n_past
         logits, self.cache = self._decode(
-            self.model.params, jnp.asarray(tokens), jnp.asarray(pos), self.cache)
+            self.model.params, jnp.asarray(tokens), jnp.asarray(pos),
+            self.cache, s_window=self._s_bucket(
+                max(s.n_past for s in active) + 2))
         logits_np = np.asarray(logits[:, 0], np.float32)
         for s in active:
             s.n_past += 1
@@ -621,13 +820,19 @@ class Engine:
         self.metrics["n_decode_steps"] += 1
         return True
 
-    def _block_decode_step(self, active: list[_Slot]) -> bool:
-        """N decode steps in ONE dispatch: the forward, the sampler chain, and
-        the token feed-back all stay on device (ops/device_sampling.chain_step
-        — the reference's backend-sampling hot loop). The host sees a (B, N)
-        int32 block, walks it for stop conditions, and rolls back any
-        overshoot rows with one truncate."""
-        t0 = time.perf_counter()
+    def _s_bucket(self, need: int) -> int | None:
+        """Decode-length bucket: smallest power-of-2 slot window ≥ need
+        (min 256). None = full n_ctx (no read-side cap). Bounded compile
+        count: log2(n_ctx/256) windows."""
+        if not self._win_ok:
+            return None
+        w = 256
+        while w < need:
+            w *= 2
+        return w if w < self.n_ctx else None
+
+    def _launch_block(self, active: list[_Slot]) -> dict:
+        """Dispatch one decode block from host-built inputs."""
         dsamp = self._dsamp
         B, nb = self.n_slots, self.block_size
         tok0 = np.zeros((B, 1), np.int32)
@@ -642,28 +847,61 @@ class Engine:
             recent = s.sampler.ctx.recent_tokens[-dsamp.RING:]
             if recent:
                 ring[s.idx, -len(recent):] = recent
-            # threefry key from the 32-bit seed (PRNGKey layout, host-side)
+            # threefry key from the seed (PRNGKey layout, built host-side)
             base_keys[s.idx] = (s.seed >> 32 & 0xFFFFFFFF, s.seed & 0xFFFFFFFF)
             counts[s.idx] = s.n_sampled
             cfgs[s.idx] = s.req.sampling or {"greedy": True}
         sp = {k: jnp.asarray(v)
               for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
-        toks, self.cache = self._block(
+        keys = jnp.asarray(base_keys)
+        win = self._s_bucket(max(s.n_past for s in active) + 2 * nb + 1)
+        toks, tok_l, pos_l, ring_d, counts_d, self.cache = self._block(
             self.model.params, jnp.asarray(tok0), jnp.asarray(pos0),
-            self.cache, jnp.asarray(ring), jnp.asarray(base_keys),
-            jnp.asarray(counts), sp, n_steps=nb)
-        toks = np.asarray(toks)
-        keep = np.zeros(B, np.int32)
+            self.cache, jnp.asarray(ring), keys, jnp.asarray(counts), sp,
+            n_steps=nb, s_window=win)
+        return {"ids": tuple(s.idx for s in active), "toks": toks,
+                "fed0": {s.idx: int(tok0[s.idx, 0]) for s in active},
+                "carry": (tok_l, pos_l, ring_d, counts_d),
+                "keys": keys, "sp": sp, "win": win}
+
+    def _chain_block(self, pend: dict) -> dict:
+        """Dispatch the next block straight off the previous block's
+        device-resident carry — no host round-trip on the launch side."""
+        tok_l, pos_l, ring_d, counts_d = pend["carry"]
+        toks, tok_l2, pos_l2, ring2, counts2, self.cache = self._block(
+            self.model.params, tok_l, pos_l, self.cache, ring_d,
+            pend["keys"], counts_d, pend["sp"], n_steps=self.block_size,
+            s_window=pend["win"])
+        return {"ids": pend["ids"], "toks": toks, "fed0": None,
+                "carry": (tok_l2, pos_l2, ring2, counts2),
+                "keys": pend["keys"], "sp": pend["sp"], "win": pend["win"]}
+
+    def _consume_block(self, pend: dict, inflight_extra: int = 0) -> None:
+        """Fetch a landed block's tokens, emit per slot, roll back overshoot.
+
+        ``fed0`` is None for chained blocks — the first fed token is then the
+        last token the host accepted for that slot (generated[-1]).
+        ``inflight_extra``: KV rows a still-outstanding chained block has
+        already appended for surviving slots — the rollback truncate must not
+        cut those."""
+        nb = self.block_size
+        toks = np.asarray(pend["toks"])
+        keep = np.zeros(self.n_slots, np.int32)
         for s in self.slots:
             keep[s.idx] = s.n_past
         overshoot = False
-        for s in active:
-            fed0 = int(tok0[s.idx, 0])
+        for idx in pend["ids"]:
+            s = self.slots[idx]
+            if s.req is None or s.state != SlotState.GENERATING:
+                overshoot = True             # slot stopped earlier: discard
+                continue
+            fed0 = (pend["fed0"][idx] if pend["fed0"] is not None
+                    else s.generated[-1])
             accepted = 0
             for i in range(nb):
-                t = int(toks[s.idx, i])
+                t = int(toks[idx, i])
                 s.n_past += 1
-                s.cache_tokens.append(fed0 if i == 0 else int(toks[s.idx, i - 1]))
+                s.cache_tokens.append(fed0 if i == 0 else int(toks[idx, i - 1]))
                 s.sampler.accept(t)          # keeps the penalty-window mirror
                 self._emit(s, t)
                 accepted += 1
@@ -672,8 +910,42 @@ class Engine:
             if accepted < nb:
                 overshoot = True             # rows advanced nb; roll back
             keep[s.idx] = s.n_past
+            if s.state == SlotState.GENERATING:
+                keep[s.idx] += inflight_extra
         if overshoot:
             self.cache = self._truncate(self.cache, jnp.asarray(keep))
+
+    def _block_decode_step(self, active: list[_Slot]) -> bool:
+        """Pipelined block decode: launch block k+1 off device-resident carry
+        BEFORE fetching block k's tokens, so the host stop-condition pass
+        overlaps device compute (the reference's per-token host sync is ~µs
+        on a local PCIe GPU; on a TPU pod/tunnel the overlap is mandatory).
+        Stops discovered in block k invalidate a stopped slot's rows in the
+        already-launched block k+1 — that block is then landed immediately
+        (surviving slots still emit from it; stopped rows roll back), so a
+        non-empty pending block always covers exactly the generating set."""
+        t0 = time.perf_counter()
+        nb = self.block_size
+        pend, self._pending = self._pending, None
+        cur_ids = tuple(s.idx for s in active)
+        win_ok = (pend is None or pend["win"] is None
+                  or max(s.n_past for s in active) + 2 * nb + 1 <= pend["win"])
+        if pend is not None and (pend["ids"] != cur_ids or not win_ok):
+            # active set grew (a prefill finalized) or the slot window is
+            # outgrown: land the old pipeline; the next step relaunches
+            self._consume_block(pend)
+        else:
+            if pend is None:
+                pend = self._launch_block(active)
+            nxt = self._chain_block(pend)
+            self._consume_block(pend, inflight_extra=nb)
+            if tuple(i for i in pend["ids"]
+                     if self.slots[i].state == SlotState.GENERATING) == pend["ids"]:
+                self._pending = nxt           # steady state: stay pipelined
+            else:
+                # a stop landed: drain the chained block now (survivors emit,
+                # stopped rows roll back) so idle slots are safe to reuse
+                self._consume_block(nxt)
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True

@@ -66,6 +66,9 @@ def paged_advance(cache: PagedKVCache, pos_new: jax.Array) -> tuple[PagedKVCache
     B, T = pos_new.shape
     b_idx = jnp.arange(B, dtype=jnp.int32)
     slots = cache.table[b_idx, cache.cur_page]              # (B,) pool slot
+    # idle rows (no open page) write into the NULL page: its pos stays −1 so
+    # the junk is masked — lets inactive engine slots ride along in a batch
+    slots = jnp.maximum(slots, 0)
     offs = cache.cur_off                                    # (B,)
     valid = pos_new >= 0
     stored = jnp.where(valid, pos_new, -1).astype(jnp.int32)
@@ -77,7 +80,10 @@ def paged_advance(cache: PagedKVCache, pos_new: jax.Array) -> tuple[PagedKVCache
 
 def paged_update_layer(cache: PagedKVCache, layer: int, slots: jax.Array,
                        offs: jax.Array, k_new: jax.Array, v_new: jax.Array) -> PagedKVCache:
-    """Write (B, T, H_kv, D) K/V into each row's open page at its offset."""
+    """Write (B, T, H_kv, D) K/V into each row's open page at its offset.
+
+    ``slots`` already NULL-clamped by paged_advance (idle rows' junk K/V land
+    in the NULL page whose pos stays −1 → masked)."""
     B, T = k_new.shape[:2]
     Hkv = k_new.shape[2]
     h_idx = jnp.arange(Hkv, dtype=jnp.int32)[None, :, None]
@@ -185,19 +191,44 @@ class PagedKVManager:
 
     # -- public API
     def ensure_resident(self, seq: int):
-        """Restore all spilled pages of a sequence (coalescing adjacent ones)."""
-        logicals = sorted(lg for (s, lg) in self.host if s == seq)
-        run: list[int] = []
-        for lg in logicals + [None]:
-            if lg is not None and (not run or lg == run[-1] + 1):
-                run.append(lg)
-                continue
-            if run:
-                if len(run) >= 4:
-                    self.stats["coalesced_restores"] += 1
-                for r in run:
-                    self._restore_page(seq, r)
-            run = [lg] if lg is not None else []
+        """Restore all spilled pages of a sequence (coalescing adjacent ones).
+
+        The sequence's pages — already-resident and newly-restored alike — are
+        pinned for the duration: a restore's own allocation may trigger LRU
+        eviction, and without the pin it could spill the very pages of the
+        sequence being made resident (the stale host copy would then clobber
+        tokens written to the re-allocated page later). Re-scans until no
+        spilled pages remain; prior pin state is restored on exit."""
+        prev_pin: dict[int, bool] = {}
+
+        def _pin_now(slot: int):
+            if slot not in prev_pin:
+                prev_pin[slot] = self.meta[slot].pinned
+            self.meta[slot].pinned = True
+
+        for lg in range(self._table_np.shape[1]):
+            slot = self._table_np[seq, lg]
+            if slot >= 0:
+                _pin_now(slot)
+        while True:
+            logicals = sorted(lg for (s, lg) in self.host if s == seq)
+            if not logicals:
+                break
+            run: list[int] = []
+            for lg in logicals + [None]:
+                if lg is not None and (not run or lg == run[-1] + 1):
+                    run.append(lg)
+                    continue
+                if run:
+                    if len(run) >= 4:
+                        self.stats["coalesced_restores"] += 1
+                    for r in run:
+                        self._restore_page(seq, r)
+                        _pin_now(self._table_np[seq, r])
+                run = [lg] if lg is not None else []
+        for slot, pinned in prev_pin.items():
+            if self.meta[slot].seq == seq:      # may have been evicted+reused
+                self.meta[slot].pinned = pinned
         self._sync_table()
 
     def _restore_page(self, seq: int, logical: int):
@@ -236,7 +267,13 @@ class PagedKVManager:
                 self._cur_page[seq] = pg
                 self._cur_off[seq] = 0
             if self._table_np[seq, pg] < 0:
-                self._table_np[seq, pg] = self._alloc_slot(seq, pg)
+                if (seq, pg) in self.host:
+                    # a spilled copy exists: restore it — allocating a fresh
+                    # page here would fork the logical page (the stale host
+                    # copy would clobber new tokens on a later restore)
+                    self._restore_page(seq, pg)
+                else:
+                    self._table_np[seq, pg] = self._alloc_slot(seq, pg)
             self.touch(seq)
         self._sync_table()
 
@@ -248,6 +285,17 @@ class PagedKVManager:
         self.cache = cache._replace(
             cur_page=jnp.asarray(self._cur_page.copy()),
             cur_off=jnp.asarray(self._cur_off.copy()))
+
+    def seq_pages(self, seq: int) -> int:
+        """Logical pages a sequence owns (resident + spilled)."""
+        n = sum(1 for lg in range(self._table_np.shape[1])
+                if self._table_np[seq, lg] >= 0)
+        n += sum(1 for (s, _) in self.host if s == seq)
+        return n
+
+    @property
+    def n_pool_pages(self) -> int:
+        return self.cache.k_pages.shape[1] - 1   # slot 0 = NULL page
 
     def free_seq(self, seq: int):
         for lg in range(self._table_np.shape[1]):

@@ -44,14 +44,17 @@ class ServerApp:
                  rate_limit_rpm: int = 0, model_name: str | None = None,
                  kv_dtype=None, metrics_path: str | None = None,
                  embed_model: "LoadedModel | None" = None,
-                 draft_model: "LoadedModel | None" = None, n_draft: int = 8):
+                 draft_model: "LoadedModel | None" = None, n_draft: int = 8,
+                 paged: bool = False, page_size: int = 256,
+                 n_pages: int | None = None):
         import jax.numpy as jnp
 
         self.model = model
         self.model_name = model_name or model.name or "model"
         self.engine = Engine(model, n_slots=n_slots, n_ctx=n_ctx,
                              kv_dtype=kv_dtype or jnp.bfloat16,
-                             draft_model=draft_model, n_draft=n_draft)
+                             draft_model=draft_model, n_draft=n_draft,
+                             paged=paged, page_size=page_size, n_pages=n_pages)
         self.embedder = None
         if embed_model is not None:
             from ..runtime.embedder import Embedder
@@ -481,13 +484,18 @@ class ServerApp:
         }
 
     def slots(self) -> list[dict]:
-        return [{
+        out = [{
             "id": s.idx,
             "state": s.state.name,
             "n_past": s.n_past,
             "n_generated": len(s.generated),
             "request_id": s.req.request_id if s.req else None,
         } for s in self.engine.slots]
+        if self.engine.paged:
+            mgr = self.engine.pkv
+            for d in out:
+                d["n_pages"] = mgr.seq_pages(d["id"])
+        return out
 
     def prometheus_text(self) -> str:
         m = self.engine.metrics
@@ -505,6 +513,13 @@ class ServerApp:
         self.metrics.gauge_set("latency_p50_seconds", sla["p50_s"])
         self.metrics.gauge_set("latency_p95_seconds", sla["p95_s"])
         self.metrics.gauge_set("error_rate", sla["error_rate"])
+        if self.engine.paged:
+            pstats = self.engine.pkv.stats
+            for key in ("allocs", "evictions", "restores", "spill_bytes",
+                        "restore_bytes"):
+                self.metrics.gauge_set(f"kv_pages_{key}", pstats[key])
+            self.metrics.gauge_set(
+                "kv_pages_free", len(self.engine.pkv.free))
         return self.metrics.expose()
 
 

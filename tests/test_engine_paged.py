@@ -1,0 +1,84 @@
+"""Paged-KV engine integration (VERDICT r1 item 3; BASELINE config 3).
+
+The capability the reference implemented but never wired in
+(src/llama-kv-cache-paged.h:40-218 vs the missing hook at
+src/llama-context.cpp:333): Engine(paged=True) runs continuous batching over
+the page-pool cache with the scalar-prefetch paged attention kernel, LRU
+HBM⇄host spill under pool pressure, and swap-scheduling admission when the
+concurrent sequences outgrow the pool. Outputs must be identical to the
+dense-cache engine."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from superllama_tpu.models.loader import LoadedModel
+from superllama_tpu.models.synthetic import synthetic_params, tiny_test_hparams
+from superllama_tpu.runtime.engine import Engine, GenRequest
+
+
+@pytest.fixture(scope="module")
+def model():
+    hp = tiny_test_hparams()
+    pn = synthetic_params(hp, seed=3)
+    params = {k: (jnp.asarray(v) if not isinstance(v, list) else
+                  [{kk: jnp.asarray(vv) for kk, vv in l.items()} for l in v])
+              for k, v in pn.items()}
+    return LoadedModel(hparams=hp, params=params, tokenizer=None, metadata={})
+
+
+def _gen(eng: Engine, prompts, max_tokens=12):
+    reqs = [eng.submit(GenRequest(prompt_ids=p, max_tokens=max_tokens,
+                                  stop_eog=False)) for p in prompts]
+    eng.run_until_drained()
+    return [r.result()["tokens"] for r in reqs]
+
+
+def test_paged_matches_dense(model):
+    prompts = [list(range(2, 20)), list(range(30, 41)), list(range(50, 75))]
+    dense = Engine(model, n_slots=3, n_ctx=128, kv_dtype=jnp.float32)
+    paged = Engine(model, n_slots=3, n_ctx=128, kv_dtype=jnp.float32,
+                   paged=True, page_size=16)
+    out_d = _gen(dense, prompts)
+    out_p = _gen(paged, prompts)
+    assert out_d == out_p
+
+
+def test_paged_forced_spill(model):
+    """Pool smaller than the concurrent working set: B·ctx pages needed,
+    pool holds less → LRU spill + swap-scheduling must kick in, outputs
+    still identical to dense."""
+    prompts = [list(range(2 + i, 26 + i)) for i in range(4)]
+    dense = Engine(model, n_slots=4, n_ctx=64, kv_dtype=jnp.float32)
+    # each seq needs up to ceil(64/8)=8 pages; 4 seqs want 32 — pool has 14
+    paged = Engine(model, n_slots=4, n_ctx=64, kv_dtype=jnp.float32,
+                   paged=True, page_size=8, n_pages=15)
+    out_d = _gen(dense, prompts, max_tokens=16)
+    out_p = _gen(paged, prompts, max_tokens=16)
+    assert out_d == out_p
+    st = paged.pkv.stats
+    assert st["evictions"] > 0 and st["restores"] > 0, st
+    assert paged.metrics["paged"]["evictions"] == st["evictions"]
+
+
+def test_paged_long_prompt_chunked(model):
+    """Prompt longer than a page prefills across pages; decode continues."""
+    paged = Engine(model, n_slots=2, n_ctx=128, kv_dtype=jnp.float32,
+                   paged=True, page_size=16)
+    dense = Engine(model, n_slots=2, n_ctx=128, kv_dtype=jnp.float32)
+    prompt = list(np.arange(2, 60) % 200)
+    out_p = _gen(paged, [prompt], max_tokens=8)
+    out_d = _gen(dense, [prompt], max_tokens=8)
+    assert out_p == out_d
+
+
+def test_paged_slot_reuse(model):
+    """A finished slot's pages are reclaimed for the next request."""
+    paged = Engine(model, n_slots=1, n_ctx=64, kv_dtype=jnp.float32,
+                   paged=True, page_size=8, n_pages=9)
+    for seed in (2, 40, 90):
+        out = _gen(paged, [list(range(seed, seed + 12))], max_tokens=6)
+        assert len(out[0]) == 6
+    assert paged.pkv.stats["allocs"] >= 3

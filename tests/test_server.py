@@ -324,3 +324,27 @@ def test_webui_served_at_root(server):
     assert "text/html" in resp.getheader("Content-Type", "")
     assert "superllama_tpu" in body and "/v1/chat/completions" in body
     conn.close()
+
+
+def test_paged_server_mode(server, tmp_path):
+    """Server over Engine(paged=True): completions work, /slots reports page
+    counts, /metrics exposes the kv_pages_* pool gauges (VERDICT r1 item 3 —
+    "server runs it")."""
+    import numpy as np
+
+    model = server.app.model
+    app = ServerApp(model, n_slots=2, n_ctx=128, kv_dtype=np.float32,
+                    model_name="tiny-paged", paged=True, page_size=16)
+    srv = Server(app, port=0)
+    srv.start()
+    try:
+        out = _req(srv.port, "/v1/completions",
+                   {"prompt": "hello paged world", "max_tokens": 6})
+        assert out["usage"]["completion_tokens"] >= 1
+        slots = _req(srv.port, "/slots")
+        assert all("n_pages" in s for s in slots)
+        assert any(s["n_pages"] > 0 for s in slots)
+        txt = _req(srv.port, "/metrics", raw=True).decode()
+        assert "kv_pages_allocs" in txt and "kv_pages_free" in txt
+    finally:
+        srv.stop()
