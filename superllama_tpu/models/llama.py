@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..ops import jnp_ref as ops
 from ..ops.flash_attention import flash_attention
 from ..ops.qmatmul import qmatmul
-from ..ops.qtensor import QTensor
+from ..ops.qtensor import QTensor, dequant_qtensor
 from ..runtime.kv_cache import (
     ISWACache,
     KVCache,
@@ -33,8 +33,16 @@ from .hparams import ROPE_SCALING_YARN, HParams
 
 def mm(x: jax.Array, w) -> jax.Array:
     """Matmul dispatch: dense array or fused-dequant QTensor. Decode-sized
-    batches take the int8-activation GEMV kernel (mmvq analog)."""
+    batches take the int8-activation GEMV kernel (mmvq analog). Mesh-sharded
+    QTensors (multi-chip load) take dequant+dot — every op in that path is
+    GSPMD-partitionable, so XLA shards the dequant with the codes and inserts
+    the tp-axis psum for row-split weights (the NCCL allreduce analog)."""
     if isinstance(w, QTensor):
+        if w.sharded:
+            wd = dequant_qtensor(w, x.dtype if x.dtype == jnp.bfloat16
+                                 else None)
+            return jnp.dot(x, wd,
+                           preferred_element_type=jnp.float32).astype(x.dtype)
         rows = x.size // x.shape[-1]
         return qmatmul(x, w, act_quant=rows <= 16)
     return x @ w
@@ -254,6 +262,7 @@ def llama_forward(
     hidden_sink: list | None = None,
     attn_mask: jax.Array | None = None,
     mrope_pos3: jax.Array | None = None,
+    s_window: int | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
 
@@ -267,6 +276,13 @@ def llama_forward(
 
     ``attn_mask``: additive (B, 1, T, S) mask REPLACING the internal causal
     mask (tree attention — lookahead decoding's sequence-membership mask).
+
+    ``s_window``: static cap on how many cache slots attention READS (the
+    engine's decode-length bucketing): writes land in the full cache, but
+    K/V/pos are sliced to [:s_window] for the attention — at n_past ≪ n_ctx
+    this removes the dead-slot KV traffic entirely. Caller guarantees every
+    valid slot index < s_window. Plain KVCache only (iSWA/paged are already
+    window-bounded by construction).
 
     flash=None auto-selects the Pallas flash-attention kernel on TPU for
     prefill-sized T (where the T×S logits matrix dominates memory); decode
@@ -317,9 +333,12 @@ def llama_forward(
     else:
         slots = kv_write_slots(cache, T)
         cache = kv_advance(cache, slots, pos)
+        if s_window is not None and s_window >= cache.pos.shape[1]:
+            s_window = None
+        wpos = cache.pos[:, :s_window] if s_window else cache.pos
         if not flash:  # flash masks positionally in-kernel; no HBM mask needed
-            mask_full = causal_mask(cache.pos, pos)
-            mask_swa = causal_mask(cache.pos, pos, hp.swa_window) if hp.swa_window else mask_full
+            mask_full = causal_mask(wpos, pos)
+            mask_swa = causal_mask(wpos, pos, hp.swa_window) if hp.swa_window else mask_full
         if attn_mask is not None:
             # caller-supplied additive mask (B,1,T,S): tree attention for
             # lookahead decoding / custom sequence-membership visibility
@@ -328,7 +347,7 @@ def llama_forward(
         if l4c and not flash:
             # llama4 chunked attention on rope layers: visible only within
             # the same attention_chunk_size window
-            kp_ = jnp.maximum(cache.pos, 0)[:, None, None, :]
+            kp_ = jnp.maximum(wpos, 0)[:, None, None, :]
             qp_ = jnp.maximum(pos, 0)[:, None, :, None]
             mask_chunk = mask_full + jnp.where(
                 kp_ // l4c == qp_ // l4c, 0.0, -jnp.inf).astype(jnp.float32)
@@ -341,7 +360,7 @@ def llama_forward(
             slopes = jnp.asarray(
                 [m0 ** (i + 1) if i < n2 else m1 ** (2 * (i - n2) + 1)
                  for i in range(H)], jnp.float32)
-            kp = jnp.maximum(cache.pos, 0).astype(jnp.float32)
+            kp = jnp.maximum(wpos, 0).astype(jnp.float32)
             mask_full = mask_full + slopes[None, :, None, None] * kp[:, None, None, :]
             mask_swa = mask_full
 
@@ -427,12 +446,17 @@ def llama_forward(
                 cache = kv_update_layer(cache, il, slots, k, v)
                 ck, cv = (cache.k[il], cache.v[il]) if (flash and cache.quantized)                     else kv_layer(cache, il, k.dtype)
                 cpos = cache.pos
+                if s_window:   # read-side slot cap (decode-length bucketing)
+                    ck, cv, cpos = (ck[:, :, :s_window], cv[:, :, :s_window],
+                                    wpos)
             if flash:
                 # Q8_0 caches stream int8 codes into the kernel (per-tile
                 # VMEM dequant — HBM traffic stays 1 byte/element)
                 qargs = ({"k_scale": cache.k_scale[il],
                           "v_scale": cache.v_scale[il]}
                          if getattr(cache, "quantized", False) else {})
+                if s_window and not iswa and qargs:
+                    qargs = {k: v[:, :, :s_window] for k, v in qargs.items()}
                 attn = flash_attention(
                     q, ck, cv, pos, cpos,
                     scale=kq_scale, swa_window=swa,

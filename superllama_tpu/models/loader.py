@@ -41,7 +41,8 @@ def _get(reader: GGUFReader, name: str, dtype, transpose: bool = True,
     if (keep_quantized and transpose and len(ti.ne) == 2
             and ti.ggml_type in REPACKABLE):
         put = (lambda a: sharder(name, a)) if sharder is not None else None
-        return repack(ti.raw(), ti.ggml_type, ti.shape, device_put=put)
+        return repack(ti.raw(), ti.ggml_type, ti.shape, device_put=put,
+                      sharded=sharder is not None)
     arr = ti.astype_f32()
     if transpose and arr.ndim == 2:
         arr = arr.T                       # (out,in) → (in,out)

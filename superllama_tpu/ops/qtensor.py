@@ -61,20 +61,25 @@ class QTensor:
     hi: jax.Array | None = None     # u8 packed high-bit planes of the codes
     hi_bits: int = 0                # bits per element in `hi` (0 = none)
     sb: int = 0                     # groups per superblock (for d/dmin)
+    # components carry mesh shardings (multi-chip load): matmuls must take
+    # the GSPMD-partitionable dequant+dot path, not the Pallas kernels
+    # (static aux → the jit cache keys sharded vs local variants apart)
+    sharded: bool = False
 
     def tree_flatten(self):
         children = (self.codes, self.scales, self.adds, self.sc, self.mn,
                     self.d, self.dmin, self.hi)
         aux = (self.group, self.offset, self.nibble, self.K, self.N,
-               self.ggml_type, self.hi_bits, self.sb)
+               self.ggml_type, self.hi_bits, self.sb, self.sharded)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         codes, scales, adds, sc, mn, d, dmin, hi = children
-        group, offset, nibble, K, N, ggml_type, hi_bits, sb = aux
+        group, offset, nibble, K, N, ggml_type, hi_bits, sb, sharded = aux
         return cls(codes, scales, adds, group, offset, nibble, K, N, ggml_type,
-                   sc=sc, mn=mn, d=d, dmin=dmin, hi=hi, hi_bits=hi_bits, sb=sb)
+                   sc=sc, mn=mn, d=d, dmin=dmin, hi=hi, hi_bits=hi_bits, sb=sb,
+                   sharded=sharded)
 
     @property
     def shape(self):  # logical (K, N) — matmul-ready (in, out)
@@ -449,7 +454,7 @@ def _compact_kquant(raw: np.ndarray, ttype: GGMLType, N: int, K: int,
 
 
 def repack(raw: np.ndarray, ttype: GGMLType, out_in_shape: tuple[int, int],
-           device_put=None) -> QTensor:
+           device_put=None, sharded: bool = False) -> QTensor:
     """Repack GGUF packed bytes (row-major (N,K) blocks) into a QTensor.
 
     Routes through the threaded C++ fast path (native/quants.cpp slq_repack,
@@ -479,13 +484,14 @@ def repack(raw: np.ndarray, ttype: GGMLType, out_in_shape: tuple[int, int],
             sc=put(c["sc"]), mn=put(c["mn"]) if c["mn"] is not None else None,
             d=put(c["d"]), dmin=put(c["dmin"]) if c["dmin"] is not None else None,
             hi=put(np.ascontiguousarray(c["hi"])) if c["hi"] is not None else None,
-            hi_bits=c["hi_bits"], sb=c["sb"],
+            hi_bits=c["hi_bits"], sb=c["sb"], sharded=sharded,
         )
     return QTensor(
         codes=put(np.ascontiguousarray(codes)),
         scales=put(scales),
         adds=put(adds) if adds is not None else None,
         group=gs, offset=offset, nibble=nibble, K=K, N=N, ggml_type=ttype,
+        sharded=sharded,
     )
 
 

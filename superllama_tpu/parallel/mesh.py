@@ -62,14 +62,28 @@ def spec_for(name: str) -> P:
     return P()
 
 
+def _fit_spec(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Trim a PartitionSpec to an array: drop axes beyond its rank and named
+    axes whose dimension isn't divisible by the mesh axis size. The latter
+    makes the policy pack-aware — a QTensor's small superblock-scale planes
+    (d/dmin: K/256 rows) stay replicated when K/256 < tp while the codes
+    still shard; GSPMD keeps global semantics either way."""
+    out = []
+    for i, ax in enumerate(spec[: len(shape)]):
+        if ax is None:
+            out.append(None)
+            continue
+        size = mesh.shape[ax] if isinstance(ax, str) else int(
+            np.prod([mesh.shape[a] for a in ax]))
+        out.append(ax if shape[i] % size == 0 else None)
+    return P(*out)
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
     """Place a params pytree onto the mesh per the policy rules."""
 
     def place(path: str, x):
-        spec = spec_for(path)
-        # drop axes that exceed the array rank (e.g. biases)
-        if len(spec) > x.ndim:
-            spec = P(*spec[: x.ndim])
+        spec = _fit_spec(spec_for(path), x.shape, mesh)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     out = {}
@@ -102,9 +116,7 @@ def make_sharder(mesh: Mesh):
             key = gguf2key[base + ".bias"]
         else:
             key = gguf2key.get(base, base)
-        spec = spec_for(key)
-        if len(spec) > getattr(arr, "ndim", 0):
-            spec = P(*spec[: arr.ndim])
+        spec = _fit_spec(spec_for(key), arr.shape, mesh)
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
     return sharder
