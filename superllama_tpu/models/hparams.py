@@ -46,6 +46,8 @@ class HParams:
     expert_weights_norm: bool = False
     expert_weights_scale: float = 1.0   # deepseek2 routed_scaling_factor
     expert_gating_softmax: bool = True  # softmax vs sigmoid gating
+    n_expert_groups: int = 1            # deepseek-v3 grouped selection
+    n_group_used: int = 1
     n_expert_shared: int = 0
     n_layer_dense_lead: int = 0         # deepseek2 first_k_dense_replace
     # MLA (deepseek2)
@@ -55,7 +57,8 @@ class HParams:
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
-    ssm_dt_rank: int = 0
+    ssm_dt_rank: int = 0   # mamba2: n_head (ssm.time_step_rank holds n_head)
+    ssm_n_group: int = 0   # mamba2 B/C group count (0 = mamba1 layout)
     # attention extras
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
@@ -104,6 +107,14 @@ class HParams:
         if self.n_head_kv_arr is not None:
             return self.n_head_kv_arr[il]
         return self.n_head_kv
+
+    @property
+    def ssm_conv_dim(self) -> int:
+        """Channels through the depthwise conv: mamba2 convolves [x,B,C]
+        together (d_inner + 2·G·d_state); mamba1 convolves x only."""
+        if self.ssm_n_group > 0:
+            return self.ssm_d_inner + 2 * self.ssm_n_group * self.ssm_d_state
+        return self.ssm_d_inner
 
     @property
     def is_hybrid(self) -> bool:
@@ -246,6 +257,7 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         ssm_d_inner=int(_k(md, arch, "ssm.inner_size", 0)),
         ssm_d_state=int(_k(md, arch, "ssm.state_size", 0)),
         ssm_dt_rank=int(_k(md, arch, "ssm.time_step_rank", 0)),
+        ssm_n_group=int(_k(md, arch, "ssm.group_count", 0)),
         n_rel_attn_bkts=int(_k(md, arch, "attention.relative_buckets_count", 0)),
         dec_start_token_id=int(_k(md, arch, "decoder_start_token_id", 0)),
         wkv_head_size=int(_k(md, arch, "wkv.head_size", 0)),
@@ -259,10 +271,17 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.extra["mrope_sections"] = tuple(int(v) for v in ms)
     if arch == "smollm3":
         hp.n_no_rope_layer_step = 4   # hardcoded per arch (llama-model.cpp:2249)
+    # LLAMA_EXPERT_GATING_FUNC (1 = softmax, 2 = sigmoid); per-KV override
+    egf = _k(md, arch, "expert_gating_func")
+    if egf is not None:
+        hp.expert_gating_softmax = int(egf) != 2
+    hp.n_expert_groups = int(_k(md, arch, "expert_group_count", 1) or 1)
+    hp.n_group_used = int(_k(md, arch, "expert_group_used_count", 1) or 1)
     if arch == "llama4":
         hp.n_no_rope_layer_step = int(_k(md, arch, "no_rope_layer_step", 4))
         hp.expert_gating_softmax = False
         hp.expert_weights_norm = False   # sigmoid weights used as-is
+        hp.extra["moe_topk_raw"] = True  # top-k on raw logits, sigmoid after
         hp.extra["expert_weights_before_ffn"] = True
         hp.extra["llama4"] = {
             "temp_tuning": bool(_k(md, arch, "attention.temperature_tuning", True)),

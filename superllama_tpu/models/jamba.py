@@ -44,7 +44,8 @@ def hybrid_cache_init(hp: HParams, batch: int, max_seq: int,
         attn=kv_cache_init(len(attn), batch, max_seq, hp.n_head_kv,
                            hp.head_dim, hp.head_dim_v, dtype),
         rec=recurrent_cache_init(len(rec), batch, hp.ssm_d_conv,
-                                 hp.ssm_d_inner, hp.ssm_d_state, dtype),
+                                 hp.ssm_d_inner, hp.ssm_d_state, dtype,
+                                 conv_dim=hp.ssm_conv_dim),
     )
 
 

@@ -99,18 +99,40 @@ def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None,
 
 
 def _moe_route(x: jax.Array, layer: dict, hp: HParams):
-    """Router: top-k expert ids + combine weights (shared by both MoE paths)."""
+    """Router: top-k expert ids + combine weights (shared by both MoE paths).
+
+    Follows build_moe_ffn's gating pipeline (src/llama-graph.cpp:1090-1180):
+    softmax/sigmoid gating, the DeepSeek-V3 selection bias (exp_probs_b added
+    only for SELECTION, weights stay unbiased), grouped expert selection
+    (top-2-sum group scores, non-selected groups masked), and the llama4
+    variant (top-k on raw logits, sigmoid applied after)."""
     logits = mm(x, layer["ffn_gate_inp"])                       # (B,T,E)
     if "ffn_gate_inp_b" in layer:
         logits = logits + layer["ffn_gate_inp_b"]
-    if hp.expert_gating_softmax:
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        top_w, top_i = jax.lax.top_k(probs, hp.n_expert_used)   # (B,T,K)
-    else:  # llama4: top-k on raw logits, sigmoid weights
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        top_l, top_i = jax.lax.top_k(logits.astype(jnp.float32),
-                                     hp.n_expert_used)
+    lf = logits.astype(jnp.float32)
+    if hp.extra.get("moe_topk_raw"):  # llama4: top-k on raw logits
+        probs = jax.nn.sigmoid(lf)
+        top_l, top_i = jax.lax.top_k(lf, hp.n_expert_used)
         top_w = jax.nn.sigmoid(top_l)
+    else:
+        probs = (jax.nn.softmax(lf, axis=-1) if hp.expert_gating_softmax
+                 else jax.nn.sigmoid(lf))
+        sel = probs
+        if "exp_probs_b" in layer:  # DeepSeek-V3 e_score_correction_bias
+            sel = sel + layer["exp_probs_b"].astype(jnp.float32)
+        if hp.n_expert_groups > 1:
+            B, T, E = sel.shape
+            G = hp.n_expert_groups
+            gsel = sel.reshape(B, T, G, E // G)
+            g2, _ = jax.lax.top_k(gsel, min(2, E // G))   # top-2 per group
+            gscore = g2.sum(-1)                           # (B,T,G)
+            _, gi = jax.lax.top_k(gscore, hp.n_group_used)
+            keep = jnp.zeros((B, T, G), bool).at[
+                jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None],
+                gi].set(True)
+            sel = jnp.where(keep[..., None], gsel, -jnp.inf).reshape(B, T, E)
+        _, top_i = jax.lax.top_k(sel, hp.n_expert_used)   # (B,T,K)
+        top_w = jnp.take_along_axis(probs, top_i, axis=-1)
     if hp.expert_weights_norm:
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
     if hp.expert_weights_scale != 1.0:  # deepseek2 routed_scaling_factor

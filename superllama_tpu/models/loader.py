@@ -273,6 +273,7 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ssm_a": g(p + "ssm_a.weight", t=False),
             "ssm_d": g(p + "ssm_d.weight", t=False),
             "ssm_out": g(p + "ssm_out.weight"),
+            "ssm_norm": g(p + "ssm_norm.weight", t=False),  # mamba2 grouped
             # jamba hybrid: RMS norms on the dt/B/C selection streams
             "ssm_dt_norm": g(p + "ssm_dt_norm.weight", t=False),
             "ssm_b_norm": g(p + "ssm_b_norm.weight", t=False),
@@ -280,6 +281,8 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             # MoE
             "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
             "ffn_gate_inp_b": g(p + "ffn_gate_inp.bias", t=False),
+            # deepseek-v3 e_score_correction_bias (selection-only bias)
+            "exp_probs_b": g(p + "exp_probs_b.bias", t=False),
             "ffn_gate_exps": g(p + "ffn_gate_exps.weight"),
             "ffn_up_exps": g(p + "ffn_up_exps.weight"),
             "ffn_down_exps": g(p + "ffn_down_exps.weight"),

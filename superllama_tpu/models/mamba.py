@@ -72,6 +72,80 @@ def _mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
     return out, new_conv.astype(conv_state.dtype), ssm_f.astype(ssm_state.dtype)
 
 
+def _mamba2_mixer(layer: dict, hp: HParams, x_in: jax.Array,
+                  conv_state: jax.Array, ssm_state: jax.Array):
+    """Mamba-2 mixer (build_mamba2_layer, src/models/graph-context-mamba.cpp:146):
+    fused [z | xBC | dt] in-projection, conv over the concatenated [x,B,C]
+    stream, per-head scalar decay A, grouped B/C (head h -> group
+    h // (n_head/G), ggml-cpu/ops.cpp ssm_scan 'repeat_interleave'), skip-D,
+    silu(z) gate, optional grouped RMS norm, out-projection.
+
+    ssm_state is the flat (B, d_inner, d_state) layout shared with mamba1;
+    heads are a reshape (n_head, head_dim) of d_inner.
+    """
+    B, T, _ = x_in.shape
+    di, ds = hp.ssm_d_inner, hp.ssm_d_state
+    dc, nh, G = hp.ssm_d_conv, hp.ssm_dt_rank, hp.ssm_n_group
+    hd = di // nh
+    conv_dim = di + 2 * G * ds
+
+    zxbcdt = mm(x_in, layer["ssm_in"])              # (B,T, 2di + 2G·ds + nh)
+    z = zxbcdt[..., :di]
+    xBC = zxbcdt[..., di:di + conv_dim]
+    dt = zxbcdt[..., di + conv_dim:]                # (B,T,nh)
+
+    # depthwise causal conv over time on the [x,B,C] stream
+    seq = jnp.concatenate([conv_state.astype(xBC.dtype), xBC], axis=1)
+    w = layer["ssm_conv1d"]                         # (dc, conv_dim)
+    y = sum(seq[:, j:j + T] * w[j] for j in range(dc))
+    if "ssm_conv1d_b" in layer:
+        y = y + layer["ssm_conv1d_b"]
+    new_conv = seq[:, T:]
+    xBC = ops.silu(y)
+
+    x = xBC[..., :di].astype(jnp.float32).reshape(B, T, nh, hd)
+    Bm = xBC[..., di:di + G * ds].astype(jnp.float32).reshape(B, T, G, ds)
+    Cm = xBC[..., di + G * ds:].astype(jnp.float32).reshape(B, T, G, ds)
+
+    dt = jax.nn.softplus(dt.astype(jnp.float32)
+                         + layer["ssm_dt_b"].astype(jnp.float32))  # (B,T,nh)
+    A = -jnp.exp(layer["ssm_a"].astype(jnp.float32)).reshape(nh)   # per-head
+
+    def step(state, inp):                           # state (B,nh,hd,ds)
+        dt_t, b_t, c_t, x_t = inp   # (B,nh) (B,G,ds) (B,G,ds) (B,nh,hd)
+        dA = jnp.exp(dt_t * A)                      # (B,nh)
+        b_h = jnp.repeat(b_t, nh // G, axis=1)      # (B,nh,ds)
+        c_h = jnp.repeat(c_t, nh // G, axis=1)
+        dBx = (dt_t[..., None] * x_t)[..., None] * b_h[:, :, None, :]
+        state = state * dA[..., None, None] + dBx
+        y_t = jnp.einsum("bhds,bhs->bhd", state, c_h)
+        return state, y_t
+
+    ssm_f = ssm_state.astype(jnp.float32).reshape(B, nh, hd, ds)
+    ssm_f, ys = jax.lax.scan(
+        step, ssm_f,
+        (dt.transpose(1, 0, 2), Bm.transpose(1, 0, 2, 3),
+         Cm.transpose(1, 0, 2, 3), x.transpose(1, 0, 2, 3)))
+    y = ys.transpose(1, 0, 2, 3)                    # (B,T,nh,hd)
+    y = y + x * layer["ssm_d"].astype(jnp.float32).reshape(nh, 1)
+    y = y.reshape(B, T, di) * ops.silu(z.astype(jnp.float32))
+    if "ssm_norm" in layer:  # grouped RMS norm (d_inner/G per group)
+        y = ops.rms_norm(y.reshape(B, T, G, di // G),
+                         layer["ssm_norm"].reshape(G, di // G),
+                         hp.rms_eps).reshape(B, T, di)
+    out = mm(y.astype(x_in.dtype), layer["ssm_out"])
+    return (out, new_conv.astype(conv_state.dtype),
+            ssm_f.reshape(B, di, ds).astype(ssm_state.dtype))
+
+
+def mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
+                conv_state: jax.Array, ssm_state: jax.Array):
+    """Version dispatch: ssm_n_group > 0 selects the mamba2 layout."""
+    if hp.ssm_n_group > 0:
+        return _mamba2_mixer(layer, hp, x_in, conv_state, ssm_state)
+    return _mamba_mixer(layer, hp, x_in, conv_state, ssm_state)
+
+
 def mamba_forward(
     params: dict,
     hp: HParams,
@@ -83,7 +157,7 @@ def mamba_forward(
     conv_new, ssm_new = [], []
     for il, layer in enumerate(params["layers"]):
         h = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
-        y, cs, ss = _mamba_mixer(layer, hp, h, cache.conv[il], cache.ssm[il])
+        y, cs, ss = mamba_mixer(layer, hp, h, cache.conv[il], cache.ssm[il])
         conv_new.append(cs)
         ssm_new.append(ss)
         x = x + y

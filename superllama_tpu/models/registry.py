@@ -55,6 +55,7 @@ register("deepseek2", deepseek2_forward)
 from .mamba import mamba_forward  # noqa: E402
 
 register("mamba", mamba_forward)
+register("mamba2", mamba_forward)  # mixer dispatch on ssm_n_group
 
 from .jamba import jamba_forward  # noqa: E402
 

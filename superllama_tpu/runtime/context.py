@@ -82,7 +82,8 @@ class Context:
 
             return recurrent_cache_init(hp.n_layer, self.n_batch, hp.ssm_d_conv,
                                         hp.ssm_d_inner, hp.ssm_d_state,
-                                        dtype=self.kv_dtype)
+                                        dtype=self.kv_dtype,
+                                        conv_dim=hp.ssm_conv_dim)
         if self.iswa:
             return iswa_cache_init(hp, self.n_batch, self.n_ctx,
                                    dtype=self.kv_dtype)

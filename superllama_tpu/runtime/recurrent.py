@@ -21,9 +21,12 @@ class RecurrentCache(NamedTuple):
 
 
 def recurrent_cache_init(n_layer: int, batch: int, d_conv: int, d_inner: int,
-                         d_state: int, dtype=jnp.float32) -> RecurrentCache:
+                         d_state: int, dtype=jnp.float32,
+                         conv_dim: int | None = None) -> RecurrentCache:
+    """conv_dim: channels through the conv (mamba2 convolves [x,B,C] so this
+    exceeds d_inner); defaults to d_inner (mamba1)."""
     return RecurrentCache(
-        conv=jnp.zeros((n_layer, batch, d_conv - 1, d_inner), dtype),
+        conv=jnp.zeros((n_layer, batch, d_conv - 1, conv_dim or d_inner), dtype),
         ssm=jnp.zeros((n_layer, batch, d_inner, d_state), dtype),
     )
 

@@ -42,6 +42,7 @@ _ARCH_MAP = {
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
     "MambaForCausalLM": "mamba",
+    "Mamba2ForCausalLM": "mamba2",
     "GPT2LMHeadModel": "gpt2",
     "GPTNeoXForCausalLM": "gptneox",
     "FalconForCausalLM": "falcon",
@@ -94,6 +95,9 @@ def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
     put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
     if get(hf + "mlp.gate.weight") is not None:  # MoE layer
         put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+        if get(hf + "mlp.gate.e_score_correction_bias") is not None:  # V3
+            put(gg + "exp_probs_b.bias",
+                get(hf + "mlp.gate.e_score_correction_bias"))
         import numpy as _np
         for kind, hf_n in (("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj")):
             stack = _np.stack([get(hf + f"mlp.experts.{e}.{hf_n}.weight")
@@ -128,6 +132,32 @@ def _convert_mamba(w, put, get, config):
         put(gg + "ssm_dt.bias", get(hf + "mixer.dt_proj.bias"))
         put(gg + "ssm_a.weight", get(hf + "mixer.A_log"))
         put(gg + "ssm_d.weight", get(hf + "mixer.D"))
+        put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
+
+
+def _convert_mamba2(w, put, get, config):
+    """Mamba-2 mapping (convert_hf_to_gguf Mamba2Model counterpart): fused
+    zxBCdt in_proj, conv over [x,B,C], per-head dt_bias/A_log/D, gated
+    grouped norm."""
+    put("token_embd.weight", get("backbone.embeddings.weight"))
+    put("output_norm.weight", get("backbone.norm_f.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", lm)
+    for il in range(config.num_hidden_layers):
+        hf = f"backbone.layers.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "norm.weight"))
+        put(gg + "ssm_in.weight", get(hf + "mixer.in_proj.weight"))
+        conv = get(hf + "mixer.conv1d.weight")          # (conv_dim, 1, dc)
+        put(gg + "ssm_conv1d.weight", conv[:, 0, :])
+        b = get(hf + "mixer.conv1d.bias")
+        if b is not None:
+            put(gg + "ssm_conv1d.bias", b)
+        put(gg + "ssm_dt.bias", get(hf + "mixer.dt_bias"))
+        put(gg + "ssm_a.weight", get(hf + "mixer.A_log"))
+        put(gg + "ssm_d.weight", get(hf + "mixer.D"))
+        put(gg + "ssm_norm.weight", get(hf + "mixer.norm.weight"))
         put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
 
 
@@ -453,6 +483,17 @@ def convert_state_dict(
                   or getattr(getattr(config, "ffn_config", None), "moe_top_k", 0) or 2))
         if getattr(config, "norm_topk_prob", None) is not None:
             w.add(f"{arch}.expert_weights_norm", bool(config.norm_topk_prob))
+        # deepseek-v3 style routing (convert_hf_to_gguf.py:912-923)
+        score_func = (getattr(config, "score_function", None)
+                      or getattr(config, "scoring_func", None)
+                      or getattr(config, "score_func", None))
+        if score_func is not None:
+            w.add(f"{arch}.expert_gating_func",
+                  2 if score_func == "sigmoid" else 1)
+        if getattr(config, "n_group", None):
+            w.add(f"{arch}.expert_group_count", int(config.n_group))
+        if getattr(config, "topk_group", None):
+            w.add(f"{arch}.expert_group_used_count", int(config.topk_group))
     if getattr(config, "sliding_window", None):
         w.add(f"{arch}.attention.sliding_window", int(config.sliding_window))
     if getattr(config, "query_pre_attn_scalar", None):
@@ -535,6 +576,21 @@ def convert_state_dict(
         w.add(f"{arch}.attention.layer_norm_rms_epsilon",
               float(getattr(config, "layer_norm_epsilon", 1e-5)))
         _convert_mamba(w, put, get, config)
+        w.write()
+        return
+    if arch == "mamba2":
+        di = int(getattr(config, "mamba_d_ssm", None)
+                 or getattr(config, "intermediate_size", None)
+                 or int(config.expand) * config.hidden_size)
+        w.add(f"{arch}.ssm.conv_kernel", int(config.conv_kernel))
+        w.add(f"{arch}.ssm.inner_size", di)
+        w.add(f"{arch}.ssm.state_size", int(config.state_size))
+        # time_step_rank carries n_head for mamba2 (Mamba2Model converter)
+        w.add(f"{arch}.ssm.time_step_rank", di // int(config.head_dim))
+        w.add(f"{arch}.ssm.group_count", int(getattr(config, "n_groups", 1)))
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(getattr(config, "layer_norm_epsilon", 1e-5)))
+        _convert_mamba2(w, put, get, config)
         w.write()
         return
     if arch == "gpt2":

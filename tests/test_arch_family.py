@@ -187,6 +187,39 @@ def test_deepseek2_no_q_lora(tmp_path):
     _parity(hf, model, n_tokens=12)
 
 
+def test_deepseek3_routing_parity(tmp_path):
+    """DeepSeek-V3: sigmoid gating + e_score_correction_bias (selection-only)
+    + grouped expert selection (top-2-sum group scores, -inf masking), per
+    build_moe_ffn src/llama-graph.cpp:1090-1185."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    cfg = DeepseekV3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        q_lora_rank=24, kv_lora_rank=32,
+        n_routed_experts=8, n_group=4, topk_group=2, num_experts_per_tok=3,
+        n_shared_experts=1, first_k_dense_replace=1,
+        routed_scaling_factor=2.5, norm_topk_prob=True,
+        scoring_func="sigmoid",
+        max_position_embeddings=128, attn_implementation="eager",
+        architectures=["DeepseekV3ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = DeepseekV3ForCausalLM(cfg).eval()
+    with torch.no_grad():  # make the selection bias load-bearing
+        for l in hf.model.layers[cfg.first_k_dense_replace:]:
+            l.mlp.gate.e_score_correction_bias.uniform_(-0.4, 0.4)
+    model = _convert_and_load(hf, cfg, tmp_path / "ds3.gguf")
+    hp = model.hparams
+    assert not hp.expert_gating_softmax
+    assert hp.n_expert_groups == 4 and hp.n_group_used == 2
+    assert hp.expert_weights_norm and hp.expert_weights_scale == 2.5
+    assert "exp_probs_b" in model.params["layers"][1]
+    _parity(hf, model)
+
+
 def test_mamba_parity(tmp_path):
     """Selective-scan recurrence parity vs HF Mamba, and stepwise decode
     (recurrent state) must equal full-sequence prefill."""
@@ -219,6 +252,68 @@ def test_mamba_parity(tmp_path):
     for t in ids[0]:
         step_logits.append(np.asarray(ctx2.forward(np.asarray([t], np.int32))[0, -1]))
     np.testing.assert_allclose(np.stack(step_logits), got, rtol=1e-3, atol=1e-4)
+
+
+def test_mamba2_parity(tmp_path):
+    """Mamba-2 (SSD) parity vs HF: fused zxBCdt projection, conv over
+    [x,B,C], per-head scalar decay, gated norm; plus stepwise == prefill.
+    n_groups=1 so HF's ungrouped gated norm matches the reference's grouped
+    norm exactly (graph-context-mamba.cpp:146 build_mamba2_layer)."""
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    cfg = Mamba2Config(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        state_size=8, conv_kernel=4, expand=2, head_dim=8, n_groups=1,
+        num_heads=8, chunk_size=16,
+        use_cache=False, architectures=["Mamba2ForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = Mamba2ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "mamba2.gguf")
+    hp = model.hparams
+    assert hp.is_recurrent and hp.ssm_n_group == 1 and hp.ssm_dt_rank == 8
+    assert hp.ssm_conv_dim == 64 + 2 * 8
+    assert "ssm_norm" in model.params["layers"][0]
+
+    ids = np.random.default_rng(2).integers(1, 128, size=(1, 16))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits[0].float().numpy()
+    ctx = Context(model, n_batch=1, n_ctx=64, kv_dtype=np.float32)
+    got = np.asarray(ctx.forward(ids[0].astype(np.int32))[0], np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, err
+
+    ctx2 = Context(model, n_batch=1, n_ctx=64, kv_dtype=np.float32)
+    step_logits = []
+    for t in ids[0]:
+        step_logits.append(np.asarray(ctx2.forward(np.asarray([t], np.int32))[0, -1]))
+    np.testing.assert_allclose(np.stack(step_logits), got, rtol=1e-3, atol=1e-4)
+
+
+def test_mamba2_grouped_state_consistency(tmp_path):
+    """n_groups=2: grouped B/C (repeat_interleave head->group mapping) and
+    grouped RMS norm — stepwise decode must equal prefill through the
+    recurrent state."""
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    cfg = Mamba2Config(
+        vocab_size=64, hidden_size=24, num_hidden_layers=2,
+        state_size=4, conv_kernel=4, expand=2, head_dim=8, n_groups=2,
+        num_heads=6, chunk_size=8,
+        use_cache=False, architectures=["Mamba2ForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = Mamba2ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "mamba2g.gguf")
+    assert model.hparams.ssm_n_group == 2
+
+    ids = np.random.default_rng(5).integers(1, 64, size=12)
+    ctx = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    full = np.asarray(ctx.forward(ids.astype(np.int32))[0], np.float32)
+    ctx2 = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    steps = [np.asarray(ctx2.forward(np.asarray([t], np.int32))[0, -1])
+             for t in ids]
+    np.testing.assert_allclose(np.stack(steps), full, rtol=1e-3, atol=1e-4)
 
 
 def test_llama31_rope_freqs_parity(tmp_path):
