@@ -88,6 +88,10 @@ class HParams:
     f_norm_group_eps: float = 1e-6
     # hybrid (jamba-family): per-layer attention head counts; 0 = SSM layer
     n_head_kv_arr: list[int] | None = None
+    n_ff_arr: list[int] | None = None  # per-layer FFN width (nemotron-h: 0 on
+                                       # ssm/attention layers)
+    n_ff_shexp: int = 0                # granitemoe-shared expert width
+    rope_finetuned: bool = False       # granite-hybrid: rope on (bamba)
     # classic GPT family (gpt2/gptneox/falcon/phi2/starcoder/bloom/mpt)
     norm_type: str = "rms"            # "rms" | "ln" (LayerNorm, opt. biases)
     parallel_residual: bool = False   # x + attn(h) + ffn(h2) in one add
@@ -108,6 +112,22 @@ class HParams:
             return self.n_head_kv_arr[il]
         return self.n_head_kv
 
+    def n_ff_il(self, il: int) -> int:
+        if self.n_ff_arr is not None:
+            return self.n_ff_arr[il]
+        return self.n_ff
+
+    def is_recurrent_layer(self, il: int) -> bool:
+        """Layer uses SSM state (llama_hparams::is_recurrent counterpart).
+        falcon-h1 runs attention AND mamba2 in every layer; nemotron-h has
+        pure-FFN layers (n_head_kv==0, n_ff>0) that are neither
+        (llama-model.cpp:1899,2204)."""
+        if self.arch == "falcon-h1":
+            return True
+        if self.arch in ("nemotron_h", "nemotron-h"):
+            return self.n_head_kv_il(il) == 0 and self.n_ff_il(il) == 0
+        return self.n_head_kv_il(il) == 0
+
     @property
     def ssm_conv_dim(self) -> int:
         """Channels through the depthwise conv: mamba2 convolves [x,B,C]
@@ -119,6 +139,8 @@ class HParams:
     @property
     def is_hybrid(self) -> bool:
         """Mixed attention + recurrent layers (jamba/falcon-h1-style)."""
+        if self.arch == "falcon-h1":  # parallel attn+ssm in every layer
+            return self.ssm_d_inner > 0
         return (self.ssm_d_inner > 0 and self.n_head_kv_arr is not None
                 and any(h > 0 for h in self.n_head_kv_arr))
 
@@ -158,6 +180,8 @@ ROPE_TYPE_BY_ARCH = {
     "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
     "olmoe": 2, "seed_oss": 2, "hunyuan-dense": 2, "ernie4_5": 0,
     "exaone4": 2, "qwen2vl": 2,
+    "granitemoe": 0, "granitehybrid": 0, "falcon-h1": 2,
+    "mamba2": -1, "nemotron_h": -1,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -176,7 +200,8 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "starcoder2": "gelu_tanh", "phi2": "gelu_tanh",
                "bloom": "gelu_tanh", "gptneox": "gelu_erf",
                "falcon": "gelu_erf", "mpt": "gelu_erf",
-               "refact": "gelu_tanh", "nemotron": "relu2"}
+               "refact": "gelu_tanh", "nemotron": "relu2",
+               "nemotron_h": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
@@ -204,11 +229,14 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     n_head = int(_k(md, arch, "attention.head_count", 0))
     hkv_raw = _k(md, arch, "attention.head_count_kv", n_head)
     n_head_kv_arr = None
-    if isinstance(hkv_raw, (list, tuple)):  # per-layer (jamba-family hybrid)
+    if isinstance(hkv_raw, (list, tuple)) or getattr(hkv_raw, 'ndim', 0) == 1:  # per-layer array
         n_head_kv_arr = [int(x) for x in hkv_raw]
         n_head_kv = max(n_head_kv_arr)
     else:
         n_head_kv = int(hkv_raw)
+    _ff_raw = _k(md, arch, "feed_forward_length", 0)  # per-layer (nemotron-h)
+    _ff_is_arr = (isinstance(_ff_raw, (list, tuple))
+                  or getattr(_ff_raw, "ndim", 0) == 1)
     head_dim = int(_k(md, arch, "attention.key_length",
                       n_embd // n_head if n_head else 0))
     head_dim_v = int(_k(md, arch, "attention.value_length", head_dim))
@@ -224,7 +252,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         n_layer=int(_k(md, arch, "block_count", 0) or 0),
         n_head=n_head,
         n_head_kv=n_head_kv,
-        n_ff=int(_k(md, arch, "feed_forward_length", 0)),
+        n_ff=(max(int(x) for x in _ff_raw)
+              if _ff_is_arr else int(_ff_raw)),
+        n_ff_arr=([int(x) for x in _ff_raw] if _ff_is_arr else None),
         n_rot=n_rot,
         head_dim=head_dim,
         head_dim_v=head_dim_v,
@@ -239,6 +269,8 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         n_expert=int(_k(md, arch, "expert_count", 0)),
         n_expert_used=int(_k(md, arch, "expert_used_count", 0)),
         n_ff_exp=int(_k(md, arch, "expert_feed_forward_length", 0)),
+        n_ff_shexp=int(_k(md, arch, "expert_shared_feed_forward_length", 0)),
+        rope_finetuned=bool(_k(md, arch, "rope.scaling.finetuned", False)),
         attn_logit_softcap=float(_k(md, arch, "attn_logit_softcapping", 0.0)),
         final_logit_softcap=float(_k(md, arch, "final_logit_softcapping", 0.0)),
         swa_window=int(_k(md, arch, "attention.sliding_window", 0)),

@@ -29,9 +29,13 @@ from .mamba import _mamba_mixer
 
 
 def hybrid_layer_split(hp: HParams) -> tuple[list[int], list[int]]:
-    """(attention_layers, ssm_layers) from the per-layer head counts."""
+    """(attention_layers, ssm_layers). falcon-h1 runs both per layer;
+    nemotron-h additionally has pure-FFN layers in neither list."""
+    if hp.arch == "falcon-h1":
+        alls = list(range(hp.n_layer))
+        return alls, list(alls)
     attn = [il for il in range(hp.n_layer) if hp.n_head_kv_il(il) > 0]
-    rec = [il for il in range(hp.n_layer) if hp.n_head_kv_il(il) == 0]
+    rec = [il for il in range(hp.n_layer) if hp.is_recurrent_layer(il)]
     return attn, rec
 
 

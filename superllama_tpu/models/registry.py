@@ -46,7 +46,7 @@ for _arch in (
     "command-r", "cohere2", "dbrx", "nemotron", "minicpm", "refact", "jais",
     "bloom", "mpt", "glm4", "chatglm",
     "olmoe", "seed_oss", "hunyuan-dense", "ernie4_5", "exaone4", "qwen2vl",
-    "llama4",
+    "llama4", "granitemoe",
 ):
     register(_arch, llama_forward)
 
@@ -60,6 +60,12 @@ register("mamba2", mamba_forward)  # mixer dispatch on ssm_n_group
 from .jamba import jamba_forward  # noqa: E402
 
 register("jamba", jamba_forward)
+
+from .hybrid import hybrid_forward  # noqa: E402
+
+register("granitehybrid", hybrid_forward)   # granite-4 / bamba
+register("nemotron_h", hybrid_forward)
+register("falcon-h1", hybrid_forward)
 
 from .rwkv import rwkv6_forward, rwkv7_forward  # noqa: E402
 

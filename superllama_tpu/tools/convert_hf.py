@@ -60,6 +60,12 @@ _ARCH_MAP = {
     "Glm4ForCausalLM": "glm4",
     "NemotronForCausalLM": "nemotron",
     "GraniteForCausalLM": "granite",
+    "GraniteMoeForCausalLM": "granitemoe",
+    "GraniteMoeSharedForCausalLM": "granitemoe",
+    "GraniteMoeHybridForCausalLM": "granitehybrid",
+    "BambaForCausalLM": "granitehybrid",
+    "FalconH1ForCausalLM": "falcon-h1",
+    "NemotronHForCausalLM": "nemotron_h",
     "OlmoeForCausalLM": "olmoe",
     "SeedOssForCausalLM": "seed_oss",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
@@ -75,7 +81,7 @@ _ARCH_MAP = {
 # nemotron LayerNorm1P)
 _NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
-_PERMUTE_QK = {"llama", "granite", "smollm3"}
+_PERMUTE_QK = {"llama", "granite", "smollm3", "granitemoe", "granitehybrid"}
 
 
 def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
@@ -135,6 +141,30 @@ def _convert_mamba(w, put, get, config):
         put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
 
 
+def _put_mamba2_mixer(put, get, hf, gg, in_proj_scale=None,
+                      out_proj_scale=None):
+    """One mamba2 mixer's tensors; hf is the HF mixer prefix (e.g.
+    'backbone.layers.0.mixer.' or 'model.layers.0.mamba.')."""
+    w_in = get(hf + "in_proj.weight")
+    if in_proj_scale is not None:  # falcon-h1 baked zxBCdt multipliers
+        w_in = w_in * in_proj_scale
+    put(gg + "ssm_in.weight", w_in)
+    conv = get(hf + "conv1d.weight")                # (conv_dim, 1, dc)
+    put(gg + "ssm_conv1d.weight", conv[:, 0, :])
+    b = get(hf + "conv1d.bias")
+    if b is not None:
+        put(gg + "ssm_conv1d.bias", b)
+    put(gg + "ssm_dt.bias", get(hf + "dt_bias"))
+    put(gg + "ssm_a.weight", get(hf + "A_log"))
+    put(gg + "ssm_d.weight", get(hf + "D"))
+    if get(hf + "norm.weight") is not None:
+        put(gg + "ssm_norm.weight", get(hf + "norm.weight"))
+    w_out = get(hf + "out_proj.weight")
+    if out_proj_scale is not None:  # falcon-h1 ssm_out_multiplier
+        w_out = w_out * out_proj_scale
+    put(gg + "ssm_out.weight", w_out)
+
+
 def _convert_mamba2(w, put, get, config):
     """Mamba-2 mapping (convert_hf_to_gguf Mamba2Model counterpart): fused
     zxBCdt in_proj, conv over [x,B,C], per-head dt_bias/A_log/D, gated
@@ -148,17 +178,107 @@ def _convert_mamba2(w, put, get, config):
         hf = f"backbone.layers.{il}."
         gg = f"blk.{il}."
         put(gg + "attn_norm.weight", get(hf + "norm.weight"))
-        put(gg + "ssm_in.weight", get(hf + "mixer.in_proj.weight"))
-        conv = get(hf + "mixer.conv1d.weight")          # (conv_dim, 1, dc)
-        put(gg + "ssm_conv1d.weight", conv[:, 0, :])
-        b = get(hf + "mixer.conv1d.bias")
-        if b is not None:
-            put(gg + "ssm_conv1d.bias", b)
-        put(gg + "ssm_dt.bias", get(hf + "mixer.dt_bias"))
-        put(gg + "ssm_a.weight", get(hf + "mixer.A_log"))
-        put(gg + "ssm_d.weight", get(hf + "mixer.D"))
-        put(gg + "ssm_norm.weight", get(hf + "mixer.norm.weight"))
-        put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
+        _put_mamba2_mixer(put, get, hf + "mixer.", gg)
+
+
+def _put_granite_moe_ffn(put, get, hf, gg, config, np):
+    """GraniteMoe FFN tensors: fused input_linear (gate|up stacked on the
+    expert ff dim) split apart (convert_hf_to_gguf GraniteMoeModel), router,
+    and the always-on shared expert."""
+    fused = get(hf + "block_sparse_moe.input_linear.weight")  # (E, 2F, D)
+    if fused is not None:
+        ff = fused.shape[1] // 2
+        put(gg + "ffn_gate_exps.weight", np.ascontiguousarray(fused[:, :ff]))
+        put(gg + "ffn_up_exps.weight", np.ascontiguousarray(fused[:, ff:]))
+        put(gg + "ffn_down_exps.weight",
+            get(hf + "block_sparse_moe.output_linear.weight"))
+        put(gg + "ffn_gate_inp.weight",
+            get(hf + "block_sparse_moe.router.layer.weight"))
+    sh = get(hf + "shared_mlp.input_linear.weight")           # (2Fs, D)
+    if sh is not None:
+        fs = sh.shape[0] // 2
+        sfx = "_shexp" if fused is not None else ""
+        put(gg + f"ffn_gate{sfx}.weight", np.ascontiguousarray(sh[:fs]))
+        put(gg + f"ffn_up{sfx}.weight", np.ascontiguousarray(sh[fs:]))
+        put(gg + f"ffn_down{sfx}.weight",
+            get(hf + "shared_mlp.output_linear.weight"))
+
+
+def _convert_granite_hybrid(w, put, get, config, np):
+    """granitehybrid / bamba mapping (convert_hf_to_gguf GraniteHybridModel):
+    per-layer mamba2 or attention (layer_types), granite multipliers as KV,
+    GraniteMoe fused-FFN splits, optional rope (bamba)."""
+    arch = "granitehybrid"
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", lm)
+    layer_types = getattr(config, "layer_types", None) or [
+        "attention" if get(f"model.layers.{i}.self_attn.q_proj.weight")
+        is not None else "mamba" for i in range(config.num_hidden_layers)]
+    n_kv = int(getattr(config, "num_key_value_heads", 0)
+               or config.num_attention_heads)
+    w.add(f"{arch}.attention.head_count_kv",
+          [n_kv if t == "attention" else 0 for t in layer_types])
+    for il in range(config.num_hidden_layers):
+        hf = f"model.layers.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        if layer_types[il] == "mamba":
+            _put_mamba2_mixer(put, get, hf + "mamba.", gg)
+        else:
+            n_head = int(config.num_attention_heads)
+            n_kv = int(getattr(config, "num_key_value_heads", 0) or n_head)
+            # NORM-rope layout: permute like the LlamaModel-derived converter
+            put(gg + "attn_q.weight",
+                permute_qk(get(hf + "self_attn.q_proj.weight"), n_head))
+            put(gg + "attn_k.weight",
+                permute_qk(get(hf + "self_attn.k_proj.weight"), n_kv))
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+            put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        _put_granite_moe_ffn(put, get, hf, gg, config, np)
+
+
+def _convert_falcon_h1(w, put, get, config, np):
+    """falcon-h1 mapping (convert_hf_to_gguf FalconH1Model): every layer has
+    attention + a mamba2 mixer + gated FFN; the mup channel multipliers are
+    baked into the weights exactly as the reference converter does."""
+    m = lambda k: float(getattr(config, k, 1.0) or 1.0)
+    emb = get("model.embed_tokens.weight") * m("embedding_multiplier")
+    put("token_embd.weight", emb)
+    put("output_norm.weight", get("model.final_layernorm.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", lm * m("lm_head_multiplier"))
+    di = int(config.mamba_d_ssm)
+    gds = int(config.mamba_n_groups) * int(config.mamba_d_state)
+    zx = list(getattr(config, "ssm_multipliers", None) or [1.0] * 5)
+    in_scale = np.concatenate([
+        np.full(di, zx[0]), np.full(di, zx[1]), np.full(gds, zx[2]),
+        np.full(gds, zx[3]), np.full(int(config.mamba_n_heads), zx[4]),
+    ]).astype(np.float32)[:, None] * m("ssm_in_multiplier")
+    mlp = list(getattr(config, "mlp_multipliers", None) or [1.0, 1.0])
+    for il in range(config.num_hidden_layers):
+        hf = f"model.layers.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "pre_ff_layernorm.weight"))
+        ain = m("attention_in_multiplier")
+        put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight") * ain)
+        put(gg + "attn_k.weight",
+            get(hf + "self_attn.k_proj.weight") * ain * m("key_multiplier"))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight") * ain)
+        put(gg + "attn_output.weight",
+            get(hf + "self_attn.o_proj.weight") * m("attention_out_multiplier"))
+        _put_mamba2_mixer(put, get, hf + "mamba.", gg, in_proj_scale=in_scale,
+                          out_proj_scale=m("ssm_out_multiplier"))
+        put(gg + "ffn_gate.weight",
+            get(hf + "feed_forward.gate_proj.weight") * mlp[0])
+        put(gg + "ffn_up.weight", get(hf + "feed_forward.up_proj.weight"))
+        put(gg + "ffn_down.weight",
+            get(hf + "feed_forward.down_proj.weight") * mlp[1])
 
 
 def _convert_gpt2(w, put, get, config):
@@ -456,7 +576,8 @@ def convert_state_dict(
         if nr:  # [1,1,1,0,...] — 0 every Nth; derive the step
             step = nr.index(0) + 1 if 0 in nr else 0
             w.add(f"{arch}.no_rope_layer_step", int(step))
-    if getattr(config, "embedding_multiplier", None):
+    if getattr(config, "embedding_multiplier", None) and arch != "falcon-h1":
+        # falcon-h1 bakes the mup multipliers into the weights instead
         w.add(f"{arch}.embedding_scale", float(config.embedding_multiplier))
     if getattr(config, "residual_multiplier", None):
         w.add(f"{arch}.residual_scale", float(config.residual_multiplier))
@@ -464,6 +585,8 @@ def convert_state_dict(
         w.add(f"{arch}.attention.scale", float(config.attention_multiplier))
     if getattr(config, "logits_scaling", None):
         w.add(f"{arch}.logit_scale", float(config.logits_scaling))
+    if arch == "granitemoe":  # router softmaxes over the selected top-k
+        w.add(f"{arch}.expert_weights_norm", True)
     clip_qkv = getattr(getattr(config, "attn_config", None), "clip_qkv", None)
     if clip_qkv:
         w.add(f"{arch}.attention.clamp_kqv", float(clip_qkv))
@@ -593,6 +716,33 @@ def convert_state_dict(
         _convert_mamba2(w, put, get, config)
         w.write()
         return
+    if arch == "granitehybrid":
+        di = int(getattr(config, "mamba_expand", 2)) * config.hidden_size
+        w.add(f"{arch}.ssm.conv_kernel", int(config.mamba_d_conv))
+        w.add(f"{arch}.ssm.inner_size", di)
+        w.add(f"{arch}.ssm.state_size", int(config.mamba_d_state))
+        w.add(f"{arch}.ssm.time_step_rank", int(config.mamba_n_heads))
+        w.add(f"{arch}.ssm.group_count", int(config.mamba_n_groups))
+        if getattr(config, "num_local_experts", 0):
+            # GraniteMoe router: softmax over the selected top-k
+            w.add(f"{arch}.expert_weights_norm", True)
+        if getattr(config, "shared_intermediate_size", 0):
+            w.add(f"{arch}.expert_shared_feed_forward_length",
+                  int(config.shared_intermediate_size))
+        if "BambaForCausalLM" in (getattr(config, "architectures", None) or []):
+            w.add(f"{arch}.rope.scaling.finetuned", True)  # rope on
+        _convert_granite_hybrid(w, put, get, config, np)
+        w.write()
+        return
+    if arch == "falcon-h1":
+        w.add(f"{arch}.ssm.conv_kernel", int(config.mamba_d_conv))
+        w.add(f"{arch}.ssm.inner_size", int(config.mamba_d_ssm))
+        w.add(f"{arch}.ssm.state_size", int(config.mamba_d_state))
+        w.add(f"{arch}.ssm.time_step_rank", int(config.mamba_n_heads))
+        w.add(f"{arch}.ssm.group_count", int(config.mamba_n_groups))
+        _convert_falcon_h1(w, put, get, config, np)
+        w.write()
+        return
     if arch == "gpt2":
         _convert_gpt2(w, put, get, config)
         w.write()
@@ -714,6 +864,9 @@ def convert_state_dict(
             put(gg + "ffn_gate.weight", get(hf + "feed_forward.gate_proj.weight"))
             put(gg + "ffn_up.weight", get(hf + "feed_forward.up_proj.weight"))
             put(gg + "ffn_down.weight", get(hf + "feed_forward.down_proj.weight"))
+        elif get(hf + "block_sparse_moe.input_linear.weight") is not None:
+            # granitemoe fused expert gate|up + shared expert
+            _put_granite_moe_ffn(put, get, hf, gg, config, np)
         elif get(hf + "block_sparse_moe.gate.weight") is not None:  # mixtral
             put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
             w1 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w1.weight") for e in range(n_expert)])

@@ -316,6 +316,176 @@ def test_mamba2_grouped_state_consistency(tmp_path):
     np.testing.assert_allclose(np.stack(steps), full, rtol=1e-3, atol=1e-4)
 
 
+def test_granite_hybrid_parity(tmp_path):
+    """granitehybrid (granite-4-style): mamba2 + attention layers by
+    layer_types, granite multipliers, fused GraniteMoe expert FFN + shared
+    expert (src/models/granite-hybrid.cpp)."""
+    from transformers import GraniteMoeHybridConfig, GraniteMoeHybridForCausalLM
+
+    cfg = GraniteMoeHybridConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        mamba_n_heads=4, mamba_d_head=16, mamba_n_groups=1, mamba_d_state=8,
+        mamba_d_conv=4, mamba_expand=2,
+        layer_types=["mamba", "attention", "mamba"],
+        num_local_experts=4, num_experts_per_tok=2,
+        shared_intermediate_size=48,
+        embedding_multiplier=4.0, residual_multiplier=0.5,
+        attention_multiplier=0.2, logits_scaling=2.0,
+        attn_implementation="eager", use_cache=False,
+        architectures=["GraniteMoeHybridForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = GraniteMoeHybridForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "gh.gguf")
+    hp = model.hparams
+    assert hp.is_hybrid and hp.n_head_kv_arr == [0, 2, 0]
+    assert hp.ssm_n_group == 1 and hp.ssm_dt_rank == 4 and hp.ssm_d_inner == 64
+    assert hp.f_embedding_scale == 4.0 and hp.logit_scale == 0.5
+    assert hp.expert_weights_norm
+    assert "ffn_gate_exps" in model.params["layers"][0]
+    assert "ffn_up_shexp" in model.params["layers"][0]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_falcon_h1_parity(tmp_path):
+    """falcon-h1: attention + mamba2 run in PARALLEL in every layer; the mup
+    channel multipliers are baked into converted weights exactly as the
+    reference converter does (src/models/falcon-h1.cpp)."""
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    cfg = FalconH1Config(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, mamba_d_ssm=32, mamba_n_heads=4, mamba_d_head=8,
+        mamba_n_groups=1, mamba_d_state=8, mamba_d_conv=4,
+        embedding_multiplier=2.0, lm_head_multiplier=0.5,
+        attention_in_multiplier=1.5, attention_out_multiplier=0.7,
+        key_multiplier=0.6, ssm_in_multiplier=1.2, ssm_out_multiplier=0.9,
+        mlp_multipliers=[1.1, 0.8], ssm_multipliers=[1.0, 1.3, 0.9, 1.1, 0.7],
+        attn_implementation="eager", use_cache=False,
+        architectures=["FalconH1ForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = FalconH1ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "fh1.gguf")
+    hp = model.hparams
+    assert hp.is_hybrid and hp.arch == "falcon-h1"
+    assert hp.ssm_d_inner == 32 and hp.ssm_dt_rank == 4
+    _parity(hf, model, n_tokens=16)
+
+    # stepwise decode (KV + SSM state) == prefill
+    ids = np.random.default_rng(3).integers(1, 128, size=12)
+    ctx = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    full = np.asarray(ctx.forward(ids.astype(np.int32))[0], np.float32)
+    ctx2 = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    steps = [np.asarray(ctx2.forward(np.asarray([t], np.int32))[0, -1])
+             for t in ids]
+    np.testing.assert_allclose(np.stack(steps), full, rtol=1e-3, atol=1e-4)
+
+
+def test_granitemoe_parity(tmp_path):
+    """granitemoe: granite multipliers + fused input_linear expert FFN +
+    softmax-over-top-k router (expert_weights_norm)."""
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    cfg = GraniteMoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=3.0, residual_multiplier=0.7,
+        attention_multiplier=0.15, logits_scaling=2.0,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["GraniteMoeForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = GraniteMoeForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "gmoe.gguf")
+    hp = model.hparams
+    assert hp.expert_weights_norm and abs(hp.f_residual_scale - 0.7) < 1e-6
+    assert "ffn_gate_exps" in model.params["layers"][0]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_nemotron_h_consistency(tmp_path):
+    """nemotron_h: per layer exactly one of {mamba2, attention, relu²-FFN}
+    (hybrid_override_pattern M/*/-, src/models/nemotron-h.cpp). No HF class
+    in this transformers build, so the check is structural: stepwise decode
+    through the hybrid state must equal prefill, and every layer kind must
+    contribute."""
+    import jax.numpy as jnp
+
+    from superllama_tpu.gguf import GGUFWriter
+
+    rng = np.random.default_rng(7)
+    E, V, H, HKV, D = 32, 96, 4, 2, 8
+    di, ds, dc, nh, G = 64, 8, 4, 4, 1
+    ff = 48
+    pattern = ["M", "*", "-", "M"]
+    w = GGUFWriter(str(tmp_path / "nh.gguf"), arch="nemotron_h")
+    a = "nemotron_h"
+    w.add(f"{a}.context_length", 64)
+    w.add(f"{a}.embedding_length", E)
+    w.add(f"{a}.block_count", len(pattern))
+    w.add(f"{a}.feed_forward_length",
+          [ff if t == "-" else 0 for t in pattern])
+    w.add(f"{a}.attention.head_count", H)
+    w.add(f"{a}.attention.head_count_kv",
+          [HKV if t == "*" else 0 for t in pattern])
+    w.add(f"{a}.attention.key_length", D)
+    w.add(f"{a}.attention.value_length", D)
+    w.add(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{a}.vocab_size", V)
+    w.add(f"{a}.ssm.conv_kernel", dc)
+    w.add(f"{a}.ssm.inner_size", di)
+    w.add(f"{a}.ssm.state_size", ds)
+    w.add(f"{a}.ssm.time_step_rank", nh)
+    w.add(f"{a}.ssm.group_count", G)
+
+    def t(name, *shape):
+        w.add_tensor(name, rng.standard_normal(shape).astype(np.float32) * 0.05)
+
+    t("token_embd.weight", V, E)
+    t("output_norm.weight", E)
+    t("output.weight", V, E)
+    conv_dim = di + 2 * G * ds
+    for il, kind in enumerate(pattern):
+        p = f"blk.{il}."
+        t(p + "attn_norm.weight", E)
+        if kind == "M":
+            t(p + "ssm_in.weight", 2 * di + 2 * G * ds + nh, E)
+            t(p + "ssm_conv1d.weight", conv_dim, dc)
+            t(p + "ssm_conv1d.bias", conv_dim)
+            t(p + "ssm_dt.bias", nh)
+            t(p + "ssm_a.weight", nh)
+            t(p + "ssm_d.weight", nh)
+            t(p + "ssm_norm.weight", di)
+            t(p + "ssm_out.weight", E, di)
+        elif kind == "*":
+            t(p + "attn_q.weight", H * D, E)
+            t(p + "attn_k.weight", HKV * D, E)
+            t(p + "attn_v.weight", HKV * D, E)
+            t(p + "attn_output.weight", E, H * D)
+        else:
+            t(p + "ffn_up.weight", ff, E)
+            t(p + "ffn_down.weight", E, ff)
+    w.write()
+
+    model = load_model(str(tmp_path / "nh.gguf"))
+    hp = model.hparams
+    assert hp.is_hybrid and hp.act == "relu2"
+    assert [hp.is_recurrent_layer(i) for i in range(4)] == [True, False,
+                                                            False, True]
+    ids = rng.integers(1, V, size=10).astype(np.int32)
+    ctx = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    full = np.asarray(ctx.forward(ids)[0], np.float32)
+    assert np.isfinite(full).all()
+    ctx2 = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    steps = [np.asarray(ctx2.forward(np.asarray([x], np.int32))[0, -1])
+             for x in ids]
+    np.testing.assert_allclose(np.stack(steps), full, rtol=1e-3, atol=1e-4)
+
+
 def test_llama31_rope_freqs_parity(tmp_path):
     """Llama-3.1 rope scaling ("llama3" wavelength-banded freq factors →
     rope_freqs.weight tensor, applied as ggml_rope_ext freq_factors)."""
