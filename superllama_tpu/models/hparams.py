@@ -182,6 +182,8 @@ ROPE_TYPE_BY_ARCH = {
     "exaone4": 2, "qwen2vl": 2,
     "granitemoe": 0, "granitehybrid": 0, "falcon-h1": 2,
     "mamba2": -1, "nemotron_h": -1,
+    "arcee": 0, "ernie4_5-moe": 0, "dots1": 2, "hunyuan-moe": 2,
+    "glm4moe": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -201,7 +203,7 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "bloom": "gelu_tanh", "gptneox": "gelu_erf",
                "falcon": "gelu_erf", "mpt": "gelu_erf",
                "refact": "gelu_tanh", "nemotron": "relu2",
-               "nemotron_h": "relu2"}
+               "nemotron_h": "relu2", "arcee": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
@@ -309,6 +311,10 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.expert_gating_softmax = int(egf) != 2
     hp.n_expert_groups = int(_k(md, arch, "expert_group_count", 1) or 1)
     hp.n_group_used = int(_k(md, arch, "expert_group_used_count", 1) or 1)
+    if arch == "glm4moe":
+        # NextN/MTP prediction layers ride at the end of the stack but are
+        # not run by the forward pass (glm4-moe.cpp:31 n_transformer_layers)
+        hp.n_layer -= int(_k(md, arch, "nextn_predict_layers", 0) or 0)
     if arch == "llama4":
         hp.n_no_rope_layer_step = int(_k(md, arch, "no_rope_layer_step", 4))
         hp.expert_gating_softmax = False

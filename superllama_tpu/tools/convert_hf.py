@@ -66,6 +66,11 @@ _ARCH_MAP = {
     "BambaForCausalLM": "granitehybrid",
     "FalconH1ForCausalLM": "falcon-h1",
     "NemotronHForCausalLM": "nemotron_h",
+    "ArceeForCausalLM": "arcee",
+    "Glm4MoeForCausalLM": "glm4moe",
+    "Dots1ForCausalLM": "dots1",
+    "Ernie4_5_MoeForCausalLM": "ernie4_5-moe",
+    "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "OlmoeForCausalLM": "olmoe",
     "SeedOssForCausalLM": "seed_oss",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
@@ -81,7 +86,8 @@ _ARCH_MAP = {
 # nemotron LayerNorm1P)
 _NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
-_PERMUTE_QK = {"llama", "granite", "smollm3", "granitemoe", "granitehybrid"}
+_PERMUTE_QK = {"llama", "granite", "smollm3", "granitemoe", "granitehybrid",
+               "arcee"}
 
 
 def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
@@ -598,12 +604,43 @@ def convert_state_dict(
     n_expert = int(getattr(config, "num_local_experts", 0)
                    or getattr(config, "num_experts", 0)
                    or getattr(config, "n_routed_experts", 0)
+                   or getattr(config, "moe_num_experts", 0)
                    or getattr(getattr(config, "ffn_config", None), "moe_num_experts", 0) or 0)
     if n_expert:
         w.add(f"{arch}.expert_count", n_expert)
         w.add(f"{arch}.expert_used_count",
               int(getattr(config, "num_experts_per_tok", 0)
+                  or getattr(config, "moe_k", 0)            # ernie4_5-moe
+                  or getattr(config, "moe_topk", 0)         # hunyuan-moe
                   or getattr(getattr(config, "ffn_config", None), "moe_top_k", 0) or 2))
+        if getattr(config, "moe_intermediate_size", None):
+            w.add(f"{arch}.expert_feed_forward_length",
+                  int(config.moe_intermediate_size))
+        shared = int(getattr(config, "n_shared_experts", 0)
+                     or getattr(config, "moe_num_shared_experts", 0)
+                     or getattr(config, "num_shared_expert", 0) or 0)
+        if shared and arch != "deepseek2":  # deepseek2 branch writes its own
+            w.add(f"{arch}.expert_shared_count", shared)
+        dense_lead = (getattr(config, "first_k_dense_replace", None)
+                      if arch != "deepseek2" else None)
+        if dense_lead is None:
+            dense_lead = getattr(config, "moe_layer_start_index", None)  # ernie
+        if dense_lead:
+            w.add(f"{arch}.leading_dense_block_count", int(dense_lead))
+        if (getattr(config, "routed_scaling_factor", None)
+                and arch != "deepseek2"):
+            w.add(f"{arch}.expert_weights_scale",
+                  float(config.routed_scaling_factor))
+        if arch in ("glm4moe", "dots1"):
+            # HF routers are DeepseekV3-style sigmoid; config carries no
+            # scoring_func attr (Glm4MoeModel converter hardcodes SIGMOID)
+            w.add(f"{arch}.expert_gating_func", 2)
+        if arch in ("ernie4_5-moe", "hunyuan-moe"):
+            # build_moe_ffn called with norm_w=true in both graphs
+            w.add(f"{arch}.expert_weights_norm", True)
+        if getattr(config, "num_nextn_predict_layers", None):
+            w.add(f"{arch}.nextn_predict_layers",
+                  int(config.num_nextn_predict_layers))
         if getattr(config, "norm_topk_prob", None) is not None:
             w.add(f"{arch}.expert_weights_norm", bool(config.norm_topk_prob))
         # deepseek-v3 style routing (convert_hf_to_gguf.py:912-923)
@@ -894,17 +931,30 @@ def convert_state_dict(
             put(gg + "ffn_gate.weight", gu[:F])
             put(gg + "ffn_up.weight", gu[F:])
             put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
-        elif get(hf + "mlp.experts.0.gate_proj.weight") is not None:  # qwen-moe
-            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+        elif get(hf + "mlp.experts.0.gate_proj.weight") is not None:
+            # per-expert proj MoE: qwen-moe / glm4moe / dots1 / ernie / hunyuan
+            put(gg + "ffn_gate_inp.weight",
+                get(hf + "mlp.gate.weight")
+                if get(hf + "mlp.gate.weight") is not None
+                else get(hf + "mlp.gate.wg.weight"))            # hunyuan
+            eb = (get(hf + "mlp.gate.e_score_correction_bias")  # glm4/dots1
+                  if get(hf + "mlp.gate.e_score_correction_bias") is not None
+                  else get(hf + "mlp.moe_statics.e_score_correction_bias"))
+            if eb is not None:
+                put(gg + "exp_probs_b.bias", eb.reshape(-1))    # ernie (1,E)
             for kind in ("gate", "up", "down"):
                 stack = np.stack([get(hf + f"mlp.experts.{e}.{kind}_proj.weight")
                                   for e in range(n_expert)])
                 put(gg + f"ffn_{kind}_exps.weight", stack)
-            if get(hf + "mlp.shared_expert.gate_proj.weight") is not None:
-                put(gg + "ffn_gate_shexp.weight", get(hf + "mlp.shared_expert.gate_proj.weight"))
-                put(gg + "ffn_up_shexp.weight", get(hf + "mlp.shared_expert.up_proj.weight"))
-                put(gg + "ffn_down_shexp.weight", get(hf + "mlp.shared_expert.down_proj.weight"))
-                put(gg + "ffn_gate_inp_shexp.weight", get(hf + "mlp.shared_expert_gate.weight"))
+            for sh in ("mlp.shared_expert.", "mlp.shared_experts.",
+                       "mlp.shared_mlp."):
+                if get(hf + sh + "gate_proj.weight") is not None:
+                    put(gg + "ffn_gate_shexp.weight", get(hf + sh + "gate_proj.weight"))
+                    put(gg + "ffn_up_shexp.weight", get(hf + sh + "up_proj.weight"))
+                    put(gg + "ffn_down_shexp.weight", get(hf + sh + "down_proj.weight"))
+                    break
+            put(gg + "ffn_gate_inp_shexp.weight",
+                get(hf + "mlp.shared_expert_gate.weight"))      # qwen2moe
         elif get(hf + "mlp.fc1.weight") is not None:    # phi2 dense mlp
             put(gg + "ffn_up.weight", get(hf + "mlp.fc1.weight"))
             put(gg + "ffn_up.bias", get(hf + "mlp.fc1.bias"))

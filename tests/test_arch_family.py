@@ -486,6 +486,128 @@ def test_nemotron_h_consistency(tmp_path):
     np.testing.assert_allclose(np.stack(steps), full, rtol=1e-3, atol=1e-4)
 
 
+def test_arcee_parity(tmp_path):
+    """arcee (AFM): llama attention + gateless relu² FFN
+    (src/models/arcee.cpp:95)."""
+    from transformers import ArceeConfig, ArceeForCausalLM
+
+    cfg = ArceeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        hidden_act="relu2", max_position_embeddings=64,
+        attn_implementation="eager", architectures=["ArceeForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = ArceeForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "arcee.gguf")
+    assert model.hparams.act == "relu2"
+    assert "ffn_gate" not in model.params["layers"][0]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_glm4moe_parity(tmp_path):
+    """glm4moe (GLM-4.5): partial NEOX rope, sigmoid DeepSeek-V3-style
+    routing with selection bias, leading dense layer, shared expert
+    (src/models/glm4-moe.cpp)."""
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    cfg = Glm4MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, n_routed_experts=8, num_experts_per_tok=2,
+        n_shared_experts=1, moe_intermediate_size=16,
+        first_k_dense_replace=1, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, norm_topk_prob=True, use_qk_norm=True,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["Glm4MoeForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = Glm4MoeForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for l in hf.model.layers[1:]:
+            l.mlp.gate.e_score_correction_bias.uniform_(-0.3, 0.3)
+    model = _convert_and_load(hf, cfg, tmp_path / "glm4moe.gguf")
+    hp = model.hparams
+    assert not hp.expert_gating_softmax and hp.n_layer_dense_lead == 1
+    assert hp.n_expert_groups == 2 and hp.n_rot == 4
+    assert "exp_probs_b" in model.params["layers"][1]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_dots1_parity(tmp_path):
+    """dots1: q/k head norms + sigmoid grouped routing + shared expert
+    (src/models/dots1.cpp)."""
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    cfg = Dots1Config(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        moe_intermediate_size=16, first_k_dense_replace=1,
+        n_group=2, topk_group=1, routed_scaling_factor=2.0,
+        norm_topk_prob=True, max_position_embeddings=64,
+        attn_implementation="eager", architectures=["Dots1ForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = Dots1ForCausalLM(cfg).eval()
+    with torch.no_grad():
+        for l in hf.model.layers[1:]:
+            l.mlp.gate.e_score_correction_bias.uniform_(-0.3, 0.3)
+    model = _convert_and_load(hf, cfg, tmp_path / "dots1.gguf")
+    hp = model.hparams
+    assert not hp.expert_gating_softmax
+    assert "attn_q_norm" in model.params["layers"][0]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_ernie45_moe_parity(tmp_path):
+    """ernie4_5-moe: softmax routing with the moe_statics selection bias,
+    renormalized top-k, wide fused shared expert, interleaved (NORM) rope
+    (src/models/ernie4-5-moe.cpp)."""
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+    cfg = Ernie4_5_MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        moe_num_experts=4, moe_k=2, moe_intermediate_size=16,
+        moe_num_shared_experts=1, moe_layer_start_index=1,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["Ernie4_5_MoeForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0, use_bias=False,
+    )
+    hf = Ernie4_5_MoeForCausalLM(cfg).eval()
+    with torch.no_grad():
+        hf.model.layers[1].mlp.moe_statics.e_score_correction_bias.uniform_(
+            -0.3, 0.3)
+    model = _convert_and_load(hf, cfg, tmp_path / "ernie_moe.gguf")
+    hp = model.hparams
+    assert hp.expert_gating_softmax and hp.expert_weights_norm
+    assert hp.n_layer_dense_lead == 1
+    assert "exp_probs_b" in model.params["layers"][1]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_hunyuan_moe_parity(tmp_path):
+    """hunyuan-moe: q/k layernorms, softmax top-k (renormalized), shared
+    expert via shared_mlp (src/models/hunyuan-moe.cpp)."""
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+
+    cfg = HunYuanMoEV1Config(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, num_experts=4, moe_topk=2, num_shared_expert=1,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["HunYuanMoEV1ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = HunYuanMoEV1ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "hy_moe.gguf")
+    hp = model.hparams
+    assert hp.expert_weights_norm and hp.n_expert == 4
+    assert "ffn_up_shexp" in model.params["layers"][0]
+    _parity(hf, model, n_tokens=16)
+
+
 def test_llama31_rope_freqs_parity(tmp_path):
     """Llama-3.1 rope scaling ("llama3" wavelength-banded freq factors →
     rope_freqs.weight tensor, applied as ggml_rope_ext freq_factors)."""
