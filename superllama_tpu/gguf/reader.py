@@ -47,6 +47,7 @@ _SCALAR_NP = {
     GGUFValueType.UINT32: np.uint32,
     GGUFValueType.INT32: np.int32,
     GGUFValueType.FLOAT32: np.float32,
+    GGUFValueType.BOOL: np.int8,
     GGUFValueType.UINT64: np.uint64,
     GGUFValueType.INT64: np.int64,
     GGUFValueType.FLOAT64: np.float64,

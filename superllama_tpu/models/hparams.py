@@ -165,6 +165,9 @@ class HParams:
         """True if layer uses sliding-window attention (iSWA pattern)."""
         if self.swa_window <= 0:
             return False
+        arr = self.extra.get("swa_layers")  # explicit per-layer bool array
+        if arr is not None:                 # (olmo3 sliding_window_pattern)
+            return bool(arr[il])
         return (il + 1) % self.swa_pattern != 0
 
 
@@ -183,7 +186,7 @@ ROPE_TYPE_BY_ARCH = {
     "granitemoe": 0, "granitehybrid": 0, "falcon-h1": 2,
     "mamba2": -1, "nemotron_h": -1,
     "arcee": 0, "ernie4_5-moe": 0, "dots1": 2, "hunyuan-moe": 2,
-    "glm4moe": 2,
+    "glm4moe": 2, "apertus": 2, "xverse": 0, "orion": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -208,7 +211,7 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
             "stablelm", "bloom", "mpt", "command-r", "cohere2", "dbrx",
-            "olmo", "refact", "jais", "nemotron"}
+            "olmo", "refact", "jais", "nemotron", "orion"}
 
 # parallel-residual archs (default; gptneox models can override via the
 # use_parallel_residual KV). Whether the FFN shares the attn norm output is
@@ -311,6 +314,15 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.expert_gating_softmax = int(egf) != 2
     hp.n_expert_groups = int(_k(md, arch, "expert_group_count", 1) or 1)
     hp.n_group_used = int(_k(md, arch, "expert_group_used_count", 1) or 1)
+    if arch == "apertus":
+        xn = _k(md, arch, "xielu.alpha_n")
+        if xn is not None:
+            hp.extra["xielu"] = [
+                [float(a) for a in _k(md, arch, f"xielu.{f}")]
+                for f in ("alpha_n", "alpha_p", "beta", "eps")]
+    swp = _k(md, arch, "attention.sliding_window_pattern")
+    if swp is not None and not isinstance(swp, (int, float)):
+        hp.extra["swa_layers"] = [bool(x) for x in swp]  # olmo3-style array
     if arch == "glm4moe":
         # NextN/MTP prediction layers ride at the end of the stack but are
         # not run by the forward pass (glm4-moe.cpp:31 n_transformer_layers)
@@ -330,6 +342,11 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     if arch in ("bloom", "mpt"):
         hp.alibi = True
         hp.max_alibi_bias = float(_k(md, arch, "attention.max_alibi_bias", 8.0))
+    if arch == "baichuan" and hp.n_layer == 40:
+        # Baichuan-13B: no rope, ALiBi (llama-model.cpp:846 sets
+        # f_max_alibi_bias=8 for LLM_TYPE_13B; the builder skips rope)
+        hp.rope_type = -1
+        hp.alibi = True
     par_def = PARALLEL_RES_BY_ARCH.get(arch, False)
     hp.parallel_residual = bool(_k(md, arch, "use_parallel_residual", par_def))
     ls = _k(md, arch, "logit_scale")

@@ -89,6 +89,9 @@ def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None,
         if "ffn_gate_b" in layer:
             gate = gate + layer["ffn_gate_b"]
         act = _glu(gate, up, hp) if hp is not None else ops.swiglu(gate, up)
+    elif "xielu" in layer:  # apertus per-layer [alpha_n, alpha_p, beta, eps]
+        xp = layer["xielu"]
+        act = ops.xielu(up, xp[0], xp[1], xp[2], xp[3])
     else:
         act = ops.ACT_FNS[hp.act if hp is not None else "gelu"](up)
     _im(imx, pfx + "ffn_down.weight", act)

@@ -298,6 +298,10 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_post_norm": g(p + "attn_post_norm.weight", t=False),
             "ffn_post_norm": g(p + "ffn_post_norm.weight", t=False),
         }
+        if hp.extra.get("xielu"):  # apertus per-layer activation params
+            xn, xp_, xb, xe = hp.extra["xielu"]
+            layer["xielu"] = np.asarray(
+                [xn[il], xp_[il], xb[il], xe[il]], np.float32)
         if hp.arch.startswith("rwkv") or hp.arch == "arwkv7":
             layer.update({
                 "attn_norm_2": g(p + "attn_norm_2.weight", t=False),

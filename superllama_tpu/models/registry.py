@@ -47,7 +47,8 @@ for _arch in (
     "bloom", "mpt", "glm4", "chatglm",
     "olmoe", "seed_oss", "hunyuan-dense", "ernie4_5", "exaone4", "qwen2vl",
     "llama4", "granitemoe",
-    "arcee", "glm4moe", "dots1", "ernie4_5-moe", "hunyuan-moe",
+    "arcee", "glm4moe", "dots1", "ernie4_5-moe", "hunyuan-moe", "apertus",
+    "baichuan", "xverse", "orion",
 ):
     register(_arch, llama_forward)
 

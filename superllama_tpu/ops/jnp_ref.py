@@ -235,6 +235,19 @@ def relu_sq(x):
     return r * r
 
 
+def xielu(x, alpha_n_raw, alpha_p_raw, beta, eps):
+    """xIELU activation (apertus; ggml.c ggml_xielu): the raw GGUF params are
+    log-space — effective alpha_p = softplus(raw), alpha_n = beta +
+    softplus(raw). Positive branch alpha_p·x² + beta·x; negative branch
+    (expm1(min(x, eps)) - x)·alpha_n + beta·x."""
+    xf = x.astype(jnp.float32)
+    a_p = jax.nn.softplus(alpha_p_raw)
+    a_n = beta + jax.nn.softplus(alpha_n_raw)
+    pos = a_p * xf * xf + beta * xf
+    neg = (jnp.expm1(jnp.minimum(xf, eps)) - xf) * a_n + beta * xf
+    return jnp.where(xf > 0, pos, neg).astype(x.dtype)
+
+
 def quick_gelu(x):
     xf = x.astype(jnp.float32)
     return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype)

@@ -71,6 +71,8 @@ _ARCH_MAP = {
     "Dots1ForCausalLM": "dots1",
     "Ernie4_5_MoeForCausalLM": "ernie4_5-moe",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
+    "ApertusForCausalLM": "apertus",
+    "Olmo3ForCausalLM": "olmo2",   # Olmo3 rides the olmo2 graph + iSWA array
     "OlmoeForCausalLM": "olmoe",
     "SeedOssForCausalLM": "seed_oss",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
@@ -656,6 +658,17 @@ def convert_state_dict(
             w.add(f"{arch}.expert_group_used_count", int(config.topk_group))
     if getattr(config, "sliding_window", None):
         w.add(f"{arch}.attention.sliding_window", int(config.sliding_window))
+        lt = getattr(config, "layer_types", None)
+        if lt and "sliding_attention" in lt:  # olmo3-style explicit pattern
+            w.add(f"{arch}.attention.sliding_window_pattern",
+                  [t == "sliding_attention" for t in lt])
+    if arch == "apertus":  # per-layer raw xIELU params as KV arrays
+        n_layers = config.num_hidden_layers
+        for f in ("alpha_n", "alpha_p", "beta", "eps"):
+            vals = [float(np.asarray(
+                        state_dict[f"model.layers.{i}.mlp.act_fn.{f}"]
+                    ).reshape(-1)[0]) for i in range(n_layers)]
+            w.add(f"{arch}.xielu.{f}", vals)
     if getattr(config, "query_pre_attn_scalar", None):
         w.add(f"{arch}.attention.scale",
               float(config.query_pre_attn_scalar) ** -0.5)
@@ -866,7 +879,10 @@ def convert_state_dict(
             get_norm(hf + "self_attn.k_norm.weight")
             if get(hf + "self_attn.k_norm.weight") is not None
             else get_norm(hf + "self_attn.key_layernorm.weight"))
-        put(gg + "attn_norm.weight", get_norm(hf + "input_layernorm.weight"))
+        put(gg + "attn_norm.weight",
+            get_norm(hf + "input_layernorm.weight")
+            if get(hf + "input_layernorm.weight") is not None
+            else get_norm(hf + "attention_layernorm.weight"))   # apertus
         put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
         put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
         # norm wiring differs: gemma has pre+post norms around both blocks;
@@ -883,7 +899,10 @@ def convert_state_dict(
             put(gg + "ffn_norm.weight", get_norm(hf + "pre_feedforward_layernorm.weight"))
             put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
         else:
-            put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "ffn_norm.weight",
+                get_norm(hf + "post_attention_layernorm.weight")
+                if get(hf + "post_attention_layernorm.weight") is not None
+                else get_norm(hf + "feedforward_layernorm.weight"))  # apertus
             put(gg + "ffn_norm.bias", get(hf + "post_attention_layernorm.bias"))
 
         if get(hf + "feed_forward.router.weight") is not None:   # llama4 MoE

@@ -1,0 +1,166 @@
+"""Deterministic tiny-model specs for reference-oracle architecture parity.
+
+For architectures with no HF transformers class (baichuan, xverse, orion, …)
+the correctness oracle is the COMPILED reference CPU stack itself: each spec
+deterministically builds a tiny GGUF (seeded random weights + the real SPM
+vocab), the reference's `llama-perplexity --save-all-logits` evaluates it
+once to produce a committed golden (tests/goldens/arch_logits/<name>.npz),
+and tests/test_arch_golden.py replays the same GGUF through our stack and
+asserts token-level log-prob parity against the golden — so the check runs
+everywhere, not only where the reference build exists.
+
+Tensor shapes follow the reference's create_tensors lists
+(src/llama-model.cpp per-arch cases); all arrays here are numpy-order
+(out_features, in_features) — our GGUFWriter reverses into GGUF ne order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from superllama_tpu.gguf import GGMLType, GGUFReader, GGUFWriter
+
+SPM_VOCAB = "/root/reference/models/ggml-vocab-llama-spm.gguf"
+
+SPECS: dict[str, callable] = {}
+
+
+def spec(name):
+    def deco(fn):
+        SPECS[name] = fn
+        return fn
+    return deco
+
+
+def _seed(name: str) -> int:
+    return int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "little")
+
+
+class P:
+    """Tensor-spec builder: seeded random weights with fan-in scaling."""
+
+    def __init__(self, name: str):
+        self.rng = np.random.default_rng(_seed(name))
+        self.tensors: dict[str, np.ndarray] = {}
+
+    def w(self, name: str, *shape, scale: float | None = None):
+        if scale is None:
+            fan_in = shape[-1] if len(shape) > 1 else shape[0]
+            scale = 0.7 * fan_in ** -0.5
+        self.tensors[name] = (
+            self.rng.standard_normal(shape).astype(np.float32) * scale)
+
+    def norm(self, name: str, dim: int):
+        self.tensors[name] = (
+            1.0 + 0.1 * self.rng.standard_normal(dim).astype(np.float32))
+
+    def bias(self, name: str, dim: int, scale: float = 0.02):
+        self.tensors[name] = (
+            self.rng.standard_normal(dim).astype(np.float32) * scale)
+
+
+def tokenizer_fields() -> dict:
+    r = GGUFReader(SPM_VOCAB)
+    out = {k: v for k, v in r.metadata.items() if k.startswith("tokenizer.")}
+    r.close()
+    return out
+
+
+def build_gguf(path: str, arch: str, md: dict, tensors: dict[str, np.ndarray],
+               ggml_type: GGMLType = GGMLType.F32) -> None:
+    w = GGUFWriter(str(path), arch=arch)
+    w.add("general.name", f"tiny-{arch}")
+    for k, v in md.items():
+        w.add(f"{arch}.{k}" if not k.startswith(("general.", "tokenizer."))
+              else k, v)
+    for k, v in tokenizer_fields().items():
+        w.add(k, v)
+    for name, arr in tensors.items():
+        t = GGMLType.F32 if arr.ndim == 1 else ggml_type
+        if arr.ndim >= 2 and arr.shape[-1] % 256 != 0 and t not in (
+                GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            t = GGMLType.F16
+        w.add_tensor(name, arr, t)
+    w.write()
+
+
+V = 32000  # SPM llama vocab
+
+
+def _base_md(E, H, HKV, F, L, D=None, rope_base=10000.0, ctx=512,
+             rms_eps=1e-5, **extra):
+    D = D or E // H
+    md = {
+        "context_length": ctx, "embedding_length": E, "block_count": L,
+        "feed_forward_length": F, "attention.head_count": H,
+        "attention.head_count_kv": HKV, "attention.key_length": D,
+        "attention.value_length": D, "rope.dimension_count": D,
+        "attention.layer_norm_rms_epsilon": rms_eps,
+        "rope.freq_base": rope_base, "vocab_size": V,
+    }
+    md.update(extra)
+    return md
+
+
+def _llama_layers(p: P, L, E, H, HKV, F, D=None, ln_bias=False):
+    """Standard llama tensor set (attn_norm, q/k/v/o, ffn_norm, gate/up/down)."""
+    D = D or E // H
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+        if ln_bias:
+            p.bias(b + "attn_norm.bias", E)
+            p.bias(b + "ffn_norm.bias", E)
+
+
+def _head(p: P, E, tied=False):
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    if not tied:
+        p.w("output.weight", V, E)
+
+
+@spec("baichuan")
+def spec_baichuan():
+    """Baichuan-7B shape (rope NORM llama graph; the reference builder gates
+    on LLM_TYPE_7B ⇒ n_layer must be 32; src/models/baichuan.cpp:16,46)."""
+    E, H, HKV, F, L = 64, 4, 4, 128, 32
+    p = P("baichuan")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    return "baichuan", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("xverse")
+def spec_xverse():
+    """XVERSE (llama graph, rope NORM; src/models/xverse.cpp)."""
+    E, H, HKV, F, L = 64, 4, 4, 128, 2
+    p = P("xverse")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    return "xverse", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("orion")
+def spec_orion():
+    """Orion-14B (LayerNorm+bias blocks, rope NEOX; src/models/orion.cpp —
+    note its build_attn takes no rope permute: HF weights are used as-is)."""
+    E, H, HKV, F, L = 64, 4, 4, 128, 2
+    p = P("orion")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.bias("output_norm.bias", E)
+    p.w("output.weight", V, E)
+    _llama_layers(p, L, E, H, HKV, F, ln_bias=True)
+    md = _base_md(E, H, HKV, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md["attention.layer_norm_epsilon"] = 1e-5
+    return "orion", md, p.tensors

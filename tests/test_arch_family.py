@@ -608,6 +608,53 @@ def test_hunyuan_moe_parity(tmp_path):
     _parity(hf, model, n_tokens=16)
 
 
+def test_apertus_parity(tmp_path):
+    """apertus: qk norms + gateless xIELU FFN with per-layer raw (log-space)
+    activation params carried as KV arrays (src/models/apertus.cpp,
+    ggml_xielu softplus-at-build semantics)."""
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    cfg = ApertusConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["ApertusForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = ApertusForCausalLM(cfg).eval()
+    with torch.no_grad():  # make per-layer params distinct + load-bearing
+        for i, l in enumerate(hf.model.layers):
+            l.mlp.act_fn.alpha_p += 0.3 * (i + 1)
+            l.mlp.act_fn.alpha_n -= 0.2 * (i + 1)
+    model = _convert_and_load(hf, cfg, tmp_path / "apertus.gguf")
+    assert "xielu" in model.params["layers"][0]
+    assert "attn_q_norm" in model.params["layers"][0]
+    _parity(hf, model, n_tokens=16)
+
+
+def test_olmo3_parity(tmp_path):
+    """olmo3 rides the olmo2 graph (post-norms, qk norms) + an explicit
+    per-layer sliding-window boolean pattern (every 4th layer full)."""
+    from transformers import Olmo3Config, Olmo3ForCausalLM
+
+    cfg = Olmo3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        sliding_window=8,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "sliding_attention", "full_attention"],
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["Olmo3ForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = Olmo3ForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "olmo3.gguf")
+    hp = model.hparams
+    assert hp.arch == "olmo2" and hp.swa_window == 8
+    assert [hp.is_swa_layer(i) for i in range(4)] == [True, True, True, False]
+    _parity(hf, model, n_tokens=24)
+
+
 def test_llama31_rope_freqs_parity(tmp_path):
     """Llama-3.1 rope scaling ("llama3" wavelength-banded freq factors →
     rope_freqs.weight tensor, applied as ggml_rope_ext freq_factors)."""
