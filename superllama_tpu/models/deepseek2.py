@@ -74,9 +74,10 @@ def deepseek2_forward(
         kv = kv.reshape(B, T, H, d_nope + d_v)
         k_nope, v = kv[..., :d_nope], kv[..., d_nope:]
 
-        q_pe = ops.apply_rope(q_pe, safe_pos, inv_freq, ops.ROPE_TYPE_NORM, mscale)
+        rt = hp.rope_type if hp.rope_type >= 0 else ops.ROPE_TYPE_NORM
+        q_pe = ops.apply_rope(q_pe, safe_pos, inv_freq, rt, mscale)
         k_pe = ops.apply_rope(k_pe[:, :, None, :], safe_pos, inv_freq,
-                              ops.ROPE_TYPE_NORM, mscale)  # (B,T,1,d_rope)
+                              rt, mscale)  # (B,T,1,d_rope)
 
         k = jnp.concatenate(
             [k_nope, jnp.broadcast_to(k_pe, (B, T, H, d_rope))], axis=-1)
@@ -86,16 +87,18 @@ def deepseek2_forward(
         attn = ops.attention_ref(q, cache.k[il], cache.v[il], mask,
                                  scale=kq_scale)
         attn = mm(attn.reshape(B, T, H * d_v), layer["wo"])
-        x = x + attn
+        x = x + attn * hp.f_residual_scale   # minicpm3: 1.4/sqrt(n_layer)
 
         h = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
         if "ffn_gate_exps" in layer and il >= hp.n_layer_dense_lead:
             ffn = moe_ffn(h, layer, hp)
         else:
             ffn = dense_ffn(h, layer, hp)
-        x = x + ffn
+        x = x + ffn * hp.f_residual_scale
 
     x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
     w_out = params.get("output")
     logits = mm(x, w_out) if w_out is not None else x @ params["token_embd"].T
+    if hp.logit_scale != 1.0:   # minicpm3 lm-head scaling n_embd_base/n_embd
+        logits = logits * hp.logit_scale
     return logits, cache

@@ -187,6 +187,7 @@ ROPE_TYPE_BY_ARCH = {
     "mamba2": -1, "nemotron_h": -1,
     "arcee": 0, "ernie4_5-moe": 0, "dots1": 2, "hunyuan-moe": 2,
     "glm4moe": 2, "apertus": 2, "xverse": 0, "orion": 2,
+    "qwen": 2, "codeshell": 2, "deepseek": 0, "minicpm3": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -205,13 +206,14 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "starcoder2": "gelu_tanh", "phi2": "gelu_tanh",
                "bloom": "gelu_tanh", "gptneox": "gelu_erf",
                "falcon": "gelu_erf", "mpt": "gelu_erf",
-               "refact": "gelu_tanh", "nemotron": "relu2",
+               "refact": "gelu_tanh", "codeshell": "gelu_tanh",
+               "nemotron": "relu2",
                "nemotron_h": "relu2", "arcee": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
             "stablelm", "bloom", "mpt", "command-r", "cohere2", "dbrx",
-            "olmo", "refact", "jais", "nemotron", "orion"}
+            "olmo", "refact", "jais", "nemotron", "orion", "codeshell"}
 
 # parallel-residual archs (default; gptneox models can override via the
 # use_parallel_residual KV). Whether the FFN shares the attn norm output is
@@ -284,7 +286,8 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         rope_freq_base_swa=float(_k(md, arch, "rope.freq_base_swa", 0.0)),
         act=ACT_BY_ARCH.get(arch, "silu"),
         expert_weights_norm=bool(_k(md, arch, "expert_weights_norm",
-                                    arch not in ("qwen2moe", "deepseek2"))),
+                                    arch not in ("qwen2moe", "deepseek2",
+                                                 "deepseek"))),
         expert_weights_scale=float(_k(md, arch, "expert_weights_scale", 1.0)),
         n_expert_shared=int(_k(md, arch, "expert_shared_count", 0)),
         n_layer_dense_lead=int(_k(md, arch, "leading_dense_block_count", 0)),
@@ -358,6 +361,11 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.f_embedding_scale = float(_k(md, arch, "embedding_scale"))
     if arch.startswith("gemma"):
         hp.f_embedding_scale = float(n_embd) ** 0.5
+    if arch == "minicpm3":
+        # builder-hardcoded muP scalings (src/models/minicpm3.cpp:5-8,139)
+        hp.f_embedding_scale = 12.0
+        hp.f_residual_scale = 1.4 / hp.n_layer ** 0.5
+        hp.logit_scale = 256.0 / hp.n_embd
     if arch in ("t5", "t5encoder"):
         hp.dec_n_layer = int(_k(md, arch, "decoder_block_count", hp.n_layer))
     if arch == "wavtokenizer-dec":

@@ -368,6 +368,12 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                 layer["wq"] = qkv[:, :nq]
                 layer["wk"] = qkv[:, nq:nq + nk]
                 layer["wv"] = qkv[:, nq + nk:]
+                bqkv = _get(reader, p + "attn_qkv.bias", dtype, False,
+                            None, False)
+                if bqkv is not None:          # qwen/codeshell fused bias
+                    layer["bq"] = bqkv[:nq]
+                    layer["bk"] = bqkv[nq:nq + nk]
+                    layer["bv"] = bqkv[nq + nk:]
         if "ffn_gate" not in layer and "ffn_up" in layer:
             up = layer["ffn_up"]          # fused gate_up (phi3): gate ∥ up
             if isinstance(up, jax.Array) and hp.n_ff and up.shape[-1] == 2 * hp.n_ff:

@@ -48,11 +48,12 @@ for _arch in (
     "olmoe", "seed_oss", "hunyuan-dense", "ernie4_5", "exaone4", "qwen2vl",
     "llama4", "granitemoe",
     "arcee", "glm4moe", "dots1", "ernie4_5-moe", "hunyuan-moe", "apertus",
-    "baichuan", "xverse", "orion",
+    "baichuan", "xverse", "orion", "qwen", "codeshell", "deepseek",
 ):
     register(_arch, llama_forward)
 
 register("deepseek2", deepseek2_forward)
+register("minicpm3", deepseek2_forward)  # MLA + muP scalings via hparams
 
 from .mamba import mamba_forward  # noqa: E402
 

@@ -149,6 +149,125 @@ def spec_xverse():
     return "xverse", _base_md(E, H, HKV, F, L), p.tensors
 
 
+@spec("qwen")
+def spec_qwen():
+    """Qwen-1 (fused wqkv+bias, NEOX rope, gated silu FFN at n_ff/2;
+    src/models/qwen.cpp, create_tensors llama-model.cpp:3541)."""
+    E, H, F, L = 64, 4, 128, 2
+    p = P("qwen")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.bias(b + "attn_qkv.bias", 3 * E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F // 2, E)
+        p.w(b + "ffn_up.weight", F // 2, E)
+        p.w(b + "ffn_down.weight", E, F // 2)
+    return "qwen", _base_md(E, H, H, F, L), p.tensors
+
+
+@spec("codeshell")
+def spec_codeshell():
+    """CodeShell (LayerNorm+bias, fused GQA wqkv+bias, NEOX rope, no-gate
+    tanh-gelu FFN with biases; src/models/codeshell.cpp)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("codeshell")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.bias("output_norm.bias", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.bias(b + "attn_norm.bias", E)
+        p.w(b + "attn_qkv.weight", (H + 2 * HKV) * D, E)
+        p.bias(b + "attn_qkv.bias", (H + 2 * HKV) * D, scale=0.1)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.bias(b + "attn_output.bias", E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.bias(b + "ffn_norm.bias", E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.bias(b + "ffn_up.bias", F)
+        p.w(b + "ffn_down.weight", E, F)
+        p.bias(b + "ffn_down.bias", E)
+    md = _base_md(E, H, HKV, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md["attention.layer_norm_epsilon"] = 1e-5
+    return "codeshell", md, p.tensors
+
+
+@spec("deepseek")
+def spec_deepseek():
+    """DeepSeek-V1 MoE (llama attention + softmax-gated top-k experts with
+    unnormalized weights, dense lead layer, always-on shared experts;
+    src/models/deepseek.cpp:84-105)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 3
+    NE, KE, FE, SH = 4, 2, 48, 2
+    p = P("deepseek")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    for i in range(1, L):  # layers past the dense lead become MoE
+        b = f"blk.{i}."
+        for t in ("ffn_gate.weight", "ffn_up.weight", "ffn_down.weight"):
+            del p.tensors[b + t]
+        # decisive router logits: near-tie top-k selections are legitimate
+        # cross-engine divergence (f32 associativity), not a model bug
+        p.w(b + "ffn_gate_inp.weight", NE, E, scale=1.0)
+        p.w(b + "ffn_gate_exps.weight", NE, FE, E)
+        p.w(b + "ffn_up_exps.weight", NE, FE, E)
+        p.w(b + "ffn_down_exps.weight", NE, E, FE)
+        p.w(b + "ffn_gate_shexp.weight", FE * SH, E)
+        p.w(b + "ffn_up_shexp.weight", FE * SH, E)
+        p.w(b + "ffn_down_shexp.weight", E, FE * SH)
+    md = _base_md(E, H, HKV, F, L,
+                  **{"expert_count": NE, "expert_used_count": KE,
+                     "expert_feed_forward_length": FE,
+                     "expert_shared_count": SH,
+                     "leading_dense_block_count": 1,
+                     "expert_weights_scale": 1.0})
+    return "deepseek", md, p.tensors
+
+
+@spec("minicpm3")
+def spec_minicpm3():
+    """MiniCPM3 — MLA attention (q LoRA + compressed KV latent, NEOX rope on
+    the rope slices) with muP scalings hardcoded in the reference builder
+    (src/models/minicpm3.cpp: scale_embd 12, scale_depth 1.4, lm-head
+    n_embd_base/n_embd)."""
+    E, H, F, L = 64, 4, 128, 2
+    d_rope, d_nope, d_v = 16, 16, 16
+    rq, rkv = 32, 32
+    p = P("minicpm3")
+    # the builder scales embeddings ×12 — compensate so activations (and the
+    # golden's uint16 log-prob quantization step) stay in the usual range
+    p.w("token_embd.weight", V, E, scale=0.02 / 12.0)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E, scale=0.02)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.norm(b + "attn_q_a_norm.weight", rq)
+        p.norm(b + "attn_kv_a_norm.weight", rkv)
+        p.w(b + "attn_q_a.weight", rq, E)
+        p.w(b + "attn_q_b.weight", H * (d_nope + d_rope), rq)
+        p.w(b + "attn_kv_a_mqa.weight", rkv + d_rope, E)
+        p.w(b + "attn_kv_b.weight", H * (d_nope + d_v), rkv)
+        p.w(b + "attn_output.weight", E, H * d_v)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, H, F, L, D=d_nope + d_rope)
+    md["attention.value_length"] = d_v
+    md["rope.dimension_count"] = d_rope
+    md["attention.q_lora_rank"] = rq
+    md["attention.kv_lora_rank"] = rkv
+    return "minicpm3", md, p.tensors
+
+
 @spec("orion")
 def spec_orion():
     """Orion-14B (LayerNorm+bias blocks, rope NEOX; src/models/orion.cpp —
