@@ -188,6 +188,7 @@ ROPE_TYPE_BY_ARCH = {
     "arcee": 0, "ernie4_5-moe": 0, "dots1": 2, "hunyuan-moe": 2,
     "glm4moe": 2, "apertus": 2, "xverse": 0, "orion": 2,
     "qwen": 2, "codeshell": 2, "deepseek": 0, "minicpm3": 2,
+    "arctic": 0, "chameleon": 0, "grok": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -207,7 +208,7 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "bloom": "gelu_tanh", "gptneox": "gelu_erf",
                "falcon": "gelu_erf", "mpt": "gelu_erf",
                "refact": "gelu_tanh", "codeshell": "gelu_tanh",
-               "nemotron": "relu2",
+               "grok": "gelu_tanh", "nemotron": "relu2",
                "nemotron_h": "relu2", "arcee": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
@@ -366,6 +367,21 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.f_embedding_scale = 12.0
         hp.f_residual_scale = 1.4 / hp.n_layer ** 0.5
         hp.logit_scale = 256.0 / hp.n_embd
+    if arch == "chameleon":
+        hp.extra["swin_norm"] = bool(_k(md, arch, "swin_norm", False))
+        # image-token logits suppressed for text-only output
+        # (chameleon.cpp:141-156 img_token range [4, 8196))
+        hp.extra["logit_suppress"] = (4, 8196)
+    if arch == "grok":
+        # grok-1 defaults baked in the loader (llama-model.cpp:795-813)
+        hp.f_embedding_scale = float(
+            _k(md, arch, "embedding_scale", 78.38367176906169))
+        hp.f_attn_scale = float(
+            _k(md, arch, "attention.output_scale", 0.08838834764831845))
+        hp.attn_logit_softcap = float(
+            _k(md, arch, "attn_logit_softcapping", 30.0))
+        hp.logit_scale = float(_k(md, arch, "logit_scale", 0.5773502691896257))
+        hp.extra["moe_dense_parallel_scale"] = 2.0 ** 0.5 / 2.0
     if arch in ("t5", "t5encoder"):
         hp.dec_n_layer = int(_k(md, arch, "decoder_block_count", hp.n_layer))
     if arch == "wavtokenizer-dec":

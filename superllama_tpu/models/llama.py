@@ -389,9 +389,11 @@ def llama_forward(
             mask_full = mask_full + slopes[None, :, None, None] * kp[:, None, None, :]
             mask_swa = mask_full
 
+    swin = bool(hp.extra.get("swin_norm"))   # chameleon: norms AFTER blocks
     for il, layer in enumerate(params["layers"]):
         pfx = f"blk.{il}."
-        h = _norm(x, layer, "attn_norm", hp)
+        x_in = x                             # pre-attention residual (arctic)
+        h = x if swin else _norm(x, layer, "attn_norm", hp)
 
         _im(imatrix, pfx + "attn_q.weight", h)
         q = mm(h, layer["wq"])
@@ -406,19 +408,29 @@ def llama_forward(
         if hp.f_clamp_kqv > 0.0:  # dbrx/mpt clip_qkv
             c = hp.f_clamp_kqv
             q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
-        if "attn_q_norm" in layer and layer["attn_q_norm"].shape[-1] == H * D:
+        qn = layer.get("attn_q_norm")
+        per_head_qk_norm = cham_qk_norm = False
+        if qn is not None and qn.ndim == 2:
+            # chameleon: per-head LayerNorm with (H, D) weight + bias,
+            # applied after head split and before rope (chameleon.cpp:40-63)
+            cham_qk_norm = True
+        elif qn is not None and qn.shape[-1] == H * D:
             # olmo2-style full-width q/k norms (applied before head split)
             q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
             k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
-            per_head_qk_norm = False
         else:
-            per_head_qk_norm = "attn_q_norm" in layer
+            per_head_qk_norm = qn is not None
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, Dv)
         if per_head_qk_norm:  # qwen3-style per-head norms
             q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
             k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
+        elif cham_qk_norm:
+            q = ops.layer_norm(q, layer["attn_q_norm"],
+                               layer.get("attn_q_norm_b"), hp.norm_eps)
+            k = ops.layer_norm(k, layer["attn_k_norm"],
+                               layer.get("attn_k_norm_b"), hp.norm_eps)
 
         swa = hp.swa_window if hp.is_swa_layer(il) else 0
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
@@ -511,6 +523,23 @@ def llama_forward(
             attn = attn + layer["bo"]
         if "attn_post_norm" in layer:
             attn = _norm(attn, layer, "attn_post_norm", hp)
+        if swin:  # chameleon swin_norm: attn_norm applies to the OUTPUT
+            attn = _norm(attn, layer, "attn_norm", hp)
+
+        if "ffn_norm_exps" in layer:
+            # arctic: dense FFN on the attention residual PLUS a parallel MoE
+            # branch normed from the pre-attention input (arctic.cpp:66-97)
+            ffn_inp = x_in + attn
+            dense = dense_ffn(_norm(ffn_inp, layer, "ffn_norm", hp),
+                              layer, hp, imatrix, pfx)
+            moe_in = ops.rms_norm(x_in, layer["ffn_norm_exps"], hp.rms_eps)
+            x = (ffn_inp + dense) + moe_ffn(moe_in, layer, hp)
+            cv = params.get("cvec")
+            if cv is not None:
+                x = x + cv[il]
+            if hidden_sink is not None:
+                hidden_sink.append(x)
+            continue
 
         # parallel residual (gptneox/falcon/phi2/command-r): FFN reads its own
         # norm of x when the model ships one (gptneox, falcon-40b ln_mlp),
@@ -519,14 +548,21 @@ def llama_forward(
             h2 = _norm(x, layer, "ffn_norm", hp) if "ffn_norm" in layer else h
         else:
             x = x + attn * hp.f_residual_scale
-            h2 = _norm(x, layer, "ffn_norm", hp)
+            h2 = x if swin else _norm(x, layer, "ffn_norm", hp)
         if "ffn_gate_exps" in layer:
             _im(imatrix, pfx + "ffn_up_exps.weight", h2)
             ffn = moe_ffn(h2, layer, hp)
+            mdp = hp.extra.get("moe_dense_parallel_scale")
+            if mdp and "ffn_up" in layer:
+                # grok: dense FFN + MoE from the same input, summed and
+                # scaled by sqrt(2)/2 (grok.cpp:88-99)
+                ffn = (ffn + dense_ffn(h2, layer, hp)) * mdp
         else:
             ffn = dense_ffn(h2, layer, hp, imatrix, pfx)
         if "ffn_post_norm" in layer:
             ffn = _norm(ffn, layer, "ffn_post_norm", hp)
+        if swin:  # chameleon swin_norm: ffn_norm applies to the OUTPUT
+            ffn = _norm(ffn, layer, "ffn_norm", hp)
         if hp.parallel_residual:
             x = x + attn + ffn
         else:
@@ -549,4 +585,12 @@ def llama_forward(
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap
         ).astype(logits.dtype)
+    sup = hp.extra.get("logit_suppress")
+    if sup is not None and T == 1:
+        # chameleon: image-token ids forced to -FLT_MAX so sampling stays
+        # text-only. The reference's ggml_set_1d hack only reaches the FIRST
+        # logits row (chameleon.cpp:147-156), i.e. every decode step but not
+        # batch evals — replicated by gating on decode-shaped calls.
+        neg = jnp.finfo(jnp.float32).min
+        logits = logits.at[..., sup[0]:sup[1]].set(neg)
     return logits, cache

@@ -53,6 +53,13 @@ def _get(reader: GGUFReader, name: str, dtype, transpose: bool = True,
     return jnp.asarray(arr, dtype=dtype)
 
 
+def _first(*vals):
+    for v in vals:
+        if v is not None:
+            return v
+    return None
+
+
 def _np_dtype(jdt):
     return np.dtype(jnp.dtype(jdt).name) if jnp.dtype(jdt) != jnp.bfloat16 else jnp.bfloat16
 
@@ -294,9 +301,23 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ffn_up_shexp": g(p + "ffn_up_shexp.weight"),
             "ffn_down_shexp": g(p + "ffn_down_shexp.weight"),
             "ffn_gate_inp_shexp": g(p + "ffn_gate_inp_shexp.weight"),
-            # post-norms (gemma2/3, olmo2)
-            "attn_post_norm": g(p + "attn_post_norm.weight", t=False),
-            "ffn_post_norm": g(p + "ffn_post_norm.weight", t=False),
+            # post-norms (gemma2/3, olmo2, glm4, grok) — ecosystem names with
+            # legacy fallbacks (llama-arch.cpp:338,342,350 name table)
+            "attn_post_norm": _first(
+                g(p + "post_attention_norm.weight", t=False),
+                g(p + "attn_post_norm.weight", t=False),
+                g(p + "attn_output_norm.weight", t=False)
+                if hp.arch == "grok" else None),
+            "ffn_post_norm": _first(
+                g(p + "post_ffw_norm.weight", t=False),
+                g(p + "ffn_post_norm.weight", t=False),
+                g(p + "layer_output_norm.weight", t=False)
+                if hp.arch == "grok" else None),
+            # chameleon per-head qk LayerNorm biases
+            "attn_q_norm_b": g(p + "attn_q_norm.bias", t=False),
+            "attn_k_norm_b": g(p + "attn_k_norm.bias", t=False),
+            # arctic parallel-MoE branch norm
+            "ffn_norm_exps": g(p + "ffn_norm_exps.weight", t=False),
         }
         if hp.extra.get("xielu"):  # apertus per-layer activation params
             xn, xp_, xb, xe = hp.extra["xielu"]

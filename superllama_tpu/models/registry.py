@@ -49,6 +49,7 @@ for _arch in (
     "llama4", "granitemoe",
     "arcee", "glm4moe", "dots1", "ernie4_5-moe", "hunyuan-moe", "apertus",
     "baichuan", "xverse", "orion", "qwen", "codeshell", "deepseek",
+    "arctic", "chameleon", "grok",
 ):
     register(_arch, llama_forward)
 

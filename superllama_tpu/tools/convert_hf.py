@@ -888,16 +888,16 @@ def convert_state_dict(
         # norm wiring differs: gemma has pre+post norms around both blocks;
         # olmo2 has post-norms only (no input norms); glm4 has sandwich norms
         if get(hf + "post_self_attn_layernorm.weight") is not None:  # glm4
-            put(gg + "attn_post_norm.weight", get_norm(hf + "post_self_attn_layernorm.weight"))
+            put(gg + "post_attention_norm.weight", get_norm(hf + "post_self_attn_layernorm.weight"))
             put(gg + "ffn_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
-            put(gg + "ffn_post_norm.weight", get_norm(hf + "post_mlp_layernorm.weight"))
+            put(gg + "post_ffw_norm.weight", get_norm(hf + "post_mlp_layernorm.weight"))
         elif arch in ("olmo2", "exaone4"):  # post-norm blocks
-            put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
-            put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
+            put(gg + "post_attention_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "post_ffw_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
         elif get(hf + "pre_feedforward_layernorm.weight") is not None:  # gemma
-            put(gg + "attn_post_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
+            put(gg + "post_attention_norm.weight", get_norm(hf + "post_attention_layernorm.weight"))
             put(gg + "ffn_norm.weight", get_norm(hf + "pre_feedforward_layernorm.weight"))
-            put(gg + "ffn_post_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
+            put(gg + "post_ffw_norm.weight", get_norm(hf + "post_feedforward_layernorm.weight"))
         else:
             put(gg + "ffn_norm.weight",
                 get_norm(hf + "post_attention_layernorm.weight")

@@ -268,6 +268,85 @@ def spec_minicpm3():
     return "minicpm3", md, p.tensors
 
 
+@spec("arctic")
+def spec_arctic():
+    """Snowflake Arctic — dense FFN (n_embd wide) on the attention residual
+    plus a PARALLEL MoE branch normed from the pre-attention input
+    (src/models/arctic.cpp:66-97; ffn_norm_exps tensor)."""
+    E, H, HKV, L = 64, 4, 2, 2
+    NE, KE, FE = 4, 2, 96
+    p = P("arctic")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", HKV * (E // H), E)
+        p.w(b + "attn_v.weight", HKV * (E // H), E)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", E, E)
+        p.w(b + "ffn_up.weight", E, E)
+        p.w(b + "ffn_down.weight", E, E)
+        p.norm(b + "ffn_norm_exps.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E, scale=1.0)
+        p.w(b + "ffn_gate_exps.weight", NE, FE, E)
+        p.w(b + "ffn_up_exps.weight", NE, FE, E)
+        p.w(b + "ffn_down_exps.weight", NE, E, FE)
+    md = _base_md(E, H, HKV, FE, L,
+                  **{"expert_count": NE, "expert_used_count": KE})
+    return "arctic", md, p.tensors
+
+
+@spec("chameleon")
+def spec_chameleon():
+    """Chameleon — per-head qk LayerNorm (weight+bias shaped (H, D), applied
+    pre-rope) and image-token logit suppression (src/models/chameleon.cpp)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("chameleon")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_q_norm.weight", (H, D))
+        p.bias(b + "attn_q_norm.bias", (H, D))
+        p.norm(b + "attn_k_norm.weight", (HKV, D))
+        p.bias(b + "attn_k_norm.bias", (HKV, D))
+    md = _base_md(E, H, HKV, F, L, **{"swin_norm": False})
+    return "chameleon", md, p.tensors
+
+
+@spec("grok")
+def spec_grok():
+    """Grok-1 — MoE with gelu gating, attention softcap 30 with the 0.0884
+    pre-softcap output scale, post-attention/post-FFN norms, ×78.38 embedding
+    scale and 0.577 logit scale (all builder defaults for old GGUFs,
+    llama-model.cpp:795-813; graph src/models/grok.cpp)."""
+    E, H, HKV, L = 64, 4, 2, 2
+    NE, KE, FE = 4, 2, 96
+    p = P("grok")
+    p.w("token_embd.weight", V, E, scale=0.02 / 78.38367176906169)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E, scale=0.02)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", HKV * (E // H), E)
+        p.w(b + "attn_v.weight", HKV * (E // H), E)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "attn_output_norm.weight", E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E, scale=1.0)
+        p.w(b + "ffn_gate_exps.weight", NE, FE, E)
+        p.w(b + "ffn_up_exps.weight", NE, FE, E)
+        p.w(b + "ffn_down_exps.weight", NE, E, FE)
+        p.norm(b + "post_ffw_norm.weight", E)
+    md = _base_md(E, H, HKV, FE, L,
+                  **{"expert_count": NE, "expert_used_count": KE})
+    return "grok", md, p.tensors
+
+
 @spec("orion")
 def spec_orion():
     """Orion-14B (LayerNorm+bias blocks, rope NEOX; src/models/orion.cpp —
