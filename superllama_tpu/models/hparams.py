@@ -189,6 +189,8 @@ ROPE_TYPE_BY_ARCH = {
     "glm4moe": 2, "apertus": 2, "xverse": 0, "orion": 2,
     "qwen": 2, "codeshell": 2, "deepseek": 0, "minicpm3": 2,
     "arctic": 0, "chameleon": 0, "grok": 2,
+    "bailingmoe": 0, "mistral3": 0, "plm": 0,
+    "smallthinker": 2, "maincoder": 0, "pangu-embedded": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -208,7 +210,8 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "bloom": "gelu_tanh", "gptneox": "gelu_erf",
                "falcon": "gelu_erf", "mpt": "gelu_erf",
                "refact": "gelu_tanh", "codeshell": "gelu_tanh",
-               "grok": "gelu_tanh", "nemotron": "relu2",
+               "grok": "gelu_tanh", "nemotron": "relu2", "plm": "relu2",
+               "smallthinker": "relu",
                "nemotron_h": "relu2", "arcee": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
@@ -316,6 +319,20 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     egf = _k(md, arch, "expert_gating_func")
     if egf is not None:
         hp.expert_gating_softmax = int(egf) != 2
+    elif arch in ("smallthinker", "lfm2moe"):
+        hp.expert_gating_softmax = False  # sigmoid default (llama-model.cpp)
+    if arch == "smallthinker":
+        hp.extra["moe_router_prenorm"] = True  # routes from the layer input
+        hp.extra["no_rope_mod_zero"] = True    # no-rope at il % step == 0
+        if hp.swa_window > 0:
+            hp.swa_window = 4096               # forced (llama-model.cpp:2309)
+            # set_swa_pattern(4, dense_first): full attn at il % 4 == 0
+            hp.extra["swa_layers"] = [il % 4 != 0 for il in range(hp.n_layer)]
+            hp.n_no_rope_layer_step = 0
+        else:
+            hp.n_no_rope_layer_step = 0           # rope everywhere
+    if arch == "maincoder":
+        hp.extra["qk_norm_post_rope"] = True
     hp.n_expert_groups = int(_k(md, arch, "expert_group_count", 1) or 1)
     hp.n_group_used = int(_k(md, arch, "expert_group_used_count", 1) or 1)
     if arch == "apertus":

@@ -101,7 +101,8 @@ def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None,
     return out
 
 
-def _moe_route(x: jax.Array, layer: dict, hp: HParams):
+def _moe_route(x: jax.Array, layer: dict, hp: HParams,
+               router_x: jax.Array | None = None):
     """Router: top-k expert ids + combine weights (shared by both MoE paths).
 
     Follows build_moe_ffn's gating pipeline (src/llama-graph.cpp:1090-1180):
@@ -109,7 +110,9 @@ def _moe_route(x: jax.Array, layer: dict, hp: HParams):
     only for SELECTION, weights stay unbiased), grouped expert selection
     (top-2-sum group scores, non-selected groups masked), and the llama4
     variant (top-k on raw logits, sigmoid applied after)."""
-    logits = mm(x, layer["ffn_gate_inp"])                       # (B,T,E)
+    # smallthinker routes from the PRE-NORM layer input (smallthinker.cpp:33)
+    logits = mm(x if router_x is None else router_x,
+                layer["ffn_gate_inp"])                          # (B,T,E)
     if "ffn_gate_inp_b" in layer:
         logits = logits + layer["ffn_gate_inp_b"]
     lf = logits.astype(jnp.float32)
@@ -158,7 +161,8 @@ def _moe_shared_expert(x: jax.Array, layer: dict, hp: HParams, out: jax.Array):
     return out
 
 
-def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams,
+                   router_x: jax.Array | None = None) -> jax.Array:
     """Grouped-GEMM MoE: compute ONLY the K routed experts per token.
 
     The TPU analog of the reference's indexed expert GEMMs (ggml mul_mat_id /
@@ -169,7 +173,7 @@ def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     B, T, Dm = x.shape
     E, K = hp.n_expert, hp.n_expert_used
     S = B * T
-    _, top_w, top_i = _moe_route(x, layer, hp)
+    _, top_w, top_i = _moe_route(x, layer, hp, router_x)
     xf = x.reshape(S, Dm)
     ei = top_i.reshape(S * K)
     order = jnp.argsort(ei)                     # stable: keeps token order
@@ -201,7 +205,8 @@ def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     return _moe_shared_expert(x, layer, hp, out)
 
 
-def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+def moe_ffn(x: jax.Array, layer: dict, hp: HParams,
+            router_x: jax.Array | None = None) -> jax.Array:
     """Mixture-of-experts FFN (semantics of build_moe_ffn, llama-graph.h:738).
 
     Dispatch: grouped-GEMM sparse path by default (K/E of the dense FLOPs);
@@ -214,13 +219,14 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
     algebraically the renormalized form.
     """
     if not hp.extra.get("moe_dense"):
-        return moe_ffn_sparse(x, layer, hp)
-    return moe_ffn_dense(x, layer, hp)
+        return moe_ffn_sparse(x, layer, hp, router_x)
+    return moe_ffn_dense(x, layer, hp, router_x)
 
 
-def moe_ffn_dense(x: jax.Array, layer: dict, hp: HParams) -> jax.Array:
+def moe_ffn_dense(x: jax.Array, layer: dict, hp: HParams,
+                  router_x: jax.Array | None = None) -> jax.Array:
     B, T, E = *x.shape[:2], hp.n_expert
-    probs, top_w, top_i = _moe_route(x, layer, hp)
+    probs, top_w, top_i = _moe_route(x, layer, hp, router_x)
     # scatter top-k weights back to dense (B,T,E)
     w = jnp.zeros_like(probs).at[
         jnp.arange(B)[:, None, None], jnp.arange(T)[None, :, None], top_i
@@ -423,7 +429,9 @@ def llama_forward(
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, Dv)
-        if per_head_qk_norm:  # qwen3-style per-head norms
+        qk_post_rope = hp.extra.get("qk_norm_post_rope")  # maincoder
+        if per_head_qk_norm and not qk_post_rope:
+            # qwen3-style per-head norms
             q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
             k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
         elif cham_qk_norm:
@@ -434,8 +442,12 @@ def llama_forward(
 
         swa = hp.swa_window if hp.is_swa_layer(il) else 0
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
-        nope = (hp.n_no_rope_layer_step > 0
-                and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3/llama4
+        if hp.extra.get("no_rope_mod_zero"):  # smallthinker: il % step == 0
+            nope = (hp.n_no_rope_layer_step > 0
+                    and il % hp.n_no_rope_layer_step == 0)
+        else:
+            nope = (hp.n_no_rope_layer_step > 0
+                    and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3
         if mrope_pos3 is not None:
             from .qwen2vl import mrope_apply  # M-RoPE (qwen2-vl image spans)
 
@@ -459,6 +471,10 @@ def llama_forward(
                     (safe_pos.astype(jnp.float32) + 1.0) / l4["floor_scale"]))
                     * l4["attn_scale"] + 1.0)
                 q = (q * ts[:, :, None, None]).astype(q.dtype)
+
+        if per_head_qk_norm and qk_post_rope:  # maincoder: norms AFTER rope
+            q = ops.rms_norm(q, layer["attn_q_norm"], hp.rms_eps)
+            k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
 
         sinks = layer.get("attn_sinks")
         if paged:
@@ -551,7 +567,9 @@ def llama_forward(
             h2 = x if swin else _norm(x, layer, "ffn_norm", hp)
         if "ffn_gate_exps" in layer:
             _im(imatrix, pfx + "ffn_up_exps.weight", h2)
-            ffn = moe_ffn(h2, layer, hp)
+            ffn = moe_ffn(h2, layer, hp,
+                          router_x=x_in
+                          if hp.extra.get("moe_router_prenorm") else None)
             mdp = hp.extra.get("moe_dense_parallel_scale")
             if mdp and "ffn_up" in layer:
                 # grok: dense FFN + MoE from the same input, summed and

@@ -50,11 +50,13 @@ for _arch in (
     "arcee", "glm4moe", "dots1", "ernie4_5-moe", "hunyuan-moe", "apertus",
     "baichuan", "xverse", "orion", "qwen", "codeshell", "deepseek",
     "arctic", "chameleon", "grok",
+    "bailingmoe", "mistral3", "smallthinker", "maincoder", "pangu-embedded",
 ):
     register(_arch, llama_forward)
 
 register("deepseek2", deepseek2_forward)
 register("minicpm3", deepseek2_forward)  # MLA + muP scalings via hparams
+register("plm", deepseek2_forward)       # MLA (direct q) + relu² no-gate FFN
 
 from .mamba import mamba_forward  # noqa: E402
 

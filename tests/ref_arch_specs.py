@@ -215,7 +215,7 @@ def spec_deepseek():
             del p.tensors[b + t]
         # decisive router logits: near-tie top-k selections are legitimate
         # cross-engine divergence (f32 associativity), not a model bug
-        p.w(b + "ffn_gate_inp.weight", NE, E, scale=1.0)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
         p.w(b + "ffn_gate_exps.weight", NE, FE, E)
         p.w(b + "ffn_up_exps.weight", NE, FE, E)
         p.w(b + "ffn_down_exps.weight", NE, E, FE)
@@ -289,7 +289,7 @@ def spec_arctic():
         p.w(b + "ffn_up.weight", E, E)
         p.w(b + "ffn_down.weight", E, E)
         p.norm(b + "ffn_norm_exps.weight", E)
-        p.w(b + "ffn_gate_inp.weight", NE, E, scale=1.0)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
         p.w(b + "ffn_gate_exps.weight", NE, FE, E)
         p.w(b + "ffn_up_exps.weight", NE, FE, E)
         p.w(b + "ffn_down_exps.weight", NE, E, FE)
@@ -337,7 +337,7 @@ def spec_grok():
         p.w(b + "attn_output.weight", E, E)
         p.norm(b + "attn_output_norm.weight", E)
         p.norm(b + "ffn_norm.weight", E)
-        p.w(b + "ffn_gate_inp.weight", NE, E, scale=1.0)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
         p.w(b + "ffn_gate_exps.weight", NE, FE, E)
         p.w(b + "ffn_up_exps.weight", NE, FE, E)
         p.w(b + "ffn_down_exps.weight", NE, E, FE)
@@ -345,6 +345,137 @@ def spec_grok():
     md = _base_md(E, H, HKV, FE, L,
                   **{"expert_count": NE, "expert_used_count": KE})
     return "grok", md, p.tensors
+
+
+@spec("bailingmoe")
+def spec_bailingmoe():
+    """BailingMoe (Ling) — all-MoE llama graph, NORM rope with wq width
+    n_head·n_rot, softmax gating with KV-driven weight norm, shared experts
+    (src/models/bailingmoe.cpp)."""
+    E, H, HKV, L = 64, 4, 2, 2
+    NE, KE, FE, SH = 4, 2, 48, 1
+    p = P("bailingmoe")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", HKV * (E // H), E)
+        p.w(b + "attn_v.weight", HKV * (E // H), E)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        p.w(b + "ffn_gate_exps.weight", NE, FE, E)
+        p.w(b + "ffn_up_exps.weight", NE, FE, E)
+        p.w(b + "ffn_down_exps.weight", NE, E, FE)
+        p.w(b + "ffn_gate_shexp.weight", FE * SH, E)
+        p.w(b + "ffn_up_shexp.weight", FE * SH, E)
+        p.w(b + "ffn_down_shexp.weight", E, FE * SH)
+    md = _base_md(E, H, HKV, 128, L,
+                  **{"expert_count": NE, "expert_used_count": KE,
+                     "expert_feed_forward_length": FE,
+                     "expert_shared_count": SH,
+                     "leading_dense_block_count": 0,
+                     "expert_weights_scale": 1.0,
+                     "expert_weights_norm": True})
+    return "bailingmoe", md, p.tensors
+
+
+@spec("smallthinker")
+def spec_smallthinker():
+    """SmallThinker — MoE with relu-gated experts, SIGMOID router fed from
+    the PRE-NORM layer input (smallthinker.cpp:33), rope everywhere in the
+    non-SWA configuration."""
+    E, H, HKV, L = 64, 4, 2, 2
+    NE, KE, FE = 4, 2, 48
+    p = P("smallthinker")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", HKV * (E // H), E)
+        p.w(b + "attn_v.weight", HKV * (E // H), E)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        p.w(b + "ffn_gate_exps.weight", NE, FE, E)
+        p.w(b + "ffn_up_exps.weight", NE, FE, E)
+        p.w(b + "ffn_down_exps.weight", NE, E, FE)
+    md = _base_md(E, H, HKV, 128, L,
+                  **{"expert_count": NE, "expert_used_count": KE,
+                     "expert_feed_forward_length": FE,
+                     "expert_gating_func": 2})
+    return "smallthinker", md, p.tensors
+
+
+@spec("mistral3")
+def spec_mistral3():
+    """Mistral3 (Mistral-Small-3.x text stack) — plain llama graph, NORM
+    rope (src/models/mistral3.cpp with temperature scaling off)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 2
+    p = P("mistral3")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    return "mistral3", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("maincoder")
+def spec_maincoder():
+    """MainCoder — qwen3-like per-head qk RMS norms applied AFTER rope
+    (src/models/maincoder.cpp:48-50), NEOX rope."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("maincoder")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    for i in range(L):
+        p.norm(f"blk.{i}.attn_q_norm.weight", D)
+        p.norm(f"blk.{i}.attn_k_norm.weight", D)
+    return "maincoder", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("plm")
+def spec_plm():
+    """PLM — MLA with a direct q projection (no q LoRA), compressed-KV
+    latent, relu² no-gate FFN, tied embeddings (src/models/plm.cpp)."""
+    E, H, F, L = 64, 4, 128, 2
+    d_rope, d_nope, d_v, rkv = 16, 16, 16, 32
+    p = P("plm")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * (d_nope + d_rope), E)
+        p.w(b + "attn_kv_a_mqa.weight", rkv + d_rope, E)
+        p.norm(b + "attn_kv_a_norm.weight", rkv)
+        p.w(b + "attn_kv_b.weight", H * (d_nope + d_v), rkv)
+        p.w(b + "attn_output.weight", E, H * d_v)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, H, F, L, D=d_nope + d_rope)
+    md["attention.value_length"] = d_v
+    md["rope.dimension_count"] = d_rope
+    md["attention.kv_lora_rank"] = rkv
+    return "plm", md, p.tensors
+
+
+@spec("pangu-embedded")
+def spec_pangu():
+    """PanGu Embedded — llama graph with q/k/v/o biases, NEOX rope
+    (src/models/pangu-embedded.cpp)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("pangu-embedded")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.bias(b + "attn_q.bias", H * D, scale=0.1)
+        p.bias(b + "attn_k.bias", HKV * D, scale=0.1)
+        p.bias(b + "attn_v.bias", HKV * D, scale=0.1)
+        p.bias(b + "attn_output.bias", E, scale=0.1)
+    return "pangu-embedded", _base_md(E, H, HKV, F, L), p.tensors
 
 
 @spec("orion")

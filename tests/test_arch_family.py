@@ -614,6 +614,7 @@ def test_apertus_parity(tmp_path):
     ggml_xielu softplus-at-build semantics)."""
     from transformers import ApertusConfig, ApertusForCausalLM
 
+    torch.manual_seed(11)  # local seed: immune to cross-module import order
     cfg = ApertusConfig(
         vocab_size=128, hidden_size=32, intermediate_size=48,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -637,6 +638,7 @@ def test_olmo3_parity(tmp_path):
     per-layer sliding-window boolean pattern (every 4th layer full)."""
     from transformers import Olmo3Config, Olmo3ForCausalLM
 
+    torch.manual_seed(12)
     cfg = Olmo3Config(
         vocab_size=128, hidden_size=32, intermediate_size=48,
         num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
