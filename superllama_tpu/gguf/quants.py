@@ -848,6 +848,344 @@ def dequant_tq2_0(raw: np.ndarray) -> np.ndarray:
 # ============================ scalar fp formats =============================
 
 
+# ================= i-quant / ternary / Q8_K encoders =======================
+#
+# Layouts are the exact inverses of the dequantizers above (validated by the
+# reference-decoder oracle tests). Codeword selection is a vectorized
+# two-pass fit — scale-free cosine pick over the lattice grid, then a shared
+# least-squares scale per scale-group — rather than the reference's greedy
+# neighbour-table search (ggml-quants.c quantize_row_iq*): simpler, fully
+# vectorized, and within a few percent of its round-trip error.
+
+
+def quant_q8_k(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    amax = np.abs(v).max(axis=1)
+    d = amax / 127.0
+    d_safe = np.where(d == 0, 1.0, d)
+    q = np.clip(np.round(v / d_safe[:, None]), -127, 127).astype(np.int8)
+    q = np.where((d == 0)[:, None], np.int8(0), q)
+    bsums = q.reshape(-1, 16, 16).astype(np.int32).sum(axis=2).astype("<i2")
+    out = np.concatenate([
+        d.astype("<f4").view(np.uint8).reshape(-1, 4),
+        q.view(np.uint8), bsums.view(np.uint8).reshape(-1, 32)], axis=1)
+    return out.reshape(-1)
+
+
+def quant_tq2_0(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 256)
+    d = np.abs(v).max(axis=1)
+    d_safe = np.where(d == 0, 1.0, d)
+    q = (np.clip(np.round(v / d_safe[:, None]), -1, 1) + 1).astype(np.uint8)
+    qs = np.zeros((v.shape[0], 64), np.uint8)
+    pos = 0
+    for j in (0, 32):
+        for shift in (0, 2, 4, 6):
+            qs[:, j:j + 32] |= q[:, pos:pos + 32] << shift
+            pos += 32
+    return np.concatenate([qs, _to_f16_bytes(d).reshape(-1, 2)],
+                          axis=1).reshape(-1)
+
+
+def quant_tq1_0(x: np.ndarray) -> np.ndarray:
+    """Ternary base-3 packing (quantize_row_tq1_0_ref): 5 trits per byte for
+    the first 240 elements, 4 trits per byte for the last 16."""
+    v = x.astype(np.float32).reshape(-1, 256)
+    nb = v.shape[0]
+    d = np.abs(v).max(axis=1)
+    d_safe = np.where(d == 0, 1.0, d)
+    q = (np.clip(np.round(v / d_safe[:, None]), -1, 1) + 1).astype(np.uint16)
+    qs = np.zeros((nb, 48), np.uint16)
+    pos = 0
+    for j, width in ((0, 32), (32, 16)):
+        acc = np.zeros((nb, width), np.uint16)
+        for _m in range(5):
+            acc = acc * 3 + q[:, pos:pos + width]
+            pos += width
+        qs[:, j:j + width] = (acc * 256 + 242) // 243
+    acc = np.zeros((nb, 4), np.uint16)
+    for _m in range(4):
+        acc = acc * 3 + q[:, pos:pos + 4]
+        pos += 4
+    qh = (acc * 256 + 80) // 81     # 4 trits/byte → 3⁴ divisor
+    return np.concatenate([
+        qs.astype(np.uint8), qh.astype(np.uint8),
+        _to_f16_bytes(d).reshape(-1, 2)], axis=1).reshape(-1)
+
+
+def _cos_pick(a: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Scale-free codeword pick: argmax <a, c>/||c|| over grid rows.
+    a: (..., n) non-negative magnitudes; grid: (C, n) float."""
+    gn = grid / np.sqrt((grid ** 2).sum(-1, keepdims=True))
+    return (a @ gn.T).argmax(-1)
+
+
+def _l2_pick(a: np.ndarray, grid: np.ndarray, db: np.ndarray) -> np.ndarray:
+    """Refinement pick: argmin ||db·c − a||² given the quantized group scale
+    db (broadcast per row); beats the scale-free cosine pick on short
+    segments (IQ3's 4-element codewords)."""
+    g2 = (grid ** 2).sum(-1)
+    dots = a @ grid.T
+    score = db[..., None] ** 2 * g2 - 2.0 * db[..., None] * dots
+    return score.argmin(-1)
+
+
+def _ls_fit(a: np.ndarray, c: np.ndarray, axes) -> np.ndarray:
+    """Least-squares shared scale β = <a,c>/<c,c> over the given axes."""
+    num = (a * c).sum(axis=axes)
+    den = (c * c).sum(axis=axes)
+    return np.maximum(num, 0.0) / np.where(den == 0, 1.0, den)
+
+
+def _sign_index_parity(v: np.ndarray, cost: np.ndarray) -> np.ndarray:
+    """7-bit ksigns index for groups of 8 (bit 7 of the decoded pattern is
+    the parity of bits 0-6): when the desired sign pattern is unrepresentable
+    flip the element with the smallest |contribution|."""
+    neg = v < 0                                    # (..., 8)
+    par7 = (neg[..., :7].sum(-1) & 1).astype(bool)
+    mism = par7 != neg[..., 7]
+    jmin = cost.argmin(-1)                         # cheapest element to flip
+    s = neg[..., :7].copy()
+    flip = (mism & (jmin < 7))[..., None] & (
+        np.arange(7) == jmin[..., None])
+    s = s ^ flip
+    return (s << np.arange(7)).sum(-1).astype(np.uint32)
+
+
+def _quant_scales_4bit(beta: np.ndarray, mult: float):
+    """Map per-group scales β to (d f16, 4-bit ls) with db = d·(0.5+ls)·mult;
+    beta: (nb, G)."""
+    d = beta.max(axis=1) / (15.5 * mult)
+    d16 = _f16(_to_f16_bytes(d).reshape(-1, 2)).reshape(-1)
+    d_safe = np.where(d16 == 0, 1.0, d16)
+    ls = np.clip(np.round(beta / d_safe[:, None] / mult - 0.5),
+                 0, 15).astype(np.uint32)
+    return d16, ls
+
+
+def quant_iq2_xxs(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)   # (nb, sub, group, 8)
+    nb = v.shape[0]
+    a = np.abs(v)
+    grid = _iq_grids()["iq2xxs"].astype(np.float32)
+    gidx = _cos_pick(a, grid)                       # (nb, 8, 4)
+    c = grid[gidx]
+    beta = _ls_fit(a, c, (2, 3))                    # per sub-block
+    d16, ls = _quant_scales_4bit(beta, 0.25)
+    db = d16[:, None] * (0.5 + ls) * 0.25           # (nb, 8)
+    gidx = _l2_pick(a, grid, db[:, :, None])        # refine vs quantized db
+    c = grid[gidx]
+    beta = _ls_fit(a, c, (2, 3))
+    d16, ls = _quant_scales_4bit(beta, 0.25)
+    sidx = _sign_index_parity(v, a * c)             # (nb, 8, 4)
+    aux0 = (gidx.astype(np.uint32)
+            << (8 * np.arange(4, dtype=np.uint32))).sum(-1)
+    aux1 = ((sidx << (7 * np.arange(4, dtype=np.uint32))).sum(-1)
+            | (ls << 28))
+    q16 = np.empty((nb, 8, 4), "<u2")
+    q16[:, :, 0] = aux0 & 0xFFFF
+    q16[:, :, 1] = aux0 >> 16
+    q16[:, :, 2] = aux1 & 0xFFFF
+    q16[:, :, 3] = aux1 >> 16
+    return np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        q16.view(np.uint8).reshape(nb, 64)], axis=1).reshape(-1)
+
+
+def quant_iq2_xs(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)
+    nb = v.shape[0]
+    a = np.abs(v)
+    grid = _iq_grids()["iq2xs"].astype(np.float32)
+    gidx = _cos_pick(a, grid)                       # (nb, 8, 4)
+    c = grid[gidx]
+    # scale per 16 elements (2 groups): (nb, 8, 2)
+    beta = _ls_fit(a.reshape(nb, 8, 2, 16), c.reshape(nb, 8, 2, 16), (3,))
+    d16, ls = _quant_scales_4bit(beta.reshape(nb, 16), 0.25)
+    ls = ls.reshape(nb, 8, 2)
+    db = d16[:, None, None] * (0.5 + ls) * 0.25     # (nb, 8, 2)
+    gidx = _l2_pick(a, grid, db[:, :, [0, 0, 1, 1]])
+    c = grid[gidx]
+    beta = _ls_fit(a.reshape(nb, 8, 2, 16), c.reshape(nb, 8, 2, 16), (3,))
+    d16, ls = _quant_scales_4bit(beta.reshape(nb, 16), 0.25)
+    ls = ls.reshape(nb, 8, 2)
+    sidx = _sign_index_parity(v, a * c)
+    q16 = (gidx.astype("<u2") | (sidx.astype("<u2") << 9))
+    sc = (ls[:, :, 0] | (ls[:, :, 1] << 4)).astype(np.uint8)
+    return np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        q16.view(np.uint8).reshape(nb, 64), sc], axis=1).reshape(-1)
+
+
+def quant_iq2_s(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)
+    nb = v.shape[0]
+    a = np.abs(v)
+    grid = _iq_grids()["iq2s"].astype(np.float32)
+    gidx = _cos_pick(a, grid).astype(np.uint32)     # (nb, 8, 4) 10-bit
+    c = grid[gidx]
+    beta = _ls_fit(a.reshape(nb, 8, 2, 16), c.reshape(nb, 8, 2, 16), (3,))
+    d16, ls = _quant_scales_4bit(beta.reshape(nb, 16), 0.25)
+    ls = ls.reshape(nb, 8, 2)
+    db = d16[:, None, None] * (0.5 + ls) * 0.25
+    gidx = _l2_pick(a, grid, db[:, :, [0, 0, 1, 1]]).astype(np.uint32)
+    c = grid[gidx]
+    beta = _ls_fit(a.reshape(nb, 8, 2, 16), c.reshape(nb, 8, 2, 16), (3,))
+    d16, ls = _quant_scales_4bit(beta.reshape(nb, 16), 0.25)
+    ls = ls.reshape(nb, 8, 2)
+    signs = ((v < 0) << np.arange(8)).sum(-1).astype(np.uint8)  # explicit
+    qs = (gidx & 0xFF).astype(np.uint8)
+    hi = gidx >> 8                                  # 2 bits per group
+    qh = (hi << (2 * np.arange(4, dtype=np.uint32))).sum(-1).astype(np.uint8)
+    sc = (ls[:, :, 0] | (ls[:, :, 1] << 4)).astype(np.uint8)
+    return np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        qs.reshape(nb, 32), signs.reshape(nb, 32), qh, sc],
+        axis=1).reshape(-1)
+
+
+def quant_iq3_xxs(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)
+    nb = v.shape[0]
+    a4 = np.abs(v).reshape(nb, 8, 8, 4)             # 4-element segments
+    grid = _iq_grids()["iq3xxs"].astype(np.float32)
+    gidx = _cos_pick(a4, grid)                      # (nb, 8, 8)
+    c = grid[gidx].reshape(nb, 8, 4, 8)
+    beta = _ls_fit(np.abs(v), c, (2, 3))            # per sub-block
+    d16, ls = _quant_scales_4bit(beta, 0.5)
+    db = d16[:, None] * (0.5 + ls) * 0.5            # (nb, 8)
+    gidx = _l2_pick(a4, grid, np.broadcast_to(
+        db[:, :, None], (nb, 8, 8)))
+    c = grid[gidx].reshape(nb, 8, 4, 8)
+    beta = _ls_fit(np.abs(v), c, (2, 3))
+    d16, ls = _quant_scales_4bit(beta, 0.5)
+    sidx = _sign_index_parity(v, np.abs(v) * c)     # (nb, 8, 4)
+    sas = ((sidx << (7 * np.arange(4, dtype=np.uint32))).sum(-1)
+           | (ls << 28)).astype("<u4")
+    return np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        gidx.astype(np.uint8).reshape(nb, 64),
+        sas.view(np.uint8).reshape(nb, 32)], axis=1).reshape(-1)
+
+
+def quant_iq3_s(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)
+    nb = v.shape[0]
+    a4 = np.abs(v).reshape(nb, 8, 8, 4)
+    grid = _iq_grids()["iq3s"].astype(np.float32)
+    gidx = _cos_pick(a4, grid).astype(np.uint32)    # (nb, 8, 8) 9-bit
+
+    def _fit_scales(c):
+        beta = _ls_fit(np.abs(v), c, (2, 3))        # per sub-block (nb, 8)
+        d = beta.max(axis=1) / 31.0                 # db = d·(1+2·ls), ls≤15
+        d16 = _f16(_to_f16_bytes(d).reshape(-1, 2)).reshape(-1)
+        d_safe = np.where(d16 == 0, 1.0, d16)
+        ls = np.clip(np.round((beta / d_safe[:, None] - 1.0) / 2.0),
+                     0, 15).astype(np.uint8)
+        return d16, ls
+
+    c = grid[gidx].reshape(nb, 8, 4, 8)
+    d16, ls = _fit_scales(c)
+    db = d16[:, None] * (1.0 + 2.0 * ls.astype(np.float32))
+    gidx = _l2_pick(a4, grid, np.broadcast_to(
+        db[:, :, None], (nb, 8, 8))).astype(np.uint32)
+    c = grid[gidx].reshape(nb, 8, 4, 8)
+    d16, ls = _fit_scales(c)
+    signs = ((v < 0) << np.arange(8)).sum(-1).astype(np.uint8)
+    gseg = gidx.reshape(nb, 8, 4, 2)
+    qs = (gseg & 0xFF).astype(np.uint8)
+    hi = gseg >> 8                                  # 1 bit per segment
+    qh = ((hi[..., 0] << (2 * np.arange(4, dtype=np.uint32)))
+          | (hi[..., 1] << (2 * np.arange(4, dtype=np.uint32) + 1))
+          ).sum(-1).astype(np.uint8)
+    sc = (ls[:, 0::2] | (ls[:, 1::2] << 4)).astype(np.uint8)
+    return np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        qs.reshape(nb, 64), qh, signs.reshape(nb, 32), sc],
+        axis=1).reshape(-1)
+
+
+def _iq1_pick(v: np.ndarray, grid: np.ndarray, deltas) -> tuple:
+    """Joint (codeword, δ) pick for IQ1 groups of 8: cosine over the signed
+    candidates (g + δ); returns (gidx, dsel, c) with c the chosen signed
+    codeword including δ."""
+    cands = np.concatenate([grid + dl for dl in deltas])  # (|Δ|·C, 8)
+    pick = _cos_pick(v, cands)                            # signed match
+    C = grid.shape[0]
+    dsel = (pick // C).astype(np.uint8)
+    gidx = (pick % C).astype(np.uint32)
+    c = cands[pick]
+    return gidx, dsel, c
+
+
+def quant_iq1_s(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)
+    nb = v.shape[0]
+    grid = _iq_grids()["iq1s"].astype(np.float32)
+    # one δ sign per SUB-BLOCK: pick by the sign of the sub-block mean
+    dneg = v.reshape(nb, 8, 32).sum(-1) < 0         # (nb, 8)
+    # cosine pick against (g + δ_ib) per sub-block
+    gidx = np.empty((nb, 8, 4), np.uint32)
+    c = np.empty_like(v)
+    for s in (False, True):                         # two δ signs, vectorized
+        m = dneg == s
+        if not m.any():
+            continue
+        g = grid + (-_IQ1_DELTA if s else _IQ1_DELTA)
+        sel = _cos_pick(v[m], g)
+        gidx[m] = sel.astype(np.uint32)
+        c[m] = g[sel]
+    beta = _ls_fit(v, c, (2, 3))                    # per sub-block (nb, 8)
+    d = beta.max(axis=1) / 15.0                     # dl = d·(2s+1), s≤7
+    d16 = _f16(_to_f16_bytes(d).reshape(-1, 2)).reshape(-1)
+    d_safe = np.where(d16 == 0, 1.0, d16)
+    sc = np.clip(np.round((beta / d_safe[:, None] - 1.0) / 2.0),
+                 0, 7).astype(np.uint16)
+    qs = (gidx & 0xFF).astype(np.uint8)
+    hi3 = (gidx >> 8).astype(np.uint16)             # 3 bits per group
+    qh = ((hi3 << (3 * np.arange(4, dtype=np.uint16))).sum(-1)
+          | (sc << 12) | (dneg.astype(np.uint16) << 15)).astype("<u2")
+    return np.concatenate([
+        _to_f16_bytes(d16).reshape(-1, 2),
+        qs.reshape(nb, 32), qh.view(np.uint8)], axis=1).reshape(-1)
+
+
+def quant_iq1_m(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.float32).reshape(-1, 8, 4, 8)
+    nb = v.shape[0]
+    grid = _iq_grids()["iq1s"].astype(np.float32)
+    # per-GROUP δ sign: joint (codeword, δ) cosine pick
+    gidx, dsel, c = _iq1_pick(v, grid, (_IQ1_DELTA, -_IQ1_DELTA))
+    beta = _ls_fit(v.reshape(nb, 8, 2, 16), c.reshape(nb, 8, 2, 16), (3,))
+    d = beta.max(axis=(1, 2)) / 15.0                # dl = d·(2s+1), s≤7
+    d16 = _f16(_to_f16_bytes(d).reshape(-1, 2)).reshape(-1)
+    d_safe = np.where(d16 == 0, 1.0, d16)
+    s3 = np.clip(np.round((beta / d_safe[:, None, None] - 1.0) / 2.0),
+                 0, 7).astype(np.uint16)            # (nb, 8, 2)
+    qs = (gidx & 0xFF).astype(np.uint8)             # (nb, 8, 4)
+    hi3 = (gidx >> 8).astype(np.uint8)
+    hb = dsel                                       # 1 = negative δ
+    qh = np.zeros((nb, 8, 2), np.uint8)
+    qh[:, :, 0] = hi3[:, :, 0] | (hb[:, :, 0] << 3) | (hi3[:, :, 1] << 4) \
+        | (hb[:, :, 1] << 7)
+    qh[:, :, 1] = hi3[:, :, 2] | (hb[:, :, 2] << 3) | (hi3[:, :, 3] << 4) \
+        | (hb[:, :, 3] << 7)
+    # sc: four u16 words — two 3-bit scales per sub-block in bits 0-11,
+    # the f16 superscale split as a nibble in bits 12-15 of each word
+    d16u = _to_f16_bytes(d16).reshape(-1, 2).view("<u2").reshape(-1)
+    sc = np.zeros((nb, 4), np.uint16)
+    for ib in range(8):
+        sh = 6 * (ib % 2)
+        sc[:, ib // 2] |= (s3[:, ib, 0] << sh) | (s3[:, ib, 1] << (sh + 3))
+    sc[:, 0] |= ((d16u >> 0) & 0xF) << 12
+    sc[:, 1] |= ((d16u >> 4) & 0xF) << 12
+    sc[:, 2] |= ((d16u >> 8) & 0xF) << 12
+    sc[:, 3] |= ((d16u >> 12) & 0xF) << 12
+    return np.concatenate([
+        qs.reshape(nb, 32), qh.reshape(nb, 16),
+        sc.astype("<u2").view(np.uint8).reshape(nb, 8)], axis=1).reshape(-1)
+
+
 def dequant_f32(raw: np.ndarray) -> np.ndarray:
     return np.frombuffer(raw.tobytes(), dtype="<f4").astype(np.float32)
 
@@ -929,6 +1267,16 @@ QUANTIZERS = {
     GGMLType.Q6_K: quant_q6_k,
     GGMLType.IQ4_NL: quant_iq4_nl,
     GGMLType.IQ4_XS: quant_iq4_xs,
+    GGMLType.Q8_K: quant_q8_k,
+    GGMLType.TQ1_0: quant_tq1_0,
+    GGMLType.TQ2_0: quant_tq2_0,
+    GGMLType.IQ2_XXS: quant_iq2_xxs,
+    GGMLType.IQ2_XS: quant_iq2_xs,
+    GGMLType.IQ2_S: quant_iq2_s,
+    GGMLType.IQ3_XXS: quant_iq3_xxs,
+    GGMLType.IQ3_S: quant_iq3_s,
+    GGMLType.IQ1_S: quant_iq1_s,
+    GGMLType.IQ1_M: quant_iq1_m,
 }
 
 

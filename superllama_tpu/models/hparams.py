@@ -190,7 +190,7 @@ ROPE_TYPE_BY_ARCH = {
     "qwen": 2, "codeshell": 2, "deepseek": 0, "minicpm3": 2,
     "arctic": 0, "chameleon": 0, "grok": 2,
     "bailingmoe": 0, "mistral3": 0, "plm": 0,
-    "smallthinker": 2, "maincoder": 0, "pangu-embedded": 2,
+    "smallthinker": 2, "maincoder": 0, "pangu-embedded": 2, "bitnet": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -212,6 +212,9 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                "refact": "gelu_tanh", "codeshell": "gelu_tanh",
                "grok": "gelu_tanh", "nemotron": "relu2", "plm": "relu2",
                "smallthinker": "relu",
+               # microsoft bitnet-2B-4T is relu²-gated (HF BitNetMLP); the
+               # reference's SILU builder targets the legacy 1bitLLM ckpts
+               "bitnet": "relu2",
                "nemotron_h": "relu2", "arcee": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm

@@ -94,6 +94,9 @@ def dense_ffn(x: jax.Array, layer: dict, hp: HParams | None = None,
         act = ops.xielu(up, xp[0], xp[1], xp[2], xp[3])
     else:
         act = ops.ACT_FNS[hp.act if hp is not None else "gelu"](up)
+    if "ffn_sub_norm" in layer:  # bitnet: RMS before the down-projection
+        act = ops.rms_norm(act, layer["ffn_sub_norm"],
+                           hp.rms_eps if hp is not None else 1e-5)
     _im(imx, pfx + "ffn_down.weight", act)
     out = mm(act, layer["ffn_down"])
     if "ffn_down_b" in layer:
@@ -533,6 +536,8 @@ def llama_forward(
                     logit_softcap=hp.attn_logit_softcap, sinks=sinks,
                 )
         attn = attn.reshape(B, T, H * Dv)
+        if "attn_sub_norm" in layer:  # bitnet: RMS before the out-projection
+            attn = ops.rms_norm(attn, layer["attn_sub_norm"], hp.rms_eps)
         _im(imatrix, pfx + "attn_output.weight", attn)
         attn = mm(attn, layer["wo"])
         if "bo" in layer:

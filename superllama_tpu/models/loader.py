@@ -318,7 +318,27 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_k_norm_b": g(p + "attn_k_norm.bias", t=False),
             # arctic parallel-MoE branch norm
             "ffn_norm_exps": g(p + "ffn_norm_exps.weight", t=False),
+            # bitnet sub-norms (pre-wo / pre-down RMS)
+            "attn_sub_norm": g(p + "attn_sub_norm.weight", t=False),
+            "ffn_sub_norm": g(p + "ffn_sub_norm.weight", t=False),
         }
+        if hp.arch == "bitnet":
+            # fold the optional per-tensor ternary scales ("blk.N.*.scale",
+            # bitnet create_tensors llama-model.cpp:5027) into the weights
+            from ..ops.qtensor import QTensor as _QT
+
+            for wkey, gname in (
+                    ("wq", "attn_q"), ("wk", "attn_k"), ("wv", "attn_v"),
+                    ("wo", "attn_output"), ("ffn_gate", "ffn_gate"),
+                    ("ffn_up", "ffn_up"), ("ffn_down", "ffn_down")):
+                sc = _get(reader, p + gname + ".scale", dtype, False)
+                if sc is not None and wkey in layer:
+                    w_ = layer[wkey]
+                    if isinstance(w_, _QT):
+                        raise NotImplementedError(
+                            "bitnet scale folding needs dense weights; load "
+                            "with keep_quantized=False")
+                    layer[wkey] = w_ * jnp.asarray(sc).reshape(())
         if hp.extra.get("xielu"):  # apertus per-layer activation params
             xn, xp_, xb, xe = hp.extra["xielu"]
             layer["xielu"] = np.asarray(

@@ -51,6 +51,7 @@ for _arch in (
     "baichuan", "xverse", "orion", "qwen", "codeshell", "deepseek",
     "arctic", "chameleon", "grok",
     "bailingmoe", "mistral3", "smallthinker", "maincoder", "pangu-embedded",
+    "bitnet",
 ):
     register(_arch, llama_forward)
 

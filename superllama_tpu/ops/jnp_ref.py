@@ -276,6 +276,7 @@ GLU_FNS = {
     "gelu_tanh": geglu,
     "gelu_erf": lambda g, u: gelu_erf(g) * u,
     "relu": lambda g, u: relu(g) * u,
+    "relu2": lambda g, u: relu_sq(g) * u,   # bitnet-b1.58 gated squared-relu
 }
 ACT_FNS = {"silu": silu, "gelu": gelu, "gelu_tanh": gelu, "gelu_erf": gelu_erf,
            "relu": relu, "relu2": relu_sq}

@@ -72,6 +72,7 @@ _ARCH_MAP = {
     "Ernie4_5_MoeForCausalLM": "ernie4_5-moe",
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "ApertusForCausalLM": "apertus",
+    "BitNetForCausalLM": "bitnet",
     "Olmo3ForCausalLM": "olmo2",   # Olmo3 rides the olmo2 graph + iSWA array
     "OlmoeForCausalLM": "olmoe",
     "SeedOssForCausalLM": "seed_oss",
@@ -885,6 +886,9 @@ def convert_state_dict(
             else get_norm(hf + "attention_layernorm.weight"))   # apertus
         put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
         put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
+        # bitnet sub-norms (pre-out-projection / pre-down-projection RMS)
+        put(gg + "attn_sub_norm.weight", get(hf + "self_attn.attn_sub_norm.weight"))
+        put(gg + "ffn_sub_norm.weight", get(hf + "mlp.ffn_sub_norm.weight"))
         # norm wiring differs: gemma has pre+post norms around both blocks;
         # olmo2 has post-norms only (no input norms); glm4 has sandwich norms
         if get(hf + "post_self_attn_layernorm.weight") is not None:  # glm4

@@ -40,11 +40,64 @@ _FTYPE_RULES: dict[str, list[tuple[str, GGMLType]]] = {
         ("token_embd.weight", GGMLType.Q4_K),
         (r"blk\.\d+\.ffn_down.*", GGMLType.Q5_K),
     ],
+    # i-quant mixtures mirror llama_tensor_get_type's low-bit defaults:
+    # embeddings/head and ffn_down get a tier or two more bits
+    "IQ3_S": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ4_XS),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ4_XS),
+    ],
+    "IQ3_XXS": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ3_S),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ3_S),
+    ],
+    "IQ2_S": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ3_S),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ3_S),
+    ],
+    "IQ2_XS": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ3_XXS),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ3_XXS),
+    ],
+    "IQ2_XXS": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ3_XXS),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ3_XXS),
+    ],
+    "IQ1_S": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ2_S),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ2_S),
+    ],
+    "IQ1_M": [
+        ("output.weight", GGMLType.Q5_K),
+        ("token_embd.weight", GGMLType.Q4_K),
+        (r"blk\.\d+\.ffn_down.*", GGMLType.IQ2_S),
+        (r"blk\.\d+\.attn_v.*", GGMLType.IQ2_S),
+    ],
+    "TQ1_0": [("output.weight", GGMLType.Q6_K),
+              ("token_embd.weight", GGMLType.Q4_K)],
+    "TQ2_0": [("output.weight", GGMLType.Q6_K),
+              ("token_embd.weight", GGMLType.Q4_K)],
 }
 _FTYPE_DEFAULT = {
     "Q4_0": GGMLType.Q4_0, "Q8_0": GGMLType.Q8_0, "Q4_K_M": GGMLType.Q4_K,
     "Q5_K_M": GGMLType.Q5_K, "Q6_K": GGMLType.Q6_K, "MXFP4": GGMLType.MXFP4,
     "IQ4_XS": GGMLType.IQ4_XS,
+    "IQ3_S": GGMLType.IQ3_S, "IQ3_XXS": GGMLType.IQ3_XXS,
+    "IQ2_S": GGMLType.IQ2_S, "IQ2_XS": GGMLType.IQ2_XS,
+    "IQ2_XXS": GGMLType.IQ2_XXS,
+    "IQ1_S": GGMLType.IQ1_S, "IQ1_M": GGMLType.IQ1_M,
+    "TQ1_0": GGMLType.TQ1_0, "TQ2_0": GGMLType.TQ2_0,
 }
 
 

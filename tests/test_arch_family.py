@@ -657,6 +657,29 @@ def test_olmo3_parity(tmp_path):
     _parity(hf, model, n_tokens=24)
 
 
+def test_bitnet_parity(tmp_path):
+    """bitnet-b1.58: RMS sub-norms before the attention out-projection and
+    the FFN down-projection (src/models/bitnet.cpp:55,82); tied embeddings;
+    the bf16 HF checkpoint carries plain linear weights (the ternary .scale
+    tensors are folded at load when present)."""
+    from transformers import BitNetConfig, BitNetForCausalLM
+
+    torch.manual_seed(13)
+    cfg = BitNetConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, attn_implementation="eager",
+        architectures=["BitNetForCausalLM"], tie_word_embeddings=True,
+        pad_token_id=0,
+    )
+    hf = BitNetForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "bitnet.gguf")
+    layer = model.params["layers"][0]
+    assert "attn_sub_norm" in layer and "ffn_sub_norm" in layer
+    assert model.params.get("output") is None  # tied head
+    _parity(hf, model, n_tokens=16)
+
+
 def test_llama31_rope_freqs_parity(tmp_path):
     """Llama-3.1 rope scaling ("llama3" wavelength-banded freq factors →
     rope_freqs.weight tensor, applied as ggml_rope_ext freq_factors)."""

@@ -47,6 +47,22 @@ def test_quantize_type_rules(f32_model_path, tmp_path):
     assert stats.get("Q6_K", 0) >= 5
 
 
+def test_iq_target_quantize_and_run(f32_model_path, tmp_path):
+    """IQ mixture targets (codebook encoders, VERDICT r1 item 8): quantize to
+    IQ2_S, verify the per-tensor mixture, and run the loaded model."""
+    out = tmp_path / "iq2s.gguf"
+    quantize_model(f32_model_path, str(out), "IQ2_S")
+    r = GGUFReader(str(out))
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q5_K
+    assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.IQ3_S
+    assert r.tensors["blk.0.ffn_up.weight"].ggml_type == GGMLType.IQ2_S
+    r.close()
+    m = load_model(str(out))
+    ids = np.arange(1, 17, dtype=np.int32)
+    lg = np.asarray(Context(m, n_ctx=32, kv_dtype=np.float32).forward(ids)[0])
+    assert np.isfinite(lg).all()
+
+
 def test_quantized_model_loads_and_runs(f32_model_path, tmp_path):
     out = tmp_path / "q8.gguf"
     quantize_model(f32_model_path, str(out), "Q8_0")

@@ -26,7 +26,11 @@ DEQ_TYPES = [
     GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.TQ1_0, GGMLType.TQ2_0,
 ]
 
-ENC_TYPES = [t for t in DEQ_TYPES if t in QUANTIZERS]
+IQ_ENC_TYPES = [
+    GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+]
+ENC_TYPES = [t for t in DEQ_TYPES if t in QUANTIZERS] + IQ_ENC_TYPES
 
 # max RMS round-trip error per format (fraction of data std), informed by the
 # reference's per-format total_error bounds in test-quantize-fns.cpp
@@ -36,6 +40,14 @@ RT_RMSE = {
     GGMLType.Q2_K: 0.40, GGMLType.Q3_K: 0.25, GGMLType.Q4_K: 0.10,
     GGMLType.Q5_K: 0.06, GGMLType.Q6_K: 0.03, GGMLType.IQ4_NL: 0.11,
     GGMLType.IQ4_XS: 0.11,
+    # codebook i-quants (two-pass lattice fit; cf. the reference's greedy
+    # neighbour search — quality within a few percent at each bpw tier)
+    GGMLType.IQ2_XXS: 0.37, GGMLType.IQ2_XS: 0.33, GGMLType.IQ2_S: 0.28,
+    GGMLType.IQ3_XXS: 0.24, GGMLType.IQ3_S: 0.20,
+    GGMLType.IQ1_S: 0.52, GGMLType.IQ1_M: 0.47,
+    # ternary formats quantize ternary-distributed nets (see _data_for)
+    GGMLType.TQ1_0: 0.02, GGMLType.TQ2_0: 0.02,
+    GGMLType.Q8_K: 0.01,
 }
 
 
@@ -44,6 +56,15 @@ def _data(n: int, seed: int = 0) -> np.ndarray:
     # smooth + gaussian, similar spirit to the reference's synthetic test data
     x = 0.1 * np.cos(np.arange(n) * 0.1) + rng.normal(0, 0.5, n)
     return x.astype(np.float32)
+
+
+def _data_for(ttype: GGMLType, n: int, seed: int = 0) -> np.ndarray:
+    if ttype in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+        # ternary formats store {-1,0,1}·d nets (bitnet); gaussian data would
+        # round almost everything to 0 under d = amax (same as the reference)
+        rng = np.random.default_rng(seed)
+        return (rng.integers(-1, 2, n) * 0.73).astype(np.float32)
+    return _data(n, seed)
 
 
 @pytest.fixture(scope="module")
@@ -119,7 +140,9 @@ def test_encode_layout_valid(ttype):
     """Bytes we encode must decode identically under the reference decoder."""
     if not ggml_oracle.available():
         pytest.skip("oracle unavailable")
-    x = _data(2048, seed=int(ttype) + 100).reshape(4, 512)
+    if ttype == GGMLType.Q8_K:
+        pytest.skip("Q8_K is ggml's activation format, not a file type")
+    x = _data_for(ttype, 2048, seed=int(ttype) + 100).reshape(4, 512)
     packed = quantize(x, ttype)
     ref = ggml_oracle.dequantize_ref(packed, ttype, x.size)
     mine = dequantize(packed, ttype)
@@ -128,7 +151,7 @@ def test_encode_layout_valid(ttype):
 
 @pytest.mark.parametrize("ttype", ENC_TYPES, ids=lambda t: t.name)
 def test_roundtrip_error_bound(ttype):
-    x = _data(4096, seed=int(ttype) + 7)
+    x = _data_for(ttype, 4096, seed=int(ttype) + 7)
     packed = quantize(x.reshape(8, 512), ttype)
     y = dequantize(packed, ttype)
     rmse = float(np.sqrt(np.mean((x - y) ** 2)) / np.std(x))
