@@ -1,0 +1,204 @@
+"""Per-kernel performance measurement on real TPU hardware — the `eval_perf`
+mode of the backend-ops harness (test-backend-ops.cpp perf counterpart).
+
+Measures achieved HBM GB/s for the bandwidth-bound kernels (quantized GEMV
+decode, flash-decode attention) and achieved TFLOP/s for the compute-bound
+ones (fused dequant matmul prefill, flash-attention prefill), then writes
+docs/ops_perf.json which `tools.ops_doc` merges into the docs/ops.md
+dashboard.
+
+Axon-tunnel-safe methodology (see bench.py): every measurement is a single
+jitted `lax.scan` whose carry is data-dependent (no call dedup), timed as a
+two-length differential ending in a host fetch.
+
+Run: python -m superllama_tpu.tools.ops_bench [--small]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _fetch(x):
+    return np.asarray(x)
+
+
+def _scan_time(step, carry0, n_lo=8, n_hi=64):
+    """Per-iteration seconds of `step` via a jitted scan two-length
+    differential; `step(carry) -> carry` must be data-dependent."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(c, n: int):
+        return jax.lax.scan(lambda c, _: (step(c), None), c, None, length=n)[0]
+
+    times = {}
+    for n in (n_lo, n_hi):
+        for timed in (False, True):          # first pass compiles/warms
+            t0 = time.perf_counter()
+            out = run(carry0, n=n)
+            _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            if timed:
+                times[n] = time.perf_counter() - t0
+    return max(times[n_hi] - times[n_lo], 1e-9) / (n_hi - n_lo)
+
+
+def _q4k_device(N, K, seed=0):
+    """Random on-device Q4_K QTensor (production compact layout; no weight
+    upload through the tunnel)."""
+    import jax
+
+    from ..gguf.constants import GGMLType
+    from ..models.synthetic import _rand_q4k_parts
+    from ..ops.qtensor import QTensor
+
+    codes, sc, mn, d, dmin = jax.jit(
+        _rand_q4k_parts, static_argnums=(1, 2))(
+        jax.random.PRNGKey(seed), N, K)
+    return QTensor(codes, None, None, 32, 0, True, K, N, GGMLType.Q4_K,
+                   sc=sc, mn=mn, d=d, dmin=dmin, sb=8)
+
+
+def bench_qmv(ttype_name="Q4_K", N=4096, K=4096):
+    """Quantized GEMV decode (mmvq analog): bandwidth-bound; GB/s of weight
+    traffic at M=1."""
+    import jax.numpy as jnp
+
+    from ..ops.qmatmul import qmatmul
+
+    qt = _q4k_device(N, K, seed=0)
+
+    def step(x):
+        y = qmatmul(x, qt, act_quant=True)        # (1, N)
+        return (y[:, :K] / (1.0 + jnp.abs(y[:, :K])))  # normalized feedback
+
+    x0 = jnp.ones((1, K), jnp.float32)
+    dt = _scan_time(step, x0)
+    return {"GBps": round(qt.nbytes / dt / 1e9, 1),
+            "us_per_call": round(dt * 1e6, 1),
+            "shape": f"{ttype_name} {N}x{K} M=1"}
+
+
+def bench_qmm(ttype_name="Q4_K", M=1024, N=4096, K=4096):
+    """Fused dequant matmul prefill: compute-bound; achieved TFLOP/s."""
+    import jax.numpy as jnp
+
+    from ..ops.qmatmul import qmatmul
+
+    qt = _q4k_device(N, K, seed=1)
+
+    def step(x):
+        y = qmatmul(x, qt)                        # (M, N)
+        return y[:, :K] / (1.0 + jnp.abs(y[:, :K]))
+
+    x0 = jnp.ones((M, K), jnp.float32)
+    dt = _scan_time(step, x0, n_lo=4, n_hi=20)
+    return {"TFLOPs": round(2 * M * N * K / dt / 1e12, 2),
+            "us_per_call": round(dt * 1e6, 1),
+            "shape": f"{ttype_name} {M}x{K}x{N}"}
+
+
+def bench_fa_prefill(T=2048, S=2048, Hkv=8, G=4, D=128):
+    """Flash attention prefill: achieved TFLOP/s (4·H·T·S·D flops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.flash_attention import flash_attention
+
+    H = Hkv * G
+    key = jax.random.PRNGKey(0)
+    k = jax.random.normal(key, (1, Hkv, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (1, Hkv, S, D),
+                          jnp.bfloat16)
+    q_pos = jnp.arange(T, dtype=jnp.int32)[None] + (S - T)
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    def step(q):
+        o = flash_attention(q.astype(jnp.bfloat16), k, v, q_pos, kv_pos)
+        return (o / (1.0 + jnp.abs(o))).astype(jnp.float32)
+
+    q0 = jnp.ones((1, T, H, D), jnp.float32)
+    dt = _scan_time(step, q0, n_lo=4, n_hi=20)
+    return {"TFLOPs": round(4 * H * T * S * D / dt / 1e12, 2),
+            "us_per_call": round(dt * 1e6, 1),
+            "shape": f"T{T} S{S} H{H} D{D} bf16"}
+
+
+def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, q8=True):
+    """Flash-decode attention (fattn-vec analog): bandwidth-bound; GB/s of
+    K/V traffic at T=1 over a deep cache (Q8_0 KV by default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.flash_attention import flash_attention
+
+    H = Hkv * G
+    key = jax.random.PRNGKey(2)
+    kf = jax.random.normal(key, (1, Hkv, S, D), jnp.float32)
+    vf = jax.random.normal(jax.random.fold_in(key, 1), (1, Hkv, S, D),
+                           jnp.float32)
+    kwargs = {}
+    if q8:
+        ks = jnp.max(jnp.abs(kf), -1) / 127.0
+        vs = jnp.max(jnp.abs(vf), -1) / 127.0
+        k = jnp.round(kf / ks[..., None]).astype(jnp.int8)
+        v = jnp.round(vf / vs[..., None]).astype(jnp.int8)
+        kwargs = {"k_scale": ks, "v_scale": vs}
+        kv_bytes = k.nbytes + v.nbytes + ks.nbytes + vs.nbytes
+    else:
+        k, v = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+        kv_bytes = k.nbytes + v.nbytes
+    q_pos = jnp.full((1, 1), S - 1, jnp.int32)
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None]
+
+    def step(q):
+        o = flash_attention(q, k, v, q_pos, kv_pos, **kwargs)
+        return o / (1.0 + jnp.abs(o))
+
+    q0 = jnp.ones((1, 1, H, D), jnp.float32)
+    dt = _scan_time(step, q0)
+    return {"GBps": round(kv_bytes / dt / 1e9, 1),
+            "us_per_call": round(dt * 1e6, 1),
+            "shape": f"T1 S{S} H{H} D{D} {'q8' if q8 else 'bf16'} KV"}
+
+
+def main():
+    import jax
+
+    small = "--small" in sys.argv
+    tiny = "--tiny" in sys.argv    # CPU smoke: interpret-mode Pallas is slow
+    dev = str(jax.devices()[0])
+    out = {"device": dev}
+    if tiny:
+        global _scan_time
+        base = _scan_time
+        _scan_time = lambda step, c, n_lo=1, n_hi=3: base(step, c, 1, 3)
+        out["qmv_q4k_gemv"] = bench_qmv(N=256, K=512)
+        out["qmm_q4k_prefill"] = bench_qmm(M=32, N=256, K=512)
+        out["flash_attn_prefill"] = bench_fa_prefill(T=64, S=64, Hkv=2, G=2,
+                                                     D=64)
+        out["flash_attn_decode_q8"] = bench_fa_decode(S=256, Hkv=2, G=2,
+                                                      D=64)
+        print(json.dumps(out))
+        return
+    scale = 0.25 if small else 1.0
+    out["qmv_q4k_gemv"] = bench_qmv(N=int(4096 * scale), K=4096)
+    out["qmm_q4k_prefill"] = bench_qmm(M=int(1024 * scale),
+                                       N=int(4096 * scale), K=4096)
+    out["flash_attn_prefill"] = bench_fa_prefill(
+        T=int(2048 * scale), S=int(2048 * scale))
+    out["flash_attn_decode_q8"] = bench_fa_decode(S=int(8192 * scale))
+    path = Path(__file__).resolve().parents[2] / "docs" / "ops_perf.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
