@@ -207,7 +207,9 @@ class ServerApp:
             inner["grammar"] = plan.grammar
             inner["grammar_lazy"] = plan.grammar_lazy
             inner["grammar_triggers"] = plan.triggers
+        stream_cb, flush = self._tool_stream(plan, stream_cb)
         out = self.handle_completion(inner, client, stream_cb)
+        flush()
 
         content = out["choices"][0]["text"]
         finish = out["choices"][0]["finish_reason"]
@@ -230,6 +232,27 @@ class ServerApp:
             }],
             "usage": out["usage"],
         }
+
+    @staticmethod
+    def _tool_stream(plan, stream_cb):
+        """Wrap a raw-piece stream callback with the incremental tool-call
+        splitter: downstream receives typed events (content / tc_start /
+        tc_args dicts) instead of raw text whenever tools are in play."""
+        if plan is None or stream_cb is None:
+            return stream_cb, lambda: None
+        from .toolcall import StreamingToolCallParser
+
+        parser = StreamingToolCallParser(plan)
+
+        def wrapped(token, piece):
+            for ev in parser.feed(piece):
+                stream_cb(token, ev)
+
+        def flush():
+            for ev in parser.finish():
+                stream_cb(None, ev)
+
+        return wrapped, flush
 
     def handle_anthropic_messages(self, body: dict, client: str, stream_cb=None) -> dict:
         """Anthropic Messages API compatibility (/v1/messages)."""
@@ -287,7 +310,9 @@ class ServerApp:
             inner["grammar"] = plan.grammar
             inner["grammar_lazy"] = plan.grammar_lazy
             inner["grammar_triggers"] = plan.triggers
+        stream_cb, flush = self._tool_stream(plan, stream_cb)
         out = self.handle_completion(inner, client, stream_cb)
+        flush()
         stop_map = {"stop": "end_turn", "length": "max_tokens"}
         text = out["choices"][0]["text"]
         content_blocks: list[dict] = []
@@ -730,6 +755,7 @@ def make_handler(app: ServerApp):
                 self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
 
             rid = uuid.uuid4().hex[:24]
+            astream = _AnthropicBlockStream() if anthropic else None
             if anthropic:
                 send_event(json.dumps({"type": "message_start", "message": {
                     "id": "msg_" + rid, "type": "message", "role": "assistant",
@@ -742,11 +768,17 @@ def make_handler(app: ServerApp):
                 item = q.get()
                 if item is done:
                     break
-                send_event(chunk_fn(rid, item))
+                if anthropic:
+                    for data, ev in astream.events(item):
+                        send_event(data, ev)
+                else:
+                    data = chunk_fn(rid, item)
+                    if data is not None:
+                        send_event(data)
             final = result_holder.get("result")
             if anthropic:
-                send_event(json.dumps({"type": "content_block_stop", "index": 0}),
-                           "content_block_stop")
+                for data, ev in astream.close():
+                    send_event(data, ev)
                 usage = (final or {}).get("usage", {})
                 send_event(json.dumps({"type": "message_delta",
                                         "delta": {"stop_reason": (final or {}).get("stop_reason", "end_turn")},
@@ -770,17 +802,96 @@ def make_handler(app: ServerApp):
 
         @staticmethod
         def _sse_chat_chunk(rid, piece):
+            # typed events from the streaming tool-call splitter
+            if isinstance(piece, dict):
+                ev = piece["ev"]
+                if ev == "content":
+                    if not piece["text"]:
+                        return None
+                    delta = {"content": piece["text"]}
+                elif ev == "tc_start":
+                    delta = {"tool_calls": [{
+                        "index": piece["index"], "id": piece["id"],
+                        "type": "function",
+                        "function": {"name": piece["name"], "arguments": ""},
+                    }]}
+                else:  # tc_args
+                    delta = {"tool_calls": [{
+                        "index": piece["index"],
+                        "function": {"arguments": piece["delta"]},
+                    }]}
+            else:
+                delta = {"content": piece}
             return json.dumps({"id": rid, "object": "chat.completion.chunk",
-                                "choices": [{"index": 0,
-                                              "delta": {"content": piece},
+                                "choices": [{"index": 0, "delta": delta,
                                               "finish_reason": None}]})
 
         @staticmethod
-        def _sse_anthropic_events(rid, piece):
+        def _sse_anthropic_events(rid, piece):  # kept for non-tool routes
             return json.dumps({"type": "content_block_delta", "index": 0,
                                 "delta": {"type": "text_delta", "text": piece}})
 
     return Handler
+
+
+class _AnthropicBlockStream:
+    """Anthropic SSE content-block bookkeeping: text deltas ride the open
+    text block; tool events open/close `tool_use` blocks with
+    `input_json_delta` argument fragments (Messages API streaming shape)."""
+
+    def __init__(self):
+        self.index = 0          # block 0 (text) is opened by the caller
+        self.open = True
+        self.block_type = "text"
+
+    def _stop(self):
+        self.open = False
+        return (json.dumps({"type": "content_block_stop",
+                            "index": self.index}), "content_block_stop")
+
+    def events(self, item):
+        out = []
+        if isinstance(item, str) or (isinstance(item, dict)
+                                     and item.get("ev") == "content"):
+            text = item if isinstance(item, str) else item["text"]
+            if not text:
+                return out
+            if self.block_type != "text" or not self.open:
+                if self.open:
+                    out.append(self._stop())
+                self.index += 1
+                self.block_type = "text"
+                self.open = True
+                out.append((json.dumps(
+                    {"type": "content_block_start", "index": self.index,
+                     "content_block": {"type": "text", "text": ""}}),
+                    "content_block_start"))
+            out.append((json.dumps(
+                {"type": "content_block_delta", "index": self.index,
+                 "delta": {"type": "text_delta", "text": text}}),
+                "content_block_delta"))
+        elif item["ev"] == "tc_start":
+            if self.open:
+                out.append(self._stop())
+            self.index += 1
+            self.block_type = "tool_use"
+            self.open = True
+            out.append((json.dumps(
+                {"type": "content_block_start", "index": self.index,
+                 "content_block": {"type": "tool_use",
+                                    "id": "toolu_" + item["id"][5:],
+                                    "name": item["name"], "input": {}}}),
+                "content_block_start"))
+        elif item["ev"] == "tc_args":
+            out.append((json.dumps(
+                {"type": "content_block_delta", "index": self.index,
+                 "delta": {"type": "input_json_delta",
+                           "partial_json": item["delta"]}}),
+                "content_block_delta"))
+        return out
+
+    def close(self):
+        return [self._stop()] if self.open else []
 
 
 class Server:

@@ -149,6 +149,206 @@ def _json_objects(text: str) -> list[tuple[Any, int, int]]:
     return out
 
 
+class StreamingToolCallParser:
+    """Incremental stream splitter: content deltas vs tool-call deltas.
+
+    Counterpart of the reference's streaming chat parsers
+    (common/chat-parser.cpp + common/json-partial.cpp): feeds of generated
+    text pieces are split into
+
+      {"ev": "content",  "text": str}
+      {"ev": "tc_start", "index": i, "id": "call_…", "name": str}
+      {"ev": "tc_args",  "index": i, "delta": str}   # raw-JSON fragment
+
+    Tool-call syntax never leaks into content events, and content that might
+    be the start of a trigger marker is held back until disambiguated.
+    ``arguments`` deltas are raw spans of the source buffer (monotonic across
+    feeds), so their concatenation is exactly the model's argument JSON.
+    """
+
+    def __init__(self, plan: ToolPlan):
+        self.plan = plan
+        self.buf = ""
+        self.pos = 0                 # consumed prefix (emitted or skipped)
+        self.mode = "content"        # content | lead | call | close
+        self.args_key = ("parameters" if plan.fmt == FORMAT_LLAMA3
+                         else "arguments")
+        self.index = -1
+        self.call_start = 0
+        self.name_emitted = False
+        self.args_emitted = 0
+        self.ids: list[str] = []
+
+    # ------------------------------------------------------------- helpers
+
+    def _lit(self) -> str | None:
+        return {"hermes": "<tool_call>", "mistral": "[TOOL_CALLS]"}.get(
+            self.plan.fmt)
+
+    def _holdback(self, text: str) -> int:
+        """Length of the tail of `text` that could still become a trigger."""
+        lit = self._lit()
+        if lit is not None:
+            for k in range(min(len(lit) - 1, len(text)), 0, -1):
+                if lit.startswith(text[-k:]):
+                    return k
+            return 0
+        # generic/llama3: a bare `{ "name" :` object start
+        brace = text.rfind("{")
+        if brace == -1:
+            return 0
+        squeezed = "".join(text[brace:].split())
+        if '{"name":'.startswith(squeezed) or squeezed.startswith('{"name":'):
+            return len(text) - brace
+        return 0
+
+    def _events_for_call(self) -> list[dict]:
+        """Emit name/args deltas for the call object at self.call_start."""
+        from .json_partial import object_items, scan_value, skip_ws
+
+        evs: list[dict] = []
+        s = self.buf
+        start = skip_ws(s, self.call_start)
+        if start >= len(s) or s[start] != "{":
+            return evs
+        self.call_start = start
+        for key, vs, ve, vok in object_items(s, start):
+            if key == "name" and not self.name_emitted and vok:
+                name = json.loads(s[vs:ve])
+                cid = "call_" + uuid.uuid4().hex[:16]
+                self.ids.append(cid)
+                evs.append({"ev": "tc_start", "index": self.index,
+                            "id": cid, "name": name})
+                self.name_emitted = True
+            elif key == self.args_key and self.name_emitted:
+                raw = s[vs:ve]
+                if len(raw) > self.args_emitted:
+                    evs.append({"ev": "tc_args", "index": self.index,
+                                "delta": raw[self.args_emitted:]})
+                    self.args_emitted = len(raw)
+        end, complete = scan_value(s, start)
+        if complete:
+            self.pos = end
+            self.mode = "close"
+        return evs
+
+    # --------------------------------------------------------------- feeds
+
+    def feed(self, piece: str) -> list[dict]:
+        self.buf += piece
+        evs: list[dict] = []
+        from .json_partial import skip_ws
+
+        progressing = True
+        while progressing:
+            progressing = False
+            s, p = self.buf, self.pos
+            if self.mode == "content":
+                lit = self._lit()
+                pending = s[p:]
+                hit = pending.find(lit) if lit else self._generic_hit(pending)
+                if hit >= 0:
+                    if pending[:hit]:
+                        evs.append({"ev": "content", "text": pending[:hit]})
+                    self.pos = p + hit
+                    self.mode = "lead"
+                    progressing = True
+                else:
+                    keep = self._holdback(pending)
+                    emit = pending[: len(pending) - keep]
+                    if emit:
+                        evs.append({"ev": "content", "text": emit})
+                        self.pos = p + len(emit)
+            elif self.mode == "lead":
+                lit = self._lit()
+                if lit:
+                    if len(s) - p < len(lit):
+                        break
+                    p += len(lit)
+                j = skip_ws(s, p)
+                if self.plan.fmt == FORMAT_MISTRAL:
+                    if j < len(s) and s[j] == "[":
+                        j = skip_ws(s, j + 1)
+                    elif j >= len(s):
+                        break
+                if j < len(s) and s[j] == "{":
+                    self.index += 1
+                    self.call_start = j
+                    self.name_emitted = False
+                    self.args_emitted = 0
+                    self.mode = "call"
+                    self.pos = j
+                    progressing = True
+                elif j < len(s):
+                    # false trigger (e.g. bare '{' that never forms a call):
+                    # emit the lead verbatim as content
+                    self.mode = "content"
+                    evs.append({"ev": "content", "text": s[self.pos:j or None]})
+                    self.pos = max(j, self.pos + 1)
+                    progressing = True
+            elif self.mode == "call":
+                got = self._events_for_call()
+                evs.extend(got)
+                progressing = self.mode == "close"
+            elif self.mode == "close":
+                j = skip_ws(s, p)
+                if self.plan.fmt == FORMAT_HERMES:
+                    tail = "</tool_call>"
+                    if s.startswith(tail, j):
+                        self.pos = j + len(tail)
+                        self.mode = "content"
+                        progressing = True
+                    elif len(s) - j >= len(tail) or not tail.startswith(
+                            s[j:j + len(tail)]):
+                        self.mode = "content"  # malformed close; move on
+                        progressing = True
+                elif self.plan.fmt == FORMAT_MISTRAL:
+                    if j < len(s) and s[j] == ",":
+                        k = skip_ws(s, j + 1)
+                        if k < len(s) and s[k] == "{":
+                            self.index += 1
+                            self.call_start = k
+                            self.name_emitted = False
+                            self.args_emitted = 0
+                            self.mode = "call"
+                            self.pos = k
+                            progressing = True
+                    elif j < len(s) and s[j] == "]":
+                        self.pos = j + 1
+                        self.mode = "content"
+                        progressing = True
+                    elif j < len(s):
+                        self.mode = "content"
+                        progressing = True
+                else:
+                    self.mode = "content"
+                    progressing = True
+        return evs
+
+    def _generic_hit(self, pending: str) -> int:
+        m = re.search(r'\{\s*"name"\s*:', pending)
+        return m.start() if m else -1
+
+    def finish(self) -> list[dict]:
+        """Flush: held-back content, and any still-open call's raw args."""
+        evs: list[dict] = []
+        if self.mode == "call":
+            evs.extend(self._events_for_call())
+            if self.mode == "call" and self.name_emitted:
+                # stream whatever raw args text exists past the last span end
+                from .json_partial import object_items
+                for key, vs, ve, _ in object_items(self.buf, self.call_start):
+                    if key == self.args_key and ve - vs > self.args_emitted:
+                        evs.append({"ev": "tc_args", "index": self.index,
+                                    "delta": self.buf[vs + self.args_emitted:ve]})
+                        self.args_emitted = ve - vs
+            self.pos = len(self.buf)
+        if self.mode == "content" and self.pos < len(self.buf):
+            evs.append({"ev": "content", "text": self.buf[self.pos:]})
+            self.pos = len(self.buf)
+        return evs
+
+
 def parse_tool_calls(plan: ToolPlan, text: str) -> tuple[str, list[dict]]:
     """Split generated text into (content, tool_calls)."""
     calls: list[dict] = []

@@ -242,6 +242,67 @@ def test_tool_calls_forced(server):
     assert "q" in args and isinstance(args["q"], str)
 
 
+def test_tool_calls_streaming(server):
+    """stream=True with tools: SSE deltas carry delta.tool_calls entries
+    (name once, then raw-JSON argument fragments) and no tool syntax leaks
+    into content deltas (streaming chat-parser counterpart)."""
+    tools = [{"type": "function", "function": {
+        "name": "lookup", "description": "Look something up",
+        "parameters": {"type": "object",
+                       "properties": {"q": {"type": "string", "maxLength": 12}},
+                       "required": ["q"], "additionalProperties": False}}}]
+    raw = _req(server.port, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "Find cats"}],
+        "tools": tools, "tool_choice": "required",
+        "max_tokens": 64, "temperature": 0.8, "seed": 5, "stream": True,
+    }, headers=AUTH, raw=True)
+    deltas = [json.loads(l[6:]) for l in raw.decode().splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    content = ""
+    names, args = [], ""
+    for d in deltas:
+        delta = d["choices"][0]["delta"]
+        content += delta.get("content") or ""
+        for tc in delta.get("tool_calls", []):
+            if "name" in tc.get("function", {}):
+                names.append(tc["function"]["name"])
+                assert tc["id"].startswith("call_")
+                assert tc["index"] == 0
+            args += tc.get("function", {}).get("arguments", "")
+    assert names == ["lookup"]
+    assert "q" in json.loads(args)
+    assert "{" not in content and "name" not in content
+
+
+def test_anthropic_tool_use_streaming(server):
+    raw = _req(server.port, "/v1/messages", {
+        "model": "tiny-test", "max_tokens": 64, "stream": True,
+        "messages": [{"role": "user", "content": "Find dogs"}],
+        "tools": [{"name": "search", "description": "Search",
+                   "input_schema": {"type": "object",
+                                    "properties": {"q": {"type": "string", "maxLength": 10}},
+                                    "required": ["q"], "additionalProperties": False}}],
+        "tool_choice": {"type": "any"},
+        "temperature": 0.8,
+    }, headers={"Authorization": "Bearer sk-good"}, raw=True)
+    events = [json.loads(l[6:]) for l in raw.decode().splitlines()
+              if l.startswith("data: ")]
+    starts = [e for e in events if e["type"] == "content_block_start"
+              and e["content_block"]["type"] == "tool_use"]
+    assert starts and starts[0]["content_block"]["name"] == "search"
+    idx = starts[0]["index"]
+    frags = "".join(e["delta"]["partial_json"] for e in events
+                    if e["type"] == "content_block_delta"
+                    and e["index"] == idx
+                    and e["delta"]["type"] == "input_json_delta")
+    assert isinstance(json.loads(frags).get("q"), str)
+    # every started block is stopped
+    stops = {e["index"] for e in events if e["type"] == "content_block_stop"}
+    assert {e["index"] for e in events
+            if e["type"] == "content_block_start"} <= stops
+    assert [e for e in events if e["type"] == "message_stop"]
+
+
 def test_anthropic_tool_use(server):
     out = _req(server.port, "/v1/messages", {
         "model": "tiny-test", "max_tokens": 64,
