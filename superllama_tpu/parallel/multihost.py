@@ -60,6 +60,44 @@ def make_multihost_mesh(tp: int | None = None, sp: int = 1, ep: int = 1) -> Mesh
     return Mesh(devs, ("dp", "sp", "tp", "ep"))
 
 
+def make_pod_mesh(dp: int = 1, sp: int = 1, tp: int | None = None,
+                  ep: int = 1) -> Mesh:
+    """Mesh over ALL chips of a multi-host pod slice. Inside a TPU slice ICI
+    spans hosts, so tp/ep axes may legitimately cross process boundaries —
+    the layout for serving one model larger than a single host's HBM
+    (BASELINE config 5, Llama-70B class on N≥2 hosts). Contrast
+    make_multihost_mesh, which pins dp to the host boundary (DCN)."""
+    n = jax.device_count()
+    tp = tp or n // (dp * sp * ep)
+    assert dp * sp * tp * ep == n, (
+        f"dp*sp*tp*ep = {dp * sp * tp * ep} must equal global chips {n}")
+    devs = np.array(jax.devices()).reshape(dp, sp, tp, ep)
+    return Mesh(devs, ("dp", "sp", "tp", "ep"))
+
+
+def broadcast_from_primary(tree):
+    """Lockstep request distribution: every process must feed the same
+    jitted steps, so the serving host (process 0) broadcasts request data
+    (token batches, sampling params) to all others before each step batch.
+    The counterpart of the reference's RPC SET_TENSOR push
+    (ggml-rpc.cpp RPC_CMD_SET_TENSOR) — but one collective, not per-tensor
+    socket writes."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place host-local arrays as mesh-replicated global arrays (needed for
+    pytrees created outside the sharded load path, e.g. a fresh KV cache,
+    when running multi-process)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, tree)
+
+
 def is_primary() -> bool:
     """True on the host that should bind the public server port / write
     checkpoints (process 0)."""
