@@ -87,6 +87,7 @@ class HParams:
     n_norm_groups: int = 32
     f_norm_group_eps: float = 1e-6
     # hybrid (jamba-family): per-layer attention head counts; 0 = SSM layer
+    n_head_arr: list[int] | None = None  # per-layer query heads (deci/openelm)
     n_head_kv_arr: list[int] | None = None
     n_ff_arr: list[int] | None = None  # per-layer FFN width (nemotron-h: 0 on
                                        # ssm/attention layers)
@@ -106,6 +107,11 @@ class HParams:
     # misc
     f_embedding_scale: float = 1.0
     extra: dict[str, Any] = field(default_factory=dict)
+
+    def n_head_il(self, il: int) -> int:
+        if self.n_head_arr is not None:
+            return self.n_head_arr[il]
+        return self.n_head
 
     def n_head_kv_il(self, il: int) -> int:
         if self.n_head_kv_arr is not None:
@@ -191,6 +197,8 @@ ROPE_TYPE_BY_ARCH = {
     "arctic": 0, "chameleon": 0, "grok": 2,
     "bailingmoe": 0, "mistral3": 0, "plm": 0,
     "smallthinker": 2, "maincoder": 0, "pangu-embedded": 2, "bitnet": 2,
+    "openelm": 2, "plamo": 2, "minimax-m2": 2, "bailingmoe2": 2,
+    "exaone-moe": 2, "grovemoe": 2, "afmoe": 2, "mimo2": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -226,7 +234,10 @@ LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
 # use_parallel_residual KV). Whether the FFN shares the attn norm output is
 # tensor-driven (ffn_norm present or not).
 PARALLEL_RES_BY_ARCH = {"gptneox": True, "falcon": True, "phi2": True,
-                        "command-r": True, "cohere2": True}
+                        "command-r": True, "cohere2": True,
+                        # plamo: ffn reads the attn-norm output, one residual
+                        # add of attn+ffn (plamo.cpp:78-92)
+                        "plamo": True}
 
 # archs with no rotary embedding (learned/alibi positions instead)
 NO_ROPE_ARCHS = {"gpt2", "starcoder", "bloom", "mpt", "jais", "refact"}
@@ -240,7 +251,13 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     md = reader.metadata
     arch = md["general.architecture"]
     n_embd = int(_k(md, arch, "embedding_length"))
-    n_head = int(_k(md, arch, "attention.head_count", 0))
+    h_raw = _k(md, arch, "attention.head_count", 0)
+    n_head_arr = None
+    if isinstance(h_raw, (list, tuple)) or getattr(h_raw, "ndim", 0) == 1:
+        n_head_arr = [int(x) for x in h_raw]     # per-layer (deci/openelm)
+        n_head = max(n_head_arr)
+    else:
+        n_head = int(h_raw)
     hkv_raw = _k(md, arch, "attention.head_count_kv", n_head)
     n_head_kv_arr = None
     if isinstance(hkv_raw, (list, tuple)) or getattr(hkv_raw, 'ndim', 0) == 1:  # per-layer array
@@ -310,6 +327,7 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         wkv_head_size=int(_k(md, arch, "wkv.head_size", 0)),
         rescale_every_n_layers=int(_k(md, arch, "rescale_every_n_layers", 0)),
         token_shift_count=int(_k(md, arch, "token_shift_count", 2)),
+        n_head_arr=n_head_arr,
         n_head_kv_arr=n_head_kv_arr,
     )
     hp.norm_type = "ln" if arch in LN_ARCHS else "rms"
@@ -324,6 +342,10 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.expert_gating_softmax = int(egf) != 2
     elif arch in ("smallthinker", "lfm2moe"):
         hp.expert_gating_softmax = False  # sigmoid default (llama-model.cpp)
+    if arch == "mimo2":
+        # the builder hardcodes sigmoid gating regardless of the KV
+        # (mimo2-iswa.cpp build_moe_ffn call)
+        hp.expert_gating_softmax = False
     if arch == "smallthinker":
         hp.extra["moe_router_prenorm"] = True  # routes from the layer input
         hp.extra["no_rope_mod_zero"] = True    # no-rope at il % step == 0
@@ -347,10 +369,42 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     swp = _k(md, arch, "attention.sliding_window_pattern")
     if swp is not None and not isinstance(swp, (int, float)):
         hp.extra["swa_layers"] = [bool(x) for x in swp]  # olmo3-style array
-    if arch == "glm4moe":
+    if arch in ("glm4moe", "bailingmoe2", "exaone-moe"):
         # NextN/MTP prediction layers ride at the end of the stack but are
         # not run by the forward pass (glm4-moe.cpp:31 n_transformer_layers)
         hp.n_layer -= int(_k(md, arch, "nextn_predict_layers", 0) or 0)
+    if arch in ("exaone4", "exaone-moe"):
+        # rope applies ONLY on sliding-window layers; full-attention layers
+        # are NoPE (exaone4.cpp:34, exaone-moe.cpp:19 is_local_layer)
+        hp.extra["rope_swa_only"] = True
+        if arch == "exaone-moe":
+            # SWA always on: window 128 default, 3-sliding/1-full pattern
+            # (llama-model.cpp LLM_ARCH_EXAONE_MOE case)
+            hp.swa_window = int(
+                _k(md, arch, "attention.sliding_window", 128) or 128)
+            hp.swa_pattern = 4
+    if arch == "afmoe":
+        # MuP embedding scale baked in the builder (afmoe.cpp:14); ISWA
+        # 3-sliding/1-full when a window ships; sigmoid gating default;
+        # every-4th-layer NoPE via no_rope_layer_step-style gating
+        hp.f_embedding_scale = float(n_embd) ** 0.5
+        if hp.swa_window > 0:
+            hp.swa_pattern = 4
+        if egf is None:
+            hp.expert_gating_softmax = False
+        # every 4th layer is NoPE: the builder reads the hparams default
+        # (llama-hparams.h:171 n_no_rope_layer_step = 4, smollm3 semantics)
+        hp.n_no_rope_layer_step = 4
+    if arch == "grovemoe":
+        # adjugate ("chunk") experts: big-expert id // n_group_experts selects
+        # the chunk expert; output added with expert_group_scale
+        # (grovemoe.cpp:104-117, build_moe_ffn GROVEMOE branches)
+        hp.extra["grove"] = {
+            "n_group_experts": int(_k(md, arch, "experts_per_group", 1) or 1),
+            "scale": float(_k(md, arch, "expert_group_scale", 0.05) or 0.05),
+        }
+        hp.extra["moe_select_sigmoid"] = True  # selection on sigmoid(logits),
+        hp.expert_gating_softmax = True        # weights from softmax(logits)
     if arch == "llama4":
         hp.n_no_rope_layer_step = int(_k(md, arch, "no_rope_layer_step", 4))
         hp.expert_gating_softmax = False

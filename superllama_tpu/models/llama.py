@@ -164,19 +164,16 @@ def _moe_shared_expert(x: jax.Array, layer: dict, hp: HParams, out: jax.Array):
     return out
 
 
-def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams,
-                   router_x: jax.Array | None = None) -> jax.Array:
-    """Grouped-GEMM MoE: compute ONLY the K routed experts per token.
-
-    The TPU analog of the reference's indexed expert GEMMs (ggml mul_mat_id /
-    ggml-cuda topk-moe + mmid): token rows are sorted by expert and fed to
-    ``jax.lax.ragged_dot`` (Mosaic grouped matmul), so FLOPs are S·K·D·F
-    instead of the dense path's S·E·D·F — the K/E reduction that makes
-    Mixtral-class serving viable (BASELINE config 4)."""
+def _experts_apply(x: jax.Array, top_w: jax.Array, top_i: jax.Array,
+                   layer: dict, hp: HParams, bank: str = "exps",
+                   n_expert: int | None = None) -> jax.Array:
+    """Run the routed experts of ``layer[f"ffn_*_{bank}"]`` over x with
+    grouped GEMMs (jax.lax.ragged_dot) given selection (top_w, top_i).
+    Duplicate expert ids per token (grovemoe chunk mapping) accumulate."""
     B, T, Dm = x.shape
-    E, K = hp.n_expert, hp.n_expert_used
+    E = n_expert or hp.n_expert
+    K = top_i.shape[-1]
     S = B * T
-    _, top_w, top_i = _moe_route(x, layer, hp, router_x)
     xf = x.reshape(S, Dm)
     ei = top_i.reshape(S * K)
     order = jnp.argsort(ei)                     # stable: keeps token order
@@ -189,23 +186,68 @@ def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams,
         xs = xs * w_s[:, None].astype(xs.dtype)
     counts = jnp.bincount(ei, length=E)
     f32 = jnp.float32
-    gate = jax.lax.ragged_dot(xs, layer["ffn_gate_exps"], counts,
+    gate = jax.lax.ragged_dot(xs, layer[f"ffn_gate_{bank}"], counts,
                               preferred_element_type=f32)
-    up = jax.lax.ragged_dot(xs, layer["ffn_up_exps"], counts,
+    up = jax.lax.ragged_dot(xs, layer[f"ffn_up_{bank}"], counts,
                             preferred_element_type=f32)
-    if "ffn_gate_exps_b" in layer:
-        gate = gate + layer["ffn_gate_exps_b"][ei_s]
-    if "ffn_up_exps_b" in layer:
-        up = up + layer["ffn_up_exps_b"][ei_s]
+    if f"ffn_gate_{bank}_b" in layer:
+        gate = gate + layer[f"ffn_gate_{bank}_b"][ei_s]
+    if f"ffn_up_{bank}_b" in layer:
+        up = up + layer[f"ffn_up_{bank}_b"][ei_s]
     act = _glu(gate.astype(x.dtype), up.astype(x.dtype), hp)
-    down = jax.lax.ragged_dot(act, layer["ffn_down_exps"], counts,
+    down = jax.lax.ragged_dot(act, layer[f"ffn_down_{bank}"], counts,
                               preferred_element_type=f32)
-    if "ffn_down_exps_b" in layer:
-        down = down + layer["ffn_down_exps_b"][ei_s]
+    if f"ffn_down_{bank}_b" in layer:
+        down = down + layer[f"ffn_down_{bank}_b"][ei_s]
     contrib = down if before else down * w_s[:, None]
     y = jnp.zeros((S, down.shape[-1]), f32).at[tok].add(contrib)
-    out = y.astype(x.dtype).reshape(B, T, -1)
+    return y.astype(x.dtype).reshape(B, T, -1)
+
+
+def moe_ffn_sparse(x: jax.Array, layer: dict, hp: HParams,
+                   router_x: jax.Array | None = None) -> jax.Array:
+    """Grouped-GEMM MoE: compute ONLY the K routed experts per token.
+
+    The TPU analog of the reference's indexed expert GEMMs (ggml mul_mat_id /
+    ggml-cuda topk-moe + mmid): token rows are sorted by expert and fed to
+    ``jax.lax.ragged_dot`` (Mosaic grouped matmul), so FLOPs are S·K·D·F
+    instead of the dense path's S·E·D·F — the K/E reduction that makes
+    Mixtral-class serving viable (BASELINE config 4)."""
+    _, top_w, top_i = _moe_route(x, layer, hp, router_x)
+    out = _experts_apply(x, top_w, top_i, layer, hp)
     return _moe_shared_expert(x, layer, hp, out)
+
+
+def grove_moe(x: jax.Array, layer: dict, hp: HParams,
+              router_x: jax.Array | None = None) -> jax.Array:
+    """GroveMoE adjugate experts (grovemoe.cpp:84-120 + the GROVEMOE
+    branches in build_moe_ffn): selection on sigmoid(logits), combine
+    weights from softmax(logits) renormalized; the chunk ("adjugate")
+    expert bank then runs on the FIRST pass's output, routed by big-expert
+    id // n_group_experts with weights read at the chunk-id positions, and
+    is added with expert_group_scale."""
+    g = hp.extra["grove"]
+    ng, scale = g["n_group_experts"], g["scale"]
+    E, K = hp.n_expert, hp.n_expert_used
+    n_chunk = E // ng
+    logits = mm(x if router_x is None else router_x,
+                layer["ffn_gate_inp"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    sel = jax.nn.sigmoid(logits)
+
+    _, ti = jax.lax.top_k(sel, K)
+    w = jnp.take_along_axis(probs, ti, axis=-1)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    first = _experts_apply(x, w, ti, layer, hp)
+
+    k2 = min(K, n_chunk)
+    _, ti2 = jax.lax.top_k(sel, k2)
+    ci = ti2 // ng                              # chunk expert per selection
+    w2 = jnp.take_along_axis(probs, ci, axis=-1)
+    w2 = w2 / jnp.sum(w2, axis=-1, keepdims=True)
+    second = _experts_apply(first, w2, ci, layer, hp, bank="chexps",
+                            n_expert=n_chunk)
+    return first + scale * second
 
 
 def moe_ffn(x: jax.Array, layer: dict, hp: HParams,
@@ -221,6 +263,8 @@ def moe_ffn(x: jax.Array, layer: dict, hp: HParams,
     hp.expert_weights_norm; gpt-oss's softmax(top-k(logits)) is
     algebraically the renormalized form.
     """
+    if "ffn_up_chexps" in layer:               # grovemoe adjugate experts
+        return grove_moe(x, layer, hp, router_x)
     if not hp.extra.get("moe_dense"):
         return moe_ffn_sparse(x, layer, hp, router_x)
     return moe_ffn_dense(x, layer, hp, router_x)
@@ -402,7 +446,33 @@ def llama_forward(
     for il, layer in enumerate(params["layers"]):
         pfx = f"blk.{il}."
         x_in = x                             # pre-attention residual (arctic)
+        # per-layer head/FFN widths (deci/openelm/mimo2: GGUF array KVs)
+        H_l, Hkv_l = hp.n_head_il(il), hp.n_head_kv_il(il)
+        if hp.n_head_arr is not None and hp.n_ff_il(il) == 0 and H_l > 0:
+            # deci FFN-free layer (Nemotron-Ultra): the reference builder
+            # computes attention but `continue`s BEFORE the residual add and
+            # before inpL is updated (deci.cpp:96-99) — the layer is a no-op
+            # on the hidden state, so skip it entirely
+            continue
         h = x if swin else _norm(x, layer, "attn_norm", hp)
+        if hp.n_head_arr is not None and (H_l == 0 or Hkv_l == 0):
+            if H_l == 0:
+                # deci attention-free layer: FFN on the raw layer input
+                # (deci.cpp:35 cur=inpL; no attention residual)
+                attn = None
+                ffn_inp = x
+            else:
+                # deci "linear attention": wo over the attn-norm output
+                # (deci.cpp:43-44), normal residual
+                ffn_inp = x + mm(h, layer["wo"])
+            h2 = _norm(ffn_inp, layer, "ffn_norm", hp)
+            x = ffn_inp + dense_ffn(h2, layer, hp, imatrix, pfx)
+            cv = params.get("cvec")
+            if cv is not None:
+                x = x + cv[il]
+            if hidden_sink is not None:
+                hidden_sink.append(x)
+            continue
 
         _im(imatrix, pfx + "attn_q.weight", h)
         q = mm(h, layer["wq"])
@@ -429,9 +499,12 @@ def llama_forward(
             k = ops.rms_norm(k, layer["attn_k_norm"], hp.rms_eps)
         else:
             per_head_qk_norm = qn is not None
-        q = q.reshape(B, T, H, D)
-        k = k.reshape(B, T, Hkv, D)
-        v = v.reshape(B, T, Hkv, Dv)
+        q = q.reshape(B, T, H_l, D)
+        k = k.reshape(B, T, Hkv_l, D)
+        v = v.reshape(B, T, Hkv_l, Dv)
+        if Hkv_l < Hkv:   # pad phantom kv heads up to the cache width
+            pad = ((0, 0), (0, 0), (0, Hkv - Hkv_l), (0, 0))
+            k, v = jnp.pad(k, pad), jnp.pad(v, pad)
         qk_post_rope = hp.extra.get("qk_norm_post_rope")  # maincoder
         if per_head_qk_norm and not qk_post_rope:
             # qwen3-style per-head norms
@@ -445,7 +518,11 @@ def llama_forward(
 
         swa = hp.swa_window if hp.is_swa_layer(il) else 0
         f, ms = (inv_freq_swa, mscale_swa) if swa else (inv_freq, mscale)
-        if hp.extra.get("no_rope_mod_zero"):  # smallthinker: il % step == 0
+        if hp.extra.get("rope_swa_only") and hp.swa_window > 0:
+            # exaone4/exaone-moe: rope ONLY on sliding-window layers; the
+            # global-attention layers are NoPE (exaone4.cpp:34)
+            nope = not hp.is_swa_layer(il)
+        elif hp.extra.get("no_rope_mod_zero"):  # smallthinker: il % step == 0
             nope = (hp.n_no_rope_layer_step > 0
                     and il % hp.n_no_rope_layer_step == 0)
         else:
@@ -505,6 +582,8 @@ def llama_forward(
                 if s_window:   # read-side slot cap (decode-length bucketing)
                     ck, cv, cpos = (ck[:, :, :s_window], cv[:, :, :s_window],
                                     wpos)
+            if Hkv_l < Hkv:  # strip phantom kv heads (per-layer head counts)
+                ck, cv = ck[:, :Hkv_l], cv[:, :Hkv_l]
             if flash:
                 # Q8_0 caches stream int8 codes into the kernel (per-tile
                 # VMEM dequant — HBM traffic stays 1 byte/element)
@@ -535,7 +614,11 @@ def llama_forward(
                     scale=kq_scale,
                     logit_softcap=hp.attn_logit_softcap, sinks=sinks,
                 )
-        attn = attn.reshape(B, T, H * Dv)
+        attn = attn.reshape(B, T, H_l * Dv)
+        if "attn_gate" in layer:
+            # afmoe: attention output gated by σ(wqkv_gate·attn_norm_out)
+            # BEFORE the o-projection (afmoe.cpp:55,95-100)
+            attn = attn * jax.nn.sigmoid(mm(h, layer["attn_gate"]))
         if "attn_sub_norm" in layer:  # bitnet: RMS before the out-projection
             attn = ops.rms_norm(attn, layer["attn_sub_norm"], hp.rms_eps)
         _im(imatrix, pfx + "attn_output.weight", attn)

@@ -318,6 +318,12 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_k_norm_b": g(p + "attn_k_norm.bias", t=False),
             # arctic parallel-MoE branch norm
             "ffn_norm_exps": g(p + "ffn_norm_exps.weight", t=False),
+            # afmoe attention gate (σ-gated attn output pre-wo)
+            "attn_gate": g(p + "attn_gate.weight"),
+            # grovemoe adjugate ("chunk") expert bank
+            "ffn_gate_chexps": g(p + "ffn_gate_chexps.weight"),
+            "ffn_up_chexps": g(p + "ffn_up_chexps.weight"),
+            "ffn_down_chexps": g(p + "ffn_down_chexps.weight"),
             # bitnet sub-norms (pre-wo / pre-down RMS)
             "attn_sub_norm": g(p + "attn_sub_norm.weight", t=False),
             "ffn_sub_norm": g(p + "ffn_sub_norm.weight", t=False),
@@ -404,8 +410,8 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
         if "wq" not in layer:
             qkv = _get(reader, p + "attn_qkv.weight", dtype, True, None, False)
             if qkv is not None:               # (E_in, (H + 2·Hkv)·D)
-                nq = hp.n_head * hp.head_dim
-                nk = hp.n_head_kv * hp.head_dim
+                nq = hp.n_head_il(il) * hp.head_dim
+                nk = hp.n_head_kv_il(il) * hp.head_dim
                 layer["wq"] = qkv[:, :nq]
                 layer["wk"] = qkv[:, nq:nq + nk]
                 layer["wv"] = qkv[:, nq + nk:]

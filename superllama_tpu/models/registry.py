@@ -52,6 +52,9 @@ for _arch in (
     "arctic", "chameleon", "grok",
     "bailingmoe", "mistral3", "smallthinker", "maincoder", "pangu-embedded",
     "bitnet",
+    # wave 3: per-layer head/FFN arrays, adjugate experts, gated attention
+    "deci", "openelm", "plamo", "minimax-m2", "bailingmoe2", "exaone-moe",
+    "grovemoe", "afmoe", "mimo2",
 ):
     register(_arch, llama_forward)
 

@@ -478,6 +478,332 @@ def spec_pangu():
     return "pangu-embedded", _base_md(E, H, HKV, F, L), p.tensors
 
 
+def _moe_bank(p: P, b: str, NE, FE, E, bank: str = "exps"):
+    p.w(b + f"ffn_gate_{bank}.weight", NE, FE, E)
+    p.w(b + f"ffn_up_{bank}.weight", NE, FE, E)
+    p.w(b + f"ffn_down_{bank}.weight", NE, E, FE)
+
+
+@spec("deci")
+def spec_deci():
+    """DeciLM / Nemotron-51B — per-layer head/FFN arrays with three special
+    layer kinds: attention-free (n_head==0), "linear attention"
+    (n_head_kv==0: wo over the attn-norm output), and FFN-free (the
+    reference builder discards the attention output entirely, deci.cpp:96).
+    Layers: [linear-attn, attention-free, ffn-free, standard] — standard
+    last: the reference's out_ids gather dead-codes (and crashes buffer
+    assignment) when the final layer contributes nothing to the graph."""
+    E, D, F = 64, 16, 128
+    H_arr, HKV_arr, F_arr = [4, 0, 4, 4], [0, 0, 2, 2], [F, F, 0, F]
+    p = P("deci")
+    _head(p, E)
+    for i, (h, hkv, f) in enumerate(zip(H_arr, HKV_arr, F_arr)):
+        b = f"blk.{i}."
+        if h > 0:
+            p.norm(b + "attn_norm.weight", E)
+            if hkv > 0:
+                p.w(b + "attn_q.weight", h * D, E)
+                p.w(b + "attn_k.weight", hkv * D, E)
+                p.w(b + "attn_v.weight", hkv * D, E)
+                p.w(b + "attn_output.weight", E, h * D)
+            else:
+                p.w(b + "attn_output.weight", E, E)
+        if f > 0:
+            p.norm(b + "ffn_norm.weight", E)
+            p.w(b + "ffn_gate.weight", f, E)
+            p.w(b + "ffn_up.weight", f, E)
+            p.w(b + "ffn_down.weight", E, f)
+    md = _base_md(E, 4, 2, F, len(H_arr), D=D)
+    md["attention.head_count"] = H_arr
+    md["attention.head_count_kv"] = HKV_arr
+    md["feed_forward_length"] = F_arr
+    return "deci", md, p.tensors
+
+
+@spec("openelm")
+def spec_openelm():
+    """OpenELM — per-layer head counts and FFN widths, fused wqkv, per-head
+    q/k RMS norms pre-rope, NEOX rope, tied lm head (openelm.cpp;
+    create_tensors llama-model.cpp:4761)."""
+    E, D = 64, 16
+    H_arr, HKV_arr, F_arr = [3, 4], [1, 2], [96, 128]
+    p = P("openelm")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    for i, (h, hkv, f) in enumerate(zip(H_arr, HKV_arr, F_arr)):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", (h + 2 * hkv) * D, E)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.w(b + "attn_output.weight", E, h * D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", f, E)
+        p.w(b + "ffn_up.weight", f, E)
+        p.w(b + "ffn_down.weight", E, f)
+    md = _base_md(E, 4, 2, 128, len(H_arr), D=D)
+    md["attention.head_count"] = H_arr
+    md["attention.head_count_kv"] = HKV_arr
+    md["feed_forward_length"] = F_arr
+    return "openelm", md, p.tensors
+
+
+@spec("plamo")
+def spec_plamo():
+    """PLaMo — parallel attention+FFN both fed from the attn-norm output,
+    single residual add of both branches, NEOX rope over the full head dim
+    (plamo.cpp:78-92)."""
+    E, H, HKV, F, L = 64, 4, 4, 128, 2
+    p = P("plamo")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", HKV * (E // H), E)
+        p.w(b + "attn_v.weight", HKV * (E // H), E)
+        p.w(b + "attn_output.weight", E, E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    return "plamo", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("minimax-m2")
+def spec_minimax_m2():
+    """MiniMax-M2 — full-width q/k RMS norms (over H·D flat, pre-reshape),
+    PARTIAL NORM rope (n_rot < head_dim), all-MoE layers with a selection
+    probs bias (minimax-m2.cpp; create_tensors llama-model.cpp:6727)."""
+    E, H, HKV, L, D = 64, 4, 2, 2, 16
+    NE, KE, FE = 4, 2, 48
+    p = P("minimax-m2")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", H * D)
+        p.norm(b + "attn_k_norm.weight", HKV * D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+        _moe_bank(p, b, NE, FE, E)
+    md = _base_md(E, H, HKV, FE, L, D=D)
+    md["rope.dimension_count"] = 8           # partial rope
+    md["expert_count"] = NE
+    md["expert_used_count"] = KE
+    md["expert_feed_forward_length"] = FE
+    md["expert_gating_func"] = 1             # softmax
+    return "minimax-m2", md, p.tensors
+
+
+@spec("bailingmoe2")
+def spec_bailingmoe2():
+    """BailingMoe2 (Ling-2) — fused wqkv with per-head q/k RMS norms
+    pre-rope (NEOX), dense lead layer, sigmoid-gated MoE with selection
+    bias + weight norm/scale, always-on shared experts, NextN tail layers
+    trimmed (bailingmoe2.cpp; create_tensors llama-model.cpp:6066)."""
+    E, H, HKV, L, D = 64, 4, 2, 2, 16
+    NE, KE, FE, SH = 4, 2, 48, 1
+    p = P("bailingmoe2")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", (H + 2 * HKV) * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        if i == 0:                            # dense lead
+            p.w(b + "ffn_gate.weight", 128, E)
+            p.w(b + "ffn_up.weight", 128, E)
+            p.w(b + "ffn_down.weight", E, 128)
+        else:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+            _moe_bank(p, b, NE, FE, E)
+            p.w(b + "ffn_gate_shexp.weight", FE * SH, E)
+            p.w(b + "ffn_up_shexp.weight", FE * SH, E)
+            p.w(b + "ffn_down_shexp.weight", E, FE * SH)
+    md = _base_md(E, H, HKV, 128, L, D=D)
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE, "expert_shared_count": SH,
+               "expert_shared_feed_forward_length": FE,
+               "leading_dense_block_count": 1, "expert_weights_scale": 1.5,
+               "expert_weights_norm": True, "expert_gating_func": 2,
+               # NextN trim itself is exercised by glm4moe; the reference
+               # requires NextN layers' tensors present even when skipped
+               "nextn_predict_layers": 0})
+    return "bailingmoe2", md, p.tensors
+
+
+@spec("exaone-moe")
+def spec_exaone_moe():
+    """EXAONE-MoE — iSWA (3-sliding/1-full, window forced on) with rope ONLY
+    on the sliding-window layers, per-head q/k norms, dense lead, sigmoid
+    MoE + shared experts (exaone-moe.cpp; llama-model.cpp:1946,5557)."""
+    E, H, HKV, L, D = 64, 4, 2, 4, 16
+    NE, KE, FE, SHF = 4, 2, 48, 96
+    p = P("exaone-moe")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        if i == 0:                            # dense lead
+            p.w(b + "ffn_gate.weight", 128, E)
+            p.w(b + "ffn_up.weight", 128, E)
+            p.w(b + "ffn_down.weight", E, 128)
+        else:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+            _moe_bank(p, b, NE, FE, E)
+            p.w(b + "ffn_gate_shexp.weight", SHF, E)
+            p.w(b + "ffn_up_shexp.weight", SHF, E)
+            p.w(b + "ffn_down_shexp.weight", E, SHF)
+    md = _base_md(E, H, HKV, 128, L, D=D)
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE, "expert_shared_count": 1,
+               "expert_shared_feed_forward_length": SHF,
+               "leading_dense_block_count": 1, "expert_weights_scale": 1.0,
+               "expert_weights_norm": True, "expert_gating_func": 2,
+               "attention.sliding_window": 64})
+    return "exaone-moe", md, p.tensors
+
+
+@spec("grovemoe")
+def spec_grovemoe():
+    """GroveMoE — per-head q/k norms, then TWO expert passes: the main bank
+    (selection on sigmoid(logits), weights from softmax renormalized) and
+    the adjugate "chunk" bank applied to the FIRST pass's output, routed by
+    big-expert id // n_group_experts and scaled by expert_group_scale
+    (grovemoe.cpp:84-120)."""
+    E, H, HKV, L, D = 64, 4, 2, 2, 16
+    NE, KE, FE, NG, FC = 8, 2, 48, 4, 32     # n_chunk = NE/NG = 2
+    p = P("grovemoe")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        _moe_bank(p, b, NE, FE, E)
+        _moe_bank(p, b, NE // NG, FC, E, bank="chexps")
+    md = _base_md(E, H, HKV, 128, L, D=D)
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE,
+               "expert_chunk_feed_forward_length": FC,
+               "experts_per_group": NG, "expert_group_scale": 0.05})
+    return "grovemoe", md, p.tensors
+
+
+@spec("afmoe")
+def spec_afmoe():
+    """AFMoE — MuP sqrt(E) embedding scale, dual pre/post norms around both
+    blocks, per-head q/k norms, σ-gated attention output (attn_gate tensor,
+    pre-wo), iSWA 3-sliding/1-full, sigmoid MoE with selection bias, scale
+    and shared expert (afmoe.cpp; create_tensors llama-model.cpp:6213)."""
+    E, H, HKV, L, D = 64, 4, 2, 4, 16
+    NE, KE, FE = 4, 2, 48
+    p = P("afmoe")
+    p.w("token_embd.weight", V, E, scale=0.02 / 8.0)  # builder scales ×√E=8
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.norm(b + "post_attention_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.w(b + "attn_gate.weight", H * D, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.norm(b + "post_ffw_norm.weight", E)
+        if i == 0:                            # dense lead
+            p.w(b + "ffn_gate.weight", 128, E)
+            p.w(b + "ffn_up.weight", 128, E)
+            p.w(b + "ffn_down.weight", E, 128)
+        else:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+            _moe_bank(p, b, NE, FE, E)
+            p.w(b + "ffn_gate_shexp.weight", FE, E)
+            p.w(b + "ffn_up_shexp.weight", FE, E)
+            p.w(b + "ffn_down_shexp.weight", E, FE)
+    md = _base_md(E, H, HKV, 128, L, D=D)
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE, "expert_shared_count": 1,
+               "leading_dense_block_count": 1, "expert_weights_scale": 2.0,
+               "expert_weights_norm": True, "expert_gating_func": 2,
+               "attention.sliding_window": 64})
+    return "afmoe", md, p.tensors
+
+
+@spec("mimo2")
+def spec_mimo2():
+    """MiMo-2 — per-layer head counts, iSWA via an explicit per-layer
+    sliding-window-pattern array with a separate SWA rope base, attention
+    sinks, per-layer dense-vs-MoE FFN (mimo2-iswa.cpp; create_tensors
+    llama-model.cpp:6906)."""
+    E, D = 64, 16
+    H_arr, HKV_arr = [4, 3, 4], [2, 1, 2]
+    swa_arr = [True, False, True]
+    NE, KE, FE = 4, 2, 48
+    p = P("mimo2")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i, (h, hkv) in enumerate(zip(H_arr, HKV_arr)):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", h * D, E)
+        p.w(b + "attn_k.weight", hkv * D, E)
+        p.w(b + "attn_v.weight", hkv * D, E)
+        p.w(b + "attn_output.weight", E, h * D)
+        p.bias(b + "attn_sinks.weight", h, scale=1.0)
+        p.norm(b + "ffn_norm.weight", E)
+        if i == 0:                            # dense layer
+            p.w(b + "ffn_gate.weight", 128, E)
+            p.w(b + "ffn_up.weight", 128, E)
+            p.w(b + "ffn_down.weight", E, 128)
+        else:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+            _moe_bank(p, b, NE, FE, E)
+    md = _base_md(E, 4, 2, 128, len(H_arr), D=D)
+    md["attention.head_count"] = H_arr
+    md["attention.head_count_kv"] = HKV_arr
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE,
+               "attention.sliding_window": 64,
+               "attention.sliding_window_pattern": swa_arr,
+               "rope.freq_base_swa": 10000.0})
+    return "mimo2", md, p.tensors
+
+
 @spec("orion")
 def spec_orion():
     """Orion-14B (LayerNorm+bias blocks, rope NEOX; src/models/orion.cpp —
