@@ -74,6 +74,8 @@ class HParams:
     n_rel_attn_bkts: int = 0
     dec_n_layer: int = 0
     dec_start_token_id: int = 0
+    # LFM2 shortconv mixer (kernel length; conv state = L_cache - 1 columns)
+    shortconv_l_cache: int = 0
     # RWKV (wkv linear attention)
     wkv_head_size: int = 0
     rescale_every_n_layers: int = 0
@@ -144,9 +146,12 @@ class HParams:
 
     @property
     def is_hybrid(self) -> bool:
-        """Mixed attention + recurrent layers (jamba/falcon-h1-style)."""
+        """Mixed attention + recurrent layers (jamba/falcon-h1/lfm2-style)."""
         if self.arch == "falcon-h1":  # parallel attn+ssm in every layer
             return self.ssm_d_inner > 0
+        if self.shortconv_l_cache > 0:  # lfm2: shortconv + attention layers
+            return (self.n_head_kv_arr is not None
+                    and any(h > 0 for h in self.n_head_kv_arr))
         return (self.ssm_d_inner > 0 and self.n_head_kv_arr is not None
                 and any(h > 0 for h in self.n_head_kv_arr))
 
@@ -199,6 +204,8 @@ ROPE_TYPE_BY_ARCH = {
     "smallthinker": 2, "maincoder": 0, "pangu-embedded": 2, "bitnet": 2,
     "openelm": 2, "plamo": 2, "minimax-m2": 2, "bailingmoe2": 2,
     "exaone-moe": 2, "grovemoe": 2, "afmoe": 2, "mimo2": 2,
+    "lfm2": 2, "lfm2moe": 2, "plamo3": 2, "rnd1": 2, "cogvlm": 2,
+    "gemma-embedding": 2, "rwkv6qwen2": -1,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -324,6 +331,7 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         ssm_n_group=int(_k(md, arch, "ssm.group_count", 0)),
         n_rel_attn_bkts=int(_k(md, arch, "attention.relative_buckets_count", 0)),
         dec_start_token_id=int(_k(md, arch, "decoder_start_token_id", 0)),
+        shortconv_l_cache=int(_k(md, arch, "shortconv.l_cache", 0)),
         wkv_head_size=int(_k(md, arch, "wkv.head_size", 0)),
         rescale_every_n_layers=int(_k(md, arch, "rescale_every_n_layers", 0)),
         token_shift_count=int(_k(md, arch, "token_shift_count", 2)),

@@ -44,12 +44,18 @@ def hybrid_cache_init(hp: HParams, batch: int, max_seq: int,
     attn, rec = hybrid_layer_split(hp)
     from ..runtime.recurrent import recurrent_cache_init
 
+    if hp.shortconv_l_cache > 0:   # lfm2: rolling conv columns, no SSM state
+        rec_cache = recurrent_cache_init(
+            len(rec), batch, hp.shortconv_l_cache, 1, 1, dtype,
+            conv_dim=hp.n_embd)
+    else:
+        rec_cache = recurrent_cache_init(len(rec), batch, hp.ssm_d_conv,
+                                         hp.ssm_d_inner, hp.ssm_d_state,
+                                         dtype, conv_dim=hp.ssm_conv_dim)
     return HybridCache(
         attn=kv_cache_init(len(attn), batch, max_seq, hp.n_head_kv,
                            hp.head_dim, hp.head_dim_v, dtype),
-        rec=recurrent_cache_init(len(rec), batch, hp.ssm_d_conv,
-                                 hp.ssm_d_inner, hp.ssm_d_state, dtype,
-                                 conv_dim=hp.ssm_conv_dim),
+        rec=rec_cache,
     )
 
 

@@ -306,11 +306,13 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "attn_post_norm": _first(
                 g(p + "post_attention_norm.weight", t=False),
                 g(p + "attn_post_norm.weight", t=False),
+                g(p + "post_attention_norm", t=False),   # plamo3: no suffix
                 g(p + "attn_output_norm.weight", t=False)
                 if hp.arch == "grok" else None),
             "ffn_post_norm": _first(
                 g(p + "post_ffw_norm.weight", t=False),
                 g(p + "ffn_post_norm.weight", t=False),
+                g(p + "post_ffw_norm", t=False),          # plamo3: no suffix
                 g(p + "layer_output_norm.weight", t=False)
                 if hp.arch == "grok" else None),
             # chameleon per-head qk LayerNorm biases
@@ -320,6 +322,10 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ffn_norm_exps": g(p + "ffn_norm_exps.weight", t=False),
             # afmoe attention gate (σ-gated attn output pre-wo)
             "attn_gate": g(p + "attn_gate.weight"),
+            # lfm2 shortconv mixer (conv kernel → (L_cache, n_embd))
+            "shortconv_conv": g(p + "shortconv.conv.weight"),
+            "shortconv_in": g(p + "shortconv.in_proj.weight"),
+            "shortconv_out": g(p + "shortconv.out_proj.weight"),
             # grovemoe adjugate ("chunk") expert bank
             "ffn_gate_chexps": g(p + "ffn_gate_chexps.weight"),
             "ffn_up_chexps": g(p + "ffn_up_chexps.weight"),
@@ -427,6 +433,12 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                 layer["ffn_gate"] = up[..., :hp.n_ff]
                 layer["ffn_up"] = up[..., hp.n_ff:]
         params["layers"].append(layer)
+
+    if hp.arch in ("lfm2", "lfm2moe") and params.get("output_norm") is None:
+        # lfm2 ships its FINAL norm under the historical name
+        # "token_embd_norm" (llama-arch.cpp:318 LLM_TENSOR_OUTPUT_NORM_LFM2)
+        params["output_norm"] = params.pop("token_embd_norm")
+        params["token_embd_norm"] = None
 
     md = dict(reader.metadata)
     name = md.get("general.name", "")

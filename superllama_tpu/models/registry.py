@@ -55,6 +55,7 @@ for _arch in (
     # wave 3: per-layer head/FFN arrays, adjugate experts, gated attention
     "deci", "openelm", "plamo", "minimax-m2", "bailingmoe2", "exaone-moe",
     "grovemoe", "afmoe", "mimo2",
+    "plamo3",   # fused qkv + dual post-norms + fused swiglu gate_up
 ):
     register(_arch, llama_forward)
 
@@ -83,8 +84,14 @@ register("rwkv6", rwkv6_forward)
 register("rwkv7", rwkv7_forward)
 register("arwkv7", rwkv7_forward)
 
+from .lfm2 import lfm2_forward  # noqa: E402
+
+register("lfm2", lfm2_forward)
+register("lfm2moe", lfm2_forward)
+
 from .llada import llada_forward  # noqa: E402
 
 register("llada", llada_forward)
 register("llada-moe", llada_forward)
 register("dream", llada_forward)
+register("rnd1", llada_forward)   # qwen3moe-derived diffusion (rnd1.cpp)

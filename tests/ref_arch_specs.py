@@ -804,6 +804,108 @@ def spec_mimo2():
     return "mimo2", md, p.tensors
 
 
+@spec("lfm2")
+def spec_lfm2():
+    """LFM2 — hybrid shortconv/attention stack (per-layer head_count_kv 0 =
+    shortconv layer), per-head q/k norms + NEOX rope on attention layers,
+    final norm shipped as "token_embd_norm" (lfm2.cpp; llama-arch.cpp:318)."""
+    E, H, HKV, F, D, LC = 64, 4, 2, 128, 16, 3
+    HKV_arr = [0, 2, 0, 2]
+    p = P("lfm2")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("token_embd_norm.weight", E)       # the lfm2 FINAL norm
+    for i, hkv in enumerate(HKV_arr):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        if hkv == 0:
+            p.w(b + "shortconv.conv.weight", E, LC, scale=0.5)
+            p.w(b + "shortconv.in_proj.weight", 3 * E, E)
+            p.w(b + "shortconv.out_proj.weight", E, E)
+        else:
+            p.w(b + "attn_q.weight", H * D, E)
+            p.w(b + "attn_k.weight", hkv * D, E)
+            p.w(b + "attn_v.weight", hkv * D, E)
+            p.w(b + "attn_output.weight", E, H * D)
+            p.norm(b + "attn_q_norm.weight", D)
+            p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, HKV, F, len(HKV_arr), D=D)
+    md["attention.head_count_kv"] = HKV_arr
+    md["shortconv.l_cache"] = LC
+    return "lfm2", md, p.tensors
+
+
+@spec("lfm2moe")
+def spec_lfm2moe():
+    """LFM2-MoE — the lfm2 hybrid with sigmoid-gated MoE (+required probs
+    bias) past the dense lead (lfm2.cpp build_moe_feed_forward)."""
+    E, H, HKV, F, D, LC = 64, 4, 2, 128, 16, 3
+    NE, KE, FE = 4, 2, 48
+    HKV_arr = [0, 2, 0]
+    p = P("lfm2moe")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("token_embd_norm.weight", E)
+    for i, hkv in enumerate(HKV_arr):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        if hkv == 0:
+            p.w(b + "shortconv.conv.weight", E, LC, scale=0.5)
+            p.w(b + "shortconv.in_proj.weight", 3 * E, E)
+            p.w(b + "shortconv.out_proj.weight", E, E)
+        else:
+            p.w(b + "attn_q.weight", H * D, E)
+            p.w(b + "attn_k.weight", hkv * D, E)
+            p.w(b + "attn_v.weight", hkv * D, E)
+            p.w(b + "attn_output.weight", E, H * D)
+            p.norm(b + "attn_q_norm.weight", D)
+            p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        if i == 0:                             # dense lead
+            p.w(b + "ffn_gate.weight", F, E)
+            p.w(b + "ffn_up.weight", F, E)
+            p.w(b + "ffn_down.weight", E, F)
+        else:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+            _moe_bank(p, b, NE, FE, E)
+    md = _base_md(E, H, HKV, F, len(HKV_arr), D=D)
+    md["attention.head_count_kv"] = HKV_arr
+    md["shortconv.l_cache"] = LC
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE,
+               "leading_dense_block_count": 1, "expert_gating_func": 2})
+    return "lfm2moe", md, p.tensors
+
+
+@spec("plamo3")
+def spec_plamo3():
+    """PLaMo-3 — fused wqkv (distinct q/v head dims allowed), per-head q/k
+    norms pre-rope (NEOX), dual post-norms named WITHOUT the .weight suffix,
+    fused swiglu gate_up FFN (plamo3.cpp; create_tensors
+    llama-model.cpp:3939)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 64, 2, 16
+    p = P("plamo3")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", (H + 2 * HKV) * D, E)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "post_attention_norm", E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.norm(b + "post_ffw_norm", E)
+        p.w(b + "ffn_up.weight", 2 * F, E)    # fused gate‖up, swiglu split
+        p.w(b + "ffn_down.weight", E, F)
+    return "plamo3", _base_md(E, H, HKV, F, L, D=D), p.tensors
+
+
 @spec("orion")
 def spec_orion():
     """Orion-14B (LayerNorm+bias blocks, rope NEOX; src/models/orion.cpp —

@@ -40,6 +40,29 @@ def test_bidirectional_attention(llada_model):
     assert not np.allclose(np.asarray(l1[0, 0]), np.asarray(l2[0, 0]))
 
 
+def test_rnd1_registered_bidirectional():
+    """RND1 (qwen3moe-derived diffusion, rnd1.cpp): registry resolves to the
+    diffusion forward; MoE + per-head qk norms run; attention is
+    bidirectional."""
+    from superllama_tpu.models.registry import get_forward
+
+    fwd = get_forward("rnd1")
+    hp = tiny_test_hparams(arch="rnd1", n_expert=4, n_expert_used=2,
+                           rope_type=2)
+    params = synthetic_params(hp, dtype=np.float32, seed=11)
+    params = {k: (jnp.asarray(v) if not isinstance(v, list) else
+                  [{a: jnp.asarray(b) for a, b in l.items()} for l in v])
+              for k, v in params.items()}
+    t1 = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    t2 = jnp.asarray([[5, 6, 7, 9]], jnp.int32)
+    l1, _ = fwd(params, hp, t1)
+    l2, _ = fwd(params, hp, t2)
+    assert not np.allclose(np.asarray(l1[0, 0]), np.asarray(l2[0, 0]))
+    out = diffusion_generate(fwd, params, hp, [5, 6], DiffusionParams(
+        steps=3, max_length=8, mask_token_id=MASK))
+    assert MASK not in out
+
+
 @pytest.mark.parametrize("kwargs", [
     dict(),                                            # confidence + timestep
     dict(algorithm=ENTROPY_BASED),
