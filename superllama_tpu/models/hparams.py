@@ -206,6 +206,11 @@ ROPE_TYPE_BY_ARCH = {
     "exaone-moe": 2, "grovemoe": 2, "afmoe": 2, "mimo2": 2,
     "lfm2": 2, "lfm2moe": 2, "plamo3": 2, "rnd1": 2, "cogvlm": 2,
     "gemma-embedding": 2, "rwkv6qwen2": -1,
+    # encoders: nomic/jina-v3/modern-bert rope NEOX; neo-bert NORM;
+    # bert/jina-v2 have no rope (learned positions / ALiBi)
+    "nomic-bert": 2, "nomic-bert-moe": 2, "jina-bert-v3": 2,
+    "modern-bert": 2, "neo-bert": 0, "bert": -1, "jina-bert-v2": -1,
+    "llama-embed": 0,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -213,7 +218,9 @@ ROPE_TYPE_BY_ARCH = {
 # iSWA layer pattern per arch: every Nth layer is full attention
 # (the reference hardcodes these per arch in llama_model::load_hparams)
 SWA_PATTERN_BY_ARCH = {"gemma2": 2, "gemma3": 6, "gpt-oss": 2, "gptoss": 2,
-                       "cohere2": 4}
+                       "cohere2": 4,
+                       # symmetric (bidirectional) windows on encoders
+                       "modern-bert": 3, "gemma-embedding": 6}
 
 # FFN activation per arch (llm_build_* act choices in src/models/).
 # HF "gelu" is erf-based for neox/falcon/mpt; gpt2/phi2/starcoder use the
@@ -235,7 +242,10 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
             "stablelm", "bloom", "mpt", "command-r", "cohere2", "dbrx",
-            "olmo", "refact", "jais", "nemotron", "orion", "codeshell"}
+            "olmo", "refact", "jais", "nemotron", "orion", "codeshell",
+            # encoder family (neo-bert and gemma-embedding are RMS)
+            "bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+            "jina-bert-v3", "modern-bert"}
 
 # parallel-residual archs (default; gptneox models can override via the
 # use_parallel_residual KV). Whether the FFN shares the attn norm output is
@@ -454,6 +464,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         # image-token logits suppressed for text-only output
         # (chameleon.cpp:141-156 img_token range [4, 8196))
         hp.extra["logit_suppress"] = (4, 8196)
+    moe_n = _k(md, arch, "moe_every_n_layers")
+    if moe_n:
+        hp.extra["moe_every_n_layers"] = int(moe_n)   # nomic-bert-moe
     if arch == "grok":
         # grok-1 defaults baked in the loader (llama-model.cpp:795-813)
         hp.f_embedding_scale = float(

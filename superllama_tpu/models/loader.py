@@ -401,7 +401,8 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                 "channel_mix_value": g(p + "channel_mix_value.weight"),
                 "channel_mix_receptance": g(p + "channel_mix_receptance.weight"),
             })
-        if hp.arch in ("bert", "nomic-bert", "jina-bert-v2"):
+        if hp.arch in ("bert", "nomic-bert", "nomic-bert-moe",
+                       "jina-bert-v2", "jina-bert-v3"):
             layer.update({
                 # bert post-norm LayerNorms carry biases under encoder names
                 "attn_post_norm": g(p + "attn_output_norm.weight", t=False),
@@ -410,6 +411,9 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                 "ffn_post_norm_b": g(p + "layer_output_norm.bias", t=False),
                 "ffn_up_b": g(p + "ffn_up.bias", t=False),
                 "ffn_down_b": g(p + "ffn_down.bias", t=False),
+                # jina-v2 second attention norm (double residual)
+                "attn_norm_2": g(p + "attn_norm_2.weight", t=False),
+                "attn_norm_2_b": g(p + "attn_norm_2.bias", t=False),
             })
         layer = {k: v for k, v in layer.items() if v is not None}
         # ecosystem phi3-style fused tensors: split into the standard names
@@ -434,6 +438,10 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                 layer["ffn_up"] = up[..., hp.n_ff:]
         params["layers"].append(layer)
 
+    if hp.arch == "neo-bert" and params.get("output_norm") is None:
+        # neo-bert's final RMS norm ships as enc.output_norm
+        params["output_norm"] = _get(reader, "enc.output_norm.weight",
+                                     dtype, False)
     if hp.arch in ("lfm2", "lfm2moe") and params.get("output_norm") is None:
         # lfm2 ships its FINAL norm under the historical name
         # "token_embd_norm" (llama-arch.cpp:318 LLM_TENSOR_OUTPUT_NORM_LFM2)

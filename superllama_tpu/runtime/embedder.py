@@ -18,7 +18,9 @@ class Embedder:
 
     def __init__(self, model: LoadedModel, pooling: str = "mean",
                  normalize: bool = True):
-        if model.hparams.arch not in ("bert", "nomic-bert", "jina-bert-v2"):
+        from ..models.bert import ENCODER_ARCHS
+
+        if model.hparams.arch not in ENCODER_ARCHS:
             raise ValueError(f"not an encoder arch: {model.hparams.arch}")
         self.model = model
         self.pooling = pooling

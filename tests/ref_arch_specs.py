@@ -921,3 +921,260 @@ def spec_orion():
     del md["attention.layer_norm_rms_epsilon"]
     md["attention.layer_norm_epsilon"] = 1e-5
     return "orion", md, p.tensors
+
+
+# ---------------------------------------------------------------- encoders
+# Specs for the ENCODER oracle (llama-embedding; tests/test_encoder_golden.py).
+# All bidirectional, evaluated with mean pooling + L2 normalization.
+
+ENC_SPECS: dict[str, callable] = {}
+
+
+def enc_spec(name):
+    def deco(fn):
+        ENC_SPECS[name] = fn
+        return fn
+    return deco
+
+
+def _ln(p: P, name: str, dim: int):
+    p.norm(name + ".weight", dim)
+    p.bias(name + ".bias", dim)
+
+
+@enc_spec("bert")
+def enc_bert():
+    """Classic BERT (bert.cpp): learned positions, token types, post-norm
+    LayerNorms with biases, GELU(tanh) no-gate FFN with biases."""
+    E, H, F, L, CTX = 64, 4, 128, 2, 512  # pos table spans n_ctx_train
+    p = P("bert-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.w("token_types.weight", 2, E, scale=0.02)
+    p.w("position_embd.weight", CTX, E, scale=0.02)
+    _ln(p, "token_embd_norm", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.w(b + "attn_q.weight", E, E)
+        p.bias(b + "attn_q.bias", E, scale=0.1)
+        p.w(b + "attn_k.weight", E, E)
+        p.bias(b + "attn_k.bias", E, scale=0.1)
+        p.w(b + "attn_v.weight", E, E)
+        p.bias(b + "attn_v.bias", E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        p.bias(b + "attn_output.bias", E, scale=0.1)
+        _ln(p, b + "attn_output_norm", E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.bias(b + "ffn_up.bias", F, scale=0.1)
+        p.w(b + "ffn_down.weight", E, F)
+        p.bias(b + "ffn_down.bias", E, scale=0.1)
+        _ln(p, b + "layer_output_norm", E)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-12,
+               "attention.causal": False, "pooling_type": 1,
+               "tokenizer.ggml.token_type_count": 2})
+    return "bert", md, p.tensors
+
+
+@enc_spec("nomic-bert")
+def enc_nomic():
+    """nomic-bert: fused wqkv+bias, NEOX rope, silu-gated FFN (no biases),
+    post-norm LayerNorms."""
+    E, H, F, L = 64, 4, 128, 2
+    p = P("nomic-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.w("token_types.weight", 2, E, scale=0.02)
+    _ln(p, "token_embd_norm", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.bias(b + "attn_qkv.bias", 3 * E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        _ln(p, b + "attn_output_norm", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+        _ln(p, b + "layer_output_norm", E)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-12,
+               "attention.causal": False, "pooling_type": 1,
+               "tokenizer.ggml.token_type_count": 2})
+    return "nomic-bert", md, p.tensors
+
+
+@enc_spec("nomic-bert-moe")
+def enc_nomic_moe():
+    """nomic-bert-moe: GELU gate-less MoE on every 2nd layer (il%2==1),
+    GELU-seq dense with biases elsewhere (bert.cpp moe_every_n_layers)."""
+    E, H, F, L, NE, KE = 64, 4, 128, 2, 4, 2
+    p = P("nomic-moe-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.w("token_types.weight", 2, E, scale=0.02)
+    _ln(p, "token_embd_norm", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.bias(b + "attn_qkv.bias", 3 * E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        _ln(p, b + "attn_output_norm", E)
+        if i % 2 == 1:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.w(b + "ffn_up_exps.weight", NE, F, E)
+            p.w(b + "ffn_down_exps.weight", NE, E, F)
+        else:
+            p.w(b + "ffn_up.weight", F, E)
+            p.bias(b + "ffn_up.bias", F, scale=0.1)
+            p.w(b + "ffn_down.weight", E, F)
+            p.bias(b + "ffn_down.bias", E, scale=0.1)
+        _ln(p, b + "layer_output_norm", E)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-12,
+               "attention.causal": False, "pooling_type": 1,
+               "moe_every_n_layers": 2,
+               "tokenizer.ggml.token_type_count": 2,
+               "expert_count": NE, "expert_used_count": KE})
+    return "nomic-bert-moe", md, p.tensors
+
+
+@enc_spec("jina-bert-v2")
+def enc_jina_v2():
+    """jina-bert-v2: ALiBi (no rope/positions), gelu-gated FFN with up/down
+    biases, second attention norm with a double residual."""
+    E, H, F, L = 64, 4, 128, 2
+    p = P("jina2-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.w("token_types.weight", 2, E, scale=0.02)
+    _ln(p, "token_embd_norm", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.w(b + "attn_q.weight", E, E)
+        p.bias(b + "attn_q.bias", E, scale=0.1)
+        p.w(b + "attn_k.weight", E, E)
+        p.bias(b + "attn_k.bias", E, scale=0.1)
+        p.w(b + "attn_v.weight", E, E)
+        p.bias(b + "attn_v.bias", E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        p.bias(b + "attn_output.bias", E, scale=0.1)
+        _ln(p, b + "attn_output_norm", E)
+        _ln(p, b + "attn_norm_2", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.bias(b + "ffn_up.bias", F, scale=0.1)
+        p.w(b + "ffn_down.weight", E, F)
+        p.bias(b + "ffn_down.bias", E, scale=0.1)
+        _ln(p, b + "layer_output_norm", E)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-12,
+               "attention.causal": False, "pooling_type": 1,
+               "tokenizer.ggml.token_type_count": 2})
+    return "jina-bert-v2", md, p.tensors
+
+
+@enc_spec("jina-bert-v3")
+def enc_jina_v3():
+    """jina-bert-v3: NEOX rope + GELU-seq FFN with biases, post-norm."""
+    E, H, F, L = 64, 4, 128, 2
+    p = P("jina3-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    _ln(p, "token_embd_norm", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.bias(b + "attn_qkv.bias", 3 * E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        _ln(p, b + "attn_output_norm", E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.bias(b + "ffn_up.bias", F, scale=0.1)
+        p.w(b + "ffn_down.weight", E, F)
+        p.bias(b + "ffn_down.bias", E, scale=0.1)
+        _ln(p, b + "layer_output_norm", E)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-12,
+               "attention.causal": False, "pooling_type": 1})
+    return "jina-bert-v3", md, p.tensors
+
+
+@enc_spec("modern-bert")
+def enc_modern_bert():
+    """ModernBERT: pre-norm LN (layer 0 ships no attn norm), fused wqkv
+    (no bias), NEOX rope with a separate SWA base, SYMMETRIC sliding window
+    (every 3rd layer global), fused GEGLU FFN, final output_norm."""
+    E, H, F, L = 64, 4, 64, 3
+    p = P("modern-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("token_embd_norm.weight", E)
+    p.norm("output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        if i > 0:
+            p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_up.weight", 2 * F, E)    # fused gate‖up (GEGLU)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-12,
+               "attention.causal": False, "pooling_type": 1,
+               "attention.sliding_window": 8,
+               "attention.sliding_window_pattern": 3,
+               "rope.freq_base_swa": 10000.0})
+    return "modern-bert", md, p.tensors
+
+
+@enc_spec("neo-bert")
+def enc_neo_bert():
+    """NeoBERT: pre-norm RMS, fused wqkv, NORM rope, fused SWIGLU FFN,
+    final enc.output_norm."""
+    E, H, F, L = 64, 4, 64, 2
+    p = P("neo-enc")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("enc.output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_up.weight", 2 * F, E)    # fused gate‖up (SWIGLU)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, H, F, L)
+    md.update({"attention.causal": False, "pooling_type": 1})
+    return "neo-bert", md, p.tensors
+
+
+@enc_spec("gemma-embedding")
+def enc_gemma_embedding():
+    """EmbeddingGemma: gemma3 blocks run bidirectionally — symmetric SWA
+    pattern 6, per-head q/k RMS norms, dual post-norms, q × 1/sqrt(D),
+    GELU-gated FFN (gemma-embedding.cpp). Six layers so the SWA pattern
+    includes one full-attention layer — the reference's no-cache mask input
+    dead-codes (and crashes buffer assignment) when never consumed."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 6, 16
+    p = P("gemma-emb-enc")
+    p.w("token_embd.weight", V, E, scale=0.02 / 8.0)  # ×sqrt(E)=8 in-graph
+    p.norm("output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "post_attention_norm.weight", E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.norm(b + "post_ffw_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, HKV, F, L, D=D)
+    md.update({"pooling_type": 1, "attention.sliding_window": 8,
+               "rope.freq_base_swa": 10000.0})
+    return "gemma-embedding", md, p.tensors
