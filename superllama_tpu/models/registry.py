@@ -56,6 +56,7 @@ for _arch in (
     "deci", "openelm", "plamo", "minimax-m2", "bailingmoe2", "exaone-moe",
     "grovemoe", "afmoe", "mimo2",
     "plamo3",   # fused qkv + dual post-norms + fused swiglu gate_up
+    "llama-embed",   # llama graph used for embeddings (pooling host-side)
 ):
     register(_arch, llama_forward)
 
