@@ -377,6 +377,11 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                 "time_mix_key": g(p + "time_mix_key.weight"),
                 "time_mix_value": g(p + "time_mix_value.weight"),
                 "time_mix_receptance": g(p + "time_mix_receptance.weight"),
+                # qrwkv (rwkv6qwen2) optional r/k/v biases
+                "time_mix_key_b": g(p + "time_mix_key.bias", t=False),
+                "time_mix_value_b": g(p + "time_mix_value.bias", t=False),
+                "time_mix_receptance_b": g(p + "time_mix_receptance.bias",
+                                           t=False),
                 "time_mix_gate": g(p + "time_mix_gate.weight"),
                 "time_mix_ln": g(p + "time_mix_ln.weight", t=False),
                 "time_mix_ln_b": g(p + "time_mix_ln.bias", t=False),

@@ -57,6 +57,7 @@ for _arch in (
     "grovemoe", "afmoe", "mimo2",
     "plamo3",   # fused qkv + dual post-norms + fused swiglu gate_up
     "llama-embed",   # llama graph used for embeddings (pooling host-side)
+    "cogvlm",        # text path: fused wqkv llama graph (vis_* bank for images)
 ):
     register(_arch, llama_forward)
 
@@ -79,11 +80,12 @@ register("granitehybrid", hybrid_forward)   # granite-4 / bamba
 register("nemotron_h", hybrid_forward)
 register("falcon-h1", hybrid_forward)
 
-from .rwkv import rwkv6_forward, rwkv7_forward  # noqa: E402
+from .rwkv import rwkv6_forward, rwkv6qwen2_forward, rwkv7_forward  # noqa: E402
 
 register("rwkv6", rwkv6_forward)
 register("rwkv7", rwkv7_forward)
 register("arwkv7", rwkv7_forward)
+register("rwkv6qwen2", rwkv6qwen2_forward)
 
 from .lfm2 import lfm2_forward  # noqa: E402
 

@@ -75,6 +75,22 @@ def wkv7(r, w, k, v, a, b, state):
     return ys.transpose(1, 0, 2, 3), state
 
 
+def gla(r, k, v, w, state, scale: float):
+    """Gated linear attention (ggml_gated_linear_attn, ggml-cpu/ops.cpp:9626):
+    S = S·diag(w) + k⊗v BEFORE the output read y = scale·r·S; no bonus term.
+    Used by the qrwkv archs (rwkv6qwen2)."""
+    def step(S, inp):
+        r_t, k_t, v_t, w_t = inp                               # (B,H,D)
+        S = S * w_t[..., None] + jnp.einsum("bhi,bhj->bhij", k_t, v_t)
+        y = jnp.einsum("bhi,bhij->bhj", r_t * scale, S)
+        return S, y
+
+    tx = lambda x: x.astype(jnp.float32).transpose(1, 0, 2, 3)
+    state, ys = jax.lax.scan(step, state.astype(jnp.float32),
+                             (tx(r), tx(k), tx(v), tx(w)))
+    return ys.transpose(1, 0, 2, 3), state
+
+
 def _token_shift(x_norm: jax.Array, shift: jax.Array) -> jax.Array:
     """x_prev: previous token's value per position; first position comes from
     the carried shift state (rwkv6.cpp:36-38)."""
@@ -106,22 +122,41 @@ def _rwkv6_time_mix(layer: dict, hp: HParams, cur: jax.Array,
             cur + (xxx[:, :, i, :] + lerps[i]) * sx for i in range(5)
         ]
 
+    # qrwkv (rwkv6qwen2): no bonus tensor, sigmoid gate, GQA k/v, k·(1−w),
+    # gated-linear-attention recurrence, no group norm (rwkv6-base.cpp:20)
+    qrwkv = "time_mix_first" not in layer
     r = mm(xr, layer["time_mix_receptance"])
     k = mm(xk, layer["time_mix_key"])
     v = mm(xv, layer["time_mix_value"])
-    g = ops.silu(mm(xg, layer["time_mix_gate"]))
+    if "time_mix_receptance_b" in layer:
+        r = r + layer["time_mix_receptance_b"]
+    if "time_mix_key_b" in layer:
+        k = k + layer["time_mix_key_b"]
+    if "time_mix_value_b" in layer:
+        v = v + layer["time_mix_value_b"]
+    gate = mm(xg, layer["time_mix_gate"])
+    g = jax.nn.sigmoid(gate) if qrwkv else ops.silu(gate)
+    if k.shape[-1] != E:                       # GQA: repeat kv heads
+        Hkv = k.shape[-1] // D
+        k = jnp.repeat(k.reshape(B, T, Hkv, 1, D), H // Hkv, 2).reshape(B, T, E)
+        v = jnp.repeat(v.reshape(B, T, Hkv, 1, D), H // Hkv, 2).reshape(B, T, E)
 
     w = mm(jnp.tanh(mm(xw, layer["time_mix_decay_w1"])), layer["time_mix_decay_w2"])
     w = w + layer["time_mix_decay"].reshape(E)
     w = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
 
     shp = (B, T, H, D)
-    u = layer["time_mix_first"].reshape(H, D).astype(jnp.float32)
-    y, state = wkv6(r.reshape(shp), k.reshape(shp), v.reshape(shp),
-                    u, w.reshape(shp), state)
-    y = y.reshape(B, T, E).astype(cur.dtype)
-
-    y = _group_norm(y, layer["time_mix_ln"], layer["time_mix_ln_b"], H)
+    if qrwkv:
+        k = k * (1.0 - w).astype(k.dtype)
+        y, state = gla(r.reshape(shp), k.reshape(shp), v.reshape(shp),
+                       w.reshape(shp), state, D ** -0.5)
+        y = y.reshape(B, T, E).astype(cur.dtype)
+    else:
+        u = layer["time_mix_first"].reshape(H, D).astype(jnp.float32)
+        y, state = wkv6(r.reshape(shp), k.reshape(shp), v.reshape(shp),
+                        u, w.reshape(shp), state)
+        y = y.reshape(B, T, E).astype(cur.dtype)
+        y = _group_norm(y, layer["time_mix_ln"], layer["time_mix_ln_b"], H)
     y = y * g
     return mm(y, layer["time_mix_output"]), state
 
@@ -241,3 +276,28 @@ def rwkv6_forward(params, hp, tokens, pos, cache: RWKVCache):
 
 def rwkv7_forward(params, hp, tokens, pos, cache: RWKVCache):
     return _rwkv_forward(params, hp, tokens, cache, v7=True)
+
+
+def rwkv6qwen2_forward(params, hp, tokens, pos, cache: RWKVCache):
+    """RWKV6-in-Qwen2 (src/models/rwkv6qwen2.cpp): qrwkv time mix (gated
+    linear attention, no bonus/group-norm, sigmoid gate, GQA kv) between
+    RMS norms with a Qwen2-style silu-gated FFN; ONE token-shift stream;
+    no embedding LN."""
+    from .llama import dense_ffn
+
+    x = params["token_embd"][tokens]
+    shift_new, wkv_new = [], []
+    for il, layer in enumerate(params["layers"]):
+        att_norm = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        x_prev = _token_shift(att_norm, cache.shift[il, :, 0])
+        y, wkv = _rwkv6_time_mix(layer, hp, att_norm, x_prev, cache.wkv[il])
+        x = x + y
+        h2 = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        x = x + dense_ffn(h2, layer, hp)
+        shift_new.append(jnp.stack([att_norm[:, -1]] * 2, axis=1))
+        wkv_new.append(wkv)
+    cache = RWKVCache(shift=jnp.stack(shift_new).astype(cache.shift.dtype),
+                      wkv=jnp.stack(wkv_new))
+    x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
+    logits = mm(x, params["output"])
+    return logits, cache

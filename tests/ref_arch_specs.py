@@ -1178,3 +1178,73 @@ def enc_gemma_embedding():
     md.update({"pooling_type": 1, "attention.sliding_window": 8,
                "rope.freq_base_swa": 10000.0})
     return "gemma-embedding", md, p.tensors
+
+
+@spec("rwkv6qwen2")
+def spec_rwkv6qwen2():
+    """RWKV6-in-Qwen2 (rwkv6qwen2.cpp): qrwkv time mix — gated linear
+    attention (no bonus / group norm), sigmoid gate, GQA k/v with r/k/v
+    biases — between RMS norms with a Qwen2 silu-gated FFN; one token-shift
+    stream; fused-lerp tensors."""
+    E, HS, HKV, F, L = 64, 16, 2, 128, 2       # head_size 16 → 4 wkv heads
+    ED, DD = 16, 16                            # lerp / decay extra dims
+    KV = HKV * HS
+    p = P("rwkv6qwen2")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "time_mix_w1.weight", ED * 5, E, scale=0.1)
+        p.tensors[b + "time_mix_w2.weight"] = (
+            p.rng.standard_normal((5, E, ED)).astype(np.float32) * 0.1)
+        p.tensors[b + "time_mix_lerp_x.weight"] = (
+            p.rng.standard_normal((1, 1, E)).astype(np.float32) * 0.3)
+        p.tensors[b + "time_mix_lerp_fused.weight"] = (
+            p.rng.standard_normal((5, 1, 1, E)).astype(np.float32) * 0.3)
+        p.bias(b + "time_mix_decay.weight", E, scale=0.3)
+        p.w(b + "time_mix_decay_w1.weight", DD, E, scale=0.1)
+        p.w(b + "time_mix_decay_w2.weight", E, DD, scale=0.1)
+        p.w(b + "time_mix_key.weight", KV, E)
+        p.bias(b + "time_mix_key.bias", KV, scale=0.1)
+        p.w(b + "time_mix_value.weight", KV, E)
+        p.bias(b + "time_mix_value.bias", KV, scale=0.1)
+        p.w(b + "time_mix_receptance.weight", E, E)
+        p.bias(b + "time_mix_receptance.bias", E, scale=0.1)
+        p.w(b + "time_mix_gate.weight", E, E)
+        p.w(b + "time_mix_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, E // HS, HKV, F, L, D=HS)
+    md.update({"wkv.head_size": HS, "time_mix_extra_dim": ED,
+               "time_decay_extra_dim": DD, "token_shift_count": 1})
+    return "rwkv6qwen2", md, p.tensors
+
+
+@spec("cogvlm")
+def spec_cogvlm():
+    """CogVLM text path (cogvlm.cpp): per-UBATCH expert switch between text
+    tensors and vision-expert (vis_*) tensors — text ubatches use the plain
+    llama graph with fused wqkv and NEOX rope. The vis_* bank must exist for
+    the reference to load; it is exercised only by image ubatches."""
+    E, H, F, L = 64, 4, 128, 2
+    p = P("cogvlm")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.w(b + "attn_output.weight", E, E)
+        p.w(b + "vis_attn_qkv.weight", 3 * E, E)
+        p.w(b + "vis_attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+        p.w(b + "vis_gate.weight", F, E)
+        p.w(b + "vis_up.weight", F, E)
+        p.w(b + "vis_down.weight", E, F)
+    return "cogvlm", _base_md(E, H, H, F, L), p.tensors

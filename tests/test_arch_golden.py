@@ -32,6 +32,11 @@ N_CHUNK = 2
 TOP_K = 64
 SKIP_FIRST_RECORD = {"chameleon"}
 SKIP_PPL = {"chameleon"}   # suppressed rows poison the reference PPL
+# cogvlm's builder ignores inp_out_ids (cogvlm.cpp has no gather), so the
+# reference runtime slices the FIRST n_outputs logit rows: its kld records
+# hold positions 0..n_rec-1, not first..n_ctx-2 (verified vs eval-callback,
+# which matches our forward row-for-row). Its PPL is wrong the same way.
+REF_ROWS_FROM_ZERO = {"cogvlm"}
 # the reference's own CPU flash-attention kernel asserts on plm's MLA
 # head shapes (ggml.c:3830) — evaluate its golden with FA off
 EXTRA_REF_ARGS = {"plm": ["-fa", "off"]}
@@ -90,7 +95,8 @@ def generate_golden(name: str, out_dir: Path = GOLDEN_DIR) -> Path:
     return path
 
 
-def _our_logprobs(gguf_path: str, toks: np.ndarray, first: int):
+def _our_logprobs(gguf_path: str, toks: np.ndarray, first: int,
+                  n_rec: int | None = None):
     from superllama_tpu.models.loader import load_model
     from superllama_tpu.tools.perplexity import compute_perplexity
 
@@ -99,7 +105,8 @@ def _our_logprobs(gguf_path: str, toks: np.ndarray, first: int):
     sink: list[np.ndarray] = []
     res = compute_perplexity(model, toks.reshape(-1), n_ctx=n_ctx,
                              logits_sink=sink)
-    rows = np.stack([s[first:n_ctx - 1] for s in sink]).astype(np.float64)
+    n_rec = n_rec if n_rec is not None else n_ctx - 1 - first
+    rows = np.stack([s[first:first + n_rec] for s in sink]).astype(np.float64)
     logz = np.log(np.exp(rows - rows.max(-1, keepdims=True)).sum(-1))
     logp = rows - rows.max(-1, keepdims=True) - logz[..., None]
     return logp, res.ppl
@@ -116,7 +123,9 @@ def test_arch_golden_parity(name, tmp_path):
     arch, md, tensors = SPECS[name]()
     gguf = tmp_path / f"{name}.gguf"
     build_gguf(gguf, arch, md, tensors)
-    ours, our_ppl = _our_logprobs(str(gguf), g["tokens"], int(g["first"]))
+    n_rec = g["top_ids"].shape[1]
+    first = 0 if name in REF_ROWS_FROM_ZERO else int(g["first"])
+    ours, our_ppl = _our_logprobs(str(gguf), g["tokens"], first, n_rec)
     top_ids = g["top_ids"]
     ref_top = g["top_logp"].astype(np.float64)       # (chunk, rec, K)
     our_top = np.take_along_axis(ours, top_ids, axis=-1)
@@ -143,7 +152,8 @@ def test_arch_golden_parity(name, tmp_path):
     agree = (ours.argmax(-1) == top_ids[..., 0]).mean()
     assert agree > 0.95, (name, float(agree))
     ref_ppl = float(g["ppl"])
-    if np.isfinite(ref_ppl) and name not in SKIP_PPL:
+    if (np.isfinite(ref_ppl) and name not in SKIP_PPL
+            and name not in REF_ROWS_FROM_ZERO):
         assert abs(our_ppl - ref_ppl) / ref_ppl < 5e-3, (our_ppl, ref_ppl)
 
 
