@@ -132,7 +132,7 @@ class HParams:
         (llama-model.cpp:1899,2204)."""
         if self.arch == "falcon-h1":
             return True
-        if self.arch in ("nemotron_h", "nemotron-h"):
+        if self.arch in ("nemotron_h", "nemotron-h", "nemotron_h_moe"):
             return self.n_head_kv_il(il) == 0 and self.n_ff_il(il) == 0
         return self.n_head_kv_il(il) == 0
 
@@ -195,7 +195,7 @@ ROPE_TYPE_BY_ARCH = {
     "olmoe": 2, "seed_oss": 2, "hunyuan-dense": 2, "ernie4_5": 0,
     "exaone4": 2, "qwen2vl": 2,
     "granitemoe": 0, "granitehybrid": 0, "falcon-h1": 2,
-    "mamba2": -1, "nemotron_h": -1,
+    "mamba2": -1, "nemotron_h": -1, "nemotron_h_moe": -1,
     "arcee": 0, "ernie4_5-moe": 0, "dots1": 2, "hunyuan-moe": 2,
     "glm4moe": 2, "apertus": 2, "xverse": 0, "orion": 2,
     "qwen": 2, "codeshell": 2, "deepseek": 0, "minicpm3": 2,
@@ -210,7 +210,7 @@ ROPE_TYPE_BY_ARCH = {
     # bert/jina-v2 have no rope (learned positions / ALiBi)
     "nomic-bert": 2, "nomic-bert-moe": 2, "jina-bert-v3": 2,
     "modern-bert": 2, "neo-bert": 0, "bert": -1, "jina-bert-v2": -1,
-    "llama-embed": 0,
+    "llama-embed": 0, "phimoe": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -237,7 +237,8 @@ ACT_BY_ARCH = {"gemma": "gelu_tanh", "gemma2": "gelu_tanh", "gemma3": "gelu_tanh
                # microsoft bitnet-2B-4T is relu²-gated (HF BitNetMLP); the
                # reference's SILU builder targets the legacy 1bitLLM ckpts
                "bitnet": "relu2",
-               "nemotron_h": "relu2", "arcee": "relu2"}
+               "nemotron_h": "relu2", "nemotron_h_moe": "relu2",
+               "arcee": "relu2"}
 
 # archs built on LayerNorm (weight + optional bias) rather than RMSNorm
 LN_ARCHS = {"gpt2", "gptneox", "falcon", "starcoder", "starcoder2", "phi2",
@@ -360,9 +361,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.expert_gating_softmax = int(egf) != 2
     elif arch in ("smallthinker", "lfm2moe"):
         hp.expert_gating_softmax = False  # sigmoid default (llama-model.cpp)
-    if arch == "mimo2":
-        # the builder hardcodes sigmoid gating regardless of the KV
-        # (mimo2-iswa.cpp build_moe_ffn call)
+    if arch in ("mimo2", "nemotron_h_moe"):
+        # these builders hardcode sigmoid gating regardless of the KV
+        # (mimo2-iswa.cpp, nemotron-h.cpp build_moe_ffn calls)
         hp.expert_gating_softmax = False
     if arch == "smallthinker":
         hp.extra["moe_router_prenorm"] = True  # routes from the layer input

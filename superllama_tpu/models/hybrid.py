@@ -118,7 +118,7 @@ def hybrid_forward(
             y, kv = _attn(layer, hp, h, kv, aidx[il], slots, mask,
                           rope=rope, pos=pos, kq_scale=kq_scale)
         else:                                # nemotron-h pure-FFN layer
-            y = (moe_ffn(h, layer, hp) if "ffn_gate_exps" in layer
+            y = (moe_ffn(h, layer, hp) if "ffn_gate_inp" in layer
                  else dense_ffn(h, layer, hp))
         x = x + y * res
 

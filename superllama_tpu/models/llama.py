@@ -69,7 +69,9 @@ def _norm(x: jax.Array, obj: dict, key: str, hp: HParams) -> jax.Array:
         return ops.layer_norm(x, w, obj.get(key + "_b"), hp.norm_eps)
     if w is None:
         return x
-    return ops.rms_norm(x, w, hp.rms_eps)
+    out = ops.rms_norm(x, w, hp.rms_eps)
+    b = obj.get(key + "_b")                  # phimoe: RMS norm WITH bias
+    return out if b is None else out + b
 
 
 def _glu(gate: jax.Array, up: jax.Array, hp: HParams) -> jax.Array:
@@ -186,15 +188,18 @@ def _experts_apply(x: jax.Array, top_w: jax.Array, top_i: jax.Array,
         xs = xs * w_s[:, None].astype(xs.dtype)
     counts = jnp.bincount(ei, length=E)
     f32 = jnp.float32
-    gate = jax.lax.ragged_dot(xs, layer[f"ffn_gate_{bank}"], counts,
-                              preferred_element_type=f32)
     up = jax.lax.ragged_dot(xs, layer[f"ffn_up_{bank}"], counts,
                             preferred_element_type=f32)
-    if f"ffn_gate_{bank}_b" in layer:
-        gate = gate + layer[f"ffn_gate_{bank}_b"][ei_s]
     if f"ffn_up_{bank}_b" in layer:
         up = up + layer[f"ffn_up_{bank}_b"][ei_s]
-    act = _glu(gate.astype(x.dtype), up.astype(x.dtype), hp)
+    if f"ffn_gate_{bank}" in layer:
+        gate = jax.lax.ragged_dot(xs, layer[f"ffn_gate_{bank}"], counts,
+                                  preferred_element_type=f32)
+        if f"ffn_gate_{bank}_b" in layer:
+            gate = gate + layer[f"ffn_gate_{bank}_b"][ei_s]
+        act = _glu(gate.astype(x.dtype), up.astype(x.dtype), hp)
+    else:   # gate-less experts (nemotron_h_moe relu², nomic-bert-moe gelu)
+        act = ops.ACT_FNS[hp.act](up.astype(x.dtype))
     down = jax.lax.ragged_dot(act, layer[f"ffn_down_{bank}"], counts,
                               preferred_element_type=f32)
     if f"ffn_down_{bank}_b" in layer:

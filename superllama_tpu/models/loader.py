@@ -277,8 +277,12 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ssm_x": g(p + "ssm_x.weight"),
             "ssm_dt": g(p + "ssm_dt.weight"),
             "ssm_dt_b": g(p + "ssm_dt.bias", t=False),
-            "ssm_a": g(p + "ssm_a.weight", t=False),
-            "ssm_d": g(p + "ssm_d.weight", t=False),
+            # canonical ecosystem names carry no ".weight" suffix
+            # (llama-arch.cpp "no suffix for these"); accept both
+            "ssm_a": _first(g(p + "ssm_a", t=False),
+                            g(p + "ssm_a.weight", t=False)),
+            "ssm_d": _first(g(p + "ssm_d", t=False),
+                            g(p + "ssm_d.weight", t=False)),
             "ssm_out": g(p + "ssm_out.weight"),
             "ssm_norm": g(p + "ssm_norm.weight", t=False),  # mamba2 grouped
             # jamba hybrid: RMS norms on the dt/B/C selection streams

@@ -50,7 +50,9 @@ def _mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
     dt = mm(dt, layer["ssm_dt"]) + layer["ssm_dt_b"]
     dt = jax.nn.softplus(dt.astype(jnp.float32))        # (B, T, di)
 
-    A = -jnp.exp(layer["ssm_a"].astype(jnp.float32))    # (di, ds)
+    # GGUF ssm_a stores A = -exp(A_log) ALREADY TRANSFORMED (ecosystem
+    # convention, convert_hf_to_gguf.py "A_log --> A"); use it directly
+    A = layer["ssm_a"].astype(jnp.float32)              # (di, ds)
     xf = x.astype(jnp.float32)
 
     def step(state, inp):
@@ -109,7 +111,8 @@ def _mamba2_mixer(layer: dict, hp: HParams, x_in: jax.Array,
 
     dt = jax.nn.softplus(dt.astype(jnp.float32)
                          + layer["ssm_dt_b"].astype(jnp.float32))  # (B,T,nh)
-    A = -jnp.exp(layer["ssm_a"].astype(jnp.float32)).reshape(nh)   # per-head
+    # GGUF ssm_a = -exp(A_log) already (ecosystem convention); per-head
+    A = layer["ssm_a"].astype(jnp.float32).reshape(nh)
 
     def step(state, inp):                           # state (B,nh,hd,ds)
         dt_t, b_t, c_t, x_t = inp   # (B,nh) (B,G,ds) (B,G,ds) (B,nh,hd)

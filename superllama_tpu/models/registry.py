@@ -58,6 +58,7 @@ for _arch in (
     "plamo3",   # fused qkv + dual post-norms + fused swiglu gate_up
     "llama-embed",   # llama graph used for embeddings (pooling host-side)
     "cogvlm",        # text path: fused wqkv llama graph (vis_* bank for images)
+    "phimoe",        # phi3 blocks with RMS+bias norms and softmax MoE
 ):
     register(_arch, llama_forward)
 
@@ -78,6 +79,7 @@ from .hybrid import hybrid_forward  # noqa: E402
 
 register("granitehybrid", hybrid_forward)   # granite-4 / bamba
 register("nemotron_h", hybrid_forward)
+register("nemotron_h_moe", hybrid_forward)  # gate-less relu² sigmoid MoE
 register("falcon-h1", hybrid_forward)
 
 from .rwkv import rwkv6_forward, rwkv6qwen2_forward, rwkv7_forward  # noqa: E402

@@ -145,8 +145,8 @@ def _convert_mamba(w, put, get, config):
         put(gg + "ssm_x.weight", get(hf + "mixer.x_proj.weight"))
         put(gg + "ssm_dt.weight", get(hf + "mixer.dt_proj.weight"))
         put(gg + "ssm_dt.bias", get(hf + "mixer.dt_proj.bias"))
-        put(gg + "ssm_a.weight", get(hf + "mixer.A_log"))
-        put(gg + "ssm_d.weight", get(hf + "mixer.D"))
+        put(gg + "ssm_a", -np.exp(get(hf + "mixer.A_log")))  # A_log -> A (canonical)
+        put(gg + "ssm_d", get(hf + "mixer.D"))
         put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
 
 
@@ -164,8 +164,8 @@ def _put_mamba2_mixer(put, get, hf, gg, in_proj_scale=None,
     if b is not None:
         put(gg + "ssm_conv1d.bias", b)
     put(gg + "ssm_dt.bias", get(hf + "dt_bias"))
-    put(gg + "ssm_a.weight", get(hf + "A_log"))
-    put(gg + "ssm_d.weight", get(hf + "D"))
+    put(gg + "ssm_a", -np.exp(get(hf + "A_log")))  # A_log -> A (canonical)
+    put(gg + "ssm_d", get(hf + "D"))
     if get(hf + "norm.weight") is not None:
         put(gg + "ssm_norm.weight", get(hf + "norm.weight"))
     w_out = get(hf + "out_proj.weight")

@@ -1248,3 +1248,92 @@ def spec_cogvlm():
         p.w(b + "vis_up.weight", F, E)
         p.w(b + "vis_down.weight", E, F)
     return "cogvlm", _base_md(E, H, H, F, L), p.tensors
+
+
+@spec("phimoe")
+def spec_phimoe():
+    """PhiMoE — the phi3 block with RMS norms THAT CARRY BIASES, separate
+    q/k/v with biases, lm-head bias, softmax MoE with renormalized weights
+    (phi3.cpp MoE branch; create_tensors llama-model.cpp:3803)."""
+    E, H, HKV, L, D = 64, 4, 2, 2, 16
+    NE, KE, FE = 4, 2, 48
+    p = P("phimoe")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.bias("output_norm.bias", E)
+    p.w("output.weight", V, E)
+    p.bias("output.bias", V)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.bias(b + "attn_norm.bias", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.bias(b + "attn_q.bias", H * D, scale=0.1)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.bias(b + "attn_k.bias", HKV * D, scale=0.1)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.bias(b + "attn_v.bias", HKV * D, scale=0.1)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.bias(b + "attn_output.bias", E, scale=0.1)
+        p.norm(b + "ffn_norm.weight", E)
+        p.bias(b + "ffn_norm.bias", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        _moe_bank(p, b, NE, FE, E)
+    md = _base_md(E, H, HKV, FE, L, D=D)
+    md.update({"expert_count": NE, "expert_used_count": KE})
+    return "phimoe", md, p.tensors
+
+
+@spec("nemotron_h_moe")
+def spec_nemotron_h_moe():
+    """Nemotron-H-MoE — the nemotron-h hybrid (per layer one of mamba2 /
+    attention / FFN) where FFN layers run a GATE-LESS relu² sigmoid MoE with
+    a selection bias plus a gate-less relu² shared expert
+    (nemotron-h.cpp build_ffn_layer; create_tensors llama-model.cpp:5408)."""
+    E, H, HKV, D = 64, 4, 2, 16
+    di, ds, dc, nh, G = 64, 8, 4, 4, 1
+    NE, KE, FE, SHF = 4, 2, 48, 64
+    pattern = ["M", "*", "-", "M", "-"]
+    p = P("nemotron_h_moe")
+    _head(p, E)
+    conv_dim = di + 2 * G * ds
+    for il, kind in enumerate(pattern):
+        b = f"blk.{il}."
+        p.norm(b + "attn_norm.weight", E)
+        if kind == "M":
+            p.w(b + "ssm_in.weight", 2 * di + 2 * G * ds + nh, E)
+            p.w(b + "ssm_conv1d.weight", conv_dim, dc, scale=0.3)
+            p.bias(b + "ssm_conv1d.bias", conv_dim)
+            p.bias(b + "ssm_dt.bias", nh, scale=0.3)
+            # ssm_a stores A = -exp(A_log) (always negative — positive
+            # decay exponents blow up the 128-token state recurrence)
+            p.tensors[b + "ssm_a"] = -np.exp(
+                p.rng.standard_normal((nh, 1)).astype(np.float32) * 0.5)
+            p.bias(b + "ssm_d", (nh, 1), scale=0.5)
+            p.norm(b + "ssm_norm.weight", (G, di // G))
+            p.w(b + "ssm_out.weight", E, di)
+        elif kind == "*":
+            p.w(b + "attn_q.weight", H * D, E)
+            p.w(b + "attn_k.weight", HKV * D, E)
+            p.w(b + "attn_v.weight", HKV * D, E)
+            p.w(b + "attn_output.weight", E, H * D)
+        else:
+            p.w(b + "ffn_gate_inp.weight", NE, E)
+            p.bias(b + "exp_probs_b.bias", NE, scale=0.5)
+            p.w(b + "ffn_up_exps.weight", NE, FE, E)
+            p.w(b + "ffn_down_exps.weight", NE, E, FE)
+            p.w(b + "ffn_up_shexp.weight", SHF, E)
+            p.w(b + "ffn_down_shexp.weight", E, SHF)
+    md = _base_md(E, H, HKV, 0, len(pattern), D=D)
+    md["attention.head_count_kv"] = [
+        HKV if t == "*" else 0 for t in pattern]
+    md["feed_forward_length"] = [128 if t == "-" else 0 for t in pattern]
+    md.update({"ssm.conv_kernel": dc, "ssm.inner_size": di,
+               "ssm.state_size": ds, "ssm.time_step_rank": nh,
+               "ssm.group_count": G,
+               "expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE,
+               "expert_shared_feed_forward_length": SHF,
+               "expert_shared_count": 1,
+               "expert_weights_norm": True, "expert_weights_scale": 1.0})
+    return "nemotron_h_moe", md, p.tensors

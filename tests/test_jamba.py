@@ -58,7 +58,7 @@ def jamba_pair():
                 "ssm_x": t(p + "mamba.x_proj.weight"),
                 "ssm_dt": t(p + "mamba.dt_proj.weight"),
                 "ssm_dt_b": a(p + "mamba.dt_proj.bias"),
-                "ssm_a": a(p + "mamba.A_log"),
+                "ssm_a": -np.exp(a(p + "mamba.A_log")),  # GGUF convention: A
                 "ssm_d": a(p + "mamba.D"),
                 "ssm_out": t(p + "mamba.out_proj.weight"),
                 "ssm_dt_norm": a(p + "mamba.dt_layernorm.weight"),
