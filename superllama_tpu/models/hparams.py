@@ -210,7 +210,7 @@ ROPE_TYPE_BY_ARCH = {
     # bert/jina-v2 have no rope (learned positions / ALiBi)
     "nomic-bert": 2, "nomic-bert-moe": 2, "jina-bert-v3": 2,
     "modern-bert": 2, "neo-bert": 0, "bert": -1, "jina-bert-v2": -1,
-    "llama-embed": 0, "phimoe": 2,
+    "llama-embed": 0, "phimoe": 2, "qwen3vl": 2, "qwen3vlmoe": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -353,6 +353,8 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
     ms = _k(md, arch, "rope.dimension_sections")
     if ms is not None and len(ms):
         hp.extra["mrope_sections"] = tuple(int(v) for v in ms)
+    if arch in ("qwen3vl", "qwen3vlmoe"):
+        hp.extra["imrope"] = True   # interleaved M-RoPE (IMROPE)
     if arch == "smollm3":
         hp.n_no_rope_layer_step = 4   # hardcoded per arch (llama-model.cpp:2249)
     # LLAMA_EXPERT_GATING_FUNC (1 = softmax, 2 = sigmoid); per-KV override

@@ -533,12 +533,18 @@ def llama_forward(
         else:
             nope = (hp.n_no_rope_layer_step > 0
                     and (il + 1) % hp.n_no_rope_layer_step == 0)  # smollm3
-        if mrope_pos3 is not None:
+        if mrope_pos3 is not None or (hp.extra.get("imrope") and not nope):
             from .qwen2vl import mrope_apply  # M-RoPE (qwen2-vl image spans)
 
             sec = tuple(hp.extra["mrope_sections"])
-            q = mrope_apply(q, mrope_pos3, f, sec)
-            k = mrope_apply(k, mrope_pos3, f, sec)
+            inter = bool(hp.extra.get("imrope"))   # qwen3vl interleaved
+            # IMROPE is NOT plain NEOX even for text: the interleaved
+            # mapping leaves e-slots on the zero stream — so text positions
+            # replicate into t/h/w (llm_graph_input_pos::set_input)
+            p3 = (mrope_pos3 if mrope_pos3 is not None
+                  else jnp.broadcast_to(safe_pos[None], (3, B, T)))
+            q = mrope_apply(q, p3, f, sec, interleaved=inter)
+            k = mrope_apply(k, p3, f, sec, interleaved=inter)
         elif hp.rope_type >= 0 and hp.n_rot > 0 and not nope:
             q = ops.apply_rope(q, safe_pos, f, hp.rope_type, ms)
             k = ops.apply_rope(k, safe_pos, f, hp.rope_type, ms)

@@ -21,18 +21,42 @@ import jax.numpy as jnp
 from ..ops import jnp_ref as ops
 
 
+def _imrope_owner(sections, half: int) -> np.ndarray:
+    """Interleaved owner per frequency slot (Qwen3-VL IMROPE,
+    ggml-cpu/ops.cpp:5600): slot s → h when s%3==1 ∧ s<3·sec[1], w when
+    s%3==2 ∧ s<3·sec[2], t when s%3==0 ∧ s<3·sec[0], else the t stream."""
+    own = np.zeros(half, np.int64)
+    for s in range(half):
+        if s % 3 == 1 and s < 3 * sections[1]:
+            own[s] = 1
+        elif s % 3 == 2 and s < 3 * sections[2]:
+            own[s] = 2
+        elif s % 3 == 0 and s < 3 * sections[0]:
+            own[s] = 0
+        else:
+            own[s] = 3   # theta_e: the 4th stream (0 for text tokens)
+    return own
+
+
 def mrope_apply(x: jax.Array, pos3: jax.Array, inv_freq: jax.Array,
-                sections: tuple[int, ...]) -> jax.Array:
+                sections: tuple[int, ...],
+                interleaved: bool = False) -> jax.Array:
     """Multimodal rotary (Qwen2-VL M-RoPE): x (B, T, H, D); pos3 (3, B, T)
     temporal/height/width positions; sections are quarter-dim counts per
     stream (HF mrope_section, e.g. (16, 24, 24) for D=128). Each frequency
     slot picks the position stream its section owns; layout is NEOX
-    (half-split rotate)."""
+    (half-split rotate). interleaved=True selects the Qwen3-VL IMROPE
+    slot→stream mapping."""
     D = x.shape[-1]
     half = D // 2
     sec = np.asarray(sections[:3])
-    owner = np.repeat(np.arange(3), sec)[:half]            # (half,)
-    angles = pos3[..., None].astype(jnp.float32) * inv_freq  # (3,B,T,half)
+    if interleaved:
+        owner = _imrope_owner(sec, half)                   # (half,) in 0..3
+    else:
+        owner = np.repeat(np.arange(3), sec)[:half]        # (half,)
+    if pos3.shape[0] == 3:   # stream 3 ("e") is all-zero for text tokens
+        pos3 = jnp.concatenate([pos3, jnp.zeros_like(pos3[:1])], axis=0)
+    angles = pos3[..., None].astype(jnp.float32) * inv_freq  # (4,B,T,half)
     ang = jnp.take_along_axis(
         angles, jnp.asarray(owner)[None, None, None, :].repeat(
             angles.shape[1], 1).repeat(angles.shape[2], 2), axis=0)[0]

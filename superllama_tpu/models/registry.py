@@ -59,6 +59,9 @@ for _arch in (
     "llama-embed",   # llama graph used for embeddings (pooling host-side)
     "cogvlm",        # text path: fused wqkv llama graph (vis_* bank for images)
     "phimoe",        # phi3 blocks with RMS+bias norms and softmax MoE
+    # qwen3vl family: qwen3(-moe) text stack; images ride IMROPE positions
+    # + deepstack embeddings through the multimodal pipeline
+    "qwen3vl", "qwen3vlmoe",
 ):
     register(_arch, llama_forward)
 

@@ -1337,3 +1337,50 @@ def spec_nemotron_h_moe():
                "expert_shared_count": 1,
                "expert_weights_norm": True, "expert_weights_scale": 1.0})
     return "nemotron_h_moe", md, p.tensors
+
+
+@spec("qwen3vl")
+def spec_qwen3vl():
+    """Qwen3-VL text stack — qwen3 blocks (per-head q/k RMS norms pre-rope)
+    with IMROPE positions (interleaved M-RoPE, qwen3vl.cpp ggml_rope_multi);
+    text-only streams carry equal t/h/w positions, which reduces IMROPE to
+    plain NEOX — the image path drives the interleaved mapping."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("qwen3vl")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F, D=D)
+    for i in range(L):
+        p.norm(f"blk.{i}.attn_q_norm.weight", D)
+        p.norm(f"blk.{i}.attn_k_norm.weight", D)
+    md = _base_md(E, H, HKV, F, L, D=D)
+    md["rope.dimension_sections"] = [4, 2, 2, 0]
+    md["n_deepstack_layers"] = 0
+    return "qwen3vl", md, p.tensors
+
+
+@spec("qwen3vlmoe")
+def spec_qwen3vlmoe():
+    """Qwen3-VL-MoE text stack — the qwen3vl attention with the qwen3moe
+    softmax-normalized expert FFN (qwen3vl-moe.cpp)."""
+    E, H, HKV, L, D = 64, 4, 2, 2, 16
+    NE, KE, FE = 4, 2, 48
+    p = P("qwen3vlmoe")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        _moe_bank(p, b, NE, FE, E)
+    md = _base_md(E, H, HKV, 128, L, D=D)
+    md["rope.dimension_sections"] = [4, 2, 2, 0]
+    md["n_deepstack_layers"] = 0
+    md.update({"expert_count": NE, "expert_used_count": KE,
+               "expert_feed_forward_length": FE})
+    return "qwen3vlmoe", md, p.tensors
