@@ -211,6 +211,7 @@ ROPE_TYPE_BY_ARCH = {
     "nomic-bert": 2, "nomic-bert-moe": 2, "jina-bert-v3": 2,
     "modern-bert": 2, "neo-bert": 0, "bert": -1, "jina-bert-v2": -1,
     "llama-embed": 0, "phimoe": 2, "qwen3vl": 2, "qwen3vlmoe": 2,
+    "plamo2": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }

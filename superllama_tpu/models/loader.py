@@ -285,10 +285,14 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
                             g(p + "ssm_d.weight", t=False)),
             "ssm_out": g(p + "ssm_out.weight"),
             "ssm_norm": g(p + "ssm_norm.weight", t=False),  # mamba2 grouped
-            # jamba hybrid: RMS norms on the dt/B/C selection streams
-            "ssm_dt_norm": g(p + "ssm_dt_norm.weight", t=False),
-            "ssm_b_norm": g(p + "ssm_b_norm.weight", t=False),
-            "ssm_c_norm": g(p + "ssm_c_norm.weight", t=False),
+            # jamba/plamo2 hybrid: RMS norms on the dt/B/C selection streams
+            # (plamo2 ships them suffix-less, llama-arch tn(TENSOR, i))
+            "ssm_dt_norm": _first(g(p + "ssm_dt_norm.weight", t=False),
+                                  g(p + "ssm_dt_norm", t=False)),
+            "ssm_b_norm": _first(g(p + "ssm_b_norm.weight", t=False),
+                                 g(p + "ssm_b_norm", t=False)),
+            "ssm_c_norm": _first(g(p + "ssm_c_norm.weight", t=False),
+                                 g(p + "ssm_c_norm", t=False)),
             # MoE
             "ffn_gate_inp": g(p + "ffn_gate_inp.weight"),
             "ffn_gate_inp_b": g(p + "ffn_gate_inp.bias", t=False),

@@ -141,6 +141,65 @@ def _mamba2_mixer(layer: dict, hp: HParams, x_in: jax.Array,
             ssm_f.reshape(B, di, ds).astype(ssm_state.dtype))
 
 
+def plamo2_mixer(layer: dict, hp: HParams, x_in: jax.Array,
+                 conv_state: jax.Array, ssm_state: jax.Array):
+    """PLaMo-2 mamba layer (plamo2.cpp build_plamo2_mamba_layer):
+    in_proj to PER-HEAD-INTERLEAVED [z_h | x_h] pairs, conv+silu over x
+    only (no bias), ssm_x projects post-conv x to [B | C | dt] (B first),
+    each RMS-normed, dt then projected per-head (+bias), mamba2-style
+    scalar-decay scan with a single B/C group, D-skip, silu(z) gate, no
+    grouped output norm."""
+    B, T, E = x_in.shape
+    di, ds = hp.ssm_d_inner, hp.ssm_d_state
+    dc, nh = hp.ssm_d_conv, hp.ssm_dt_rank
+    hd = di // nh
+    dt_dim = max(64, E // 16)
+
+    zx = mm(x_in, layer["ssm_in"]).reshape(B, T, nh, 2 * hd)
+    z = zx[..., :hd].reshape(B, T, di)
+    x = zx[..., hd:].reshape(B, T, di)
+
+    seq = jnp.concatenate([conv_state.astype(x.dtype), x], axis=1)
+    w = layer["ssm_conv1d"]                        # (dc, di)
+    y = sum(seq[:, j:j + T] * w[j] for j in range(dc))
+    new_conv = seq[:, T:]
+    x = ops.silu(y)
+
+    bcdt = mm(x, layer["ssm_x"])                   # (B,T, 2ds + dt_dim)
+    Bm = ops.rms_norm(bcdt[..., :ds], layer["ssm_b_norm"], hp.rms_eps)
+    Cm = ops.rms_norm(bcdt[..., ds:2 * ds], layer["ssm_c_norm"], hp.rms_eps)
+    dt = ops.rms_norm(bcdt[..., 2 * ds:], layer["ssm_dt_norm"], hp.rms_eps)
+    dt = mm(dt, layer["ssm_dt"]) + layer["ssm_dt_b"]          # (B,T,nh)
+    dt = jax.nn.softplus(dt.astype(jnp.float32))
+    A = layer["ssm_a"].astype(jnp.float32).reshape(nh)        # = -exp(A_log)
+
+    xh = x.astype(jnp.float32).reshape(B, T, nh, hd)
+    Bm = Bm.astype(jnp.float32)[:, :, None, :]     # (B,T,1,ds)
+    Cm = Cm.astype(jnp.float32)[:, :, None, :]
+
+    def step(state, inp):                          # state (B,nh,hd,ds)
+        dt_t, b_t, c_t, x_t = inp
+        dA = jnp.exp(dt_t * A)                     # (B,nh)
+        b_h = jnp.repeat(b_t, nh, axis=1)          # single group → all heads
+        c_h = jnp.repeat(c_t, nh, axis=1)
+        dBx = (dt_t[..., None] * x_t)[..., None] * b_h[:, :, None, :]
+        state = state * dA[..., None, None] + dBx
+        y_t = jnp.einsum("bhds,bhs->bhd", state, c_h)
+        return state, y_t
+
+    ssm_f = ssm_state.astype(jnp.float32).reshape(B, nh, hd, ds)
+    ssm_f, ys = jax.lax.scan(
+        step, ssm_f,
+        (dt.transpose(1, 0, 2), Bm.transpose(1, 0, 2, 3),
+         Cm.transpose(1, 0, 2, 3), xh.transpose(1, 0, 2, 3)))
+    y = ys.transpose(1, 0, 2, 3)                   # (B,T,nh,hd)
+    y = y + xh * layer["ssm_d"].astype(jnp.float32).reshape(nh, 1)
+    y = (ops.silu(z.astype(jnp.float32)) * y.reshape(B, T, di))
+    out = mm(y.astype(x_in.dtype), layer["ssm_out"])
+    return (out, new_conv.astype(conv_state.dtype),
+            ssm_f.reshape(B, di, ds).astype(ssm_state.dtype))
+
+
 def mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
                 conv_state: jax.Array, ssm_state: jax.Array):
     """Version dispatch: ssm_n_group > 0 selects the mamba2 layout."""

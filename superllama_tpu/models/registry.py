@@ -97,6 +97,10 @@ from .lfm2 import lfm2_forward  # noqa: E402
 register("lfm2", lfm2_forward)
 register("lfm2moe", lfm2_forward)
 
+from .plamo2 import plamo2_forward  # noqa: E402
+
+register("plamo2", plamo2_forward)
+
 from .llada import llada_forward  # noqa: E402
 
 register("llada", llada_forward)

@@ -1384,3 +1384,50 @@ def spec_qwen3vlmoe():
     md.update({"expert_count": NE, "expert_used_count": KE,
                "expert_feed_forward_length": FE})
     return "qwen3vlmoe", md, p.tensors
+
+
+@spec("plamo2")
+def spec_plamo2():
+    """PLaMo-2 — hybrid of PLaMo-2 mamba layers (per-head-interleaved z|x
+    in-proj, conv+silu, [B|C|dt] selection with per-stream RMS norms,
+    per-head dt projection, scalar-decay scan) and fused-wqkv attention
+    layers with per-head qk norms; pre/post norms around both mixer and
+    FFN; fused SWIGLU gate‖up (plamo2.cpp)."""
+    E, H, HKV, F, D = 64, 4, 2, 64, 16
+    di, ds, dc, nh = 64, 8, 4, 4
+    dt_dim = 64                                  # max(64, E/16)
+    HKV_arr = [0, 2, 0, 2]
+    p = P("plamo2")
+    _head(p, E)
+    for il, hkv in enumerate(HKV_arr):
+        b = f"blk.{il}."
+        p.norm(b + "attn_norm.weight", E)
+        if hkv == 0:                             # mamba layer
+            p.w(b + "ssm_in.weight", 2 * di, E)
+            p.w(b + "ssm_conv1d.weight", di, dc, scale=0.3)
+            p.w(b + "ssm_x.weight", dt_dim + 2 * ds, di)
+            p.w(b + "ssm_dt.weight", nh, dt_dim, scale=0.1)
+            p.bias(b + "ssm_dt.bias", nh, scale=0.3)
+            p.tensors[b + "ssm_a"] = -np.exp(
+                p.rng.standard_normal(nh).astype(np.float32) * 0.5)
+            p.bias(b + "ssm_d", nh, scale=0.5)
+            p.w(b + "ssm_out.weight", E, di)
+            p.norm(b + "ssm_dt_norm", dt_dim)
+            p.norm(b + "ssm_b_norm", ds)
+            p.norm(b + "ssm_c_norm", ds)
+        else:                                    # attention layer
+            p.w(b + "attn_qkv.weight", (H + 2 * hkv) * D, E)
+            p.norm(b + "attn_q_norm.weight", (H, D))    # per-head weights
+            p.norm(b + "attn_k_norm.weight", (hkv, D))
+            p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "post_attention_norm", E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.norm(b + "post_ffw_norm", E)
+        p.w(b + "ffn_up.weight", 2 * F, E)       # fused gate‖up
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, HKV, F, len(HKV_arr), D=D)
+    md["attention.head_count_kv"] = HKV_arr
+    md.update({"ssm.conv_kernel": dc, "ssm.inner_size": di,
+               "ssm.state_size": ds, "ssm.time_step_rank": nh,
+               "ssm.group_count": 0})
+    return "plamo2", md, p.tensors
