@@ -211,7 +211,7 @@ ROPE_TYPE_BY_ARCH = {
     "nomic-bert": 2, "nomic-bert-moe": 2, "jina-bert-v3": 2,
     "modern-bert": 2, "neo-bert": 0, "bert": -1, "jina-bert-v2": -1,
     "llama-embed": 0, "phimoe": 2, "qwen3vl": 2, "qwen3vlmoe": 2,
-    "plamo2": 2,
+    "plamo2": 2, "gemma3n": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }
@@ -221,7 +221,8 @@ ROPE_TYPE_BY_ARCH = {
 SWA_PATTERN_BY_ARCH = {"gemma2": 2, "gemma3": 6, "gpt-oss": 2, "gptoss": 2,
                        "cohere2": 4,
                        # symmetric (bidirectional) windows on encoders
-                       "modern-bert": 3, "gemma-embedding": 6}
+                       "modern-bert": 3, "gemma-embedding": 6,
+                       "gemma3n": 5}
 
 # FFN activation per arch (llm_build_* act choices in src/models/).
 # HF "gelu" is erf-based for neox/falcon/mpt; gpt2/phi2/starcoder use the
@@ -481,6 +482,18 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
             _k(md, arch, "attn_logit_softcapping", 30.0))
         hp.logit_scale = float(_k(md, arch, "logit_scale", 0.5773502691896257))
         hp.extra["moe_dense_parallel_scale"] = 2.0 ** 0.5 / 2.0
+    if arch == "gemma3n":
+        # AltUp/LAUREL/per-layer-input params (defaults llama-hparams.h:177;
+        # n_layer_kv_from_start hardcoded 20, final softcap default 30)
+        hp.extra["gemma3n"] = {
+            "n_altup": int(_k(md, arch, "altup.num_inputs", 4) or 4),
+            "i_altup_act": int(_k(md, arch, "altup.active_idx", 0) or 0),
+            "n_embd_altup": int(
+                _k(md, arch, "embedding_length_per_layer_input", 256) or 256),
+            "n_layer_kv_from_start": 20,
+        }
+        if hp.final_logit_softcap == 0.0:
+            hp.final_logit_softcap = 30.0
     if arch in ("t5", "t5encoder"):
         hp.dec_n_layer = int(_k(md, arch, "decoder_block_count", hp.n_layer))
     if arch == "wavtokenizer-dec":

@@ -236,6 +236,12 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
         "cls_b": g("cls.bias", t=False),
         "cls_out": g("cls.output.weight"),
         "cls_out_b": g("cls.output.bias", t=False),
+        # gemma3n AltUp globals
+        "per_layer_token_embd": g("per_layer_token_embd.weight", t=False),
+        "per_layer_model_proj": g("per_layer_model_proj.weight"),
+        "per_layer_proj_norm": g("per_layer_proj_norm.weight", t=False),
+        "altup_proj": g("altup_proj.weight"),
+        "altup_unembd_proj": g("altup_unembd_proj.weight"),
         "layers": [],
     }
     for il in range(hp.n_layer):
@@ -330,6 +336,19 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ffn_norm_exps": g(p + "ffn_norm_exps.weight", t=False),
             # afmoe attention gate (σ-gated attn output pre-wo)
             "attn_gate": g(p + "attn_gate.weight"),
+            # gemma3n: AltUp + LAUREL + per-layer-input tensors
+            "altup_router": g(p + "altup_router.weight"),
+            "altup_router_norm": g(p + "altup_router_norm.weight", t=False),
+            "altup_predict_coef": g(p + "altup_predict_coef.weight"),
+            "altup_correct_coef": g(p + "altup_correct_coef.weight"),
+            "altup_correct_scale": g(p + "altup_correct_scale.weight",
+                                     t=False),
+            "per_layer_inp_gate": g(p + "inp_gate.weight"),
+            "per_layer_proj": g(p + "proj.weight"),
+            "per_layer_post_norm": g(p + "post_norm.weight", t=False),
+            "laurel_l": g(p + "laurel_l.weight"),
+            "laurel_r": g(p + "laurel_r.weight"),
+            "laurel_post_norm": g(p + "laurel_post_norm.weight", t=False),
             # lfm2 shortconv mixer (conv kernel → (L_cache, n_embd))
             "shortconv_conv": g(p + "shortconv.conv.weight"),
             "shortconv_in": g(p + "shortconv.in_proj.weight"),

@@ -101,6 +101,10 @@ from .plamo2 import plamo2_forward  # noqa: E402
 
 register("plamo2", plamo2_forward)
 
+from .gemma3n import gemma3n_forward  # noqa: E402
+
+register("gemma3n", gemma3n_forward)
+
 from .llada import llada_forward  # noqa: E402
 
 register("llada", llada_forward)

@@ -21,11 +21,15 @@ import jax.numpy as jnp
 # ----------------------------------------------------------------- norms
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
+def rms_norm(x: jax.Array, weight: jax.Array | None,
+             eps: float = 1e-5) -> jax.Array:
+    """RMSNorm; weight=None → non-parametric (gemma3n V-norm)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps)
-    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def layer_norm(x: jax.Array, weight: jax.Array | None, bias: jax.Array | None,

@@ -1431,3 +1431,57 @@ def spec_plamo2():
                "ssm.state_size": ds, "ssm.time_step_rank": nh,
                "ssm.group_count": 0})
     return "plamo2", md, p.tensors
+
+
+@spec("gemma3n")
+def spec_gemma3n():
+    """Gemma3n — AltUp multi-stream hidden state, LAUREL low-rank residual,
+    per-layer input embeddings, gated per-layer corrections, activation
+    sparsity, iSWA pattern 5 (gemma3n-iswa.cpp). This reference vintage
+    IGNORES the altup KVs and uses the hparams.h defaults (n_altup 4,
+    n_embd_altup 256, laurel_rank 64, kv_from_start 20 > L here — the
+    shared-KV tail is exercised by the structural test instead). Five
+    layers so iSWA pattern 5 includes one full-attention layer (the
+    reference's unused full-cache inputs crash buffer assignment), and
+    tied embeddings (this vintage never requests output.weight)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 5, 16
+    A, EA, RANK = 4, 256, 64
+    p = P("gemma3n")
+    p.w("token_embd.weight", V, E, scale=0.02 / 8.0)   # ×sqrt(E) in-graph
+    p.norm("output_norm.weight", E)
+    p.w("per_layer_token_embd.weight", V, EA * L, scale=0.05)
+    p.w("per_layer_model_proj.weight", EA * L, E)
+    p.norm("per_layer_proj_norm.weight", EA)
+    p.w("altup_proj.weight", A - 1, E, E)
+    p.w("altup_unembd_proj.weight", A - 1, E, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "post_attention_norm.weight", E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+        p.norm(b + "post_ffw_norm.weight", E)
+        p.w(b + "inp_gate.weight", EA, E)
+        p.w(b + "proj.weight", E, EA)
+        p.norm(b + "post_norm.weight", E)
+        p.w(b + "altup_correct_coef.weight", A, A, scale=0.2)
+        p.bias(b + "altup_correct_scale.weight", E, scale=0.5)
+        p.w(b + "altup_predict_coef.weight", A * A, A, scale=0.1)
+        p.w(b + "altup_router.weight", A, E)
+        p.norm(b + "altup_router_norm.weight", E)
+        p.w(b + "laurel_l.weight", RANK, E)
+        p.w(b + "laurel_r.weight", E, RANK)
+        p.norm(b + "laurel_post_norm.weight", E)
+    md = _base_md(E, H, HKV, F, L, D=D)
+    md.update({"attention.sliding_window": 32,
+               "rope.freq_base_swa": 10000.0,
+               "final_logit_softcapping": 30.0})
+    return "gemma3n", md, p.tensors

@@ -700,3 +700,81 @@ def test_llama31_rope_freqs_parity(tmp_path):
     assert model.params.get("rope_freqs") is not None
     assert (np.asarray(model.params["rope_freqs"]) > 1.0).any()  # low-freq band scaled
     _parity(hf, model, n_tokens=48)
+
+
+def test_gemma3n_shared_kv_tail(tmp_path):
+    """gemma3n layers >= n_layer_kv_from_start (20) compute Q only and
+    attend the KV cache of layer 18 (swa) / 19 (full)
+    (llama-model.cpp layer_reuse_cb). Structural check on a 22-layer tiny
+    model: stepwise decode through the iSWA cache must equal prefill."""
+    import jax.numpy as jnp
+
+    from superllama_tpu.gguf import GGUFWriter
+
+    rng = np.random.default_rng(23)
+    E, V, H, HKV, D, F, L = 32, 96, 2, 1, 16, 48, 22
+    EA, A, RANK = 16, 4, 8
+    a = "gemma3n"
+    w = GGUFWriter(str(tmp_path / "g3n.gguf"), arch=a)
+    w.add(f"{a}.context_length", 64)
+    w.add(f"{a}.embedding_length", E)
+    w.add(f"{a}.block_count", L)
+    w.add(f"{a}.feed_forward_length", F)
+    w.add(f"{a}.attention.head_count", H)
+    w.add(f"{a}.attention.head_count_kv", HKV)
+    w.add(f"{a}.attention.key_length", D)
+    w.add(f"{a}.attention.value_length", D)
+    w.add(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{a}.attention.sliding_window", 8)
+    w.add(f"{a}.rope.freq_base", 10000.0)
+    w.add(f"{a}.vocab_size", V)
+    w.add(f"{a}.altup.num_inputs", A)
+    w.add(f"{a}.altup.active_idx", 0)
+    w.add(f"{a}.embedding_length_per_layer_input", EA)
+
+    def t(name, *shape, s=0.05):
+        w.add_tensor(name, rng.standard_normal(shape).astype(np.float32) * s)
+
+    t("token_embd.weight", V, E, s=0.02)
+    t("output_norm.weight", E)
+    t("per_layer_token_embd.weight", V, EA * L)
+    t("per_layer_model_proj.weight", EA * L, E)
+    t("per_layer_proj_norm.weight", EA)
+    t("altup_proj.weight", A - 1, E, E)
+    t("altup_unembd_proj.weight", A - 1, E, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        for nm in ("attn_norm", "post_attention_norm", "ffn_norm",
+                   "post_ffw_norm", "post_norm", "altup_router_norm",
+                   "laurel_post_norm"):
+            t(b + nm + ".weight", E)
+        t(b + "attn_q.weight", H * D, E)
+        t(b + "attn_k.weight", HKV * D, E)
+        t(b + "attn_v.weight", HKV * D, E)
+        t(b + "attn_output.weight", E, H * D)
+        t(b + "attn_q_norm.weight", D)
+        t(b + "attn_k_norm.weight", D)
+        t(b + "ffn_gate.weight", F, E)
+        t(b + "ffn_up.weight", F, E)
+        t(b + "ffn_down.weight", E, F)
+        t(b + "inp_gate.weight", EA, E)
+        t(b + "proj.weight", E, EA)
+        t(b + "altup_correct_coef.weight", A, A, s=0.2)
+        t(b + "altup_correct_scale.weight", E, s=0.3)
+        t(b + "altup_predict_coef.weight", A * A, A, s=0.1)
+        t(b + "altup_router.weight", A, E)
+        t(b + "laurel_l.weight", RANK, E)
+        t(b + "laurel_r.weight", E, RANK)
+    w.write()
+
+    model = load_model(str(tmp_path / "g3n.gguf"))
+    hp = model.hparams
+    assert hp.extra["gemma3n"]["n_layer_kv_from_start"] == 20 and hp.n_layer == 22
+    ids = rng.integers(1, V, size=12).astype(np.int32)
+    ctx = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    full = np.asarray(ctx.forward(ids)[0], np.float32)
+    assert np.isfinite(full).all()
+    ctx2 = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    steps = [np.asarray(ctx2.forward(np.asarray([x], np.int32))[0, -1])
+             for x in ids]
+    np.testing.assert_allclose(np.stack(steps), full, rtol=2e-3, atol=1e-4)
