@@ -134,6 +134,10 @@ class HParams:
             return True
         if self.arch in ("nemotron_h", "nemotron-h", "nemotron_h_moe"):
             return self.n_head_kv_il(il) == 0 and self.n_ff_il(il) == 0
+        if self.arch == "qwen3next":
+            # gated delta net on 3 of every 4 layers (llama-model.cpp:2389
+            # full_attention_interval = 4)
+            return (il + 1) % 4 != 0
         return self.n_head_kv_il(il) == 0
 
     @property
@@ -148,6 +152,8 @@ class HParams:
     def is_hybrid(self) -> bool:
         """Mixed attention + recurrent layers (jamba/falcon-h1/lfm2-style)."""
         if self.arch == "falcon-h1":  # parallel attn+ssm in every layer
+            return self.ssm_d_inner > 0
+        if self.arch == "qwen3next":    # delta-net + attention hybrid
             return self.ssm_d_inner > 0
         if self.shortconv_l_cache > 0:  # lfm2: shortconv + attention layers
             return (self.n_head_kv_arr is not None
@@ -211,7 +217,7 @@ ROPE_TYPE_BY_ARCH = {
     "nomic-bert": 2, "nomic-bert-moe": 2, "jina-bert-v3": 2,
     "modern-bert": 2, "neo-bert": 0, "bert": -1, "jina-bert-v2": -1,
     "llama-embed": 0, "phimoe": 2, "qwen3vl": 2, "qwen3vlmoe": 2,
-    "plamo2": 2, "gemma3n": 2,
+    "plamo2": 2, "gemma3n": 2, "qwen3next": 2,
     "gpt2": -1, "starcoder": -1, "bloom": -1, "mpt": -1, "jais": -1,
     "refact": -1,
 }

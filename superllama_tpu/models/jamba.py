@@ -34,6 +34,10 @@ def hybrid_layer_split(hp: HParams) -> tuple[list[int], list[int]]:
     if hp.arch == "falcon-h1":
         alls = list(range(hp.n_layer))
         return alls, list(alls)
+    if hp.arch == "qwen3next":   # head counts are uniform; split by formula
+        rec = [il for il in range(hp.n_layer) if hp.is_recurrent_layer(il)]
+        attn = [il for il in range(hp.n_layer) if il not in rec]
+        return attn, rec
     attn = [il for il in range(hp.n_layer) if hp.n_head_kv_il(il) > 0]
     rec = [il for il in range(hp.n_layer) if hp.is_recurrent_layer(il)]
     return attn, rec

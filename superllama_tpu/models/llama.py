@@ -161,7 +161,10 @@ def _moe_shared_expert(x: jax.Array, layer: dict, hp: HParams, out: jax.Array):
         shexp = {k: v for k, v in shexp.items() if v is not None}
         sh = dense_ffn(x, shexp, hp)
         if "ffn_gate_inp_shexp" in layer:
-            sh = sh * jax.nn.sigmoid(mm(x, layer["ffn_gate_inp_shexp"]))
+            gsig = jax.nn.sigmoid(mm(x, layer["ffn_gate_inp_shexp"]))
+            if gsig.ndim == sh.ndim - 1:   # 1-D {n_embd} gate (qwen3next)
+                gsig = gsig[..., None]
+            sh = sh * gsig
         out = out + sh
     return out
 

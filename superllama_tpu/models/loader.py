@@ -290,6 +290,8 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
             "ssm_d": _first(g(p + "ssm_d", t=False),
                             g(p + "ssm_d.weight", t=False)),
             "ssm_out": g(p + "ssm_out.weight"),
+            # qwen3next gated delta net: fused [beta|alpha] projection
+            "ssm_beta_alpha": g(p + "ssm_ba.weight"),
             "ssm_norm": g(p + "ssm_norm.weight", t=False),  # mamba2 grouped
             # jamba/plamo2 hybrid: RMS norms on the dt/B/C selection streams
             # (plamo2 ships them suffix-less, llama-arch tn(TENSOR, i))
@@ -451,7 +453,12 @@ def load_model(path: str, dtype=jnp.float32, keep_quantized: bool = False,
         # ecosystem phi3-style fused tensors: split into the standard names
         if "wq" not in layer:
             qkv = _get(reader, p + "attn_qkv.weight", dtype, True, None, False)
-            if qkv is not None:               # (E_in, (H + 2·Hkv)·D)
+            if qkv is not None and (hp.arch == "qwen3next"
+                                    and hp.is_recurrent_layer(il)):
+                # qwen3next delta-net layers: attn_qkv is the fused
+                # [q|k|v] linear-attention projection, NOT head-split
+                layer["ssm_qkv"] = qkv
+            elif qkv is not None:             # (E_in, (H + 2·Hkv)·D)
                 nq = hp.n_head_il(il) * hp.head_dim
                 nk = hp.n_head_kv_il(il) * hp.head_dim
                 layer["wq"] = qkv[:, :nq]

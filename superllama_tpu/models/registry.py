@@ -105,6 +105,10 @@ from .gemma3n import gemma3n_forward  # noqa: E402
 
 register("gemma3n", gemma3n_forward)
 
+from .qwen3next import qwen3next_forward  # noqa: E402
+
+register("qwen3next", qwen3next_forward)
+
 from .llada import llada_forward  # noqa: E402
 
 register("llada", llada_forward)

@@ -32,6 +32,7 @@ _ARCH_MAP = {
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen3MoeForCausalLM": "qwen3moe",
+    "Qwen3NextForCausalLM": "qwen3next",
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
     "Gemma3ForConditionalGeneration": "gemma3",
@@ -87,7 +88,10 @@ _ARCH_MAP = {
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
 # nemotron LayerNorm1P)
-_NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron"}
+_NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron",
+                  # Qwen3NextRMSNorm is zero-centered (y = x·(1+w)); the
+                  # GATED linear_attn.norm is standard and stays raw
+                  "qwen3next"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
 _PERMUTE_QK = {"llama", "granite", "smollm3", "granitemoe", "granitehybrid",
                "arcee"}
@@ -288,6 +292,79 @@ def _convert_falcon_h1(w, put, get, config, np):
         put(gg + "ffn_up.weight", get(hf + "feed_forward.up_proj.weight"))
         put(gg + "ffn_down.weight",
             get(hf + "feed_forward.down_proj.weight") * mlp[1])
+
+
+def _convert_qwen3next(w, put, get, get_norm, config):
+    """Qwen3-Next mapping (convert_hf_to_gguf Qwen3NextModel counterpart):
+    delta-net layers emit head-contiguous attn_qkv [q|k|v] + attn_gate (z)
+    rearranged from HF's per-k-head-interleaved in_proj_qkvz; ssm_ba stays
+    in HF's native [beta|alpha]-per-k-head layout; A_log → −exp(A_log);
+    every zero-centered norm gets +1 EXCEPT the gated linear_attn.norm."""
+    L = config.num_hidden_layers
+    E = config.hidden_size
+    Dk = config.linear_key_head_dim
+    Dv = config.linear_value_head_dim
+    Hk = config.linear_num_key_heads
+    Hv = config.linear_num_value_heads
+    R = Hv // Hk
+    n_expert = int(getattr(config, "num_experts", 0) or 0)
+
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get_norm("model.norm.weight"))
+    out = get("lm_head.weight")
+    if out is not None:
+        put("output.weight", out)
+    for il in range(L):
+        hf = f"model.layers.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_norm.weight", get_norm(hf + "input_layernorm.weight"))
+        put(gg + "post_attention_norm.weight",
+            get_norm(hf + "post_attention_layernorm.weight"))
+        if (il + 1) % 4 == 0:                  # gated full attention
+            put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+            put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+            put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+            put(gg + "attn_q_norm.weight",
+                get_norm(hf + "self_attn.q_norm.weight"))
+            put(gg + "attn_k_norm.weight",
+                get_norm(hf + "self_attn.k_norm.weight"))
+        else:                                  # gated delta net
+            qkvz = get(hf + "linear_attn.in_proj_qkvz.weight")  # (out, E)
+            per = 2 * Dk + 2 * R * Dv
+            qkvz = qkvz.reshape(Hk, per, E)
+            q = qkvz[:, :Dk].reshape(Hk * Dk, E)
+            k = qkvz[:, Dk:2 * Dk].reshape(Hk * Dk, E)
+            v = qkvz[:, 2 * Dk:2 * Dk + R * Dv].reshape(Hv * Dv, E)
+            z = qkvz[:, 2 * Dk + R * Dv:].reshape(Hv * Dv, E)
+            put(gg + "attn_qkv.weight", np.concatenate([q, k, v], axis=0))
+            put(gg + "attn_gate.weight", z)
+            put(gg + "ssm_ba.weight", get(hf + "linear_attn.in_proj_ba.weight"))
+            conv = get(hf + "linear_attn.conv1d.weight")  # (C, 1, dc)
+            put(gg + "ssm_conv1d.weight", conv.squeeze(1))
+            put(gg + "ssm_a", -np.exp(get(hf + "linear_attn.A_log")))
+            put(gg + "ssm_dt.bias", get(hf + "linear_attn.dt_bias"))
+            put(gg + "ssm_norm.weight", get(hf + "linear_attn.norm.weight"))
+            put(gg + "ssm_out.weight", get(hf + "linear_attn.out_proj.weight"))
+        if n_expert:
+            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+            for kind, hf_n in (("gate", "gate_proj"), ("up", "up_proj"),
+                               ("down", "down_proj")):
+                put(gg + f"ffn_{kind}_exps.weight",
+                    np.stack([get(hf + f"mlp.experts.{e}.{hf_n}.weight")
+                              for e in range(n_expert)]))
+            put(gg + "ffn_gate_shexp.weight",
+                get(hf + "mlp.shared_expert.gate_proj.weight"))
+            put(gg + "ffn_up_shexp.weight",
+                get(hf + "mlp.shared_expert.up_proj.weight"))
+            put(gg + "ffn_down_shexp.weight",
+                get(hf + "mlp.shared_expert.down_proj.weight"))
+            put(gg + "ffn_gate_inp_shexp.weight",
+                get(hf + "mlp.shared_expert_gate.weight").reshape(-1))
+        else:
+            put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
 
 
 def _convert_gpt2(w, put, get, config):
@@ -740,6 +817,25 @@ def convert_state_dict(
         w.add(f"{arch}.attention.layer_norm_epsilon",
               float(getattr(config, "layer_norm_eps", 1e-12)))
         _convert_bert(w, put, get, config)
+        w.write()
+        return
+    if arch == "qwen3next":
+        w.add(f"{arch}.ssm.conv_kernel", int(config.linear_conv_kernel_dim))
+        w.add(f"{arch}.ssm.state_size", int(config.linear_key_head_dim))
+        w.add(f"{arch}.ssm.group_count", int(config.linear_num_key_heads))
+        w.add(f"{arch}.ssm.time_step_rank", int(config.linear_num_value_heads))
+        w.add(f"{arch}.ssm.inner_size",
+              int(config.linear_value_head_dim * config.linear_num_value_heads))
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(getattr(config, "rms_norm_eps", 1e-6)))
+        w.add(f"{arch}.expert_count", int(getattr(config, "num_experts", 0)))
+        w.add(f"{arch}.expert_used_count",
+              int(getattr(config, "num_experts_per_tok", 0)))
+        w.add(f"{arch}.expert_feed_forward_length",
+              int(getattr(config, "moe_intermediate_size", 0)))
+        w.add(f"{arch}.expert_shared_feed_forward_length",
+              int(getattr(config, "shared_expert_intermediate_size", 0)))
+        _convert_qwen3next(w, put, get, get_norm, config)
         w.write()
         return
     if arch == "mamba":

@@ -1485,3 +1485,5 @@ def spec_gemma3n():
                "rope.freq_base_swa": 10000.0,
                "final_logit_softcapping": 30.0})
     return "gemma3n", md, p.tensors
+
+

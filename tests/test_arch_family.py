@@ -778,3 +778,54 @@ def test_gemma3n_shared_kv_tail(tmp_path):
     steps = [np.asarray(ctx2.forward(np.asarray([x], np.int32))[0, -1])
              for x in ids]
     np.testing.assert_allclose(np.stack(steps), full, rtol=2e-3, atol=1e-4)
+
+
+def test_qwen3next_parity(tmp_path):
+    """Qwen3-Next: gated delta net (3/4 layers) + gated full attention, MoE
+    with sigmoid-gated shared expert; HF parity (src/models/qwen3next.cpp;
+    transformers torch_recurrent_gated_delta_rule)."""
+    from transformers import Qwen3NextConfig
+    from transformers.models.qwen3_next import Qwen3NextForCausalLM
+
+    torch.manual_seed(31)
+    cfg = Qwen3NextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, linear_conv_kernel_dim=4, linear_key_head_dim=16,
+        linear_value_head_dim=16, linear_num_key_heads=2,
+        linear_num_value_heads=4, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=48, shared_expert_intermediate_size=48,
+        decoder_sparse_step=1, max_position_embeddings=128,
+        attn_implementation="eager", architectures=["Qwen3NextForCausalLM"],
+        tie_word_embeddings=False, pad_token_id=0,
+    )
+    hf = Qwen3NextForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "q3n.gguf")
+    hp = model.hparams
+    assert hp.is_hybrid
+    assert [hp.is_recurrent_layer(i) for i in range(4)] == [True, True,
+                                                            True, False]
+    # HF's prefill path runs torch_chunk_gated_delta_rule (padded 64-chunk
+    # parallel scan); our lax.scan recurrence matches HF's OWN recurrent
+    # kernel to 4e-8 (same operator, different reduction order), so logits
+    # differ from the chunked path by ~1e-4/layer of f32 reassociation —
+    # gate at 5e-3 relative instead of the usual 5e-4
+    V = hp.n_vocab
+    ids = np.random.default_rng(0).integers(1, V, size=(1, 16))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).logits[0].float().numpy()
+    got = np.asarray(Context(model, n_batch=1, n_ctx=64,
+                             kv_dtype=np.float32).forward(
+        ids[0].astype(np.int32))[0], np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-3, f"relative max err {err}"
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.95
+
+    # stepwise decode through the hybrid state must match prefill
+    ids = np.random.default_rng(4).integers(1, 256, size=10).astype(np.int32)
+    ctx = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    full = np.asarray(ctx.forward(ids)[0], np.float32)
+    ctx2 = Context(model, n_batch=1, n_ctx=32, kv_dtype=np.float32)
+    steps = [np.asarray(ctx2.forward(np.asarray([x], np.int32))[0, -1])
+             for x in ids]
+    np.testing.assert_allclose(np.stack(steps), full, rtol=2e-3, atol=1e-4)
