@@ -50,6 +50,10 @@ def _load(args):
 
     from .models import load_model
 
+    if not getattr(args, "model", None):
+        print("error: -m/--model is required (or set LLAMA_ARG_MODEL)",
+              file=sys.stderr)
+        raise SystemExit(2)
     t0 = time.perf_counter()
     model = load_model(args.model, keep_quantized=args.keep_quantized)
     for spec in getattr(args, "lora", None) or []:
@@ -71,7 +75,9 @@ def _load(args):
         print(f"applied control vector {path} x{scale}", file=sys.stderr)
     print(f"loaded {args.model} [{model.hparams.arch}] "
           f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    return model, getattr(jnp, args.kv_dtype)
+    kvd = (args.kv_dtype if args.kv_dtype == "q8_0"
+           else getattr(jnp, args.kv_dtype))
+    return model, kvd
 
 
 def cmd_run(args):
@@ -95,11 +101,21 @@ def cmd_run(args):
         out = loop.generate(ids, args.n_predict, seed=args.seed)
         print(tok.decode(out[len(ids):]))
         return 0
+    from .args import sampling_from_args
+
+    grammar = getattr(args, "grammar", None)
+    if getattr(args, "grammar_file", None):
+        grammar = open(args.grammar_file).read()
+    if getattr(args, "json_schema", None):
+        from .grammar.json_schema import json_schema_to_gbnf
+
+        grammar = json_schema_to_gbnf(json.loads(args.json_schema))
     eng = Engine(model, n_slots=1, n_ctx=args.ctx_size, kv_dtype=kvd)
     req = GenRequest(
         prompt_ids=ids, max_tokens=args.n_predict,
-        sampling={"seed": args.seed, "temp": args.temp, "top_k": args.top_k,
-                  "top_p": args.top_p},
+        sampling=sampling_from_args(args),
+        grammar=grammar,
+        stop_eog=not getattr(args, "ignore_eos", False),
         stream=(lambda t, piece: print(piece, end="", flush=True))
         if args.stream else None,
     )
@@ -362,17 +378,12 @@ def main(argv=None) -> int:
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    from .args import add_options
+
     p = sub.add_parser("run", help="generate text")
-    _add_model_args(p)
+    add_options(p, "run")
     p.add_argument("-p", "--prompt", required=True)
-    p.add_argument("-n", "--n-predict", type=int, default=128)
-    p.add_argument("--temp", type=float, default=0.8)
-    p.add_argument("--top-k", type=int, default=40)
-    p.add_argument("--top-p", type=float, default=0.95)
-    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stream", action="store_true")
-    p.add_argument("--preset", default=None,
-                   help="named preset or JSON file (common/preset counterpart)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("diffusion", help="diffusion-LM generation (LLaDA/Dream)")
@@ -394,23 +405,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_diffusion)
 
     p = sub.add_parser("serve", help="HTTP server")
-    _add_model_args(p)
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--slots", type=int, default=4)
-    p.add_argument("--api-key", action="append", metavar="KEY=USER")
-    p.add_argument("--rate-limit", type=int, default=0, help="requests/min")
-    p.add_argument("--metrics-file", default=None)
-    p.add_argument("--draft-model", default=None, help="speculative draft GGUF")
-    p.add_argument("--draft-n", type=int, default=8)
-    p.add_argument("--embed-model", default=None, help="encoder GGUF for /embeddings")
-    p.add_argument("--ssl-cert-file", default=None, help="enable TLS")
-    p.add_argument("--ssl-key-file", default=None)
-    p.add_argument("--paged-kv", action="store_true",
-                   help="page-pool KV cache with HBM⇄host spill")
-    p.add_argument("--kv-page-size", type=int, default=256)
-    p.add_argument("--kv-pages", type=int, default=None,
-                   help="pool size in pages (default: slots*ctx/page + 1)")
+    add_options(p, "serve")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("gguf-dump", help="inspect GGUF metadata + tensors")
