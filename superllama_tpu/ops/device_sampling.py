@@ -96,6 +96,14 @@ def chain_params(rows: list[dict | None], n_vocab: int) -> dict:
         "bias_ids": np.full((B, N_BIAS), -1, np.int32),
         "bias_vals": np.zeros((B, N_BIAS), np.float32),
     }
+    p.update({
+        "typ_p": np.ones(B, np.float32),
+        "xtc_p": np.zeros(B, np.float32),
+        "xtc_thr": np.full(B, 0.1, np.float32),
+        "dynatemp_range": np.zeros(B, np.float32),
+        "dynatemp_exp": np.ones(B, np.float32),
+        "n_sigma": np.full(B, -1.0, np.float32),
+    })
     for i, cfg in enumerate(rows):
         if cfg is None:
             continue
@@ -114,6 +122,20 @@ def chain_params(rows: list[dict | None], n_vocab: int) -> dict:
         p["pen_present"][i] = cfg.get("penalty_present", 0.0)
         n = int(cfg.get("penalty_last_n", 64))
         p["pen_last_n"][i] = min(n, RING) if n >= 0 else RING
+        p["typ_p"][i] = cfg.get("typical_p", 1.0)
+        p["xtc_p"][i] = cfg.get("xtc_probability", 0.0)
+        p["xtc_thr"][i] = cfg.get("xtc_threshold", 0.1)
+        p["dynatemp_range"][i] = cfg.get("dynatemp_range", 0.0)
+        p["dynatemp_exp"][i] = cfg.get("dynatemp_exponent", 1.0)
+        ns = cfg.get("top_n_sigma", -1.0)
+        p["n_sigma"][i] = ns if ns and ns > 0 else -1.0
+        if ns and ns > 0:
+            # the host chain's top-n-sigma branch is top-k → temp → nσ and
+            # skips typical/top-p/min-p/xtc (make_chain) — mirror that
+            p["typ_p"][i] = 1.0
+            p["top_p"][i] = 1.0
+            p["min_p"][i] = 0.0
+            p["xtc_p"][i] = 0.0
         for j, (tid, b) in enumerate((cfg.get("logit_bias") or {}).items()):
             if 0 <= int(tid) < n_vocab:
                 p["bias_ids"][i, j] = int(tid)
@@ -121,17 +143,17 @@ def chain_params(rows: list[dict | None], n_vocab: int) -> dict:
     return p
 
 
-_UNSUPPORTED = ("dry_multiplier", "mirostat", "xtc_probability",
-                "dynatemp_range", "top_n_sigma")
+_UNSUPPORTED = ("dry_multiplier", "mirostat")
 
 
 def chain_supported(cfg: dict) -> bool:
-    """True when the sampling config is expressible by the on-device chain."""
-    if cfg.get("typical_p", 1.0) < 1.0:
-        return False
+    """True when the sampling config is expressible by the on-device chain
+    (everything except the stateful DRY / mirostat / adaptive-p samplers)."""
     for k in _UNSUPPORTED:
         if cfg.get(k):
             return False
+    if cfg.get("adaptive_p_target", -1.0) >= 0.0:
+        return False
     if len(cfg.get("logit_bias") or {}) > N_BIAS:
         return False
     return True
@@ -167,6 +189,22 @@ def chain_step(logits: jax.Array, ring: jax.Array, keys: jax.Array,
     vals, idx = jax.lax.top_k(lf, N_CAND)                 # (B, N) desc
     rank = jnp.arange(N_CAND, dtype=jnp.int32)[None, :]
     vals = jnp.where(rank < p["top_k"][:, None], vals, -jnp.inf)
+
+    # locally-typical (llama_sampler_init_typical): keep the smallest-|surprise
+    # − entropy| set with cumulative prob ≥ typ_p; inert when typ_p ≥ 1
+    probs = jax.nn.softmax(vals, axis=-1)
+    surprise = jnp.where(jnp.isfinite(vals), -jnp.log(
+        jnp.maximum(probs, 1e-30)), jnp.inf)
+    entropy = jnp.sum(jnp.where(jnp.isfinite(vals), probs * surprise, 0.0),
+                      axis=-1, keepdims=True)
+    shifted = jnp.abs(surprise - entropy)
+    sh_idx = jnp.argsort(shifted, axis=-1, stable=True)
+    p_ord = jnp.take_along_axis(probs, sh_idx, axis=-1)
+    keep_ord = (jnp.cumsum(p_ord, axis=-1) - p_ord) < p["typ_p"][:, None]
+    rows_b = jnp.arange(B, dtype=jnp.int32)[:, None]
+    keep_typ = jnp.zeros((B, N_CAND), bool).at[rows_b, sh_idx].set(keep_ord)
+    vals = jnp.where(keep_typ, vals, -jnp.inf)
+
     probs = jax.nn.softmax(vals, axis=-1)
     cum_before = jnp.cumsum(probs, axis=-1) - probs
     vals = jnp.where(cum_before < p["top_p"][:, None], vals, -jnp.inf)
@@ -177,9 +215,44 @@ def chain_step(logits: jax.Array, ring: jax.Array, keys: jax.Array,
                      -jnp.inf)
     vals = jnp.where(vals >= minp, vals, -jnp.inf)
 
-    # temp → dist (Gumbel-max over the survivors); temp ≤ 0 → greedy (rank 0)
+    # XTC (llama_sampler_init_xtc): with probability xtc_p drop every token
+    # whose prob ≥ threshold except the LEAST likely of them
+    probs = jax.nn.softmax(vals, axis=-1)
+    u_xtc = jax.vmap(lambda k: jax.random.uniform(
+        jax.random.fold_in(k, 7), ()))(keys)
+    above = probs >= p["xtc_thr"][:, None]
+    n_above = jnp.sum(above, axis=-1, keepdims=True)
+    last_above = jnp.max(jnp.where(above, rank, -1), axis=-1, keepdims=True)
+    fire = ((p["xtc_p"][:, None] > 0.0) & (u_xtc[:, None] < p["xtc_p"][:, None])
+            & (p["xtc_thr"][:, None] <= 0.5) & (n_above >= 2))
+    vals = jnp.where(fire & above & (rank < last_above), -jnp.inf, vals)
+
+    # temperature: static or entropy-scaled (llama.h temp_ext)
     temp = p["temp"][:, None]
-    scaled = vals / jnp.maximum(temp, 1e-6)
+    probs = jax.nn.softmax(vals, axis=-1)
+    finite = jnp.isfinite(vals)
+    ent = -jnp.sum(jnp.where(finite, probs * jnp.log(
+        jnp.maximum(probs, 1e-30)), 0.0), axis=-1, keepdims=True)
+    n_fin = jnp.sum(finite, axis=-1, keepdims=True).astype(jnp.float32)
+    max_ent = jnp.where(n_fin > 1, jnp.log(jnp.maximum(n_fin, 2.0)), 1.0)
+    norm_ent = jnp.where(max_ent > 0, ent / max_ent, 0.0)
+    delta = p["dynatemp_range"][:, None]
+    dyn_t = ((temp - delta)
+             + 2.0 * delta * norm_ent ** p["dynatemp_exp"][:, None])
+    eff_t = jnp.where(delta > 0.0, jnp.maximum(dyn_t, 1e-3), temp)
+    scaled = vals / jnp.maximum(eff_t, 1e-6)
+
+    # top-n-sigma AFTER temperature (the host chain's nσ branch order)
+    ns = p["n_sigma"][:, None]
+    mean_s = (jnp.sum(jnp.where(finite, scaled, 0.0), -1, keepdims=True)
+              / jnp.maximum(n_fin, 1.0))
+    var_s = (jnp.sum(jnp.where(finite, (scaled - mean_s) ** 2, 0.0), -1,
+                     keepdims=True) / jnp.maximum(n_fin, 1.0))
+    max_s = jnp.max(jnp.where(finite, scaled, -jnp.inf), -1, keepdims=True)
+    sig_cut = max_s - ns * jnp.sqrt(var_s)
+    scaled = jnp.where((ns > 0.0) & (scaled < sig_cut), -jnp.inf, scaled)
+
+    # dist (Gumbel-max over the survivors); temp ≤ 0 → greedy (rank 0)
     gumbel = -jnp.log(-jnp.log(
         jax.vmap(lambda k: jax.random.uniform(
             k, (N_CAND,), jnp.float32, 1e-7, 1.0 - 1e-7))(keys)))
