@@ -33,10 +33,6 @@ from ..runtime.kv_cache import (ISWACache, causal_mask, iswa_layer_split,
 from .hparams import HParams
 from .llama import mm
 
-N_LAYER_SPARSITY = 10
-SPARSITY_STD_MUL = 1.6448533535003662  # icdf(0.95), models.h:199
-
-
 def _magnitude(x):
     return jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
 
@@ -77,11 +73,13 @@ def _laurel(layer: dict, hp: HParams, x: jax.Array) -> jax.Array:
     return ops.rms_norm(t, layer["laurel_post_norm"], hp.rms_eps) + x
 
 
-def _gaussian_topk(x: jax.Array) -> jax.Array:
+def _gaussian_topk(x: jax.Array, std_mul: float) -> jax.Array:
+    # biased std (/N), matching HF + the original JAX model (jnp.std);
+    # ggml's gemma3n-iswa.cpp:314 uses /(N-1) — indistinguishable at the
+    # real n_ff (16k) but not at test sizes.
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    std = jnp.sqrt(jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True)
-                   / (x.shape[-1] - 1))
-    return jax.nn.relu(x - (mean + SPARSITY_STD_MUL * std))
+    std = jnp.sqrt(jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True))
+    return jax.nn.relu(x - (mean + std_mul * std))
 
 
 def gemma3n_forward(
@@ -175,8 +173,8 @@ def gemma3n_forward(
 
         h2 = ops.rms_norm(attn_laurel, layer["ffn_norm"], hp.rms_eps)
         gate = mm(h2, layer["ffn_gate"])
-        if il < N_LAYER_SPARSITY:
-            gate = _gaussian_topk(gate)
+        if g["sparsity"][il] > 0.0:
+            gate = _gaussian_topk(gate, g["sparsity"][il])
         ffn = mm(_gelu(gate) * mm(h2, layer["ffn_up"]), layer["ffn_down"])
         ffn = ops.rms_norm(ffn, layer["ffn_post_norm"], hp.rms_eps)
         gated = ffn + attn_laurel

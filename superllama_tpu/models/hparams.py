@@ -490,13 +490,22 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.extra["moe_dense_parallel_scale"] = 2.0 ** 0.5 / 2.0
     if arch == "gemma3n":
         # AltUp/LAUREL/per-layer-input params (defaults llama-hparams.h:177;
-        # n_layer_kv_from_start hardcoded 20, final softcap default 30)
+        # the reference hardcodes kv_from_start=20 — E2B 30−10, E4B 35−15 —
+        # honoring the converter's shared_kv_layers KV when present)
+        shared = _k(md, arch, "attention.shared_kv_layers")
+        sp = _k(md, arch, "activation_sparsity_scale")
         hp.extra["gemma3n"] = {
             "n_altup": int(_k(md, arch, "altup.num_inputs", 4) or 4),
             "i_altup_act": int(_k(md, arch, "altup.active_idx", 0) or 0),
             "n_embd_altup": int(
                 _k(md, arch, "embedding_length_per_layer_input", 256) or 256),
-            "n_layer_kv_from_start": 20,
+            "n_layer_kv_from_start": (hp.n_layer - int(shared)
+                                      if shared is not None else 20),
+            # per-layer activation-sparsity std multipliers (0 = off);
+            # default: first 10 layers at icdf(0.95) (models.h:198)
+            "sparsity": ([float(x) for x in sp] if sp is not None else
+                         [1.6448533535003662] * min(10, hp.n_layer)
+                         + [0.0] * max(hp.n_layer - 10, 0)),
         }
         if hp.final_logit_softcap == 0.0:
             hp.final_logit_softcap = 30.0

@@ -33,6 +33,8 @@ _ARCH_MAP = {
     "Qwen3ForCausalLM": "qwen3",
     "Qwen3MoeForCausalLM": "qwen3moe",
     "Qwen3NextForCausalLM": "qwen3next",
+    "Gemma3nForCausalLM": "gemma3n",
+    "Gemma3nForConditionalGeneration": "gemma3n",
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
     "Gemma3ForConditionalGeneration": "gemma3",
@@ -292,6 +294,66 @@ def _convert_falcon_h1(w, put, get, config, np):
         put(gg + "ffn_up.weight", get(hf + "feed_forward.up_proj.weight"))
         put(gg + "ffn_down.weight",
             get(hf + "feed_forward.down_proj.weight") * mlp[1])
+
+
+def _convert_gemma3n(w, put, get, config):
+    """Gemma3n text mapping (convert_hf_to_gguf Gemma3NModel counterpart;
+    norm_shift = 0 — gemma3n norms are NOT zero-centered)."""
+    L = config.num_hidden_layers
+    A = int(getattr(config, "altup_num_inputs", 4))
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    out = get("lm_head.weight")
+    if out is not None:
+        put("output.weight", out)
+    put("per_layer_token_embd.weight",
+        get("model.embed_tokens_per_layer.weight"))
+    put("per_layer_model_proj.weight",
+        get("model.per_layer_model_projection.weight"))
+    put("per_layer_proj_norm.weight",
+        get("model.per_layer_projection_norm.weight"))
+    put("altup_proj.weight", np.stack(
+        [get(f"model.altup_projections.{i}.weight") for i in range(A - 1)]))
+    put("altup_unembd_proj.weight", np.stack(
+        [get(f"model.altup_unembed_projections.{i}.weight")
+         for i in range(A - 1)]))
+    for il in range(L):
+        hf = f"model.layers.{il}."
+        gg = f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "post_attention_norm.weight",
+            get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_norm.weight",
+            get(hf + "pre_feedforward_layernorm.weight"))
+        put(gg + "post_ffw_norm.weight",
+            get(hf + "post_feedforward_layernorm.weight"))
+        put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+        put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "attn_q_norm.weight", get(hf + "self_attn.q_norm.weight"))
+        put(gg + "attn_k_norm.weight", get(hf + "self_attn.k_norm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+        put(gg + "laurel_l.weight", get(hf + "laurel.linear_left.weight"))
+        put(gg + "laurel_r.weight", get(hf + "laurel.linear_right.weight"))
+        put(gg + "laurel_post_norm.weight",
+            get(hf + "laurel.post_laurel_norm.weight"))
+        put(gg + "inp_gate.weight", get(hf + "per_layer_input_gate.weight"))
+        put(gg + "proj.weight", get(hf + "per_layer_projection.weight"))
+        put(gg + "post_norm.weight",
+            get(hf + "post_per_layer_input_norm.weight"))
+        put(gg + "altup_correct_scale.weight",
+            get(hf + "altup.correct_output_scale"))
+        put(gg + "altup_correct_coef.weight",
+            get(hf + "altup.correction_coefs.weight"))
+        put(gg + "altup_predict_coef.weight",
+            get(hf + "altup.prediction_coefs.weight"))
+        put(gg + "altup_router.weight",
+            get(hf + "altup.modality_router.weight"))
+        put(gg + "altup_router_norm.weight",
+            get(hf + "altup.router_norm.weight"))
 
 
 def _convert_qwen3next(w, put, get, get_norm, config):
@@ -618,7 +680,10 @@ def convert_state_dict(
             or getattr(config, "n_inner", None)
             or getattr(getattr(config, "ffn_config", None), "ffn_hidden_size", None)
             or 4 * n_embd)
-    w.add(f"{arch}.feed_forward_length", int(n_ff))
+    if isinstance(n_ff, (list, tuple)):   # per-layer widths (gemma3n)
+        n_ff = n_ff[0] if len(set(n_ff)) == 1 else list(map(int, n_ff))
+    w.add(f"{arch}.feed_forward_length",
+          n_ff if isinstance(n_ff, list) else int(n_ff))
     w.add(f"{arch}.attention.head_count", int(n_head))
     w.add(f"{arch}.attention.head_count_kv", int(n_kv))
     if arch == "deepseek2":
@@ -817,6 +882,41 @@ def convert_state_dict(
         w.add(f"{arch}.attention.layer_norm_epsilon",
               float(getattr(config, "layer_norm_eps", 1e-12)))
         _convert_bert(w, put, get, config)
+        w.write()
+        return
+    if arch == "gemma3n":
+        import math as _math
+
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(getattr(config, "rms_norm_eps", 1e-6)))
+        w.add(f"{arch}.altup.num_inputs",
+              int(getattr(config, "altup_num_inputs", 4)))
+        w.add(f"{arch}.altup.active_idx",
+              int(getattr(config, "altup_active_idx", 0)))
+        w.add(f"{arch}.embedding_length_per_layer_input",
+              int(config.hidden_size_per_layer_input))
+        w.add(f"{arch}.attention.shared_kv_layers",
+              int(getattr(config, "num_kv_shared_layers", 0)))
+        w.add(f"{arch}.attention.sliding_window",
+              int(getattr(config, "sliding_window", 512)))
+        lt = list(getattr(config, "layer_types", []) or [])
+        if lt:
+            w.add(f"{arch}.attention.sliding_window_pattern",
+                  [t == "sliding_attention" for t in lt])
+        # icdf(0.95) ≈ 1.64485 per sparse layer (Gemma3NModel converter)
+        sp = list(getattr(config, "activation_sparsity_pattern", []) or [])
+        if sp:
+            from statistics import NormalDist
+
+            w.add(f"{arch}.activation_sparsity_scale",
+                  [float(NormalDist().inv_cdf(s)) if s > 0 else 0.0
+                   for s in sp])
+        if getattr(config, "rope_local_base_freq", None) is not None:
+            w.add(f"{arch}.rope.freq_base_swa",
+                  float(config.rope_local_base_freq))
+        w.add(f"{arch}.final_logit_softcapping",
+              float(getattr(config, "final_logit_softcapping", 30.0)))
+        _convert_gemma3n(w, put, get, config)
         w.write()
         return
     if arch == "qwen3next":

@@ -1444,7 +1444,10 @@ def spec_gemma3n():
     layers so iSWA pattern 5 includes one full-attention layer (the
     reference's unused full-cache inputs crash buffer assignment), and
     tied embeddings (this vintage never requests output.weight)."""
-    E, H, HKV, F, L, D = 64, 4, 2, 128, 5, 16
+    # F large so ggml's unbiased sparsity std (gemma3n-iswa.cpp:314, /(N-1))
+    # and the true biased convention (HF / original JAX, /N) coincide — our
+    # forward implements the biased one; the HF parity test pins it exactly.
+    E, H, HKV, F, L, D = 64, 4, 2, 2048, 5, 16
     A, EA, RANK = 4, 256, 64
     p = P("gemma3n")
     p.w("token_embd.weight", V, E, scale=0.02 / 8.0)   # ×sqrt(E) in-graph

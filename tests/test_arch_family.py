@@ -829,3 +829,36 @@ def test_qwen3next_parity(tmp_path):
     steps = [np.asarray(ctx2.forward(np.asarray([x], np.int32))[0, -1])
              for x in ids]
     np.testing.assert_allclose(np.stack(steps), full, rtol=2e-3, atol=1e-4)
+
+
+def test_gemma3n_hf_parity(tmp_path):
+    """Gemma3n vs HF transformers: AltUp index order, LAUREL, per-layer
+    inputs, per-layer activation sparsity, shared-KV tail from the
+    converter's shared_kv_layers KV."""
+    from transformers import Gemma3nTextConfig
+    from transformers.models.gemma3n import Gemma3nForCausalLM
+
+    torch.manual_seed(77)
+    cfg = Gemma3nTextConfig(
+        vocab_size=256, vocab_size_per_layer_input=256, hidden_size=64,
+        hidden_size_per_layer_input=16, intermediate_size=128,
+        num_hidden_layers=7, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, altup_num_inputs=4, altup_active_idx=0, laurel_rank=8,
+        num_kv_shared_layers=2, sliding_window=8,
+        layer_types=["sliding_attention"] * 4 + ["full_attention"]
+        + ["sliding_attention"] * 2,
+        activation_sparsity_pattern=[0.95] * 2 + [0.0] * 5,
+        max_position_embeddings=128, attn_implementation="eager",
+        rope_theta=10000.0, rope_local_base_freq=10000.0,
+        architectures=["Gemma3nForCausalLM"], tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    hf = Gemma3nForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "g3n.gguf")
+    hp = model.hparams
+    assert hp.extra["gemma3n"]["n_layer_kv_from_start"] == 5
+    assert hp.extra["gemma3n"]["sparsity"][0] > 1.6
+    assert hp.extra["gemma3n"]["sparsity"][2] == 0.0
+    assert [hp.is_swa_layer(i) for i in range(7)] == [True] * 4 + [False,
+                                                                   True, True]
+    _parity(hf, model, n_tokens=12)
