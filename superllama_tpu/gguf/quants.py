@@ -309,6 +309,20 @@ def _pack_scale_min_k4(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
     return out
 
 
+def _ieee(fn):
+    """Run a dequant under errstate(ignore): random/garbage f16 scales decode
+    to inf/NaN which must PROPAGATE (the reference memcpys and multiplies,
+    ggml-quants.c — oracle bit-exactness forbids masking); the numpy warning
+    is noise, not a defect."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        with np.errstate(invalid="ignore", over="ignore"):
+            return fn(*a, **k)
+    return wrap
+
+@_ieee
 def dequant_q2_k(raw: np.ndarray) -> np.ndarray:
     b = _blocks(raw, 84)
     scales = b[:, 0:16]
@@ -449,6 +463,7 @@ def quant_q3_k(x: np.ndarray) -> np.ndarray:
     return np.concatenate([hm, qs, _q3k_pack_scales(ls), _to_f16_bytes(d).reshape(-1, 2)], axis=1).reshape(-1)
 
 
+@_ieee
 def dequant_q4_k(raw: np.ndarray) -> np.ndarray:
     b = _blocks(raw, 144)
     d = _f16(b[:, 0:2])
@@ -497,6 +512,7 @@ def quant_q4_k(x: np.ndarray) -> np.ndarray:
     ).reshape(-1)
 
 
+@_ieee
 def dequant_q5_k(raw: np.ndarray) -> np.ndarray:
     b = _blocks(raw, 176)
     d = _f16(b[:, 0:2])
