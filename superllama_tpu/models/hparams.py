@@ -336,8 +336,10 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         rope_freq_base_swa=float(_k(md, arch, "rope.freq_base_swa", 0.0)),
         act=ACT_BY_ARCH.get(arch, "silu"),
         expert_weights_norm=bool(_k(md, arch, "expert_weights_norm",
+                                    # jamba: build_moe_ffn norm_w=false
+                                    # (models/jamba.cpp:78)
                                     arch not in ("qwen2moe", "deepseek2",
-                                                 "deepseek"))),
+                                                 "deepseek", "jamba"))),
         expert_weights_scale=float(_k(md, arch, "expert_weights_scale", 1.0)),
         n_expert_shared=int(_k(md, arch, "expert_shared_count", 0)),
         n_layer_dense_lead=int(_k(md, arch, "leading_dense_block_count", 0)),

@@ -85,7 +85,20 @@ _ARCH_MAP = {
     "Exaone4ForCausalLM": "exaone4",
     "Llama4ForCausalLM": "llama4",
     "Qwen2VLForConditionalGeneration": "qwen2vl",
+    "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
+    "Qwen3VLForConditionalGeneration": "qwen3vl",
+    "Qwen3VLMoeForConditionalGeneration": "qwen3vlmoe",
+    "LlavaForConditionalGeneration": "llama",
     "DbrxForCausalLM": "dbrx",
+    "GPTBigCodeForCausalLM": "starcoder",
+    "PhimoeForCausalLM": "phimoe",
+    "Lfm2ForCausalLM": "lfm2",
+    "JambaForCausalLM": "jamba",
+    "RobertaModel": "bert",
+    "RobertaForSequenceClassification": "bert",
+    "XLMRobertaModel": "bert",
+    "XLMRobertaForSequenceClassification": "bert",
+    "DistilBertModel": "bert",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -612,11 +625,160 @@ def _convert_mpt(w, put, get, config):
         put(gg + "ffn_down.weight", get(hf + "ffn.down_proj.weight"))
 
 
-def _convert_bert(w, put, get, config):
-    """BERT encoder mapping (convert_hf_to_gguf BertModel counterpart)."""
-    pre = "bert." if get("bert.embeddings.word_embeddings.weight") is not None else ""
+def _convert_gptbigcode(w, put, get, config):
+    """GPTBigCode / StarCoder mapping (convert_hf_to_gguf StarCoderModel
+    counterpart): fused MQA c_attn [q; k; v] with kv width = head_dim,
+    learned positions, biased LayerNorms."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("position_embd.weight", get("transformer.wpe.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output_norm.bias", get("transformer.ln_f.bias"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", lm)
+    E = config.hidden_size
+    n_head = config.num_attention_heads
+    n_kv = 1 if getattr(config, "multi_query", True) else n_head
+    kvd = E // n_head * n_kv
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "ln_1.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "ln_2.bias"))
+        qkv = get(hf + "attn.c_attn.weight")
+        qkvb = get(hf + "attn.c_attn.bias")
+        put(gg + "attn_q.weight", qkv[:E])
+        put(gg + "attn_k.weight", qkv[E:E + kvd])
+        put(gg + "attn_v.weight", qkv[E + kvd:])
+        put(gg + "attn_q.bias", qkvb[:E])
+        put(gg + "attn_k.bias", qkvb[E:E + kvd])
+        put(gg + "attn_v.bias", qkvb[E + kvd:])
+        put(gg + "attn_output.weight", get(hf + "attn.c_proj.weight"))
+        put(gg + "attn_output.bias", get(hf + "attn.c_proj.bias"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.c_fc.weight"))
+        put(gg + "ffn_up.bias", get(hf + "mlp.c_fc.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight"))
+        put(gg + "ffn_down.bias", get(hf + "mlp.c_proj.bias"))
+
+
+def _convert_lfm2(w, put, get, config):
+    """LFM2 hybrid shortconv/attention mapping (convert_hf_to_gguf LFM2Model
+    counterpart): conv.conv (E,1,L)→shortconv.conv (E,L); per-head q/k norms;
+    the final norm ships as token_embd_norm (llama-arch.cpp:318)."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("token_embd_norm.weight", get("model.embedding_norm.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", False):
+        put("output.weight", lm)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "operator_norm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ffn_norm.weight"))
+        conv = get(hf + "conv.conv.weight")
+        if conv is not None:                     # shortconv layer
+            put(gg + "shortconv.conv.weight", conv[:, 0, :])
+            put(gg + "shortconv.in_proj.weight", get(hf + "conv.in_proj.weight"))
+            put(gg + "shortconv.out_proj.weight", get(hf + "conv.out_proj.weight"))
+        else:                                    # attention layer
+            put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+            put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+            put(gg + "attn_output.weight", get(hf + "self_attn.out_proj.weight"))
+            put(gg + "attn_q_norm.weight", get(hf + "self_attn.q_layernorm.weight"))
+            put(gg + "attn_k_norm.weight", get(hf + "self_attn.k_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "feed_forward.w1.weight"))
+        put(gg + "ffn_up.weight", get(hf + "feed_forward.w3.weight"))
+        put(gg + "ffn_down.weight", get(hf + "feed_forward.w2.weight"))
+
+
+def _convert_jamba(w, put, get, config, np):
+    """Jamba hybrid mamba/attention + periodic MoE mapping (convert_hf_to_gguf
+    JambaModel counterpart). GGUF convention: ssm_a = -exp(A_log), suffix-less
+    ssm_a/ssm_d names; dt/B/C selection-stream RMS norms."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.final_layernorm.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", False):
+        put("output.weight", lm)
+    n_expert = int(getattr(config, "num_experts", 0) or 0)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "pre_ff_layernorm.weight"))
+        if get(hf + "mamba.in_proj.weight") is not None:
+            put(gg + "ssm_in.weight", get(hf + "mamba.in_proj.weight"))
+            put(gg + "ssm_conv1d.weight", get(hf + "mamba.conv1d.weight")[:, 0, :])
+            put(gg + "ssm_conv1d.bias", get(hf + "mamba.conv1d.bias"))
+            put(gg + "ssm_x.weight", get(hf + "mamba.x_proj.weight"))
+            put(gg + "ssm_dt.weight", get(hf + "mamba.dt_proj.weight"))
+            put(gg + "ssm_dt.bias", get(hf + "mamba.dt_proj.bias"))
+            put(gg + "ssm_dt_norm.weight", get(hf + "mamba.dt_layernorm.weight"))
+            put(gg + "ssm_b_norm.weight", get(hf + "mamba.b_layernorm.weight"))
+            put(gg + "ssm_c_norm.weight", get(hf + "mamba.c_layernorm.weight"))
+            put(gg + "ssm_a", -np.exp(get(hf + "mamba.A_log")))
+            put(gg + "ssm_d", get(hf + "mamba.D"))
+            put(gg + "ssm_out.weight", get(hf + "mamba.out_proj.weight"))
+        else:
+            put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+            put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+            put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        if get(hf + "feed_forward.gate_proj.weight") is not None:  # dense
+            put(gg + "ffn_gate.weight", get(hf + "feed_forward.gate_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "feed_forward.up_proj.weight"))
+            put(gg + "ffn_down.weight", get(hf + "feed_forward.down_proj.weight"))
+        else:                                    # MoE layer
+            put(gg + "ffn_gate_inp.weight", get(hf + "feed_forward.router.weight"))
+            for kind in ("gate", "up", "down"):
+                put(gg + f"ffn_{kind}_exps.weight",
+                    np.stack([get(hf + f"feed_forward.experts.{e}.{kind}_proj.weight")
+                              for e in range(n_expert)]))
+
+
+def _convert_distilbert(w, put, get, config, pre=""):
+    """DistilBERT mapping (convert_hf_to_gguf DistilBertModel counterpart):
+    bert graph with q_lin/k_lin/v_lin names and no token-type table."""
     put("token_embd.weight", get(pre + "embeddings.word_embeddings.weight"))
     put("position_embd.weight", get(pre + "embeddings.position_embeddings.weight"))
+    put("token_embd_norm.weight", get(pre + "embeddings.LayerNorm.weight"))
+    put("token_embd_norm.bias", get(pre + "embeddings.LayerNorm.bias"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"{pre}transformer.layer.{il}.", f"blk.{il}."
+        for src, dst in (("attention.q_lin", "attn_q"),
+                         ("attention.k_lin", "attn_k"),
+                         ("attention.v_lin", "attn_v"),
+                         ("attention.out_lin", "attn_output"),
+                         ("ffn.lin1", "ffn_up"), ("ffn.lin2", "ffn_down")):
+            put(gg + dst + ".weight", get(hf + src + ".weight"))
+            put(gg + dst + ".bias", get(hf + src + ".bias"))
+        put(gg + "attn_output_norm.weight", get(hf + "sa_layer_norm.weight"))
+        put(gg + "attn_output_norm.bias", get(hf + "sa_layer_norm.bias"))
+        put(gg + "layer_output_norm.weight", get(hf + "output_layer_norm.weight"))
+        put(gg + "layer_output_norm.bias", get(hf + "output_layer_norm.bias"))
+
+
+def _convert_bert(w, put, get, config):
+    """BERT encoder mapping (convert_hf_to_gguf BertModel counterpart;
+    RobertaModel/XLMRobertaModel ride the same layout with a `roberta.`/bare
+    prefix and position rows offset by pad_token_id+1, which we slice off —
+    convert_hf_to_gguf.py XLMRobertaModel._position_offset)."""
+    for dpre in ("distilbert.", ""):
+        if get(dpre + "transformer.layer.0.attention.q_lin.weight") is not None:
+            _convert_distilbert(w, put, get, config, dpre)
+            return
+    pre = ""
+    for cand in ("bert.", "roberta.", ""):
+        if get(cand + "embeddings.word_embeddings.weight") is not None:
+            pre = cand
+            break
+    put("token_embd.weight", get(pre + "embeddings.word_embeddings.weight"))
+    pos = get(pre + "embeddings.position_embeddings.weight")
+    archs = getattr(config, "architectures", None) or []
+    if any("Roberta" in a for a in archs):
+        # roberta position ids start at pad_token_id+1: drop the dead rows
+        pos = pos[int(getattr(config, "pad_token_id", 1) or 1) + 1:]
+    put("position_embd.weight", pos)
     put("token_types.weight", get(pre + "embeddings.token_type_embeddings.weight"))
     put("token_embd_norm.weight", get(pre + "embeddings.LayerNorm.weight"))
     put("token_embd_norm.bias", get(pre + "embeddings.LayerNorm.bias"))
@@ -658,6 +820,31 @@ def convert_state_dict(
     archs = getattr(config, "architectures", None) or []
     arch = arch or (_ARCH_MAP.get(archs[0]) if archs else None) or "llama"
 
+    # multimodal wrappers (qwen-vl / llava / gemma3n-cond): extract the text
+    # stack under language_model.* and convert with the text config; the
+    # vision/audio towers load separately (tools/mtmd.py)
+    if any(k.startswith(("model.language_model.", "language_model."))
+           for k in state_dict):
+        tsd = {}
+        for k, v in state_dict.items():
+            if k.startswith("model.language_model."):
+                tsd["model." + k[len("model.language_model."):]] = v
+            elif k.startswith("language_model.model."):
+                tsd["model." + k[len("language_model.model."):]] = v
+            elif k.startswith("language_model.lm_head."):
+                tsd["lm_head" + k[len("language_model.lm_head"):]] = v
+            elif k.startswith(("model.visual.", "visual.", "vision_tower.",
+                               "model.vision_tower.", "multi_modal_projector.",
+                               "model.multi_modal_projector.", "audio_tower.",
+                               "model.audio_tower.", "model.embed_vision.",
+                               "model.embed_audio.")):
+                continue
+            else:
+                tsd[k] = v
+        tc = getattr(config, "text_config", None) or config
+        return convert_state_dict(out_path, tc, tsd, ggml_type,
+                                  tokenizer_fields, arch=arch)
+
     n_head = getattr(config, "num_attention_heads", 0)
     n_kv = getattr(config, "num_key_value_heads", None) or n_head
     n_embd = config.hidden_size
@@ -670,6 +857,8 @@ def convert_state_dict(
                 else (1 if getattr(config, "multi_query", True) else n_head))
     if arch == "dbrx":
         n_kv = config.attn_config.kv_n_heads
+    if arch == "starcoder":
+        n_kv = 1 if getattr(config, "multi_query", True) else n_head
 
     w = GGUFWriter(out_path, arch=arch)
     w.add("general.name", getattr(config, "name_or_path", "") or "converted")
@@ -685,7 +874,19 @@ def convert_state_dict(
     w.add(f"{arch}.feed_forward_length",
           n_ff if isinstance(n_ff, list) else int(n_ff))
     w.add(f"{arch}.attention.head_count", int(n_head))
-    w.add(f"{arch}.attention.head_count_kv", int(n_kv))
+    # hybrid stacks carry a per-layer kv-head array (0 = recurrent/conv layer)
+    if arch == "lfm2":
+        lt = list(getattr(config, "layer_types", []) or [])
+        w.add(f"{arch}.attention.head_count_kv",
+              [0 if t == "conv" else int(n_kv) for t in lt])
+    elif arch == "jamba":
+        per = int(getattr(config, "attn_layer_period", 8))
+        off = int(getattr(config, "attn_layer_offset", 4))
+        w.add(f"{arch}.attention.head_count_kv",
+              [int(n_kv) if il % per == off else 0
+               for il in range(config.num_hidden_layers)])
+    else:
+        w.add(f"{arch}.attention.head_count_kv", int(n_kv))
     if arch == "deepseek2":
         w.add(f"{arch}.attention.key_length", int(head_dim))
         w.add(f"{arch}.attention.value_length", int(config.v_head_dim))
@@ -702,7 +903,9 @@ def convert_state_dict(
         rot_pct = (getattr(config, "partial_rotary_factor", None)
                    or getattr(config, "rotary_pct", None) or 1.0)
         w.add(f"{arch}.rope.dimension_count", int(head_dim * rot_pct))
-    w.add(f"{arch}.attention.layer_norm_rms_epsilon", float(getattr(config, "rms_norm_eps", 1e-5)))
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+          float(getattr(config, "rms_norm_eps", None)
+                or getattr(config, "norm_eps", None) or 1e-5))
     ln_eps = (getattr(config, "layer_norm_eps", None)
               or getattr(config, "layer_norm_epsilon", None)
               or getattr(config, "layernorm_epsilon", None))
@@ -992,6 +1195,25 @@ def convert_state_dict(
         return
     if arch == "gpt2":
         _convert_gpt2(w, put, get, config)
+        w.write()
+        return
+    if arch == "starcoder":
+        _convert_gptbigcode(w, put, get, config)
+        w.write()
+        return
+    if arch == "lfm2":
+        w.add(f"{arch}.shortconv.l_cache",
+              int(getattr(config, "conv_L_cache", 3)))
+        _convert_lfm2(w, put, get, config)
+        w.write()
+        return
+    if arch == "jamba":
+        w.add(f"{arch}.ssm.conv_kernel", int(config.mamba_d_conv))
+        w.add(f"{arch}.ssm.inner_size",
+              int(getattr(config, "mamba_expand", 2)) * config.hidden_size)
+        w.add(f"{arch}.ssm.state_size", int(config.mamba_d_state))
+        w.add(f"{arch}.ssm.time_step_rank", int(config.mamba_dt_rank))
+        _convert_jamba(w, put, get, config, np)
         w.write()
         return
     if arch == "gptneox":

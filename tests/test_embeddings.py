@@ -140,3 +140,62 @@ def test_server_embeddings_and_rerank(bert_model, tmp_path):
         assert out["results"][0]["document"]["text"] == "alpha beta"
     finally:
         srv.stop()
+
+
+def test_roberta_hidden_parity(tmp_path):
+    """RobertaModel rides the bert graph; HF position ids start at
+    pad_token_id+1 — the converter slices those rows off the position table
+    (convert_hf_to_gguf XLMRobertaModel._position_offset counterpart)."""
+    import jax.numpy as jnp
+    from transformers import RobertaConfig, RobertaModel
+
+    torch.manual_seed(41)
+    cfg = RobertaConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=130, pad_token_id=1, type_vocab_size=1,
+        architectures=["XLMRobertaModel"],
+    )
+    hf = RobertaModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    path = tmp_path / "roberta.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32)
+    model = load_model(str(path))
+    rng = np.random.default_rng(2)
+    ids = rng.integers(5, 290, size=(2, 10)).astype(np.int64)  # avoids pad=1
+    mask = np.ones((2, 10), np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask)
+                 ).last_hidden_state.numpy()
+    got = np.asarray(bert_forward(model.params, model.hparams,
+                                  jnp.asarray(ids, jnp.int32),
+                                  jnp.asarray(mask, jnp.int32)), np.float32)
+    assert np.abs(got - ref).max() < 2e-4
+
+
+def test_distilbert_hidden_parity(tmp_path):
+    """DistilBertModel → bert graph without token types
+    (convert_hf_to_gguf DistilBertModel counterpart)."""
+    import jax.numpy as jnp
+    from transformers import DistilBertConfig, DistilBertModel
+
+    torch.manual_seed(42)
+    cfg = DistilBertConfig(
+        vocab_size=300, dim=64, n_layers=2, n_heads=4, hidden_dim=128,
+        max_position_embeddings=128, architectures=["DistilBertModel"],
+    )
+    hf = DistilBertModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    path = tmp_path / "distilbert.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32)
+    model = load_model(str(path))
+    rng = np.random.default_rng(3)
+    ids = rng.integers(5, 290, size=(1, 9)).astype(np.int64)
+    mask = np.ones((1, 9), np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask)
+                 ).last_hidden_state.numpy()
+    got = np.asarray(bert_forward(model.params, model.hparams,
+                                  jnp.asarray(ids, jnp.int32),
+                                  jnp.asarray(mask, jnp.int32)), np.float32)
+    assert np.abs(got - ref).max() < 2e-4
