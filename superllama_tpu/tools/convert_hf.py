@@ -99,6 +99,8 @@ _ARCH_MAP = {
     "XLMRobertaModel": "bert",
     "XLMRobertaForSequenceClassification": "bert",
     "DistilBertModel": "bert",
+    "ModernBertModel": "modern-bert",
+    "ModernBertForMaskedLM": "modern-bert",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -736,6 +738,35 @@ def _convert_jamba(w, put, get, config, np):
                               for e in range(n_expert)]))
 
 
+def _convert_modernbert(w, put, get, config):
+    """ModernBERT mapping (convert_hf_to_gguf ModernBertModel counterpart).
+    HF marks GLOBAL attention at il % global_attn_every_n_layers == 0; the
+    reference's scalar swa pattern would put it at il % n == n-1
+    (llama-hparams.cpp:8 dense_first=false), so we write the explicit
+    per-layer bool array instead (hparams honor olmo3-style arrays)."""
+    arch = "modern-bert"
+    n = int(getattr(config, "global_attn_every_n_layers", 3))
+    w.add(f"{arch}.attention.sliding_window",
+          int(getattr(config, "local_attention", 128)))
+    w.add(f"{arch}.attention.sliding_window_pattern",
+          [il % n != 0 for il in range(config.num_hidden_layers)])
+    if getattr(config, "local_rope_theta", None) is not None:
+        w.add(f"{arch}.rope.freq_base_swa", float(config.local_rope_theta))
+    w.add(f"{arch}.attention.causal", False)
+    pre = "model." if get("model.embeddings.tok_embeddings.weight") is not None else ""
+    put("token_embd.weight", get(pre + "embeddings.tok_embeddings.weight"))
+    put("token_embd_norm.weight", get(pre + "embeddings.norm.weight"))
+    put("output_norm.weight", get(pre + "final_norm.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"{pre}layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "attn_norm.weight"))
+        put(gg + "attn_qkv.weight", get(hf + "attn.Wqkv.weight"))
+        put(gg + "attn_output.weight", get(hf + "attn.Wo.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "mlp_norm.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.Wi.weight"))   # fused GEGLU
+        put(gg + "ffn_down.weight", get(hf + "mlp.Wo.weight"))
+
+
 def _convert_distilbert(w, put, get, config, pre=""):
     """DistilBERT mapping (convert_hf_to_gguf DistilBertModel counterpart):
     bert graph with q_lin/k_lin/v_lin names and no token-type table."""
@@ -1085,6 +1116,12 @@ def convert_state_dict(
         w.add(f"{arch}.attention.layer_norm_epsilon",
               float(getattr(config, "layer_norm_eps", 1e-12)))
         _convert_bert(w, put, get, config)
+        w.write()
+        return
+    if arch == "modern-bert":
+        w.add(f"{arch}.attention.layer_norm_epsilon",
+              float(getattr(config, "norm_eps", 1e-5)))
+        _convert_modernbert(w, put, get, config)
         w.write()
         return
     if arch == "gemma3n":

@@ -199,3 +199,38 @@ def test_distilbert_hidden_parity(tmp_path):
                                   jnp.asarray(ids, jnp.int32),
                                   jnp.asarray(mask, jnp.int32)), np.float32)
     assert np.abs(got - ref).max() < 2e-4
+
+
+def test_modernbert_hidden_parity(tmp_path):
+    """ModernBERT → modern-bert graph: fused Wqkv, GEGLU, alternating
+    global/local (HF global at il % n == 0 — converter writes the explicit
+    per-layer array; the reference's scalar pattern flags il % n == n-1)."""
+    import jax.numpy as jnp
+    from transformers import ModernBertConfig, ModernBertModel
+
+    torch.manual_seed(43)
+    cfg = ModernBertConfig(
+        vocab_size=300, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64, pad_token_id=0,
+        global_attn_every_n_layers=2, local_attention=8,
+        max_position_embeddings=128, global_rope_theta=160000.0,
+        local_rope_theta=10000.0, architectures=["ModernBertModel"],
+        attn_implementation="eager", reference_compile=False,
+    )
+    hf = ModernBertModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    path = tmp_path / "modernbert.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32)
+    model = load_model(str(path))
+    hp = model.hparams
+    assert [hp.is_swa_layer(i) for i in range(4)] == [False, True] * 2
+    rng = np.random.default_rng(4)
+    ids = rng.integers(5, 290, size=(1, 12)).astype(np.int64)
+    mask = np.ones((1, 12), np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids), attention_mask=torch.tensor(mask)
+                 ).last_hidden_state.numpy()
+    got = np.asarray(bert_forward(model.params, model.hparams,
+                                  jnp.asarray(ids, jnp.int32),
+                                  jnp.asarray(mask, jnp.int32)), np.float32)
+    assert np.abs(got - ref).max() < 2e-4
