@@ -257,6 +257,34 @@ class Engine:
                                          dhp.n_head_kv, dhp.head_dim,
                                          dhp.head_dim_v, dtype=kv_dtype)
             self._d_insert = jax.jit(insert, donate_argnums=(0,))
+            _K = int(n_draft)
+
+            def d_rollout(params, tail, dpos, tail_len, base_pos, cache):
+                """Whole greedy draft rollout in ONE dispatch: catch-up on
+                the (B, W) tail, then K-1 single-token steps under lax.scan
+                with the argmax feeding the next step on-device — replaces
+                the K+1 host-synchronized dispatches per speculative round
+                (common/speculative.cpp:270 runs the same loop on host)."""
+                logits, cache = dfwd(params, dhp, tail, dpos, cache)
+                nxt = jnp.argmax(logits, axis=-1)                # (B, W)
+                first = jnp.take_along_axis(
+                    nxt, (tail_len - 1)[:, None], axis=1)[:, 0]
+                first = first.astype(jnp.int32)
+                live = dpos[:, 0] >= 0
+
+                def body(carry, k):
+                    cache, tok = carry
+                    pos = jnp.where(live, base_pos + k, -1)[:, None]
+                    lg, cache = dfwd(params, dhp, tok[:, None], pos, cache)
+                    nt = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+                    return (cache, nt), tok
+
+                (cache, last), fed = jax.lax.scan(
+                    body, (cache, first), jnp.arange(1, _K))
+                drafts = jnp.concatenate([fed.T, last[:, None]], axis=1)
+                return drafts, cache
+
+            self._d_rollout = jax.jit(d_rollout, donate_argnums=(5,))
         self._truncate = jax.jit(kv_truncate_rows, donate_argnums=(0,))
 
         # context shift (evict-oldest + re-rope, server-context.cpp:1976)
@@ -1060,31 +1088,22 @@ class Engine:
                 W *= 2
             tok = np.zeros((B, W), np.int32)
             dpos = np.full((B, W), -1, np.int32)
+            tlen = np.ones(B, np.int32)
+            bpos = np.zeros(B, np.int32)
             for s in live:
                 tl = tails[s.idx][:W]
                 tok[s.idx, :len(tl)] = tl
                 dpos[s.idx, :len(tl)] = s.d_past + np.arange(len(tl))
-            logits, self.d_cache = self._d_step(dparams, jnp.asarray(tok),
-                                                jnp.asarray(dpos), self.d_cache)
-            last_tok = np.asarray(jnp.argmax(logits, axis=-1))
-            d_base = {}
+                tlen[s.idx] = len(tl)
+                bpos[s.idx] = s.d_past + len(tl) - 1
+            drafts_dev, self.d_cache = self._d_rollout(
+                dparams, jnp.asarray(tok), jnp.asarray(dpos),
+                jnp.asarray(tlen), jnp.asarray(bpos), self.d_cache)
+            dd = np.asarray(drafts_dev)
             for s in live:
-                nfed = len(tails[s.idx][:W])
-                drafts_d[s.idx, 0] = last_tok[s.idx, nfed - 1]
-                s.d_past += nfed
-                d_base[s.idx] = s.d_past       # committed; drafts roll back
+                drafts_d[s.idx] = dd[s.idx]
+                s.d_past += len(tails[s.idx][:W])  # committed; drafts roll back
                 s.draft_tail = []
-            for k in range(1, K):
-                tok1 = np.zeros((B, 1), np.int32)
-                pos1 = np.full((B, 1), -1, np.int32)
-                for s in live:
-                    tok1[s.idx, 0] = drafts_d[s.idx, k - 1]
-                    pos1[s.idx, 0] = d_base[s.idx] + (k - 1)
-                logits, self.d_cache = self._d_step(
-                    dparams, jnp.asarray(tok1), jnp.asarray(pos1), self.d_cache)
-                nxt = np.asarray(jnp.argmax(logits[:, 0], axis=-1))
-                for s in live:
-                    drafts_d[s.idx, k] = nxt[s.idx]
 
         # translate proposals back to target ids (variable length)
         drafts = np.zeros((B, K), np.int32)
@@ -1146,34 +1165,24 @@ class Engine:
         K, B = self.n_draft, self.n_slots
         dparams = self.draft_model.params
 
-        # --- catch-up + first draft (the tail is 1 or 2 tokens by invariant)
+        # --- one fused dispatch: catch-up (tail ≤ 2 by invariant) + K-1
+        # greedy draft steps scanned on-device (no per-step host argmax)
         tok = np.zeros((B, 2), np.int32)
         dpos = np.full((B, 2), -1, np.int32)
+        tlen = np.ones(B, np.int32)
+        bpos = np.zeros(B, np.int32)
         for s in active:
             for j, t in enumerate(s.draft_tail[:2]):
                 tok[s.idx, j] = t
                 dpos[s.idx, j] = s.d_past + j
-        logits, self.d_cache = self._d_step(dparams, jnp.asarray(tok),
-                                            jnp.asarray(dpos), self.d_cache)
-        last_tok = np.asarray(jnp.argmax(logits, axis=-1))   # (B, 2)
-        drafts = np.zeros((B, K), np.int32)
+            tlen[s.idx] = len(s.draft_tail[:2])
+            bpos[s.idx] = s.d_past + tlen[s.idx] - 1
+        drafts_dev, self.d_cache = self._d_rollout(
+            dparams, jnp.asarray(tok), jnp.asarray(dpos), jnp.asarray(tlen),
+            jnp.asarray(bpos), self.d_cache)
+        drafts = np.asarray(drafts_dev)                      # (B, K)
         for s in active:
-            drafts[s.idx, 0] = last_tok[s.idx, len(s.draft_tail) - 1]
-            s.d_past += len(s.draft_tail)
-
-        # --- K-1 greedy single-token draft steps
-        for k in range(1, K):
-            tok1 = np.zeros((B, 1), np.int32)
-            pos1 = np.full((B, 1), -1, np.int32)
-            for s in active:
-                tok1[s.idx, 0] = drafts[s.idx, k - 1]
-                pos1[s.idx, 0] = s.d_past
-            logits, self.d_cache = self._d_step(dparams, jnp.asarray(tok1),
-                                                jnp.asarray(pos1), self.d_cache)
-            nxt = np.asarray(jnp.argmax(logits[:, 0], axis=-1))
-            for s in active:
-                drafts[s.idx, k] = nxt[s.idx]
-                s.d_past += 1
+            s.d_past += len(s.draft_tail[:2]) + K - 1
 
         # --- target verify over [last_emitted, d_0 .. d_{K-1}]
         vtok = np.zeros((B, K + 1), np.int32)
