@@ -349,6 +349,7 @@ def llama_forward(
     attn_mask: jax.Array | None = None,
     mrope_pos3: jax.Array | None = None,
     s_window: int | None = None,
+    deepstack_add: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One forward step (prefill or decode). Returns (logits (B,T,V), cache).
 
@@ -693,6 +694,11 @@ def llama_forward(
             x = x + cv[il]
         if hidden_sink is not None:  # cvector-generator per-layer taps
             hidden_sink.append(x)
+        if deepstack_add is not None and il < deepstack_add.shape[0]:
+            # Qwen3-VL DeepStack: vision taps added to the hidden state of
+            # the first n_deepstack layers at image positions (zeros
+            # elsewhere; Qwen3VLTextModel._deepstack_process)
+            x = x + deepstack_add[il].astype(x.dtype)
 
     x = _norm(x, params, "output_norm", hp)
     w_out = params.get("output")

@@ -957,7 +957,7 @@ def test_qwen3vl_text_convert_parity(tmp_path):
             vocab_size=256, hidden_size=64, intermediate_size=128,
             num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
             head_dim=16, max_position_embeddings=256,
-            rope_scaling={"rope_type": "default", "mrope_section": [2, 3, 3],
+            rope_scaling={"rope_type": "default", "mrope_section": [3, 3, 2],
                           "mrope_interleaved": True},
             tie_word_embeddings=False),
         vision_config=dict(depth=2, hidden_size=32, num_heads=4,
@@ -966,8 +966,9 @@ def test_qwen3vl_text_convert_parity(tmp_path):
                            out_hidden_size=64, deepstack_visual_indexes=[0]),
         image_token_id=250, video_token_id=251, vision_start_token_id=249,
         vision_end_token_id=248, attn_implementation="eager",
+        architectures=["Qwen3VLForConditionalGeneration"],
     )
     hf = Qwen3VLForConditionalGeneration(cfg).eval()
     model = _convert_and_load(hf, cfg, tmp_path / "q3vl.gguf")
-    assert model.hparams.extra.get("mrope_sections") == (2, 3, 3)
+    assert model.hparams.extra.get("mrope_sections") == (3, 3, 2)
     _parity(hf, model, n_tokens=12)

@@ -188,3 +188,64 @@ def test_qwen25vl_tower_parity():
     assert got.shape == ref.shape
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 2e-4, err
+
+
+def test_qwen3vl_deepstack_end_to_end_parity(tmp_path):
+    """Qwen3-VL image+text vs HF: tower (learned interpolated pos embeds,
+    2-D rope) → DeepStack taps → IMROPE LM with per-layer visual injection
+    (Qwen3VLVisionModel + Qwen3VLTextModel._deepstack_process)."""
+    from transformers import Qwen3VLConfig
+    from transformers.models.qwen3_vl import Qwen3VLForConditionalGeneration
+
+    from superllama_tpu.gguf import GGMLType
+    from superllama_tpu.models import load_model
+    from superllama_tpu.models.qwen3vl import (Qwen3VLMultimodal,
+                                               params_from_hf_visual)
+    from superllama_tpu.tools.convert_hf import convert_state_dict
+
+    torch.manual_seed(73)
+    IMG, VSTART = 250, 249
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=256,
+            rope_scaling={"rope_type": "default", "mrope_section": [3, 3, 2],
+                          "mrope_interleaved": True},
+            tie_word_embeddings=False),
+        vision_config=dict(
+            depth=3, hidden_size=32, num_heads=4, in_channels=3,
+            patch_size=4, temporal_patch_size=1, spatial_merge_size=2,
+            intermediate_size=64, out_hidden_size=64,
+            num_position_embeddings=16, deepstack_visual_indexes=[0, 1]),
+        image_token_id=IMG, video_token_id=251, vision_start_token_id=VSTART,
+        vision_end_token_id=248, attn_implementation="eager",
+        architectures=["Qwen3VLForConditionalGeneration"],
+    )
+    hf = Qwen3VLForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    path = tmp_path / "q3vl.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32)
+    model = load_model(str(path))
+    vp = params_from_hf_visual(
+        sd, n_head=4, merge=2, deepstack_indexes=(0, 1),
+        act="gelu_tanh")
+
+    t, h, w = 1, 4, 8
+    n_img = t * (h // 2) * (w // 2)
+    rng = np.random.default_rng(5)
+    pixels = rng.normal(0, 1, (t * h * w, 3 * 1 * 4 * 4)).astype(np.float32)
+    ids = [5, VSTART] + [IMG] * n_img + [248, 9, 17, 33]
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor([ids]),
+                 pixel_values=torch.tensor(pixels),
+                 image_grid_thw=torch.tensor([[t, h, w]])).logits[0].numpy()
+
+    mm = Qwen3VLMultimodal(model, vp, IMG)
+    logits, _, _ = mm.prefill(ids, pixels, (t, h, w), n_ctx=64)
+    got = np.asarray(logits[0], np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, f"relative max err {err}"
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
