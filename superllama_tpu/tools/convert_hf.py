@@ -100,6 +100,9 @@ _ARCH_MAP = {
     "XLMRobertaForSequenceClassification": "bert",
     "DistilBertModel": "bert",
     "ModernBertModel": "modern-bert",
+    "T5ForConditionalGeneration": "t5",
+    "MT5ForConditionalGeneration": "t5",
+    "T5EncoderModel": "t5encoder",
     "ModernBertForMaskedLM": "modern-bert",
 }
 
@@ -738,6 +741,56 @@ def _convert_jamba(w, put, get, config, np):
                               for e in range(n_expert)]))
 
 
+def _convert_t5(w, put, get, config):
+    """T5/FLAN-T5/MT5 mapping (convert_hf_to_gguf T5Model counterpart):
+    enc./dec. namespaces, shared rel-pos bias on block 0, gated
+    (wi_0/wi_1) or plain (wi) FFN."""
+    put("token_embd.weight", get("shared.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", True):
+        put("output.weight", lm)
+    put("enc.output_norm.weight", get("encoder.final_layer_norm.weight"))
+    put("dec.output_norm.weight", get("decoder.final_layer_norm.weight"))
+
+    def ffn(hf, gg):
+        wi = get(hf + "wi.weight")
+        if wi is not None:
+            put(gg + "ffn_up.weight", wi)
+        else:                                   # gated (flan-t5): wi_0 gate
+            put(gg + "ffn_gate.weight", get(hf + "wi_0.weight"))
+            put(gg + "ffn_up.weight", get(hf + "wi_1.weight"))
+        put(gg + "ffn_down.weight", get(hf + "wo.weight"))
+
+    for il in range(config.num_layers):
+        hf, gg = f"encoder.block.{il}.layer.", f"enc.blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "0.layer_norm.weight"))
+        put(gg + "attn_q.weight", get(hf + "0.SelfAttention.q.weight"))
+        put(gg + "attn_k.weight", get(hf + "0.SelfAttention.k.weight"))
+        put(gg + "attn_v.weight", get(hf + "0.SelfAttention.v.weight"))
+        put(gg + "attn_o.weight", get(hf + "0.SelfAttention.o.weight"))
+        put(gg + "attn_rel_b.weight",
+            get(hf + "0.SelfAttention.relative_attention_bias.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "1.layer_norm.weight"))
+        ffn(hf + "1.DenseReluDense.", gg)
+    for il in range(getattr(config, "num_decoder_layers", None)
+                    or config.num_layers):
+        hf, gg = f"decoder.block.{il}.layer.", f"dec.blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "0.layer_norm.weight"))
+        put(gg + "attn_q.weight", get(hf + "0.SelfAttention.q.weight"))
+        put(gg + "attn_k.weight", get(hf + "0.SelfAttention.k.weight"))
+        put(gg + "attn_v.weight", get(hf + "0.SelfAttention.v.weight"))
+        put(gg + "attn_o.weight", get(hf + "0.SelfAttention.o.weight"))
+        put(gg + "attn_rel_b.weight",
+            get(hf + "0.SelfAttention.relative_attention_bias.weight"))
+        put(gg + "cross_attn_norm.weight", get(hf + "1.layer_norm.weight"))
+        put(gg + "cross_attn_q.weight", get(hf + "1.EncDecAttention.q.weight"))
+        put(gg + "cross_attn_k.weight", get(hf + "1.EncDecAttention.k.weight"))
+        put(gg + "cross_attn_v.weight", get(hf + "1.EncDecAttention.v.weight"))
+        put(gg + "cross_attn_o.weight", get(hf + "1.EncDecAttention.o.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "2.layer_norm.weight"))
+        ffn(hf + "2.DenseReluDense.", gg)
+
+
 def _convert_modernbert(w, put, get, config):
     """ModernBERT mapping (convert_hf_to_gguf ModernBertModel counterpart).
     HF marks GLOBAL attention at il % global_attn_every_n_layers == 0; the
@@ -875,6 +928,47 @@ def convert_state_dict(
         tc = getattr(config, "text_config", None) or config
         return convert_state_dict(out_path, tc, tsd, ggml_type,
                                   tokenizer_fields, arch=arch)
+
+    if arch in ("t5", "t5encoder"):
+        w = GGUFWriter(out_path, arch=arch)
+        w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+        w.add(f"{arch}.context_length", int(getattr(config, "n_positions", 512)))
+        w.add(f"{arch}.embedding_length", int(config.d_model))
+        w.add(f"{arch}.block_count", int(config.num_layers))
+        w.add(f"{arch}.decoder_block_count",
+              int(getattr(config, "num_decoder_layers", None)
+                  or config.num_layers))
+        w.add(f"{arch}.feed_forward_length", int(config.d_ff))
+        w.add(f"{arch}.attention.head_count", int(config.num_heads))
+        w.add(f"{arch}.attention.head_count_kv", int(config.num_heads))
+        w.add(f"{arch}.attention.key_length", int(config.d_kv))
+        w.add(f"{arch}.attention.value_length", int(config.d_kv))
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(getattr(config, "layer_norm_epsilon", 1e-6)))
+        w.add(f"{arch}.attention.relative_buckets_count",
+              int(config.relative_attention_num_buckets))
+        w.add(f"{arch}.decoder_start_token_id",
+              int(getattr(config, "decoder_start_token_id", 0) or 0))
+        w.add(f"{arch}.vocab_size", int(config.vocab_size))
+        for key, val in (tokenizer_fields or {}).items():
+            w.add(key, val)
+
+        def get5(name):
+            t = state_dict.get(name)
+            return None if t is None else np.asarray(t, dtype=np.float32)
+
+        def put5(gguf_name, arr, qtype=ggml_type):
+            if arr is None:
+                return
+            t = GGMLType.F32 if arr.ndim == 1 else qtype
+            if (arr.ndim >= 2 and arr.shape[-1] % 256 != 0
+                    and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16)):
+                t = GGMLType.F16
+            w.add_tensor(gguf_name, arr, t)
+
+        _convert_t5(w, put5, get5, config)
+        w.write()
+        return
 
     n_head = getattr(config, "num_attention_heads", 0)
     n_kv = getattr(config, "num_key_value_heads", None) or n_head

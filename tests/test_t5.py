@@ -150,3 +150,44 @@ def test_t5model_generate_matches_hf(t5_pair):
     if 1 in ref_ids:  # our generate stops before emitting eos
         ref_ids = ref_ids[:ref_ids.index(1)]
     assert got[:len(ref_ids)] == ref_ids
+
+
+def test_t5_converter_roundtrip(tmp_path):
+    """HF→GGUF→load path for T5 (enc./dec. namespaces, rel-pos bias on
+    block 0, convert_hf_to_gguf T5Model counterpart) must reproduce the
+    hand-mapped params' logits exactly."""
+    from superllama_tpu.gguf import GGMLType
+    from superllama_tpu.models import load_model
+    from superllama_tpu.tools.convert_hf import convert_state_dict
+
+    cfg = transformers.T5Config(
+        vocab_size=V, d_model=E, d_kv=DKV, d_ff=FF, num_layers=NL,
+        num_decoder_layers=NL, num_heads=NH, relative_attention_num_buckets=NB,
+        relative_attention_max_distance=128, feed_forward_proj="relu",
+        tie_word_embeddings=False, decoder_start_token_id=0, eos_token_id=1,
+        pad_token_id=0, dropout_rate=0.0,
+        architectures=["T5ForConditionalGeneration"])
+    torch.manual_seed(4)
+    hf = transformers.T5ForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    path = tmp_path / "t5.gguf"
+    convert_state_dict(str(path), cfg, sd, GGMLType.F32)
+    model = load_model(str(path))
+    hp2, params2 = model.hparams, model.params
+    assert hp2.n_rel_attn_bkts == NB and hp2.dec_n_layer == NL
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(2, V, size=(1, 10)).astype(np.int64)
+    tgt = np.concatenate([[[0]], rng.integers(2, V, size=(1, 5))],
+                         axis=1).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(src),
+                 decoder_input_ids=torch.tensor(tgt)).logits[0].numpy()
+    enc = t5_encode(params2, hp2, jnp.asarray(src, jnp.int32))
+    ckv = t5_cross_kv(params2, hp2, enc)
+    cache = kv_cache_init(NL, 1, 16, NH, DKV, DKV, jnp.float32)
+    pos = jnp.arange(tgt.shape[1], dtype=jnp.int32)[None]
+    got, _ = t5_decode(params2, hp2, jnp.asarray(tgt, jnp.int32), pos,
+                       cache, ckv)
+    got = np.asarray(got[0], np.float32)
+    assert np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9) < 5e-4
