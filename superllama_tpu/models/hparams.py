@@ -365,6 +365,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.extra["mrope_sections"] = tuple(int(v) for v in ms)
     if arch in ("qwen3vl", "qwen3vlmoe"):
         hp.extra["imrope"] = True   # interleaved M-RoPE (IMROPE)
+    if _k(md, arch, "ssm.dt_b_c_rms", False):
+        # falcon-mamba: non-parametric RMS on dt/B/C selection streams
+        hp.extra["ssm_dt_b_c_rms"] = True
     if arch == "smollm3":
         hp.n_no_rope_layer_step = 4   # hardcoded per arch (llama-model.cpp:2249)
     # LLAMA_EXPERT_GATING_FUNC (1 = softmax, 2 = sigmoid); per-KV override

@@ -47,6 +47,12 @@ def _mamba_mixer(layer: dict, hp: HParams, x_in: jax.Array,
         dt = ops.rms_norm(dt, layer["ssm_dt_norm"], hp.rms_eps)
         Bm = ops.rms_norm(Bm, layer["ssm_b_norm"], hp.rms_eps)
         Cm = ops.rms_norm(Cm, layer["ssm_c_norm"], hp.rms_eps)
+    elif hp.extra.get("ssm_dt_b_c_rms"):
+        # falcon-mamba: NON-parametric RMS on the selection streams
+        # (graph-context-mamba.cpp:94, ssm.dt_b_c_rms KV)
+        dt = ops.rms_norm(dt, None, hp.rms_eps)
+        Bm = ops.rms_norm(Bm, None, hp.rms_eps)
+        Cm = ops.rms_norm(Cm, None, hp.rms_eps)
     dt = mm(dt, layer["ssm_dt"]) + layer["ssm_dt_b"]
     dt = jax.nn.softplus(dt.astype(jnp.float32))        # (B, T, di)
 

@@ -45,6 +45,7 @@ _ARCH_MAP = {
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
     "MambaForCausalLM": "mamba",
+    "FalconMambaForCausalLM": "mamba",
     "Mamba2ForCausalLM": "mamba2",
     "GPT2LMHeadModel": "gpt2",
     "GPTNeoXForCausalLM": "gptneox",
@@ -1273,6 +1274,9 @@ def convert_state_dict(
         w.write()
         return
     if arch == "mamba":
+        if "FalconMambaForCausalLM" in archs:
+            # falcon-mamba: non-parametric RMS on dt/B/C (llama-model.cpp:1438)
+            w.add(f"{arch}.ssm.dt_b_c_rms", True)
         w.add(f"{arch}.ssm.conv_kernel", int(config.conv_kernel))
         w.add(f"{arch}.ssm.inner_size", int(config.intermediate_size))
         w.add(f"{arch}.ssm.state_size", int(config.state_size))

@@ -972,3 +972,22 @@ def test_qwen3vl_text_convert_parity(tmp_path):
     model = _convert_and_load(hf, cfg, tmp_path / "q3vl.gguf")
     assert model.hparams.extra.get("mrope_sections") == (3, 3, 2)
     _parity(hf, model, n_tokens=12)
+
+
+def test_falcon_mamba_hf_parity(tmp_path):
+    """FalconMamba rides the mamba graph with NON-parametric RMS on the
+    dt/B/C selection streams (ssm.dt_b_c_rms KV, llama-model.cpp:1438;
+    graph-context-mamba.cpp:94)."""
+    from transformers import FalconMambaConfig, FalconMambaForCausalLM
+
+    torch.manual_seed(36)
+    cfg = FalconMambaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, state_size=8, conv_kernel=4, time_step_rank=8,
+        use_cache=False, architectures=["FalconMambaForCausalLM"],
+        tie_word_embeddings=False,
+    )
+    hf = FalconMambaForCausalLM(cfg).eval()
+    model = _convert_and_load(hf, cfg, tmp_path / "fm.gguf")
+    assert model.hparams.extra.get("ssm_dt_b_c_rms") is True
+    _parity(hf, model, n_tokens=16)
