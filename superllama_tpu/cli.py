@@ -149,6 +149,13 @@ def cmd_serve(args):
                     draft_model=draft, n_draft=args.draft_n,
                     embed_model=embed, paged=args.paged_kv,
                     page_size=args.kv_page_size, n_pages=args.kv_pages)
+    # register CLI-applied adapters so /lora-adapters can list + rescale
+    for spec in getattr(args, "lora", None) or []:
+        from .models.lora import load_lora
+
+        path, scale = _file_scale(spec)
+        app.loras.append({"path": path, "scale": scale,
+                          "adapter": load_lora(path)})
     srv = Server(app, host=args.host, port=args.port,
                  tls_cert=getattr(args, "ssl_cert_file", None),
                  tls_key=getattr(args, "ssl_key_file", None))

@@ -75,6 +75,7 @@ class ServerApp:
         self.content_filter = ContentFilter()
         self.jsonl = JsonlMetricsLogger(metrics_path)
         self.health.register("engine", lambda: True)
+        self.loras: list[dict] = []
         import tempfile
         self.slot_save_path = tempfile.mkdtemp(prefix="slt_slots_")
         from .telemetry import MemTelemetry
@@ -495,6 +496,86 @@ class ServerApp:
                       "total_tokens": usage["total_tokens"]},
         }
 
+    def attach_lora(self, path: str, scale: float = 1.0) -> None:
+        """Load + merge a LoRA adapter, keeping it for runtime rescale
+        (/lora-adapters, common_adapter_lora_info counterpart)."""
+        from ..models.lora import load_lora, merge_lora
+
+        adapter = load_lora(path)
+        self.model.params = merge_lora(self.model.params, adapter, scale)
+        self.loras.append({"path": path, "scale": scale, "adapter": adapter})
+
+    def lora_list(self) -> list[dict]:
+        return [{"id": i, "path": l["path"], "scale": l["scale"]}
+                for i, l in enumerate(self.loras)]
+
+    def lora_set(self, entries: list[dict]) -> list[dict]:
+        """POST /lora-adapters: set per-adapter scales. The merge is
+        additive, so a rescale re-merges the delta (new − old)."""
+        from ..models.lora import merge_lora
+
+        for e in entries:
+            i, new = int(e["id"]), float(e["scale"])
+            l = self.loras[i]
+            delta = new - l["scale"]
+            if delta:
+                self.model.params = merge_lora(self.model.params,
+                                               l["adapter"], delta)
+                l["scale"] = new
+        return self.lora_list()
+
+    def apply_template(self, body: dict) -> dict:
+        """POST /apply-template: render the chat template without
+        generating (tools/server counterpart)."""
+        prompt = self.chat_template.apply(body.get("messages", []),
+                                          add_generation_prompt=True)
+        return {"prompt": prompt}
+
+    def ollama_tags(self) -> dict:
+        caps = ["completion"]
+        detail = {"parent_model": "", "format": "gguf",
+                  "family": self.model.hparams.arch,
+                  "families": [self.model.hparams.arch],
+                  "parameter_size": "", "quantization_level": ""}
+        return {"models": [{
+            "name": self.model_name, "model": self.model_name,
+            "modified_at": "", "size": "", "digest": "", "type": "model",
+            "description": "", "tags": [""], "capabilities": caps,
+            "parameters": "", "details": detail,
+        }], "object": "list", "data": [{
+            "id": self.model_name, "object": "model",
+            "created": int(self.t_start), "owned_by": "superllama_tpu",
+        }]}
+
+    def ollama_show(self) -> dict:
+        return {
+            "model_info": {"llama.context_length": self.engine.n_ctx},
+            "modelfile": "", "parameters": "",
+            "template": self.chat_template.source,
+            "details": {"parent_model": "", "format": "gguf",
+                        "family": self.model.hparams.arch,
+                        "families": [self.model.hparams.arch],
+                        "parameter_size": "", "quantization_level": ""},
+            "capabilities": ["completion"],
+        }
+
+    def count_tokens(self, body: dict) -> dict:
+        """POST /v1/messages/count_tokens (Anthropic token counting)."""
+        msgs = [{"role": m.get("role", "user"),
+                 "content": m["content"] if isinstance(m.get("content"), str)
+                 else "".join(b.get("text", "")
+                              for b in (m.get("content") or []))}
+                for m in body.get("messages", [])]
+        if body.get("system"):
+            sys_c = body["system"]
+            msgs.insert(0, {"role": "system",
+                            "content": sys_c if isinstance(sys_c, str)
+                            else "".join(b.get("text", "") for b in sys_c)})
+        prompt = self.chat_template.apply(msgs, add_generation_prompt=True)
+        n = len(self.model.tokenizer.encode(prompt, add_special=True,
+                                            parse_special=True))
+        return {"input_tokens": n}
+
     def props(self) -> dict:
         hp = self.model.hparams
         return {
@@ -588,7 +669,7 @@ def make_handler(app: ServerApp):
                 self.send_header("Content-Length", str(len(page)))
                 self.end_headers()
                 self.wfile.write(page)
-            elif path == "/health":
+            elif path in ("/health", "/v1/health"):
                 if is_router:
                     self._send_json({"status": "ok",
                                      "models": [m["id"] for m in app.models()]})
@@ -604,6 +685,10 @@ def make_handler(app: ServerApp):
                     }]})
             elif path == "/props":
                 self._send_json((app.app_for({}) if is_router else app).props())
+            elif path == "/api/tags":   # ollama-compat model listing
+                self._send_json((app.app_for({}) if is_router else app).ollama_tags())
+            elif path == "/lora-adapters":
+                self._send_json((app.app_for({}) if is_router else app).lora_list())
             elif path == "/slots":
                 self._send_json((app.app_for({}) if is_router else app).slots())
             elif path == "/metrics":
@@ -668,9 +753,22 @@ def make_handler(app: ServerApp):
                 elif path in ("/completion", "/completions", "/v1/completions"):
                     self._dispatch_gen(body, client, a.handle_completion,
                                        self._sse_completion_chunk)
-                elif path == "/v1/chat/completions":
+                elif path in ("/v1/chat/completions", "/chat/completions",
+                              "/api/chat"):  # /api/chat: ollama-compat alias
                     self._dispatch_gen(body, client, a.handle_chat,
                                        self._sse_chat_chunk)
+                elif path == "/api/show":
+                    self._send_json(a.ollama_show())
+                elif path == "/apply-template":
+                    self._send_json(a.apply_template(body))
+                elif path == "/v1/messages/count_tokens":
+                    self._send_json(a.count_tokens(body))
+                elif path == "/lora-adapters":
+                    try:
+                        self._send_json(a.lora_set(body))
+                    except (IndexError, KeyError) as e:
+                        ok = False
+                        self._err(400, f"bad adapter ref: {e}")
                 elif path == "/v1/messages":
                     self._dispatch_gen(body, client, a.handle_anthropic_messages,
                                        self._sse_anthropic_events, anthropic=True)
@@ -680,7 +778,8 @@ def make_handler(app: ServerApp):
                     except NotImplementedError as e:
                         ok = False
                         self._err(501, str(e))
-                elif path in ("/rerank", "/v1/rerank", "/reranking"):
+                elif path in ("/rerank", "/v1/rerank", "/reranking",
+                              "/v1/reranking"):
                     try:
                         self._send_json(a.handle_rerank(body, client))
                     except NotImplementedError as e:

@@ -409,3 +409,50 @@ def test_paged_server_mode(server, tmp_path):
         assert "kv_pages_allocs" in txt and "kv_pages_free" in txt
     finally:
         srv.stop()
+
+
+AUTH = {"Authorization": "Bearer sk-good"}
+
+
+def test_ollama_compat_endpoints(server):
+    """/api/tags, /api/show, /api/chat (ollama-compat aliases,
+    server.cpp:170-179)."""
+    tags = _req(server.port, "/api/tags")
+    assert tags["models"][0]["name"] == "tiny-test"
+    assert tags["data"][0]["id"] == "tiny-test"
+    show = _req(server.port, "/api/show", body={}, method="POST",
+                headers=AUTH)
+    assert "model_info" in show and "completion" in show["capabilities"]
+    out = _req(server.port, "/api/chat", headers=AUTH, body={
+        "messages": [{"role": "user", "content": "hi"}], "max_tokens": 4})
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_apply_template(server):
+    out = _req(server.port, "/apply-template", headers=AUTH, body={
+        "messages": [{"role": "user", "content": "ping"}]})
+    assert "ping" in out["prompt"]
+
+
+def test_chat_completions_alias_and_v1_health(server):
+    assert _req(server.port, "/v1/health")["status"] == "healthy"
+    out = _req(server.port, "/chat/completions", headers=AUTH, body={
+        "messages": [{"role": "user", "content": "hi"}], "max_tokens": 4})
+    assert out["object"] == "chat.completion"
+
+
+def test_count_tokens(server):
+    out = _req(server.port, "/v1/messages/count_tokens", headers=AUTH, body={
+        "model": "tiny-test", "system": "be nice",
+        "messages": [{"role": "user", "content": "hello world"}]})
+    assert out["input_tokens"] > 5
+
+
+def test_lora_adapters_endpoint(server):
+    assert _req(server.port, "/lora-adapters") == []
+    # rescale of an unknown adapter id → 400
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(server.port, "/lora-adapters", headers=AUTH,
+             body=[{"id": 0, "scale": 0.5}])
+    assert e.value.code == 400
