@@ -195,7 +195,7 @@ class ServerApp:
         }
 
     def handle_chat(self, body: dict, client: str, stream_cb=None) -> dict:
-        from .toolcall import parse_tool_calls, plan_tools
+        from .toolcall import parse_tool_calls, plan_tools, split_reasoning
 
         plan = plan_tools(body, self.chat_template.source)
         prompt = self.chat_template.apply(
@@ -208,12 +208,17 @@ class ServerApp:
             inner["grammar"] = plan.grammar
             inner["grammar_lazy"] = plan.grammar_lazy
             inner["grammar_triggers"] = plan.triggers
-        stream_cb, flush = self._tool_stream(plan, stream_cb)
+        reason_fmt = body.get("reasoning_format", "auto")
+        stream_cb, flush = self._tool_stream(plan, stream_cb,
+                                             reasoning=reason_fmt != "none")
         out = self.handle_completion(inner, client, stream_cb)
         flush()
 
         content = out["choices"][0]["text"]
         finish = out["choices"][0]["finish_reason"]
+        reasoning = ""
+        if reason_fmt != "none":
+            reasoning, content = split_reasoning(content)
         message: dict = {"role": "assistant", "content": content}
         if plan is not None:
             content, tool_calls = parse_tool_calls(plan, content)
@@ -221,6 +226,8 @@ class ServerApp:
                 message = {"role": "assistant", "content": content or None,
                            "tool_calls": tool_calls}
                 finish = "tool_calls"
+        if reasoning:
+            message["reasoning_content"] = reasoning
         return {
             "id": "chatcmpl-" + uuid.uuid4().hex[:24],
             "object": "chat.completion",
@@ -235,23 +242,48 @@ class ServerApp:
         }
 
     @staticmethod
-    def _tool_stream(plan, stream_cb):
-        """Wrap a raw-piece stream callback with the incremental tool-call
-        splitter: downstream receives typed events (content / tc_start /
-        tc_args dicts) instead of raw text whenever tools are in play."""
-        if plan is None or stream_cb is None:
+    def _tool_stream(plan, stream_cb, reasoning: bool = False):
+        """Wrap a raw-piece stream callback with the incremental reasoning
+        splitter + tool-call splitter: downstream receives typed events
+        (content / reasoning / tc_start / tc_args dicts) instead of raw
+        text whenever tools or reasoning extraction are in play."""
+        if stream_cb is None or (plan is None and not reasoning):
             return stream_cb, lambda: None
-        from .toolcall import StreamingToolCallParser
+        from .toolcall import ReasoningStream, StreamingToolCallParser
 
-        parser = StreamingToolCallParser(plan)
+        parser = StreamingToolCallParser(plan) if plan is not None else None
+        rstream = ReasoningStream() if reasoning else None
+
+        def emit_post_reasoning(token, text):
+            if parser is not None:
+                for ev in parser.feed(text):
+                    stream_cb(token, ev)
+            else:
+                stream_cb(token, {"ev": "content", "text": text})
 
         def wrapped(token, piece):
-            for ev in parser.feed(piece):
-                stream_cb(token, ev)
+            if rstream is None:
+                emit_post_reasoning(token, piece)
+                return
+            for kind, text in rstream.feed(piece):
+                if kind == "reasoning":
+                    stream_cb(token, {"ev": "reasoning", "text": text})
+                else:
+                    emit_post_reasoning(token, text)
 
         def flush():
-            for ev in parser.finish():
-                stream_cb(None, ev)
+            if rstream is not None:
+                for kind, text in rstream.finish():
+                    if kind == "reasoning":
+                        stream_cb(None, {"ev": "reasoning", "text": text})
+                    elif parser is not None:
+                        for ev in parser.feed(text):
+                            stream_cb(None, ev)
+                    else:
+                        stream_cb(None, {"ev": "content", "text": text})
+            if parser is not None:
+                for ev in parser.finish():
+                    stream_cb(None, ev)
 
         return wrapped, flush
 
@@ -908,6 +940,10 @@ def make_handler(app: ServerApp):
                     if not piece["text"]:
                         return None
                     delta = {"content": piece["text"]}
+                elif ev == "reasoning":
+                    if not piece["text"]:
+                        return None
+                    delta = {"reasoning_content": piece["text"]}
                 elif ev == "tc_start":
                     delta = {"tool_calls": [{
                         "index": piece["index"], "id": piece["id"],

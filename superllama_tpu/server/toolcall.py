@@ -26,6 +26,68 @@ FORMAT_GENERIC = "generic"
 FORMAT_HERMES = "hermes"        # <tool_call>{...}</tool_call>
 FORMAT_LLAMA3 = "llama3"        # {"name": ..., "parameters": {...}}
 FORMAT_MISTRAL = "mistral"      # [TOOL_CALLS][{...}, ...]
+FORMAT_DEEPSEEK_R1 = "deepseek-r1"    # <｜tool▁call▁begin｜>fn<｜tool▁sep｜>…
+FORMAT_COMMAND_R7B = "command-r7b"    # <|START_ACTION|>[{...}]<|END_ACTION|>
+FORMAT_GRANITE = "granite"            # <|tool_call|>[{...}]
+FORMAT_GLM45 = "glm-4.5"              # <tool_call>NAME <arg_key>… XML-ish
+FORMAT_QWEN3_CODER = "qwen3-coder"    # <function=NAME><parameter=K>V
+FORMAT_GPT_OSS = "gpt-oss"            # harmony channels
+FORMAT_SEED_OSS = "seed-oss"          # <seed:tool_call><function=NAME>…
+FORMAT_NEMOTRON_V2 = "nemotron-v2"    # <TOOLCALL>[{...}]</TOOLCALL>
+FORMAT_KIMI_K2 = "kimi-k2"            # <|tool_call_begin|>functions.N:i…
+FORMAT_MINIMAX_M2 = "minimax-m2"      # <minimax:tool_call><invoke name=…
+
+# formats whose streaming path buffers the whole call scope then emits
+# (XML-ish / multi-marker syntaxes; common/chat-parser.cpp equivalents
+# stream these too — buffered emission keeps syntax out of content without
+# per-format incremental parsers)
+_SCOPED = {
+    FORMAT_DEEPSEEK_R1: ("<｜tool▁calls▁begin｜>", "<｜tool▁calls▁end｜>"),
+    FORMAT_COMMAND_R7B: ("<|START_ACTION|>", "<|END_ACTION|>"),
+    FORMAT_GRANITE: ("<|tool_call|>", None),
+    FORMAT_GLM45: ("<tool_call>", None),
+    FORMAT_QWEN3_CODER: ("<tool_call>", None),
+    FORMAT_GPT_OSS: ("<|channel|>", None),
+    FORMAT_SEED_OSS: ("<seed:tool_call>", None),
+    FORMAT_NEMOTRON_V2: ("<TOOLCALL>", "</TOOLCALL>"),
+    FORMAT_KIMI_K2: ("<|tool_calls_section_begin|>",
+                     "<|tool_calls_section_end|>"),
+    FORMAT_MINIMAX_M2: ("<minimax:tool_call>", "</minimax:tool_call>"),
+}
+
+# reasoning block markers per format; None key = default <think> pair
+_REASONING_MARKS = [
+    ("<think>", "</think>"),
+    ("<thinking>", "</thinking>"),
+    ("<|START_THINKING|>", "<|END_THINKING|>"),
+    ("<seed:think>", "</seed:think>"),
+]
+
+
+def split_reasoning(text: str) -> tuple[str, str]:
+    """Extract leading reasoning blocks (common/chat.cpp reasoning syntax
+    handling): returns (reasoning_content, rest). Only blocks at the start
+    of the generation count — mirrors the reference's forced-open/leading
+    `<think>` semantics, including an UNCLOSED leading block (whole text is
+    reasoning)."""
+    reasoning: list[str] = []
+    rest = text
+    progressed = True
+    while progressed:
+        progressed = False
+        stripped = rest.lstrip()
+        for open_m, close_m in _REASONING_MARKS:
+            if stripped.startswith(open_m):
+                body = stripped[len(open_m):]
+                end = body.find(close_m)
+                if end < 0:
+                    reasoning.append(body.strip())
+                    return "\n".join(reasoning), ""
+                reasoning.append(body[:end].strip())
+                rest = body[end + len(close_m):]
+                progressed = True
+                break
+    return "\n".join(reasoning), rest.lstrip("\n")
 
 
 @dataclass
@@ -80,9 +142,32 @@ def _calls_gbnf(tools: list[dict], wrap: str, args_key: str = "arguments") -> st
 
 
 def detect_format(template_text: str | None) -> str:
+    """Template → tool-call format (common_chat_templates_apply detection
+    cascade, common/chat.cpp:2916-3010 — ordering matters: several formats
+    share the <tool_call> wrapper)."""
     t = template_text or ""
+    if "<｜tool▁calls▁begin｜>" in t:
+        return FORMAT_DEEPSEEK_R1
+    if "<|END_THINKING|><|START_ACTION|>" in t:
+        return FORMAT_COMMAND_R7B
+    if "elif thinking" in t and "<|tool_call|>" in t:
+        return FORMAT_GRANITE
+    if "<arg_key>" in t and "<arg_value>" in t:
+        return FORMAT_GLM45
+    if "<function=" in t and "<parameter=" in t:
+        return FORMAT_QWEN3_CODER
+    if "<seed:think>" in t or "<seed:tool_call>" in t:
+        return FORMAT_SEED_OSS
+    if "<|tool_calls_section_begin|>" in t:
+        return FORMAT_KIMI_K2
+    if "<minimax:tool_call>" in t:
+        return FORMAT_MINIMAX_M2
+    if "<TOOLCALL>" in t or "<SPECIAL_10>" in t:
+        return FORMAT_NEMOTRON_V2
     if "<tool_call>" in t or "tool_call" in t and "<|im_start|>" in t:
         return FORMAT_HERMES
+    if "<|channel|>" in t:
+        return FORMAT_GPT_OSS
     if "[TOOL_CALLS]" in t:
         return FORMAT_MISTRAL
     if "<|start_header_id|>" in t or "<|python_tag|>" in t:
@@ -115,11 +200,95 @@ def plan_tools(body: dict, template_text: str | None = None) -> ToolPlan | None:
     elif fmt == FORMAT_LLAMA3:
         plan.grammar = _calls_gbnf(tools, "bare", args_key="parameters")
         plan.triggers = [r'\{\s*"name"\s*:']
+    elif fmt in _SCOPED:
+        plan.grammar = _scoped_gbnf(tools, fmt)
+        open_lit = _SCOPED[fmt][0]
+        plan.triggers = [re.escape(open_lit)]
     else:  # generic: a bare JSON call object
         plan.grammar = _calls_gbnf(tools, "bare")
         plan.triggers = [r'\{\s*"name"\s*:']
     plan.grammar_lazy = not plan.forced
     return plan
+
+
+def _scoped_gbnf(tools: list[dict], fmt: str) -> str:
+    """Grammar for the scoped (marker-delimited) formats. JSON-argument
+    formats constrain args with the tools' schemas; XML-parameter formats
+    constrain structure with free-text values ([^<]*) — the same shape the
+    reference's build_grammar_xml_tool_call produces."""
+    names = [(t.get("function", t))["name"] for t in tools]
+    name_alt = " | ".join(f'"{n}"' for n in names)
+    conv = SchemaConverter({})
+    arg_refs = {}
+    for t in tools:
+        fn = t.get("function", t)
+        params = fn.get("parameters") or {"type": "object"}
+        arg_refs[fn["name"]] = conv.visit(params, f"args-{fn['name']}")
+    conv._prim("space")
+    lines = []
+    if fmt == FORMAT_DEEPSEEK_R1:
+        calls = " | ".join(
+            f'"<｜tool▁call▁begin｜>function<｜tool▁sep｜>{n}\\n```json\\n" '
+            f'{arg_refs[n]} "\\n```<｜tool▁call▁end｜>"' for n in names)
+        lines.append(f'root ::= "<｜tool▁calls▁begin｜>" call+ '
+                     f'"<｜tool▁calls▁end｜>" space\ncall ::= ({calls})')
+    elif fmt in (FORMAT_COMMAND_R7B, FORMAT_GRANITE, FORMAT_NEMOTRON_V2):
+        opens = {FORMAT_COMMAND_R7B: '"<|START_ACTION|>"',
+                 FORMAT_GRANITE: '"<|tool_call|>"',
+                 FORMAT_NEMOTRON_V2: '"<TOOLCALL>"'}[fmt]
+        closes = {FORMAT_COMMAND_R7B: '"<|END_ACTION|>"',
+                  FORMAT_GRANITE: '""',
+                  FORMAT_NEMOTRON_V2: '"</TOOLCALL>"'}[fmt]
+        key = "parameters" if fmt == FORMAT_COMMAND_R7B else "arguments"
+        calls = " | ".join(
+            f'"{{" space "\\"{"tool_name" if fmt == FORMAT_COMMAND_R7B else "name"}\\"" space ":" space "\\"{n}\\"" space '
+            f'"," space "\\"{key}\\"" space ":" space {arg_refs[n]} space "}}"'
+            for n in names)
+        lines.append(f'root ::= {opens} space "[" space call ("," space call)* '
+                     f'"]" space {closes} space\ncall ::= ({calls})')
+    elif fmt == FORMAT_KIMI_K2:
+        calls = " | ".join(
+            f'"<|tool_call_begin|>functions.{n}:" [0-9]+ '
+            f'"<|tool_call_argument_begin|>" {arg_refs[n]} "<|tool_call_end|>"'
+            for n in names)
+        lines.append('root ::= "<|tool_calls_section_begin|>" call+ '
+                     '"<|tool_calls_section_end|>" space\n'
+                     f'call ::= ({calls})')
+    elif fmt == FORMAT_GPT_OSS:
+        calls = " | ".join(
+            f'" to=functions.{n}" " <|constrain|>json"? "<|message|>" '
+            f'{arg_refs[n]}' for n in names)
+        lines.append('root ::= "<|channel|>commentary" call "<|call|>"?\n'
+                     f'call ::= ({calls})')
+    else:  # XML-parameter forms: glm-4.5 / qwen3-coder / seed-oss / minimax
+        forms = {
+            FORMAT_GLM45: ('"<tool_call>{n}\\n" ',
+                           '"<arg_key>" pkey "</arg_key>\\n"'
+                           ' "<arg_value>" pval "</arg_value>\\n"',
+                           '"</tool_call>"'),
+            FORMAT_QWEN3_CODER: ('"<tool_call>\\n<function={n}>\\n" ',
+                                 '"<parameter=" pkey ">\\n" pval '
+                                 '"\\n</parameter>\\n"',
+                                 '"</function>\\n</tool_call>"'),
+            FORMAT_SEED_OSS: ('"<seed:tool_call>\\n<function={n}>\\n" ',
+                              '"<parameter=" pkey ">" pval "</parameter>\\n"',
+                              '"</function>\\n</seed:tool_call>"'),
+            FORMAT_MINIMAX_M2: ('"<minimax:tool_call>\\n<invoke name=\\"{n}\\">\\n" ',
+                                '"<parameter name=\\"" pkey "\\">" pval '
+                                '"</parameter>\\n"',
+                                '"</invoke>\\n</minimax:tool_call>"'),
+        }[fmt]
+        heads = " | ".join(forms[0].replace("{n}", n) for n in names)
+        lines.append(f'root ::= ({heads}) param* {forms[2]} space\n'
+                     f'param ::= {forms[1]}\n'
+                     'pkey ::= [a-zA-Z0-9_-]+\n'
+                     'pval ::= [^<]*')
+    for name, body in conv.rules.items():
+        lines.append(f"{name} ::= {body}")
+    from ..grammar.json_schema import PRIMITIVES
+    for prim in sorted(conv._prims):
+        lines.append(PRIMITIVES[prim])
+    return "\n".join(lines)
 
 
 def _mk_call(name: str, args: Any) -> dict:
@@ -170,7 +339,7 @@ class StreamingToolCallParser:
         self.plan = plan
         self.buf = ""
         self.pos = 0                 # consumed prefix (emitted or skipped)
-        self.mode = "content"        # content | lead | call | close
+        self.mode = "content"        # content | lead | call | close | scope
         self.args_key = ("parameters" if plan.fmt == FORMAT_LLAMA3
                          else "arguments")
         self.index = -1
@@ -178,6 +347,21 @@ class StreamingToolCallParser:
         self.name_emitted = False
         self.args_emitted = 0
         self.ids: list[str] = []
+        self.scoped = _SCOPED.get(plan.fmt)
+        self.scope_start = 0
+
+    def _emit_scope(self, chunk: str) -> list[dict]:
+        """Parse a complete call scope and emit whole-call events."""
+        _, calls = _parse_scoped(self.plan.fmt, chunk)
+        evs = []
+        for c in calls:
+            self.index += 1
+            self.ids.append(c["id"])
+            evs.append({"ev": "tc_start", "index": self.index,
+                        "id": c["id"], "name": c["function"]["name"]})
+            evs.append({"ev": "tc_args", "index": self.index,
+                        "delta": c["function"]["arguments"]})
+        return evs
 
     # ------------------------------------------------------------- helpers
 
@@ -243,6 +427,39 @@ class StreamingToolCallParser:
         while progressing:
             progressing = False
             s, p = self.buf, self.pos
+            if self.scoped is not None:
+                open_lit, close_lit = self.scoped
+                if self.mode == "content":
+                    pending = s[p:]
+                    hit = pending.find(open_lit)
+                    if hit >= 0:
+                        if pending[:hit]:
+                            evs.append({"ev": "content",
+                                        "text": pending[:hit]})
+                        self.pos = p + hit
+                        self.scope_start = self.pos
+                        self.mode = "scope"
+                        progressing = True
+                    else:
+                        keep = 0
+                        for k in range(min(len(open_lit) - 1, len(pending)),
+                                       0, -1):
+                            if open_lit.startswith(pending[-k:]):
+                                keep = k
+                                break
+                        emit = pending[: len(pending) - keep]
+                        if emit:
+                            evs.append({"ev": "content", "text": emit})
+                            self.pos = p + len(emit)
+                elif self.mode == "scope" and close_lit is not None:
+                    end = s.find(close_lit, self.scope_start + len(open_lit))
+                    if end >= 0:
+                        end += len(close_lit)
+                        evs.extend(self._emit_scope(s[self.scope_start:end]))
+                        self.pos = end
+                        self.mode = "content"
+                        progressing = True
+                continue
             if self.mode == "content":
                 lit = self._lit()
                 pending = s[p:]
@@ -332,6 +549,17 @@ class StreamingToolCallParser:
     def finish(self) -> list[dict]:
         """Flush: held-back content, and any still-open call's raw args."""
         evs: list[dict] = []
+        if self.scoped is not None:
+            if self.mode == "scope":
+                chunk = self.buf[self.scope_start:]
+                content, _ = _parse_scoped(self.plan.fmt, chunk)
+                evs.extend(self._emit_scope(chunk))
+                if content:
+                    evs.append({"ev": "content", "text": content})
+            elif self.pos < len(self.buf):
+                evs.append({"ev": "content", "text": self.buf[self.pos:]})
+            self.pos = len(self.buf)
+            return evs
         if self.mode == "call":
             evs.extend(self._events_for_call())
             if self.mode == "call" and self.name_emitted:
@@ -349,11 +577,145 @@ class StreamingToolCallParser:
         return evs
 
 
+def _coerce(v: str) -> Any:
+    """XML parameter value → JSON value when it parses, else raw string
+    (the reference coerces against the tool schema; JSON-or-string covers
+    the same surface for well-formed outputs)."""
+    try:
+        return json.loads(v)
+    except json.JSONDecodeError:
+        return v
+
+
+def _parse_xml_params(body: str, pat: str) -> dict:
+    return {m.group(1): _coerce(m.group(2).strip("\n"))
+            for m in re.finditer(pat, body, re.S)}
+
+
+def _parse_scoped(fmt: str, text: str) -> tuple[str, list[dict]]:
+    """content/tool_calls split for the scoped formats (the per-format
+    parsers in common/chat.cpp; syntax documented at each branch)."""
+    calls: list[dict] = []
+    spans: list[tuple[int, int]] = []
+
+    def arr_calls(m, name_key, args_key):
+        try:
+            items = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            return
+        for it in items if isinstance(items, list) else [items]:
+            if isinstance(it, dict) and name_key in it:
+                calls.append(_mk_call(it[name_key], it.get(args_key, {})))
+        spans.append((m.start(), m.end()))
+
+    if fmt == FORMAT_DEEPSEEK_R1:
+        for m in re.finditer(
+                r"<｜tool▁call▁begin｜>(?:function<｜tool▁sep｜>)?([\w.\-]+)"
+                r"\s*\n```json\n(.*?)```<｜tool▁call▁end｜>", text, re.S):
+            calls.append(_mk_call(m.group(1), _coerce(m.group(2).strip())))
+        m = re.search(r"<｜tool▁calls▁begin｜>.*?(<｜tool▁calls▁end｜>|$)",
+                      text, re.S)
+        if m:
+            spans.append((m.start(), m.end()))
+    elif fmt == FORMAT_COMMAND_R7B:
+        for m in re.finditer(
+                r"<\|START_ACTION\|>\s*(\[.*?\])\s*(<\|END_ACTION\|>|$)",
+                text, re.S):
+            arr_calls(m, "tool_name", "parameters")
+        r = re.search(r"<\|START_RESPONSE\|>(.*?)(<\|END_RESPONSE\|>|$)",
+                      text, re.S)
+        if r:
+            content = r.group(1)
+            return content.strip(), calls
+    elif fmt == FORMAT_GRANITE:
+        for m in re.finditer(r"<\|tool_call\|>\s*(\[.*?\])\s*$", text, re.S):
+            arr_calls(m, "name", "arguments")
+        if not spans:  # unterminated array: take everything after the tag
+            m = re.search(r"<\|tool_call\|>\s*(\[.*)", text, re.S)
+            if m:
+                arr_calls(m, "name", "arguments")
+    elif fmt == FORMAT_NEMOTRON_V2:
+        for m in re.finditer(r"<TOOLCALL>\s*(\[.*?\])\s*(</TOOLCALL>|$)",
+                             text, re.S):
+            arr_calls(m, "name", "arguments")
+    elif fmt == FORMAT_KIMI_K2:
+        for m in re.finditer(
+                r"<\|tool_call_begin\|>\s*functions\.([\w.\-]+):\d+\s*"
+                r"<\|tool_call_argument_begin\|>(.*?)<\|tool_call_end\|>",
+                text, re.S):
+            calls.append(_mk_call(m.group(1), _coerce(m.group(2).strip())))
+        m = re.search(r"<\|tool_calls_section_begin\|>.*?"
+                      r"(<\|tool_calls_section_end\|>|$)", text, re.S)
+        if m:
+            spans.append((m.start(), m.end()))
+    elif fmt == FORMAT_GPT_OSS:
+        # harmony channels: analysis→reasoning (handled by caller via
+        # split), commentary to=functions.N→call, final→content
+        content_parts: list[str] = []
+        for m in re.finditer(
+                r"<\|channel\|>(\w+)(?:\s+to=functions\.([\w.\-]+))?"
+                r"(?:\s*<\|constrain\|>\w+)?<\|message\|>(.*?)"
+                r"(?=<\|end\|>|<\|call\|>|<\|channel\|>|<\|start\|>|$)",
+                text, re.S):
+            ch, fn, body = m.group(1), m.group(2), m.group(3)
+            if fn:
+                calls.append(_mk_call(fn, _coerce(body.strip())))
+            elif ch == "final":
+                content_parts.append(body)
+        if re.search(r"<\|channel\|>", text):
+            return "".join(content_parts).strip(), calls
+        return text.strip(), calls
+    elif fmt == FORMAT_GLM45:
+        for m in re.finditer(r"<tool_call>\s*([\w.\-]+)\s*\n(.*?)</tool_call>",
+                             text, re.S):
+            args = _parse_xml_params(
+                m.group(2), r"<arg_key>(.*?)</arg_key>\s*"
+                            r"<arg_value>(.*?)</arg_value>")
+            calls.append(_mk_call(m.group(1), args))
+            spans.append((m.start(), m.end()))
+    elif fmt in (FORMAT_QWEN3_CODER, FORMAT_SEED_OSS):
+        tag = ("tool_call" if fmt == FORMAT_QWEN3_CODER
+               else "seed:tool_call")
+        for m in re.finditer(
+                rf"<{tag}>\s*<function=([\w.\-]+)>(.*?)</function>\s*"
+                rf"</{tag}>", text, re.S):
+            args = _parse_xml_params(
+                m.group(2), r"<parameter=([\w.\-]+)>(.*?)</parameter>")
+            calls.append(_mk_call(m.group(1), args))
+            spans.append((m.start(), m.end()))
+    elif fmt == FORMAT_MINIMAX_M2:
+        for m in re.finditer(
+                r'<invoke name="([\w.\-]+)">(.*?)</invoke>', text, re.S):
+            args = _parse_xml_params(
+                m.group(2), r'<parameter name="([\w.\-]+)">(.*?)</parameter>')
+            calls.append(_mk_call(m.group(1), args))
+        m = re.search(r"<minimax:tool_call>.*?(</minimax:tool_call>|$)",
+                      text, re.S)
+        if m:
+            spans.append((m.start(), m.end()))
+
+    content = text
+    if fmt in (FORMAT_COMMAND_R7B, FORMAT_GRANITE, FORMAT_NEMOTRON_V2):
+        # array formats: strip the tagged block(s)
+        content = re.sub(
+            {FORMAT_COMMAND_R7B:
+                 r"<\|START_ACTION\|>.*?(<\|END_ACTION\|>|$)",
+             FORMAT_GRANITE: r"<\|tool_call\|>.*$",
+             FORMAT_NEMOTRON_V2: r"<TOOLCALL>.*?(</TOOLCALL>|$)"}[fmt],
+            "", content, flags=re.S)
+    else:
+        for s, e in sorted(spans, reverse=True):
+            content = content[:s] + content[e:]
+    return content.strip(), calls
+
+
 def parse_tool_calls(plan: ToolPlan, text: str) -> tuple[str, list[dict]]:
     """Split generated text into (content, tool_calls)."""
     calls: list[dict] = []
     content = text
 
+    if plan.fmt in _SCOPED:
+        return _parse_scoped(plan.fmt, text)
     if plan.fmt == FORMAT_HERMES:
         spans = []
         for m in re.finditer(r"<tool_call>\s*(.*?)\s*(</tool_call>|$)", text, re.S):
@@ -393,3 +755,69 @@ def parse_tool_calls(plan: ToolPlan, text: str) -> tuple[str, list[dict]]:
             content = content[:s] + content[e:]
 
     return content.strip(), calls
+
+
+class ReasoningStream:
+    """Incremental leading-reasoning splitter (the streaming side of
+    split_reasoning): feed(piece) → [(kind, text)] with kind
+    'reasoning' | 'content'. Only blocks at the start of the generation
+    (possibly several, whitespace-separated) count as reasoning."""
+
+    def __init__(self):
+        self.buf = ""
+        self.state = "start"     # start | inside | content
+        self.close = ""
+
+    def _feed_start(self, out):
+        stripped = self.buf.lstrip()
+        for open_m, close_m in _REASONING_MARKS:
+            if stripped.startswith(open_m):
+                self.buf = stripped[len(open_m):]
+                self.close = close_m
+                self.state = "inside"
+                return True
+            if open_m.startswith(stripped):
+                return False        # still ambiguous: hold
+        self.state = "content"
+        return True
+
+    def feed(self, piece: str) -> list[tuple[str, str]]:
+        self.buf += piece
+        out: list[tuple[str, str]] = []
+        progressing = True
+        while progressing and self.buf:
+            progressing = False
+            if self.state == "start":
+                progressing = self._feed_start(out)
+            elif self.state == "inside":
+                end = self.buf.find(self.close)
+                if end >= 0:
+                    if self.buf[:end]:
+                        out.append(("reasoning", self.buf[:end]))
+                    self.buf = self.buf[end + len(self.close):]
+                    self.state = "start"   # allow stacked leading blocks
+                    progressing = True
+                else:
+                    # hold back a potential close-marker prefix
+                    keep = 0
+                    for k in range(min(len(self.close) - 1, len(self.buf)),
+                                   0, -1):
+                        if self.close.startswith(self.buf[-k:]):
+                            keep = k
+                            break
+                    emit = self.buf[: len(self.buf) - keep]
+                    if emit:
+                        out.append(("reasoning", emit))
+                        self.buf = self.buf[len(emit):]
+            else:
+                out.append(("content", self.buf))
+                self.buf = ""
+        return out
+
+    def finish(self) -> list[tuple[str, str]]:
+        if not self.buf:
+            return []
+        kind = "reasoning" if self.state == "inside" else "content"
+        out = [(kind, self.buf)]
+        self.buf = ""
+        return out

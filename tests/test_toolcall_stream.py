@@ -174,3 +174,160 @@ def test_stream_holdback_then_release():
     content = "".join(e["text"] for e in evs if e["ev"] == "content")
     assert content == "hello "
     assert [e["name"] for e in evs if e["ev"] == "tc_start"] == ["add"]
+
+
+# ---------------------------------------------------------------- new formats
+
+def _plan(fmt):
+    from superllama_tpu.server.toolcall import ToolPlan
+    return ToolPlan(fmt=fmt)
+
+
+def test_parse_deepseek_r1():
+    from superllama_tpu.server import toolcall as tc
+    text = ("ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function<｜tool▁sep｜>"
+            "get_weather\n```json\n{\"city\": \"Paris\"}\n```<｜tool▁call▁end｜>"
+            "<｜tool▁calls▁end｜>")
+    content, calls = tc.parse_tool_calls(_plan(tc.FORMAT_DEEPSEEK_R1), text)
+    assert content == "ok" and len(calls) == 1
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Paris"}
+
+
+def test_parse_command_r7b():
+    from superllama_tpu.server import toolcall as tc
+    text = ('<|START_ACTION|>[{"tool_call_id": "0", "tool_name": "ping", '
+            '"parameters": {"host": "a"}}]<|END_ACTION|>')
+    content, calls = tc.parse_tool_calls(_plan(tc.FORMAT_COMMAND_R7B), text)
+    assert calls[0]["function"]["name"] == "ping"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"host": "a"}
+
+
+def test_parse_granite_and_nemotron():
+    from superllama_tpu.server import toolcall as tc
+    c, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_GRANITE),
+        'sure<|tool_call|>[{"name": "f", "arguments": {"x": 1}}]')
+    assert c == "sure" and calls[0]["function"]["name"] == "f"
+    c, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_NEMOTRON_V2),
+        '<TOOLCALL>[{"name": "g", "arguments": {}}]</TOOLCALL>')
+    assert calls[0]["function"]["name"] == "g"
+
+
+def test_parse_kimi_k2():
+    from superllama_tpu.server import toolcall as tc
+    text = ("<|tool_calls_section_begin|><|tool_call_begin|>functions.add:0"
+            "<|tool_call_argument_begin|>{\"a\": 1, \"b\": 2}<|tool_call_end|>"
+            "<|tool_calls_section_end|>")
+    _, calls = tc.parse_tool_calls(_plan(tc.FORMAT_KIMI_K2), text)
+    assert calls[0]["function"]["name"] == "add"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"a": 1, "b": 2}
+
+
+def test_parse_gpt_oss_channels():
+    from superllama_tpu.server import toolcall as tc
+    text = ("<|channel|>analysis<|message|>let me think<|end|>"
+            "<|start|>assistant<|channel|>commentary to=functions.run"
+            " <|constrain|>json<|message|>{\"cmd\": \"ls\"}<|call|>"
+            "<|start|>assistant<|channel|>final<|message|>done")
+    content, calls = tc.parse_tool_calls(_plan(tc.FORMAT_GPT_OSS), text)
+    assert content == "done"
+    assert calls[0]["function"]["name"] == "run"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"cmd": "ls"}
+
+
+def test_parse_glm45_and_qwen3_coder():
+    from superllama_tpu.server import toolcall as tc
+    c, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_GLM45),
+        "<tool_call>search\n<arg_key>q</arg_key>\n<arg_value>cats"
+        "</arg_value>\n</tool_call>")
+    assert calls[0]["function"]["name"] == "search"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"q": "cats"}
+    c, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_QWEN3_CODER),
+        "<tool_call>\n<function=write>\n<parameter=path>\n/tmp/x\n"
+        "</parameter>\n<parameter=n>\n3\n</parameter>\n</function>\n"
+        "</tool_call>")
+    assert calls[0]["function"]["name"] == "write"
+    assert json.loads(calls[0]["function"]["arguments"]) == {
+        "path": "/tmp/x", "n": 3}
+
+
+def test_parse_minimax_and_seed():
+    from superllama_tpu.server import toolcall as tc
+    _, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_MINIMAX_M2),
+        '<minimax:tool_call>\n<invoke name="go">\n'
+        '<parameter name="dir">up</parameter>\n</invoke>\n'
+        "</minimax:tool_call>")
+    assert calls[0]["function"]["name"] == "go"
+    _, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_SEED_OSS),
+        "<seed:tool_call>\n<function=f>\n<parameter=k>v</parameter>\n"
+        "</function>\n</seed:tool_call>")
+    assert json.loads(calls[0]["function"]["arguments"]) == {"k": "v"}
+
+
+def test_detect_new_formats():
+    from superllama_tpu.server import toolcall as tc
+    assert tc.detect_format("...<｜tool▁calls▁begin｜>...") == tc.FORMAT_DEEPSEEK_R1
+    assert tc.detect_format("<|END_THINKING|><|START_ACTION|>") == tc.FORMAT_COMMAND_R7B
+    assert tc.detect_format("{% elif thinking %}<|tool_call|>") == tc.FORMAT_GRANITE
+    assert tc.detect_format("[gMASK]<sop><arg_key><arg_value>") == tc.FORMAT_GLM45
+    assert tc.detect_format("<function=..><parameter=..>") == tc.FORMAT_QWEN3_CODER
+    assert tc.detect_format("<seed:think>") == tc.FORMAT_SEED_OSS
+    assert tc.detect_format("<|tool_calls_section_begin|>") == tc.FORMAT_KIMI_K2
+    assert tc.detect_format("<minimax:tool_call>") == tc.FORMAT_MINIMAX_M2
+    assert tc.detect_format("<SPECIAL_10>") == tc.FORMAT_NEMOTRON_V2
+    assert tc.detect_format("<|channel|>analysis") == tc.FORMAT_GPT_OSS
+
+
+def test_scoped_streaming_no_syntax_leak():
+    from superllama_tpu.server import toolcall as tc
+    plan = _plan(tc.FORMAT_NEMOTRON_V2)
+    p = tc.StreamingToolCallParser(plan)
+    text = ('hello <TOOLCALL>[{"name": "f", "arguments": {"x": 1}}]'
+            "</TOOLCALL> bye")
+    evs = []
+    for i in range(0, len(text), 5):
+        evs += p.feed(text[i:i + 5])
+    evs += p.finish()
+    content = "".join(e["text"] for e in evs if e["ev"] == "content")
+    assert "TOOLCALL" not in content and "hello" in content and "bye" in content
+    starts = [e for e in evs if e["ev"] == "tc_start"]
+    args = "".join(e["delta"] for e in evs if e["ev"] == "tc_args")
+    assert starts[0]["name"] == "f" and json.loads(args) == {"x": 1}
+
+
+def test_split_reasoning_and_stream():
+    from superllama_tpu.server import toolcall as tc
+    r, rest = tc.split_reasoning("<think>plan</think>answer")
+    assert r == "plan" and rest == "answer"
+    r, rest = tc.split_reasoning("<think>unclosed ...")
+    assert r == "unclosed ..." and rest == ""
+    r, rest = tc.split_reasoning("no reasoning here")
+    assert r == "" and rest == "no reasoning here"
+    rs = tc.ReasoningStream()
+    evs = []
+    for ch in "<think>a b</think>out":
+        evs += rs.feed(ch)
+    evs += rs.finish()
+    assert "".join(t for k, t in evs if k == "reasoning") == "a b"
+    assert "".join(t for k, t in evs if k == "content") == "out"
+
+
+def test_scoped_grammar_builds():
+    from superllama_tpu.grammar.gbnf import parse_gbnf
+    from superllama_tpu.server import toolcall as tc
+    tools = [{"type": "function", "function": {
+        "name": "get_weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"type": "string"}},
+                       "required": ["city"]}}}]
+    for fmt in tc._SCOPED:
+        plan = tc.plan_tools({"tools": tools},
+                             template_text=None) or None
+        g = tc._scoped_gbnf(tools, fmt)
+        parse_gbnf(g)   # must parse as valid GBNF
