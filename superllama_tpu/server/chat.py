@@ -156,27 +156,60 @@ class ChatTemplate:
     def apply(self, messages: list[dict[str, Any]],
               add_generation_prompt: bool = True,
               tools: list[dict] | None = None, **extra) -> str:
+        # native pass first: modern templates render role="tool" and
+        # message.tool_calls themselves (common_chat_templates_apply) —
+        # only flatten those shapes when the template can't
+        for msgs in ([_flatten_content(m) for m in messages],
+                     [_normalize_message(m) for m in messages]):
+            try:
+                return self._tmpl.render(
+                    messages=msgs,
+                    add_generation_prompt=add_generation_prompt,
+                    bos_token=self.bos_token,
+                    eos_token=self.eos_token,
+                    tools=tools,
+                    **extra,
+                )
+            except jinja2.TemplateError:
+                continue
+        # template can't handle this message shape (e.g. tools): degrade
+        # to the detected builtin with tools described in the system turn
         msgs = [_normalize_message(m) for m in messages]
-        try:
-            return self._tmpl.render(
-                messages=msgs,
-                add_generation_prompt=add_generation_prompt,
-                bos_token=self.bos_token,
-                eos_token=self.eos_token,
-                tools=tools,
-                **extra,
-            )
-        except jinja2.TemplateError:
-            # template can't handle this message shape (e.g. tools): degrade
-            # to the detected builtin with tools described in the system turn
-            fb = ChatTemplate(None, fallback=detect_builtin(self.source),
-                              bos_token=self.bos_token, eos_token=self.eos_token)
-            if tools:
-                msgs = _inject_tools_system(msgs, tools)
-            return fb._tmpl.render(messages=msgs,
-                                   add_generation_prompt=add_generation_prompt,
-                                   bos_token=self.bos_token,
-                                   eos_token=self.eos_token)
+        fb = ChatTemplate(None, fallback=detect_builtin(self.source),
+                          bos_token=self.bos_token, eos_token=self.eos_token)
+        if tools:
+            msgs = _inject_tools_system(msgs, tools)
+        return fb._tmpl.render(messages=msgs,
+                               add_generation_prompt=add_generation_prompt,
+                               bos_token=self.bos_token,
+                               eos_token=self.eos_token)
+
+
+def _flatten_content(m: dict) -> dict:
+    """Minimal normalization: OpenAI content-parts → text, None → ""; tool
+    roles and tool_calls pass through for native template rendering.
+    tool_call arguments are parsed to objects (templates tojson them)."""
+    out = dict(m)
+    c = m.get("content")
+    if isinstance(c, list):
+        out["content"] = "".join(
+            p.get("text", "") for p in c if isinstance(p, dict))
+    elif c is None:
+        out["content"] = ""
+    if m.get("tool_calls"):
+        tcs = []
+        for tc in m["tool_calls"]:
+            tc = dict(tc)
+            fn = dict(tc.get("function", {}))
+            if isinstance(fn.get("arguments"), str):
+                try:
+                    fn["arguments"] = json.loads(fn["arguments"])
+                except json.JSONDecodeError:
+                    pass
+            tc["function"] = fn
+            tcs.append(tc)
+        out["tool_calls"] = tcs
+    return out
 
 
 def _normalize_message(m: dict) -> dict:

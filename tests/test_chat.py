@@ -73,10 +73,12 @@ def test_content_parts_flattened():
     assert "ab" in out
 
 
-def test_tool_role_normalized():
+def test_tool_role_rendered():
+    # chatml renders role=tool natively (the native pass keeps the original
+    # message shape; the tool_response wrapper only applies on fallback)
     t = ChatTemplate(None, fallback="chatml")
     out = t.apply([{"role": "tool", "name": "calc", "content": "42"}])
-    assert "tool_response" in out and "42" in out
+    assert "42" in out and "tool" in out
 
 
 # ---------------------------------------------------------------- tool calls
@@ -175,3 +177,26 @@ def test_named_tool_choice_restricts_grammar():
     st = GrammarState(parse_gbnf(plan.grammar))
     assert not (st.accept_text('{"name": "get_weather", "arguments": {}}')
                 and st.can_terminate)
+
+
+def test_native_tool_message_rendering():
+    """Templates that natively render role=tool / message.tool_calls get the
+    ORIGINAL shapes (common_chat_templates_apply passes them through); the
+    flattening fallback only engages when the template errors."""
+    from superllama_tpu.server.chat import ChatTemplate
+
+    tmpl = ChatTemplate(
+        "{% for m in messages %}"
+        "{% if m.tool_calls %}[CALL {{ m.tool_calls[0].function.name }} "
+        "{{ m.tool_calls[0].function.arguments | tojson }}]"
+        "{% elif m.role == 'tool' %}[RESULT {{ m.content }}]"
+        "{% else %}{{ m.role }}: {{ m.content }}\n{% endif %}{% endfor %}")
+    out = tmpl.apply([
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": None, "tool_calls": [
+            {"id": "c1", "type": "function",
+             "function": {"name": "add", "arguments": '{"a": 1}'}}]},
+        {"role": "tool", "tool_call_id": "c1", "content": "2"},
+    ], add_generation_prompt=False)
+    assert "[CALL add" in out and '"a": 1' in out
+    assert "[RESULT 2]" in out
