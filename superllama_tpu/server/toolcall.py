@@ -45,10 +45,10 @@ _SCOPED = {
     FORMAT_DEEPSEEK_R1: ("<｜tool▁calls▁begin｜>", "<｜tool▁calls▁end｜>"),
     FORMAT_COMMAND_R7B: ("<|START_ACTION|>", "<|END_ACTION|>"),
     FORMAT_GRANITE: ("<|tool_call|>", None),
-    FORMAT_GLM45: ("<tool_call>", None),
-    FORMAT_QWEN3_CODER: ("<tool_call>", None),
+    FORMAT_GLM45: ("<tool_call>", "</tool_call>"),
+    FORMAT_QWEN3_CODER: ("<tool_call>", "</tool_call>"),
     FORMAT_GPT_OSS: ("<|channel|>", None),
-    FORMAT_SEED_OSS: ("<seed:tool_call>", None),
+    FORMAT_SEED_OSS: ("<seed:tool_call>", "</seed:tool_call>"),
     FORMAT_NEMOTRON_V2: ("<TOOLCALL>", "</TOOLCALL>"),
     FORMAT_KIMI_K2: ("<|tool_calls_section_begin|>",
                      "<|tool_calls_section_end|>"),

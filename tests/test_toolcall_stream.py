@@ -331,3 +331,19 @@ def test_scoped_grammar_builds():
                              template_text=None) or None
         g = tc._scoped_gbnf(tools, fmt)
         parse_gbnf(g)   # must parse as valid GBNF
+
+
+def test_qwen3_coder_streaming():
+    from superllama_tpu.server import toolcall as tc
+    plan = _plan(tc.FORMAT_QWEN3_CODER)
+    p = tc.StreamingToolCallParser(plan)
+    text = ("go <tool_call>\n<function=run>\n<parameter=cmd>\nls\n"
+            "</parameter>\n</function>\n</tool_call> done")
+    evs = []
+    for i in range(0, len(text), 7):
+        evs += p.feed(text[i:i + 7])
+    evs += p.finish()
+    content = "".join(e["text"] for e in evs if e["ev"] == "content")
+    assert "tool_call" not in content and "go" in content and "done" in content
+    args = "".join(e["delta"] for e in evs if e["ev"] == "tc_args")
+    assert json.loads(args) == {"cmd": "ls"}
