@@ -347,8 +347,118 @@ class StreamingToolCallParser:
         self.name_emitted = False
         self.args_emitted = 0
         self.ids: list[str] = []
-        self.scoped = _SCOPED.get(plan.fmt)
+        self.scoped = (None if plan.fmt == FORMAT_GPT_OSS
+                       else _SCOPED.get(plan.fmt))
         self.scope_start = 0
+        # gpt-oss harmony channel machine
+        self.harmony = plan.fmt == FORMAT_GPT_OSS
+        self.h_state = "content"     # content | hdr | body
+        self.h_kind = "content"      # body routing: content|reasoning|call
+        self.h_fn = None
+
+    _H_ENDS = ("<|end|>", "<|call|>", "<|channel|>", "<|start|>",
+               "<|return|>")
+
+    def _harmony_feed(self) -> list[dict]:
+        """Incremental harmony-channel splitter (gpt-oss): analysis bodies
+        stream as reasoning, final bodies as content, commentary
+        to=functions.N bodies buffer into one call (chat.cpp gpt-oss
+        parser's streaming behavior)."""
+        evs: list[dict] = []
+        progressing = True
+        while progressing:
+            progressing = False
+            s, p = self.buf, self.pos
+            pending = s[p:]
+            if self.h_state == "content":
+                marks = ("<|channel|>", "<|start|>", "<|end|>", "<|return|>")
+                hits = [(pending.find(mk), mk) for mk in marks]
+                hits = [(i, mk) for i, mk in hits if i >= 0]
+                if hits:
+                    i, mk = min(hits)
+                    if pending[:i]:
+                        evs.append({"ev": "content", "text": pending[:i]})
+                    self.pos = p + i + len(mk)
+                    if mk == "<|channel|>":
+                        self.h_state = "hdr"
+                    elif mk == "<|start|>":
+                        self.h_state = "skipword"   # role name follows
+                    progressing = True
+                else:
+                    keep = 0
+                    for mk in marks:
+                        for k in range(min(len(mk) - 1, len(pending)), 0, -1):
+                            if mk.startswith(pending[-k:]):
+                                keep = max(keep, k)
+                                break
+                    emit = pending[: len(pending) - keep]
+                    if emit:
+                        evs.append({"ev": "content", "text": emit})
+                        self.pos = p + len(emit)
+            elif self.h_state == "skipword":
+                m = re.match(r"\w*[^\w]", pending)
+                if m:
+                    self.pos = p + m.end() - 1    # keep the non-word char
+                    self.h_state = "content"
+                    progressing = True
+                else:
+                    break                         # role name may continue
+            elif self.h_state == "hdr":
+                end = pending.find("<|message|>")
+                if end < 0:
+                    break
+                hdr = pending[:end]
+                m = re.match(r"\s*(\w+)(?:\s+to=functions\.([\w.\-]+))?", hdr)
+                ch = m.group(1) if m else ""
+                self.h_fn = m.group(2) if m else None
+                if self.h_fn is None:
+                    m2 = re.search(r"to=functions\.([\w.\-]+)", hdr)
+                    self.h_fn = m2.group(1) if m2 else None
+                if self.h_fn:
+                    self.h_kind = "call"
+                    self.index += 1
+                    cid = "call_" + uuid.uuid4().hex[:16]
+                    self.ids.append(cid)
+                    evs.append({"ev": "tc_start", "index": self.index,
+                                "id": cid, "name": self.h_fn})
+                elif ch == "analysis":
+                    self.h_kind = "reasoning"
+                else:
+                    self.h_kind = "content"
+                self.pos = p + end + len("<|message|>")
+                self.h_state = "body"
+                progressing = True
+            elif self.h_state == "body":
+                hits = [(pending.find(mk), mk) for mk in self._H_ENDS]
+                hits = [(i, mk) for i, mk in hits if i >= 0]
+                if hits:
+                    i, mk = min(hits)
+                    body = pending[:i]
+                    if body:
+                        evs.extend(self._h_body(body))
+                    self.pos = p + i + (0 if mk in ("<|channel|>", "<|start|>")
+                                        else len(mk))
+                    self.h_state = "content"
+                    progressing = True
+                else:
+                    keep = 0
+                    for mk in self._H_ENDS:
+                        for k in range(min(len(mk) - 1, len(pending)), 0, -1):
+                            if mk.startswith(pending[-k:]):
+                                keep = max(keep, k)
+                                break
+                    emit = pending[: len(pending) - keep]
+                    if emit:
+                        evs.extend(self._h_body(emit))
+                        self.pos = p + len(emit)
+        return evs
+
+    def _h_body(self, text: str) -> list[dict]:
+        if self.h_kind == "call":
+            return [{"ev": "tc_args", "index": self.index, "delta": text}]
+        if self.h_kind == "reasoning":
+            return [{"ev": "reasoning", "text": text}]
+        return [{"ev": "content", "text": text}]
 
     def _emit_scope(self, chunk: str) -> list[dict]:
         """Parse a complete call scope and emit whole-call events."""
@@ -423,6 +533,8 @@ class StreamingToolCallParser:
         evs: list[dict] = []
         from .json_partial import skip_ws
 
+        if self.harmony:
+            return self._harmony_feed()
         progressing = True
         while progressing:
             progressing = False
@@ -549,6 +661,12 @@ class StreamingToolCallParser:
     def finish(self) -> list[dict]:
         """Flush: held-back content, and any still-open call's raw args."""
         evs: list[dict] = []
+        if self.harmony:
+            evs = self._harmony_feed()
+            if self.h_state == "body" and self.pos < len(self.buf):
+                evs.extend(self._h_body(self.buf[self.pos:]))
+                self.pos = len(self.buf)
+            return evs
         if self.scoped is not None:
             if self.mode == "scope":
                 chunk = self.buf[self.scope_start:]

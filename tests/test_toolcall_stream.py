@@ -347,3 +347,25 @@ def test_qwen3_coder_streaming():
     assert "tool_call" not in content and "go" in content and "done" in content
     args = "".join(e["delta"] for e in evs if e["ev"] == "tc_args")
     assert json.loads(args) == {"cmd": "ls"}
+
+
+def test_gpt_oss_streaming_channels():
+    from superllama_tpu.server import toolcall as tc
+    plan = _plan(tc.FORMAT_GPT_OSS)
+    p = tc.StreamingToolCallParser(plan)
+    text = ("<|channel|>analysis<|message|>thinking hard<|end|>"
+            "<|start|>assistant<|channel|>commentary to=functions.run"
+            " <|constrain|>json<|message|>{\"cmd\": \"ls\"}<|call|>"
+            "<|start|>assistant<|channel|>final<|message|>all done")
+    evs = []
+    for i in range(0, len(text), 6):
+        evs += p.feed(text[i:i + 6])
+    evs += p.finish()
+    reason = "".join(e["text"] for e in evs if e["ev"] == "reasoning")
+    content = "".join(e["text"] for e in evs if e["ev"] == "content")
+    args = "".join(e["delta"] for e in evs if e["ev"] == "tc_args")
+    assert reason == "thinking hard"
+    assert content == "all done"
+    assert json.loads(args) == {"cmd": "ls"}
+    starts = [e for e in evs if e["ev"] == "tc_start"]
+    assert starts[0]["name"] == "run"
