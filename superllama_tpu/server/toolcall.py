@@ -154,10 +154,10 @@ def detect_format(template_text: str | None) -> str:
         return FORMAT_GRANITE
     if "<arg_key>" in t and "<arg_value>" in t:
         return FORMAT_GLM45
-    if "<function=" in t and "<parameter=" in t:
-        return FORMAT_QWEN3_CODER
     if "<seed:think>" in t or "<seed:tool_call>" in t:
         return FORMAT_SEED_OSS
+    if "<function=" in t and "<parameter=" in t:
+        return FORMAT_QWEN3_CODER
     if "<|tool_calls_section_begin|>" in t:
         return FORMAT_KIMI_K2
     if "<minimax:tool_call>" in t:

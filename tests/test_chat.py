@@ -200,3 +200,68 @@ def test_native_tool_message_rendering():
     ], add_generation_prompt=False)
     assert "[CALL add" in out and '"a": 1' in out
     assert "[RESULT 2]" in out
+
+
+# --------------------------------------------- real-template format detection
+
+_TPL_DIR = "/root/reference/models/templates"
+
+
+def _tpl(name):
+    import os
+    p = os.path.join(_TPL_DIR, name)
+    if not os.path.exists(p):
+        import pytest
+        pytest.skip(f"missing template fixture {name}")
+    return open(p, encoding="utf-8").read()
+
+
+def test_detect_real_templates():
+    """detect_format against the ecosystem's real embedded templates
+    (models/templates/*.jinja — the same fixtures test-chat.cpp uses)."""
+    from superllama_tpu.server import toolcall as tc
+
+    expect = {
+        "deepseek-ai-DeepSeek-R1-Distill-Qwen-32B.jinja": tc.FORMAT_DEEPSEEK_R1,
+        "llama-cpp-deepseek-r1.jinja": tc.FORMAT_DEEPSEEK_R1,
+        "CohereForAI-c4ai-command-r7b-12-2024-tool_use.jinja": tc.FORMAT_COMMAND_R7B,
+        "ibm-granite-granite-3.3-2B-Instruct.jinja": tc.FORMAT_GRANITE,
+        "GLM-4.6.jinja": tc.FORMAT_GLM45,
+        "Qwen3-Coder.jinja": tc.FORMAT_QWEN3_CODER,
+        "ByteDance-Seed-OSS.jinja": tc.FORMAT_SEED_OSS,
+        "Kimi-K2-Thinking.jinja": tc.FORMAT_KIMI_K2,
+        "MiniMax-M2.jinja": tc.FORMAT_MINIMAX_M2,
+        "NVIDIA-Nemotron-Nano-v2.jinja": tc.FORMAT_NEMOTRON_V2,
+        "NousResearch-Hermes-2-Pro-Llama-3-8B-tool_use.jinja": tc.FORMAT_HERMES,
+        "Qwen-Qwen2.5-7B-Instruct.jinja": tc.FORMAT_HERMES,
+    }
+    for name, fmt in expect.items():
+        got = tc.detect_format(_tpl(name))
+        assert got == fmt, (name, got, fmt)
+
+
+def test_real_templates_render_tools():
+    """Real templates must render a tools conversation without falling back
+    (native pass), including an assistant tool_call + tool result turn."""
+    from superllama_tpu.server.chat import ChatTemplate
+
+    msgs = [
+        {"role": "user", "content": "weather in Paris?"},
+        {"role": "assistant", "content": "", "tool_calls": [
+            {"id": "call_1", "type": "function",
+             "function": {"name": "get_weather",
+                          "arguments": '{"city": "Paris"}'}}]},
+        {"role": "tool", "tool_call_id": "call_1", "name": "get_weather",
+         "content": '{"temp": 21}'},
+    ]
+    tools = [{"type": "function", "function": {
+        "name": "get_weather", "description": "Get weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"type": "string"}},
+                       "required": ["city"]}}}]
+    for name in ("NousResearch-Hermes-2-Pro-Llama-3-8B-tool_use.jinja",
+                 "Qwen-Qwen2.5-7B-Instruct.jinja",
+                 "ibm-granite-granite-3.3-2B-Instruct.jinja"):
+        t = ChatTemplate(_tpl(name))
+        out = t.apply(msgs, add_generation_prompt=True, tools=tools)
+        assert "get_weather" in out and "Paris" in out, name
