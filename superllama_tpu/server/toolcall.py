@@ -36,6 +36,12 @@ FORMAT_SEED_OSS = "seed-oss"          # <seed:tool_call><function=NAME>…
 FORMAT_NEMOTRON_V2 = "nemotron-v2"    # <TOOLCALL>[{...}]</TOOLCALL>
 FORMAT_KIMI_K2 = "kimi-k2"            # <|tool_call_begin|>functions.N:i…
 FORMAT_MINIMAX_M2 = "minimax-m2"      # <minimax:tool_call><invoke name=…
+FORMAT_LFM2 = "lfm2"                  # <|tool_call_start|>[{...}]
+FORMAT_APERTUS = "apertus"            # <|tools_prefix|>[{NAME: args}]
+FORMAT_MIMO = "tool-calls-array"      # <tool_calls>[{...}]</tool_calls>
+                                      # (xiaomi-mimo + apriel-1.5)
+FORMAT_FUNCTIONARY_V32 = "functionary-v3.2"   # name\n{args}>>>name\n{args}
+FORMAT_FIREFUNCTION = "firefunction-v2"       # functools[{...}]
 
 # formats whose streaming path buffers the whole call scope then emits
 # (XML-ish / multi-marker syntaxes; common/chat-parser.cpp equivalents
@@ -53,6 +59,11 @@ _SCOPED = {
     FORMAT_KIMI_K2: ("<|tool_calls_section_begin|>",
                      "<|tool_calls_section_end|>"),
     FORMAT_MINIMAX_M2: ("<minimax:tool_call>", "</minimax:tool_call>"),
+    FORMAT_LFM2: ("<|tool_call_start|>", "<|tool_call_end|>"),
+    FORMAT_APERTUS: ("<|tools_prefix|>", "<|tools_suffix|>"),
+    FORMAT_MIMO: ("<tool_calls>", "</tool_calls>"),
+    FORMAT_FUNCTIONARY_V32: (">>>", None),
+    FORMAT_FIREFUNCTION: (" functools[", None),
 }
 
 # reasoning block markers per format; None key = default <think> pair
@@ -61,6 +72,7 @@ _REASONING_MARKS = [
     ("<thinking>", "</thinking>"),
     ("<|START_THINKING|>", "<|END_THINKING|>"),
     ("<seed:think>", "</seed:think>"),
+    ("[THINK]", "[/THINK]"),          # magistral
 ]
 
 
@@ -164,6 +176,16 @@ def detect_format(template_text: str | None) -> str:
         return FORMAT_MINIMAX_M2
     if "<TOOLCALL>" in t or "<SPECIAL_10>" in t:
         return FORMAT_NEMOTRON_V2
+    if "<|tool_list_start|>" in t and "<|tool_list_end|>" in t:
+        return FORMAT_LFM2
+    if "<|tools_prefix|>" in t:
+        return FORMAT_APERTUS
+    if "<tool_calls>[" in t and "]</tool_calls>" in t:
+        return FORMAT_MIMO            # xiaomi-mimo / apriel-1.5
+    if ">>>all" in t:
+        return FORMAT_FUNCTIONARY_V32
+    if " functools[" in t:
+        return FORMAT_FIREFUNCTION
     if "<tool_call>" in t or "tool_call" in t and "<|im_start|>" in t:
         return FORMAT_HERMES
     if "<|channel|>" in t:
@@ -232,13 +254,20 @@ def _scoped_gbnf(tools: list[dict], fmt: str) -> str:
             f'{arg_refs[n]} "\\n```<｜tool▁call▁end｜>"' for n in names)
         lines.append(f'root ::= "<｜tool▁calls▁begin｜>" call+ '
                      f'"<｜tool▁calls▁end｜>" space\ncall ::= ({calls})')
-    elif fmt in (FORMAT_COMMAND_R7B, FORMAT_GRANITE, FORMAT_NEMOTRON_V2):
+    elif fmt in (FORMAT_COMMAND_R7B, FORMAT_GRANITE, FORMAT_NEMOTRON_V2,
+                 FORMAT_LFM2, FORMAT_MIMO, FORMAT_FIREFUNCTION):
         opens = {FORMAT_COMMAND_R7B: '"<|START_ACTION|>"',
                  FORMAT_GRANITE: '"<|tool_call|>"',
-                 FORMAT_NEMOTRON_V2: '"<TOOLCALL>"'}[fmt]
+                 FORMAT_NEMOTRON_V2: '"<TOOLCALL>"',
+                 FORMAT_LFM2: '"<|tool_call_start|>"',
+                 FORMAT_MIMO: '"<tool_calls>"',
+                 FORMAT_FIREFUNCTION: '" functools"'}[fmt]
         closes = {FORMAT_COMMAND_R7B: '"<|END_ACTION|>"',
                   FORMAT_GRANITE: '""',
-                  FORMAT_NEMOTRON_V2: '"</TOOLCALL>"'}[fmt]
+                  FORMAT_NEMOTRON_V2: '"</TOOLCALL>"',
+                  FORMAT_LFM2: '"<|tool_call_end|>"',
+                  FORMAT_MIMO: '"</tool_calls>"',
+                  FORMAT_FIREFUNCTION: '""'}[fmt]
         key = "parameters" if fmt == FORMAT_COMMAND_R7B else "arguments"
         calls = " | ".join(
             f'"{{" space "\\"{"tool_name" if fmt == FORMAT_COMMAND_R7B else "name"}\\"" space ":" space "\\"{n}\\"" space '
@@ -246,6 +275,16 @@ def _scoped_gbnf(tools: list[dict], fmt: str) -> str:
             for n in names)
         lines.append(f'root ::= {opens} space "[" space call ("," space call)* '
                      f'"]" space {closes} space\ncall ::= ({calls})')
+    elif fmt == FORMAT_APERTUS:
+        calls = " | ".join(
+            f'"{{" space "\\"{n}\\"" space ":" space {arg_refs[n]} space "}}"'
+            for n in names)
+        lines.append('root ::= "<|tools_prefix|>" space "[" space call '
+                     '("," space call)* "]" space "<|tools_suffix|>" space\n'
+                     f'call ::= ({calls})')
+    elif fmt == FORMAT_FUNCTIONARY_V32:
+        calls = " | ".join(f'"{n}\\n" {arg_refs[n]}' for n in names)
+        lines.append(f'root ::= call (">>>" call)* space\ncall ::= ({calls})')
     elif fmt == FORMAT_KIMI_K2:
         calls = " | ".join(
             f'"<|tool_call_begin|>functions.{n}:" [0-9]+ '
@@ -801,6 +840,44 @@ def _parse_scoped(fmt: str, text: str) -> tuple[str, list[dict]]:
                 m.group(2), r"<parameter=([\w.\-]+)>(.*?)</parameter>")
             calls.append(_mk_call(m.group(1), args))
             spans.append((m.start(), m.end()))
+    elif fmt == FORMAT_LFM2:
+        for m in re.finditer(
+                r"<\|tool_call_start\|>\s*(\[.*?\])\s*(<\|tool_call_end\|>|$)",
+                text, re.S):
+            arr_calls(m, "name", "arguments")
+    elif fmt == FORMAT_MIMO:
+        for m in re.finditer(r"<tool_calls>\s*(\[.*?\])\s*(</tool_calls>|$)",
+                             text, re.S):
+            arr_calls(m, "name", "arguments")
+    elif fmt == FORMAT_FIREFUNCTION:
+        for m in re.finditer(r" functools\s*(\[.*?\])\s*$", text, re.S):
+            arr_calls(m, "name", "arguments")
+    elif fmt == FORMAT_APERTUS:
+        for m in re.finditer(
+                r"<\|tools_prefix\|>\s*(\[.*?\])\s*(<\|tools_suffix\|>|$)",
+                text, re.S):
+            try:
+                items = json.loads(m.group(1))
+            except json.JSONDecodeError:
+                continue
+            for it in items if isinstance(items, list) else [items]:
+                if isinstance(it, dict):
+                    for k, v in it.items():   # {NAME: args} items
+                        calls.append(_mk_call(k, v))
+            spans.append((m.start(), m.end()))
+    elif fmt == FORMAT_FUNCTIONARY_V32:
+        # name\n{args} segments separated by >>>; "all" segment = content
+        content_parts = []
+        for seg in re.split(r">>>", text):
+            if not seg.strip():
+                continue
+            head, _, body = seg.partition("\n")
+            name = head.strip()
+            if name == "all" or not re.fullmatch(r"[\w.\-]+", name or " "):
+                content_parts.append(body if name == "all" else seg)
+            else:
+                calls.append(_mk_call(name, _coerce(body.strip())))
+        return "".join(content_parts).strip(), calls
     elif fmt == FORMAT_MINIMAX_M2:
         for m in re.finditer(
                 r'<invoke name="([\w.\-]+)">(.*?)</invoke>', text, re.S):
@@ -813,14 +890,17 @@ def _parse_scoped(fmt: str, text: str) -> tuple[str, list[dict]]:
             spans.append((m.start(), m.end()))
 
     content = text
-    if fmt in (FORMAT_COMMAND_R7B, FORMAT_GRANITE, FORMAT_NEMOTRON_V2):
+    strip_pats = {
+        FORMAT_COMMAND_R7B: r"<\|START_ACTION\|>.*?(<\|END_ACTION\|>|$)",
+        FORMAT_GRANITE: r"<\|tool_call\|>.*$",
+        FORMAT_NEMOTRON_V2: r"<TOOLCALL>.*?(</TOOLCALL>|$)",
+        FORMAT_LFM2: r"<\|tool_call_start\|>.*?(<\|tool_call_end\|>|$)",
+        FORMAT_MIMO: r"<tool_calls>.*?(</tool_calls>|$)",
+        FORMAT_FIREFUNCTION: r" functools\s*\[.*$",
+    }
+    if fmt in strip_pats:
         # array formats: strip the tagged block(s)
-        content = re.sub(
-            {FORMAT_COMMAND_R7B:
-                 r"<\|START_ACTION\|>.*?(<\|END_ACTION\|>|$)",
-             FORMAT_GRANITE: r"<\|tool_call\|>.*$",
-             FORMAT_NEMOTRON_V2: r"<TOOLCALL>.*?(</TOOLCALL>|$)"}[fmt],
-            "", content, flags=re.S)
+        content = re.sub(strip_pats[fmt], "", content, flags=re.S)
     else:
         for s, e in sorted(spans, reverse=True):
             content = content[:s] + content[e:]

@@ -369,3 +369,60 @@ def test_gpt_oss_streaming_channels():
     assert json.loads(args) == {"cmd": "ls"}
     starts = [e for e in evs if e["ev"] == "tc_start"]
     assert starts[0]["name"] == "run"
+
+
+def test_parse_lfm2_mimo_firefunction_apertus():
+    from superllama_tpu.server import toolcall as tc
+    _, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_LFM2),
+        '<|tool_call_start|>[{"name": "f", "arguments": {"x": 1}}]'
+        "<|tool_call_end|>ok")
+    assert calls[0]["function"]["name"] == "f"
+    c, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_MIMO),
+        'pre<tool_calls>[{"name": "g", "arguments": {}}]</tool_calls>')
+    assert c == "pre" and calls[0]["function"]["name"] == "g"
+    _, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_FIREFUNCTION),
+        'sure functools[{"name": "h", "arguments": {"q": "x"}}]')
+    assert calls[0]["function"]["name"] == "h"
+    _, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_APERTUS),
+        '<|tools_prefix|>[{"ping": {"host": "a"}}]<|tools_suffix|>')
+    assert calls[0]["function"]["name"] == "ping"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"host": "a"}
+
+
+def test_parse_functionary_v32():
+    from superllama_tpu.server import toolcall as tc
+    content, calls = tc.parse_tool_calls(
+        _plan(tc.FORMAT_FUNCTIONARY_V32),
+        'all\nHere you go>>>get_weather\n{"city": "Oslo"}')
+    assert content == "Here you go"
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Oslo"}
+
+
+def test_detect_more_formats():
+    from superllama_tpu.server import toolcall as tc
+    assert tc.detect_format(
+        "List of tools: <|tool_list_start|>[...]<|tool_list_end|>") == tc.FORMAT_LFM2
+    assert tc.detect_format("<|tools_prefix|>") == tc.FORMAT_APERTUS
+    assert tc.detect_format("<tool_calls>[...]</tool_calls>") == tc.FORMAT_MIMO
+    assert tc.detect_format("... >>>all ...") == tc.FORMAT_FUNCTIONARY_V32
+    assert tc.detect_format("x functools[ y") == tc.FORMAT_FIREFUNCTION
+    # magistral reasoning marks ride the mistral format
+    r, rest = tc.split_reasoning("[THINK]deep[/THINK]out")
+    assert r == "deep" and rest == "out"
+
+
+def test_scoped_grammars_build_new():
+    from superllama_tpu.grammar.gbnf import parse_gbnf
+    from superllama_tpu.server import toolcall as tc
+    tools = [{"type": "function", "function": {
+        "name": "ping", "parameters": {
+            "type": "object", "properties": {"host": {"type": "string"}},
+            "required": ["host"]}}}]
+    for fmt in (tc.FORMAT_LFM2, tc.FORMAT_APERTUS, tc.FORMAT_MIMO,
+                tc.FORMAT_FUNCTIONARY_V32, tc.FORMAT_FIREFUNCTION):
+        parse_gbnf(tc._scoped_gbnf(tools, fmt))
