@@ -42,6 +42,7 @@ FORMAT_MIMO = "tool-calls-array"      # <tool_calls>[{...}]</tool_calls>
                                       # (xiaomi-mimo + apriel-1.5)
 FORMAT_FUNCTIONARY_V32 = "functionary-v3.2"   # name\n{args}>>>name\n{args}
 FORMAT_FIREFUNCTION = "firefunction-v2"       # functools[{...}]
+FORMAT_DEEPSEEK_V31 = "deepseek-v3.1"  # NAME<｜tool▁sep｜>{json} (no fence)
 
 # formats whose streaming path buffers the whole call scope then emits
 # (XML-ish / multi-marker syntaxes; common/chat-parser.cpp equivalents
@@ -64,6 +65,7 @@ _SCOPED = {
     FORMAT_MIMO: ("<tool_calls>", "</tool_calls>"),
     FORMAT_FUNCTIONARY_V32: (">>>", None),
     FORMAT_FIREFUNCTION: (" functools[", None),
+    FORMAT_DEEPSEEK_V31: ("<｜tool▁call▁begin｜>", "<｜tool▁call▁end｜>"),
 }
 
 # reasoning block markers per format; None key = default <think> pair
@@ -158,6 +160,8 @@ def detect_format(template_text: str | None) -> str:
     cascade, common/chat.cpp:2916-3010 — ordering matters: several formats
     share the <tool_call> wrapper)."""
     t = template_text or ""
+    if "message['prefix'] is defined and message['prefix'] and thinking" in t:
+        return FORMAT_DEEPSEEK_V31
     if "<｜tool▁calls▁begin｜>" in t:
         return FORMAT_DEEPSEEK_R1
     if "<|END_THINKING|><|START_ACTION|>" in t:
@@ -248,7 +252,12 @@ def _scoped_gbnf(tools: list[dict], fmt: str) -> str:
         arg_refs[fn["name"]] = conv.visit(params, f"args-{fn['name']}")
     conv._prim("space")
     lines = []
-    if fmt == FORMAT_DEEPSEEK_R1:
+    if fmt == FORMAT_DEEPSEEK_V31:
+        calls = " | ".join(
+            f'"<｜tool▁call▁begin｜>{n}<｜tool▁sep｜>" {arg_refs[n]} '
+            f'"<｜tool▁call▁end｜>"' for n in names)
+        lines.append(f'root ::= call+ space\ncall ::= ({calls})')
+    elif fmt == FORMAT_DEEPSEEK_R1:
         calls = " | ".join(
             f'"<｜tool▁call▁begin｜>function<｜tool▁sep｜>{n}\\n```json\\n" '
             f'{arg_refs[n]} "\\n```<｜tool▁call▁end｜>"' for n in names)
@@ -765,7 +774,13 @@ def _parse_scoped(fmt: str, text: str) -> tuple[str, list[dict]]:
                 calls.append(_mk_call(it[name_key], it.get(args_key, {})))
         spans.append((m.start(), m.end()))
 
-    if fmt == FORMAT_DEEPSEEK_R1:
+    if fmt == FORMAT_DEEPSEEK_V31:
+        for m in re.finditer(
+                r"<｜tool▁call▁begin｜>([\w.\-]+)<｜tool▁sep｜>(.*?)"
+                r"<｜tool▁call▁end｜>", text, re.S):
+            calls.append(_mk_call(m.group(1), _coerce(m.group(2).strip())))
+            spans.append((m.start(), m.end()))
+    elif fmt == FORMAT_DEEPSEEK_R1:
         for m in re.finditer(
                 r"<｜tool▁call▁begin｜>(?:function<｜tool▁sep｜>)?([\w.\-]+)"
                 r"\s*\n```json\n(.*?)```<｜tool▁call▁end｜>", text, re.S):

@@ -426,3 +426,14 @@ def test_scoped_grammars_build_new():
     for fmt in (tc.FORMAT_LFM2, tc.FORMAT_APERTUS, tc.FORMAT_MIMO,
                 tc.FORMAT_FUNCTIONARY_V32, tc.FORMAT_FIREFUNCTION):
         parse_gbnf(tc._scoped_gbnf(tools, fmt))
+
+
+def test_parse_deepseek_v31():
+    from superllama_tpu.server import toolcall as tc
+    text = ("sure<｜tool▁call▁begin｜>get_time<｜tool▁sep｜>{\"tz\": \"UTC\"}"
+            "<｜tool▁call▁end｜>")
+    content, calls = tc.parse_tool_calls(_plan(tc.FORMAT_DEEPSEEK_V31), text)
+    assert content == "sure" and calls[0]["function"]["name"] == "get_time"
+    assert tc.detect_format(
+        "x message['prefix'] is defined and message['prefix'] and thinking y"
+    ) == tc.FORMAT_DEEPSEEK_V31
