@@ -38,23 +38,27 @@ def probe(B=8, H=32, Hkv=8, D=128, dtype=jnp.bfloat16):
     from ..ops.jnp_ref import attention_ref
 
     results = []
+    from ..runtime.kv_cache import causal_mask
+
     for T in (1, 8, 16):
         for S in (1024, 4096, 8192, 16384):
             rng = jax.random.PRNGKey(0)
             kq, kk, kv = jax.random.split(rng, 3)
-            k = jax.random.normal(kk, (B, S, Hkv, D), dtype)
-            v = jax.random.normal(kv, (B, S, Hkv, D), dtype)
-            mask = jnp.zeros((B, T, S), jnp.float32)
+            k = jax.random.normal(kk, (B, Hkv, S, D), dtype)
+            v = jax.random.normal(kv, (B, Hkv, S, D), dtype)
+            kv_pos = jnp.tile(jnp.arange(S, dtype=jnp.int32), (B, 1))
+            q_pos = jnp.tile(jnp.arange(S - T, S, dtype=jnp.int32), (B, 1))
             scale = 1.0 / (D ** 0.5)
 
             @jax.jit
-            def xla_link(q, salt, k=k, v=v, mask=mask):
+            def xla_link(q, salt, k=k, v=v, kv_pos=kv_pos, q_pos=q_pos):
+                mask = causal_mask(kv_pos, q_pos)
                 o = attention_ref(q, k, v, mask, scale=scale)
                 return q + o.astype(q.dtype) * salt
 
             @jax.jit
-            def flash_link(q, salt, k=k, v=v, mask=mask):
-                o = flash_attention(q, k, v, mask, scale=scale,
+            def flash_link(q, salt, k=k, v=v, kv_pos=kv_pos, q_pos=q_pos):
+                o = flash_attention(q, k, v, q_pos, kv_pos, scale=scale,
                                     interpret=False)
                 return q + o.astype(q.dtype) * salt
 
