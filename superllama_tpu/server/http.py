@@ -209,8 +209,13 @@ class ServerApp:
             inner["grammar_lazy"] = plan.grammar_lazy
             inner["grammar_triggers"] = plan.triggers
         reason_fmt = body.get("reasoning_format", "auto")
+        # deepseek-r1-style templates end the prompt inside an open <think>
+        forced_open = prompt.rstrip().endswith("<think>")
+        if plan is not None and plan.extra_stops:
+            inner["stop"] = self._stops(body) + plan.extra_stops
         stream_cb, flush = self._tool_stream(plan, stream_cb,
-                                             reasoning=reason_fmt != "none")
+                                             reasoning=reason_fmt != "none",
+                                             forced_open=forced_open)
         out = self.handle_completion(inner, client, stream_cb)
         flush()
 
@@ -218,7 +223,8 @@ class ServerApp:
         finish = out["choices"][0]["finish_reason"]
         reasoning = ""
         if reason_fmt != "none":
-            reasoning, content = split_reasoning(content)
+            reasoning, content = split_reasoning(content,
+                                                 forced_open=forced_open)
         message: dict = {"role": "assistant", "content": content}
         if plan is not None:
             content, tool_calls = parse_tool_calls(plan, content)
@@ -242,7 +248,8 @@ class ServerApp:
         }
 
     @staticmethod
-    def _tool_stream(plan, stream_cb, reasoning: bool = False):
+    def _tool_stream(plan, stream_cb, reasoning: bool = False,
+                     forced_open: bool = False):
         """Wrap a raw-piece stream callback with the incremental reasoning
         splitter + tool-call splitter: downstream receives typed events
         (content / reasoning / tc_start / tc_args dicts) instead of raw
@@ -252,7 +259,7 @@ class ServerApp:
         from .toolcall import ReasoningStream, StreamingToolCallParser
 
         parser = StreamingToolCallParser(plan) if plan is not None else None
-        rstream = ReasoningStream() if reasoning else None
+        rstream = ReasoningStream(forced_open=forced_open) if reasoning else None
 
         def emit_post_reasoning(token, text):
             if parser is not None:

@@ -78,12 +78,14 @@ _REASONING_MARKS = [
 ]
 
 
-def split_reasoning(text: str) -> tuple[str, str]:
+def split_reasoning(text: str, forced_open: bool = False) -> tuple[str, str]:
     """Extract leading reasoning blocks (common/chat.cpp reasoning syntax
     handling): returns (reasoning_content, rest). Only blocks at the start
     of the generation count — mirrors the reference's forced-open/leading
     `<think>` semantics, including an UNCLOSED leading block (whole text is
     reasoning)."""
+    if forced_open and not text.lstrip().startswith("<think>"):
+        text = "<think>" + text
     reasoning: list[str] = []
     rest = text
     progressed = True
@@ -112,6 +114,14 @@ class ToolPlan:
     triggers: list[str] = field(default_factory=list)
     forced: bool = False            # tool_choice == "required" / named
     tool_names: list[str] = field(default_factory=list)
+    extra_stops: list[str] = field(default_factory=list)
+
+
+# format-specific stop words (the reference's additional_stops)
+_EXTRA_STOPS = {
+    FORMAT_GLM45: ["<|user|>", "<|observation|>"],
+    FORMAT_KIMI_K2: ["<|im_end|>", "<|im_middle|>"],
+}
 
 
 def _call_schema(tool: dict, args_key: str = "arguments") -> dict:
@@ -234,6 +244,7 @@ def plan_tools(body: dict, template_text: str | None = None) -> ToolPlan | None:
         plan.grammar = _calls_gbnf(tools, "bare")
         plan.triggers = [r'\{\s*"name"\s*:']
     plan.grammar_lazy = not plan.forced
+    plan.extra_stops = list(_EXTRA_STOPS.get(fmt, []))
     return plan
 
 
@@ -976,10 +987,15 @@ class ReasoningStream:
     'reasoning' | 'content'. Only blocks at the start of the generation
     (possibly several, whitespace-separated) count as reasoning."""
 
-    def __init__(self):
+    def __init__(self, forced_open: bool = False):
         self.buf = ""
         self.state = "start"     # start | inside | content
         self.close = ""
+        if forced_open:
+            # the PROMPT already opened a <think> block (deepseek-r1-style
+            # templates end with it): generation starts inside reasoning
+            self.state = "inside"
+            self.close = "</think>"
 
     def _feed_start(self, out):
         stripped = self.buf.lstrip()

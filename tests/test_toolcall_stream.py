@@ -437,3 +437,23 @@ def test_parse_deepseek_v31():
     assert tc.detect_format(
         "x message['prefix'] is defined and message['prefix'] and thinking y"
     ) == tc.FORMAT_DEEPSEEK_V31
+
+
+def test_thinking_forced_open():
+    from superllama_tpu.server import toolcall as tc
+    r, rest = tc.split_reasoning("already thinking</think>answer",
+                                 forced_open=True)
+    assert r == "already thinking" and rest == "answer"
+    rs = tc.ReasoningStream(forced_open=True)
+    evs = rs.feed("deep stuff</think>ok") + rs.finish()
+    assert "".join(t for k, t in evs if k == "reasoning") == "deep stuff"
+    assert "".join(t for k, t in evs if k == "content") == "ok"
+
+
+def test_plan_extra_stops():
+    from superllama_tpu.server import toolcall as tc
+    tools = [{"type": "function", "function": {
+        "name": "f", "parameters": {"type": "object", "properties": {}}}}]
+    plan = tc.plan_tools({"tools": tools},
+                         template_text="[gMASK]<sop><arg_key><arg_value>")
+    assert "<|user|>" in plan.extra_stops
