@@ -357,6 +357,15 @@ class ServerApp:
         text = out["choices"][0]["text"]
         content_blocks: list[dict] = []
         stop_reason = stop_map.get(out["choices"][0]["finish_reason"], "end_turn")
+        if body.get("reasoning_format", "auto") != "none":
+            from .toolcall import split_reasoning
+            reasoning, text = split_reasoning(
+                text, forced_open=prompt.rstrip().endswith("<think>"))
+            if reasoning:
+                # Anthropic extended-thinking block shape
+                content_blocks.append({"type": "thinking",
+                                       "thinking": reasoning,
+                                       "signature": ""})
         if plan is not None:
             from .toolcall import parse_tool_calls
             rest, calls = parse_tool_calls(plan, text)
@@ -371,8 +380,9 @@ class ServerApp:
                         "input": json.loads(c["function"]["arguments"] or "{}"),
                     })
                 stop_reason = "tool_use"
-        if not content_blocks:
-            content_blocks = [{"type": "text", "text": text}]
+        if not content_blocks or all(b["type"] == "thinking"
+                                     for b in content_blocks):
+            content_blocks.append({"type": "text", "text": text})
         return {
             "id": "msg_" + uuid.uuid4().hex[:24],
             "type": "message",
