@@ -196,7 +196,7 @@ ROPE_TYPE_BY_ARCH = {
     "mistral": 0, "mixtral": 0, "phi2": 2, "phi3": 2, "gemma": 2,
     "gemma2": 2, "gemma3": 2, "stablelm": 2, "gptneox": 2, "olmo": 0,
     "olmo2": 2, "minicpm": 0, "smollm3": 0, "granite": 0, "internlm2": 0,
-    "exaone": 0, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 0,
+    "exaone": 2, "nemotron": 2, "cohere2": 0, "glm4": 0, "deepseek2": 0,
     "gpt-oss": 2, "gptoss": 2, "falcon": 2, "command-r": 0, "dbrx": 2,
     "olmoe": 2, "seed_oss": 2, "hunyuan-dense": 2, "ernie4_5": 0,
     "exaone4": 2, "qwen2vl": 2,
@@ -407,6 +407,9 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         # NextN/MTP prediction layers ride at the end of the stack but are
         # not run by the forward pass (glm4-moe.cpp:31 n_transformer_layers)
         hp.n_layer -= int(_k(md, arch, "nextn_predict_layers", 0) or 0)
+    if arch == "cohere2":
+        # rope applies ONLY on sliding-window layers (cohere2-iswa.cpp:64)
+        hp.extra["rope_swa_only"] = True
     if arch in ("exaone4", "exaone-moe"):
         # rope applies ONLY on sliding-window layers; full-attention layers
         # are NoPE (exaone4.cpp:34, exaone-moe.cpp:19 is_local_layer)
@@ -451,9 +454,12 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
             "attn_scale": float(_k(md, arch, "attention.scale_smooth", 0.1)),
             "chunk": int(_k(md, arch, "attention.chunk_size", 0)),
         }
-    if arch in ("bloom", "mpt"):
+    if arch in ("bloom", "mpt", "jais"):
         hp.alibi = True
         hp.max_alibi_bias = float(_k(md, arch, "attention.max_alibi_bias", 8.0))
+    if arch == "jais":
+        # kq scale is 1/n_embd_head, NOT 1/sqrt (models/jais.cpp:44)
+        hp.f_attn_scale = 1.0 / hp.head_dim
     if arch == "baichuan" and hp.n_layer == 40:
         # Baichuan-13B: no rope, ALiBi (llama-model.cpp:846 sets
         # f_max_alibi_bias=8 for LLM_TYPE_13B; the builder skips rope)
@@ -475,6 +481,16 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         hp.f_embedding_scale = 12.0
         hp.f_residual_scale = 1.4 / hp.n_layer ** 0.5
         hp.logit_scale = 256.0 / hp.n_embd
+    if arch == "minicpm":
+        # muP DEFAULTS for older GGUFs; KVs override when present
+        # (llama-model.cpp:761-775)
+        hp.f_embedding_scale = float(_k(md, arch, "embedding_scale", 12.0))
+        hp.f_residual_scale = float(
+            _k(md, arch, "residual_scale", 1.4 / hp.n_layer ** 0.5))
+        # rides llm_build_granite, which DIVIDES logits by f_logit_scale
+        # (granite.cpp:65) — store the inverted multiplier
+        hp.logit_scale = 1.0 / float(
+            _k(md, arch, "logit_scale", 256.0 / hp.n_embd))
     if arch == "chameleon":
         hp.extra["swin_norm"] = bool(_k(md, arch, "swin_norm", False))
         # image-token logits suppressed for text-only output

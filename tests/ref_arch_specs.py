@@ -1490,3 +1490,169 @@ def spec_gemma3n():
     return "gemma3n", md, p.tensors
 
 
+
+
+@spec("qwen2")
+def spec_qwen2():
+    """Qwen2 (llama graph + qkv biases, NEOX rope; src/models/qwen2.cpp)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 2
+    p = P("qwen2")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.bias(b + "attn_q.bias", E, scale=0.1)
+        p.bias(b + "attn_k.bias", HKV * 16, scale=0.1)
+        p.bias(b + "attn_v.bias", HKV * 16, scale=0.1)
+    return "qwen2", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("qwen3")
+def spec_qwen3():
+    """Qwen3 (llama graph + per-head q/k RMS norms, NEOX rope;
+    src/models/qwen3.cpp)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("qwen3")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F, D=D)
+    for i in range(L):
+        p.norm(f"blk.{i}.attn_q_norm.weight", D)
+        p.norm(f"blk.{i}.attn_k_norm.weight", D)
+    return "qwen3", _base_md(E, H, HKV, F, L, D=D), p.tensors
+
+
+@spec("internlm2")
+def spec_internlm2():
+    """InternLM2 (split q/k/v llama graph, rope NORM;
+    llama-model.cpp:4077 create_tensors)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 2
+    p = P("internlm2")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    return "internlm2", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("chatglm")
+def spec_chatglm():
+    """ChatGLM/GLM-3 (fused wqkv + bias, HALF-dim NEOX rope, fused 2F
+    swiglu ffn_up; src/models/chatglm.cpp, create_tensors :5193)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    p = P("chatglm")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_qkv.weight", E + 2 * HKV * D, E)
+        p.bias(b + "attn_qkv.bias", E + 2 * HKV * D, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_up.weight", 2 * F, E)          # fused gate‖up swiglu
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, HKV, F, L, D=D)
+    md["rope.dimension_count"] = D // 2             # partial rotary
+    return "chatglm", md, p.tensors
+
+
+@spec("jais")
+def spec_jais():
+    """JAIS (ALiBi, biased LayerNorms everywhere, gated gelu FFN with
+    biases; src/models/jais.cpp, create_tensors :5159)."""
+    E, H, F, L = 64, 4, 128, 2
+    p = P("jais")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    _ln(p, "output_norm", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        _ln(p, b + "attn_norm", E)
+        p.w(b + "attn_qkv.weight", 3 * E, E)
+        p.bias(b + "attn_qkv.bias", 3 * E, scale=0.1)
+        p.w(b + "attn_output.weight", E, E)
+        p.bias(b + "attn_output.bias", E, scale=0.1)
+        _ln(p, b + "ffn_norm", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.bias(b + "ffn_gate.bias", F, scale=0.1)
+        p.w(b + "ffn_up.weight", F, E)
+        p.bias(b + "ffn_up.bias", F, scale=0.1)
+        p.w(b + "ffn_down.weight", E, F)
+        p.bias(b + "ffn_down.bias", E, scale=0.1)
+    md = _base_md(E, H, H, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-5,
+               "attention.max_alibi_bias": 8.0})
+    return "jais", md, p.tensors
+
+
+@spec("cohere2")
+def spec_cohere2():
+    """Command-R7B (cohere2): iSWA pattern 4, rope ONLY on sliding layers,
+    parallel attn+ffn residual off one shared LayerNorm, logit scale, tied
+    embeddings (src/models/cohere2-iswa.cpp; llama-model.cpp:1534)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 4
+    p = P("cohere2")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", HKV * 16, E)
+        p.w(b + "attn_v.weight", HKV * 16, E)
+        p.w(b + "attn_output.weight", E, E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, HKV, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-5,
+               "attention.sliding_window": 16, "logit_scale": 0.25})
+    return "cohere2", md, p.tensors
+
+
+@spec("olmo")
+def spec_olmo():
+    """OLMo-1 (NON-parametric LayerNorms — no norm weights ship at all;
+    optional clamp_kqv; tied output; src/models/olmo.cpp,
+    create_tensors llama-model.cpp:4610-ish)."""
+    E, H, HKV, F, L = 64, 4, 4, 128, 2
+    p = P("olmo")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.w(b + "attn_q.weight", E, E)
+        p.w(b + "attn_k.weight", E, E)
+        p.w(b + "attn_v.weight", E, E)
+        p.w(b + "attn_output.weight", E, E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, H, HKV, F, L)
+    del md["attention.layer_norm_rms_epsilon"]
+    md.update({"attention.layer_norm_epsilon": 1e-5,
+               "attention.clamp_kqv": 8.0})
+    return "olmo", md, p.tensors
+
+
+@spec("minicpm")
+def spec_minicpm():
+    """MiniCPM (muP: embedding_scale 12, residual 1.4/sqrt(L), logit scale
+    256/E — the hparams DEFAULTS when the KVs are absent; tied output;
+    llama-model.cpp:761-784)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 2
+    p = P("minicpm")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    _llama_layers(p, L, E, H, HKV, F)
+    return "minicpm", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("exaone")
+def spec_exaone():
+    """EXAONE-3 (llama graph, rope NORM w/ optional rope_freqs;
+    src/models/exaone.cpp)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 2
+    p = P("exaone")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    return "exaone", _base_md(E, H, HKV, F, L), p.tensors
