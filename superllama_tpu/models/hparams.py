@@ -211,6 +211,8 @@ ROPE_TYPE_BY_ARCH = {
     "openelm": 2, "plamo": 2, "minimax-m2": 2, "bailingmoe2": 2,
     "exaone-moe": 2, "grovemoe": 2, "afmoe": 2, "mimo2": 2,
     "lfm2": 2, "lfm2moe": 2, "plamo3": 2, "rnd1": 2, "cogvlm": 2,
+    # diffusion LMs: dream/llada-moe are qwen-based (NEOX); llada is NORM
+    "dream": 2, "llada-moe": 2, "llada": 0,
     "gemma-embedding": 2, "rwkv6qwen2": -1,
     # encoders: nomic/jina-v3/modern-bert rope NEOX; neo-bert NORM;
     # bert/jina-v2 have no rope (learned positions / ALiBi)
@@ -338,8 +340,11 @@ def hparams_from_gguf(reader: "GGUFReader") -> HParams:
         expert_weights_norm=bool(_k(md, arch, "expert_weights_norm",
                                     # jamba: build_moe_ffn norm_w=false
                                     # (models/jamba.cpp:78)
+                                    # norm_w=false builders: jamba.cpp:78,
+                                    # llada-moe.cpp:92
                                     arch not in ("qwen2moe", "deepseek2",
-                                                 "deepseek", "jamba"))),
+                                                 "deepseek", "jamba",
+                                                 "llada-moe"))),
         expert_weights_scale=float(_k(md, arch, "expert_weights_scale", 1.0)),
         n_expert_shared=int(_k(md, arch, "expert_shared_count", 0)),
         n_layer_dense_lead=int(_k(md, arch, "leading_dense_block_count", 0)),

@@ -1656,3 +1656,50 @@ def spec_exaone():
     _head(p, E)
     _llama_layers(p, L, E, H, HKV, F)
     return "exaone", _base_md(E, H, HKV, F, L), p.tensors
+
+
+@spec("dream")
+def spec_dream():
+    """Dream 7B diffusion LM — qwen2-shaped tensors with NON-causal
+    attention (src/models/dream.cpp:17 causal=false; the perplexity dump
+    exercises the bidirectional graph deterministically)."""
+    E, H, HKV, F, L = 64, 4, 2, 128, 2
+    p = P("dream")
+    _head(p, E)
+    _llama_layers(p, L, E, H, HKV, F)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.bias(b + "attn_q.bias", E, scale=0.1)
+        p.bias(b + "attn_k.bias", HKV * 16, scale=0.1)
+        p.bias(b + "attn_v.bias", HKV * 16, scale=0.1)
+    md = _base_md(E, H, HKV, F, L)
+    md["attention.causal"] = False
+    return "dream", md, p.tensors
+
+
+@spec("llada-moe")
+def spec_llada_moe():
+    """LLaDA-MoE diffusion LM — qwen3moe-shaped MoE with per-head q/k norms
+    and NON-causal attention (src/models/llada-moe.cpp)."""
+    E, H, HKV, F, L, D = 64, 4, 2, 128, 2, 16
+    NE, KE, FE = 4, 2, 48
+    p = P("llada-moe")
+    _head(p, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.w(b + "attn_q.weight", H * D, E)
+        p.w(b + "attn_k.weight", HKV * D, E)
+        p.w(b + "attn_v.weight", HKV * D, E)
+        p.w(b + "attn_output.weight", E, H * D)
+        p.norm(b + "attn_q_norm.weight", D)
+        p.norm(b + "attn_k_norm.weight", D)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate_inp.weight", NE, E)
+        p.w(b + "ffn_gate_exps.weight", NE, FE, E)
+        p.w(b + "ffn_down_exps.weight", NE, E, FE)
+        p.w(b + "ffn_up_exps.weight", NE, FE, E)
+    md = _base_md(E, H, HKV, F, L, D=D)
+    md.update({"attention.causal": False, "expert_count": NE,
+               "expert_used_count": KE, "expert_feed_forward_length": FE})
+    return "llada-moe", md, p.tensors
