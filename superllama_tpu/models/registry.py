@@ -85,11 +85,11 @@ register("nemotron_h", hybrid_forward)
 register("nemotron_h_moe", hybrid_forward)  # gate-less relu² sigmoid MoE
 register("falcon-h1", hybrid_forward)
 
-from .rwkv import rwkv6_forward, rwkv6qwen2_forward, rwkv7_forward  # noqa: E402
+from .rwkv import arwkv7_forward, rwkv6_forward, rwkv6qwen2_forward, rwkv7_forward  # noqa: E402
 
 register("rwkv6", rwkv6_forward)
 register("rwkv7", rwkv7_forward)
-register("arwkv7", rwkv7_forward)
+register("arwkv7", arwkv7_forward)
 register("rwkv6qwen2", rwkv6qwen2_forward)
 
 from .lfm2 import lfm2_forward  # noqa: E402

@@ -278,6 +278,32 @@ def rwkv7_forward(params, hp, tokens, pos, cache: RWKVCache):
     return _rwkv_forward(params, hp, tokens, cache, v7=True)
 
 
+def arwkv7_forward(params, hp, tokens, pos, cache: RWKVCache):
+    """ARWKV-7 (src/models/arwkv7.cpp): rwkv7 time mix (with v_first
+    residual) between RMS norms and a qwen-style silu-gated FFN; ONE
+    token-shift stream; no embedding LN; no channel mix."""
+    from .llama import dense_ffn
+
+    x = params["token_embd"][tokens]
+    shift_new, wkv_new = [], []
+    v_first = None
+    for il, layer in enumerate(params["layers"]):
+        att_norm = ops.rms_norm(x, layer["attn_norm"], hp.rms_eps)
+        x_prev = _token_shift(att_norm, cache.shift[il, :, 0])
+        y, wkv, v_first = _rwkv7_time_mix(layer, hp, att_norm, x_prev,
+                                          cache.wkv[il], v_first)
+        x = x + y
+        h2 = ops.rms_norm(x, layer["ffn_norm"], hp.rms_eps)
+        x = x + dense_ffn(h2, layer, hp)
+        shift_new.append(jnp.stack([att_norm[:, -1]] * 2, axis=1))
+        wkv_new.append(wkv)
+    cache = RWKVCache(shift=jnp.stack(shift_new).astype(cache.shift.dtype),
+                      wkv=jnp.stack(wkv_new))
+    x = ops.rms_norm(x, params["output_norm"], hp.rms_eps)
+    logits = mm(x, params["output"])
+    return logits, cache
+
+
 def rwkv6qwen2_forward(params, hp, tokens, pos, cache: RWKVCache):
     """RWKV6-in-Qwen2 (src/models/rwkv6qwen2.cpp): qrwkv time mix (gated
     linear attention, no bonus/group-norm, sigmoid gate, GQA kv) between

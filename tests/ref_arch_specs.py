@@ -1703,3 +1703,51 @@ def spec_llada_moe():
     md.update({"attention.causal": False, "expert_count": NE,
                "expert_used_count": KE, "expert_feed_forward_length": FE})
     return "llada-moe", md, p.tensors
+
+
+@spec("arwkv7")
+def spec_arwkv7():
+    """ARWKV-7 (src/models/arwkv7.cpp): rwkv7 time mix (decay/iclr/value-mix
+    low-rank stacks, v_first residual, L2-normed kk, per-head r·k bonus)
+    between RMS norms with a qwen silu FFN; one token-shift stream; no
+    gating (5-slot fused lerp), no time_mix_ln. head_size must be 64: the
+    reference's AVX-512 wkv7 kernel strides GGML_F32_STEP=64 floats per
+    j-iteration, overreading across heads whenever head_size < 64
+    (ggml-cpu/ops.cpp:9996 SIMD loop) — real RWKV7 checkpoints all use 64."""
+    E, HS, F, L = 128, 64, 128, 2              # head_size 64 → 2 wkv heads
+    DR, IR, VR = 16, 16, 16                    # decay / iclr / v-mix ranks
+    p = P("arwkv7")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("output_norm.weight", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.bias(b + "time_mix_w0.weight", E, scale=0.3)
+        p.w(b + "time_mix_w1.weight", DR, E, scale=0.1)
+        p.w(b + "time_mix_w2.weight", E, DR, scale=0.1)
+        p.bias(b + "time_mix_a0.weight", E, scale=0.3)
+        p.w(b + "time_mix_a1.weight", IR, E, scale=0.1)
+        p.w(b + "time_mix_a2.weight", E, IR, scale=0.1)
+        p.bias(b + "time_mix_v0.weight", E, scale=0.3)
+        p.w(b + "time_mix_v1.weight", (IR if i == 0 else VR), E, scale=0.1)
+        p.w(b + "time_mix_v2.weight", E, (IR if i == 0 else VR), scale=0.1)
+        p.tensors[b + "time_mix_lerp_fused.weight"] = (
+            p.rng.standard_normal((5, 1, 1, E)).astype(np.float32) * 0.3)
+        p.bias(b + "time_mix_k_k.weight", E, scale=0.3)
+        p.bias(b + "time_mix_k_a.weight", E, scale=0.3)
+        p.bias(b + "time_mix_r_k.weight", E, scale=0.3)
+        p.w(b + "time_mix_key.weight", E, E)
+        p.w(b + "time_mix_value.weight", E, E)
+        p.w(b + "time_mix_receptance.weight", E, E)
+        p.w(b + "time_mix_output.weight", E, E)
+        p.norm(b + "ffn_norm.weight", E)
+        p.w(b + "ffn_gate.weight", F, E)
+        p.w(b + "ffn_up.weight", F, E)
+        p.w(b + "ffn_down.weight", E, F)
+    md = _base_md(E, E // HS, E // HS, F, L, D=HS)
+    md.update({"wkv.head_size": HS, "attention.decay_lora_rank": DR,
+               "attention.iclr_lora_rank": IR,
+               "attention.value_residual_mix_lora_rank": VR,
+               "token_shift_count": 1})
+    return "arwkv7", md, p.tensors
