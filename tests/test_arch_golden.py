@@ -163,3 +163,40 @@ if __name__ == "__main__":  # golden (re)generation entry
     names = sys.argv[1:] or sorted(SPECS)
     for n in names:
         print(f"golden[{n}] →", generate_golden(n))
+
+
+# aliases of covered archs (same builder, different GGUF arch string) or
+# fixture-covered elsewhere — exempt from the oracle/golden requirement
+_COVERAGE_ALIASES = {
+    "gptoss": "gpt-oss", "tinyllama": "llama", "llama2": "llama",
+    "llama-embed": "llama", "mistral": "llama",
+}
+
+
+def test_every_registered_arch_is_covered():
+    """Every registered decoder arch must have a reference golden, an
+    HF-parity test, or a documented alias — prevents silently-untested
+    architectures from accruing (the round-2 audit found 4 real bugs in
+    exactly such archs: exaone rope, jais scale, minicpm muP, cohere2
+    rope-swa-only)."""
+    import glob
+    import re as _re
+
+    from superllama_tpu.models.registry import supported_archs
+    from superllama_tpu.tools.convert_hf import _ARCH_MAP
+
+    tests = "".join(open(f).read()
+                    for f in glob.glob(str(Path(__file__).parent / "test_*.py")))
+    arch2cls: dict = {}
+    for cls, arch in _ARCH_MAP.items():
+        arch2cls.setdefault(arch, []).append(cls)
+    uncovered = []
+    for a in supported_archs():
+        if a in SPECS or a in _COVERAGE_ALIASES:
+            continue
+        if _re.search(rf'["\']{_re.escape(a)}["\']', tests):
+            continue
+        if any(c in tests for c in arch2cls.get(a, [])):
+            continue
+        uncovered.append(a)
+    assert not uncovered, f"archs with no oracle/HF coverage: {uncovered}"
