@@ -127,7 +127,11 @@ def qwen2vl_vision_forward(params: dict, pixels: jax.Array,
 
 def params_from_hf_visual(sd: dict, n_head: int, merge: int = 2) -> dict:
     """Map a transformers Qwen2-VL `visual.*` state dict."""
-    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    pre = ""
+    for cand in ("model.visual.", "visual."):
+        if any(k.startswith(cand) for k in sd):
+            pre = cand
+            break
     g = lambda k: np.asarray(sd[pre + k], np.float32)
     conv = g("patch_embed.proj.weight")                     # (d, C, tps, ps, ps)
     params = {
@@ -284,7 +288,11 @@ def params_from_hf_visual_25(sd: dict, n_head: int, merge: int,
                              window: int, patch: int,
                              fullatt) -> dict:
     """Map a transformers Qwen2.5-VL `visual.*` state dict."""
-    pre = "visual." if any(k.startswith("visual.") for k in sd) else ""
+    pre = ""
+    for cand in ("model.visual.", "visual."):
+        if any(k.startswith(cand) for k in sd):
+            pre = cand
+            break
     g = lambda k: np.asarray(sd[pre + k], np.float32)
     conv = g("patch_embed.proj.weight")
     params = {
@@ -308,4 +316,62 @@ def params_from_hf_visual_25(sd: dict, n_head: int, merge: int,
             "down_w": g(p + "mlp.down_proj.weight").T, "down_b": g(p + "mlp.down_proj.bias"),
         })
         il += 1
+    return params
+
+
+def params_from_mmproj(path: str) -> dict:
+    """Load a qwen2vl/qwen2.5vl mmproj GGUF (tools/mtmd/clip.cpp schema:
+    v.blk.N.* split q/k/v, mm.{0,2} merger, split Conv3D patch slices) into
+    the qwen2vl_vision_forward params dict."""
+    from ..gguf import GGUFReader
+
+    r = GGUFReader(path)
+    md = r.metadata
+
+    def g(name, t=True):
+        ti = r.tensors.get(name)
+        if ti is None:
+            return None
+        a = ti.astype_f32()
+        return a.T if (t and a.ndim == 2) else a
+
+    heads = int(md["clip.vision.attention.head_count"])
+    merge = int(md.get("clip.vision.spatial_merge_size", 2))
+    w0 = r.tensors["v.patch_embd.weight"].astype_f32()      # (d, C, ph, pw)
+    w1t = r.tensors.get("v.patch_embd.weight.1")
+    if w1t is not None:                                     # temporal slices
+        conv = np.stack([w0, w1t.astype_f32()], axis=2)     # (d, C, 2, ph, pw)
+    else:
+        conv = w0[:, :, None]
+    params = {
+        "hp": {"n_head": heads, "merge": merge},
+        "patch_embd": conv.reshape(conv.shape[0], -1).T,
+        "mln_w": g("v.post_ln.weight", t=False),
+        "mln_b": g("v.post_ln.bias", t=False),
+        "mm0_w": g("mm.0.weight"), "mm0_b": g("mm.0.bias", t=False),
+        "mm2_w": g("mm.2.weight"), "mm2_b": g("mm.2.bias", t=False),
+        "layers": [],
+    }
+    il = 0
+    while f"v.blk.{il}.attn_q.weight" in r.tensors:
+        p = f"v.blk.{il}."
+        qkv_w = np.concatenate([r.tensors[p + f"attn_{x}.weight"].astype_f32()
+                                for x in "qkv"], axis=0)
+        qkv_b = np.concatenate([r.tensors[p + f"attn_{x}.bias"].astype_f32()
+                                for x in "qkv"], axis=0)
+        params["layers"].append({
+            "ln1_w": g(p + "ln1.weight", t=False),
+            "ln1_b": g(p + "ln1.bias", t=False),
+            "ln2_w": g(p + "ln2.weight", t=False),
+            "ln2_b": g(p + "ln2.bias", t=False),
+            "qkv_w": qkv_w.T, "qkv_b": qkv_b,
+            "proj_w": g(p + "attn_out.weight"),
+            "proj_b": g(p + "attn_out.bias", t=False),
+            "fc1_w": g(p + "ffn_up.weight"),
+            "fc1_b": g(p + "ffn_up.bias", t=False),
+            "fc2_w": g(p + "ffn_down.weight"),
+            "fc2_b": g(p + "ffn_down.bias", t=False),
+        })
+        il += 1
+    r.close()
     return params

@@ -187,3 +187,77 @@ class Qwen3VLMultimodal:
             mrope_pos3=jnp.asarray(pos3[:, None, :], jnp.int32),
             deepstack_add=jnp.asarray(ds))
         return logits, cache, T
+
+
+def params_from_mmproj(path: str) -> dict:
+    """Load a qwen3vl mmproj GGUF (clip.cpp schema: v.blk.N.*, mm.{0,2},
+    v.deepstack.IDX.*, clip.vision.is_deepstack_layers) into the
+    qwen3vl_vision_forward params dict."""
+    from ..gguf import GGUFReader
+
+    r = GGUFReader(path)
+    md = r.metadata
+
+    def g(name, t=True):
+        ti = r.tensors.get(name)
+        if ti is None:
+            return None
+        a = ti.astype_f32()
+        return a.T if (t and a.ndim == 2) else a
+
+    heads = int(md["clip.vision.attention.head_count"])
+    merge = int(md.get("clip.vision.spatial_merge_size", 2))
+    ds_raw = md.get("clip.vision.is_deepstack_layers")
+    ds_flags = [bool(x) for x in np.asarray(ds_raw).tolist()] if ds_raw is not None else []
+    ds_idx = [i for i, f in enumerate(ds_flags) if f]
+    use_silu = bool(md.get("clip.use_silu", False))
+    w0 = r.tensors["v.patch_embd.weight"].astype_f32()
+    w1t = r.tensors.get("v.patch_embd.weight.1")
+    conv = (np.stack([w0, w1t.astype_f32()], axis=2) if w1t is not None
+            else w0[:, :, None])
+
+    def merger_params(ln_prefix, fc1, fc2):
+        return {
+            "ln_w": g(ln_prefix + ".weight", t=False),
+            "ln_b": g(ln_prefix + ".bias", t=False),
+            "fc1_w": g(fc1 + ".weight"), "fc1_b": g(fc1 + ".bias", t=False),
+            "fc2_w": g(fc2 + ".weight"), "fc2_b": g(fc2 + ".bias", t=False),
+        }
+
+    params = {
+        "hp": {"n_head": heads, "merge": merge,
+               "act": "silu" if use_silu else "gelu_tanh",
+               "deepstack_indexes": ds_idx},
+        "patch_embd": conv.reshape(conv.shape[0], -1).T,
+        "patch_embd_b": g("v.patch_embd.bias", t=False),
+        "pos_embd": g("v.position_embd.weight", t=False),
+        "merger": merger_params("v.post_ln", "mm.0", "mm.2"),
+        "ds_mergers": [merger_params(f"v.deepstack.{i}.norm",
+                                     f"v.deepstack.{i}.fc1",
+                                     f"v.deepstack.{i}.fc2")
+                       for i in ds_idx],
+        "layers": [],
+    }
+    il = 0
+    while f"v.blk.{il}.attn_q.weight" in r.tensors:
+        p = f"v.blk.{il}."
+        qkv_w = np.concatenate([r.tensors[p + f"attn_{x}.weight"].astype_f32()
+                                for x in "qkv"], axis=0)
+        qkv_b = np.concatenate([r.tensors[p + f"attn_{x}.bias"].astype_f32()
+                                for x in "qkv"], axis=0)
+        params["layers"].append({
+            "ln1_w": g(p + "ln1.weight", t=False),
+            "ln1_b": g(p + "ln1.bias", t=False),
+            "ln2_w": g(p + "ln2.weight", t=False),
+            "ln2_b": g(p + "ln2.bias", t=False),
+            "qkv_w": qkv_w.T, "qkv_b": qkv_b,
+            "proj_w": g(p + "attn_out.weight"),
+            "proj_b": g(p + "attn_out.bias", t=False),
+            "fc1_w": g(p + "ffn_up.weight"),
+            "fc1_b": g(p + "ffn_up.bias", t=False),
+            "fc2_w": g(p + "ffn_down.weight"),
+            "fc2_b": g(p + "ffn_down.bias", t=False),
+        })
+        il += 1
+    r.close()
+    return params

@@ -249,3 +249,88 @@ def test_qwen3vl_deepstack_end_to_end_parity(tmp_path):
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 5e-4, f"relative max err {err}"
     assert (got.argmax(-1) == ref.argmax(-1)).all()
+
+
+def test_mmproj_roundtrip_qwen2vl(tmp_path):
+    """HF visual → mmproj GGUF (clip.cpp schema) → loaded tower == the
+    direct HF-state-dict tower (convert_hf_to_gguf --mmproj counterpart)."""
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    from superllama_tpu.models.qwen2vl import params_from_mmproj
+    from superllama_tpu.tools.convert_mmproj import convert_mmproj
+
+    torch.manual_seed(81)
+    cfg = Qwen2VLConfig(
+        text_config=dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=128),
+        vision_config=dict(depth=2, embed_dim=64, hidden_size=64, num_heads=4,
+                           in_channels=3, patch_size=14, temporal_patch_size=2,
+                           spatial_merge_size=2, mlp_ratio=2),
+        attn_implementation="eager")
+    hf = Qwen2VLForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()
+          if "visual" in k}
+    path = tmp_path / "mmproj.gguf"
+    convert_mmproj(str(path), cfg, sd)
+    vp_gguf = params_from_mmproj(str(path))
+    vp_hf = params_from_hf_visual(sd, n_head=4)
+
+    rng = np.random.default_rng(7)
+    t, h, w = 1, 4, 4
+    pixels = jnp.asarray(rng.normal(0, 1, (t * h * w, 3 * 2 * 14 * 14))
+                         .astype(np.float32))
+    conv = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+    a = np.asarray(qwen2vl_vision_forward(conv(vp_gguf), pixels, (t, h, w)))
+    b = np.asarray(qwen2vl_vision_forward(conv(vp_hf), pixels, (t, h, w)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_mmproj_roundtrip_qwen3vl(tmp_path):
+    from transformers import Qwen3VLConfig
+    from transformers.models.qwen3_vl import Qwen3VLForConditionalGeneration
+
+    from superllama_tpu.models.qwen3vl import (params_from_hf_visual as p_hf3,
+                                               params_from_mmproj as p_gg3,
+                                               qwen3vl_vision_forward)
+    from superllama_tpu.tools.convert_mmproj import convert_mmproj
+
+    torch.manual_seed(82)
+    cfg = Qwen3VLConfig(
+        text_config=dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=16,
+                         rope_scaling={"rope_type": "default",
+                                       "mrope_section": [3, 3, 2],
+                                       "mrope_interleaved": True}),
+        vision_config=dict(depth=3, hidden_size=32, num_heads=4, in_channels=3,
+                           patch_size=4, temporal_patch_size=1,
+                           spatial_merge_size=2, intermediate_size=64,
+                           out_hidden_size=64, num_position_embeddings=16,
+                           deepstack_visual_indexes=[0, 1]),
+        attn_implementation="eager",
+        architectures=["Qwen3VLForConditionalGeneration"])
+    hf = Qwen3VLForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()
+          if "visual" in k}
+    path = tmp_path / "mmproj3.gguf"
+    convert_mmproj(str(path), cfg, sd)
+    vp_gguf = p_gg3(str(path))
+    vp_hf = p_hf3(sd, n_head=4, merge=2, deepstack_indexes=(0, 1),
+                  act="gelu_tanh")
+    assert vp_gguf["hp"]["deepstack_indexes"] == [0, 1]
+
+    rng = np.random.default_rng(8)
+    t, h, w = 1, 4, 8
+    pixels = jnp.asarray(rng.normal(0, 1, (t * h * w, 3 * 1 * 4 * 4))
+                         .astype(np.float32))
+    conv = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+    a, ds_a = qwen3vl_vision_forward(conv(vp_gguf), pixels, (t, h, w))
+    b, ds_b = qwen3vl_vision_forward(conv(vp_hf), pixels, (t, h, w))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-5)
+    for x, y in zip(ds_a, ds_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-5)
