@@ -136,3 +136,57 @@ class Gemma3Multimodal:
             jnp.arange(T, dtype=jnp.int32)[None], cache,
             embeds=jnp.asarray(embeds[None]))
         return logits, cache, T
+
+
+def params_from_mmproj(path: str, mm_tokens: int = 256) -> dict:
+    """Load a gemma3 mmproj GGUF (clip.cpp PROJECTOR_TYPE_GEMMA3 schema)
+    into the siglip_vision_forward/gemma3_project params dict."""
+    from ..gguf import GGUFReader
+
+    r = GGUFReader(path)
+    md = r.metadata
+
+    def g(name, t=True):
+        ti = r.tensors.get(name)
+        if ti is None:
+            return None
+        a = ti.astype_f32()
+        return a.T if (t and a.ndim == 2) else a
+
+    conv = r.tensors["v.patch_embd.weight"].astype_f32()
+    params = {
+        "hp": {"patch": int(md["clip.vision.patch_size"]),
+               "n_head": int(md["clip.vision.attention.head_count"]),
+               "tokens_side": int(math.isqrt(mm_tokens)),
+               "eps": float(md.get(
+                   "clip.vision.attention.layer_norm_epsilon", 1e-6))},
+        "patch_w": conv.reshape(conv.shape[0], -1).T,
+        "patch_b": g("v.patch_embd.bias", t=False),
+        "pos_embd": g("v.position_embd.weight", t=False),
+        "post_ln_w": g("v.post_ln.weight", t=False),
+        "post_ln_b": g("v.post_ln.bias", t=False),
+        "soft_emb_norm": g("mm.soft_emb_norm.weight", t=False),
+        "proj": g("mm.input_projection.weight", t=False),
+        "layers": [],
+    }
+    il = 0
+    while f"v.blk.{il}.attn_q.weight" in r.tensors:
+        p = f"v.blk.{il}."
+        params["layers"].append({
+            "ln1_w": g(p + "ln1.weight", t=False),
+            "ln1_b": g(p + "ln1.bias", t=False),
+            "ln2_w": g(p + "ln2.weight", t=False),
+            "ln2_b": g(p + "ln2.bias", t=False),
+            "wq": g(p + "attn_q.weight"), "bq": g(p + "attn_q.bias", t=False),
+            "wk": g(p + "attn_k.weight"), "bk": g(p + "attn_k.bias", t=False),
+            "wv": g(p + "attn_v.weight"), "bv": g(p + "attn_v.bias", t=False),
+            "wo": g(p + "attn_out.weight"),
+            "bo": g(p + "attn_out.bias", t=False),
+            "fc1": g(p + "ffn_up.weight"),
+            "fc1_b": g(p + "ffn_up.bias", t=False),
+            "fc2": g(p + "ffn_down.weight"),
+            "fc2_b": g(p + "ffn_down.bias", t=False),
+        })
+        il += 1
+    r.close()
+    return params

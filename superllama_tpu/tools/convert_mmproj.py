@@ -26,9 +26,12 @@ _PROJ_TYPES = {
 
 def convert_mmproj(out_path: str, config: Any, state_dict: dict) -> None:
     """config: the FULL HF config (with vision_config + model_type);
-    state_dict: numpy arrays (visual.* / model.visual.* keys)."""
+    state_dict: numpy arrays (visual.* / model.visual.* /
+    model.vision_tower.* keys)."""
     vc = config.vision_config
     model_type = getattr(config, "model_type", "qwen2_vl")
+    if model_type == "gemma3":
+        return _convert_mmproj_gemma3(out_path, config, state_dict)
     proj = _PROJ_TYPES.get(model_type)
     if proj is None:
         raise ValueError(f"unsupported mmproj model_type {model_type!r}")
@@ -141,4 +144,58 @@ def convert_mmproj(out_path: str, config: Any, state_dict: dict) -> None:
         put(f"v.deepstack.{abs_il}.fc1.bias", sd.get(base + "linear_fc1.bias"))
         put(f"v.deepstack.{abs_il}.fc2.weight", sd.get(base + "linear_fc2.weight"))
         put(f"v.deepstack.{abs_il}.fc2.bias", sd.get(base + "linear_fc2.bias"))
+    w.write()
+
+
+def _convert_mmproj_gemma3(out_path: str, config: Any, state_dict: dict):
+    """Gemma3 SigLIP tower + AvgPool projector (clip.cpp PROJECTOR_TYPE_GEMMA3:
+    mm.input_projection.weight + mm.soft_emb_norm.weight)."""
+    vc = config.vision_config
+    pre = "model.vision_tower.vision_model."
+    sd = {k: np.asarray(v, np.float32) for k, v in state_dict.items()}
+    g = lambda k: sd.get(pre + k)
+
+    w = GGUFWriter(out_path, arch="clip")
+    w.add("clip.projector_type", "gemma3")
+    w.add("clip.has_vision_encoder", True)
+    w.add("clip.use_gelu", True)
+    w.add("clip.vision.embedding_length", int(vc.hidden_size))
+    w.add("clip.vision.feed_forward_length", int(vc.intermediate_size))
+    w.add("clip.vision.block_count", int(vc.num_hidden_layers))
+    w.add("clip.vision.projection_dim",
+          int(getattr(config.text_config, "hidden_size", 0)))
+    w.add("clip.vision.attention.head_count", int(vc.num_attention_heads))
+    w.add("clip.vision.attention.layer_norm_epsilon",
+          float(getattr(vc, "layer_norm_eps", 1e-6)))
+    w.add("clip.vision.patch_size", int(vc.patch_size))
+    w.add("clip.vision.image_size", int(vc.image_size))
+    w.add("clip.vision.image_mean", [0.5, 0.5, 0.5])
+    w.add("clip.vision.image_std", [0.5, 0.5, 0.5])
+    side = int(vc.image_size) // int(vc.patch_size)
+    tokens_side = max(1, int(getattr(config, "mm_tokens_per_image", 256) ** 0.5))
+    w.add("clip.vision.projector.scale_factor", max(1, side // tokens_side))
+
+    def put(name, arr):
+        if arr is not None:
+            w.add_tensor(name, np.asarray(arr, np.float32), GGMLType.F32)
+
+    put("v.patch_embd.weight", g("embeddings.patch_embedding.weight"))
+    put("v.patch_embd.bias", g("embeddings.patch_embedding.bias"))
+    put("v.position_embd.weight", g("embeddings.position_embedding.weight"))
+    put("v.post_ln.weight", g("post_layernorm.weight"))
+    put("v.post_ln.bias", g("post_layernorm.bias"))
+    put("mm.input_projection.weight",
+        sd.get("model.multi_modal_projector.mm_input_projection_weight"))
+    put("mm.soft_emb_norm.weight",
+        sd.get("model.multi_modal_projector.mm_soft_emb_norm.weight"))
+    for il in range(int(vc.num_hidden_layers)):
+        hf, gg = f"encoder.layers.{il}.", f"v.blk.{il}."
+        for hf_n, gg_n in (("self_attn.q_proj", "attn_q"),
+                           ("self_attn.k_proj", "attn_k"),
+                           ("self_attn.v_proj", "attn_v"),
+                           ("self_attn.out_proj", "attn_out"),
+                           ("layer_norm1", "ln1"), ("layer_norm2", "ln2"),
+                           ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down")):
+            put(gg + gg_n + ".weight", g(hf + hf_n + ".weight"))
+            put(gg + gg_n + ".bias", g(hf + hf_n + ".bias"))
     w.write()

@@ -139,3 +139,49 @@ def test_image_actually_conditions_output(tmp_path):
     l1, _, _ = mtmd.prefill([1, 5, 6], img1, n_ctx=64)
     l2, _, _ = mtmd.prefill([1, 5, 6], img2, n_ctx=64)
     assert np.abs(np.asarray(l1[0, -1]) - np.asarray(l2[0, -1])).max() > 1e-4
+
+
+def test_mmproj_roundtrip_gemma3(tmp_path):
+    """HF gemma3 vision tower → mmproj GGUF → loaded tower matches the
+    direct HF loader (clip.cpp PROJECTOR_TYPE_GEMMA3 schema)."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+
+    from superllama_tpu.models.siglip import (gemma3_project,
+                                              params_from_hf_gemma3_vision,
+                                              params_from_mmproj,
+                                              siglip_vision_forward)
+    from superllama_tpu.tools.convert_mmproj import convert_mmproj
+
+    torch.manual_seed(91)
+    cfg = Gemma3Config(
+        text_config=dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=1, num_attention_heads=4,
+                         num_key_value_heads=1, head_dim=16),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=56, patch_size=14, num_channels=3),
+        mm_tokens_per_image=4, image_token_index=250,
+        boi_token_index=248, eoi_token_index=249,
+        attn_implementation="eager")
+    hf = Gemma3ForConditionalGeneration(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()
+          if "vision_tower" in k or "multi_modal_projector" in k}
+    path = tmp_path / "mmproj-g3.gguf"
+    convert_mmproj(str(path), cfg, sd)
+    vp_a = params_from_mmproj(str(path), mm_tokens=4)
+    vp_b = params_from_hf_gemma3_vision(sd, n_head=4, patch=14, mm_tokens=4)
+
+    conv = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+    rng = np.random.default_rng(9)
+    px = jnp.asarray(rng.normal(0, 1, (1, 3, 56, 56)).astype(np.float32))
+    ha = siglip_vision_forward(conv(vp_a), px)
+    hb = siglip_vision_forward(conv(vp_b), px)
+    np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-5,
+                               atol=1e-5)
+    pa = gemma3_project(conv(vp_a), ha)
+    pb = gemma3_project(conv(vp_b), hb)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-5,
+                               atol=1e-5)
