@@ -1546,3 +1546,211 @@ def convert_state_dict(
             put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
             put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
     w.write()
+
+
+# --------------------------------------------------------------------- CLI
+
+def _parse_spm_model(path: str) -> dict:
+    """Minimal sentencepiece ModelProto reader (no sentencepiece dep):
+    repeated field 1 = SentencePiece{1: piece, 2: score, 3: type} — enough
+    for tokenizer.ggml.{tokens,scores,token_type} (gguf-py vocab.py
+    SentencePieceVocab counterpart)."""
+    import struct as _struct
+
+    data = open(path, "rb").read()
+
+    def read_varint(buf, i):
+        val, shift = 0, 0
+        while True:
+            b = buf[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    tokens, scores, types = [], [], []
+    i = 0
+    while i < len(data):
+        tag, i = read_varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:       # SentencePiece submessage
+            ln, i = read_varint(data, i)
+            sub, end = data[i:i + ln], i + ln
+            piece, score, ptype = b"", 0.0, 1
+            j = 0
+            while j < len(sub):
+                t2, j = read_varint(sub, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:
+                    l2, j = read_varint(sub, j)
+                    piece = sub[j:j + l2]
+                    j += l2
+                elif f2 == 2 and w2 == 5:
+                    score = _struct.unpack("<f", sub[j:j + 4])[0]
+                    j += 4
+                elif f2 == 3 and w2 == 0:
+                    ptype, j = read_varint(sub, j)
+                else:                       # skip unknown
+                    if w2 == 0:
+                        _, j = read_varint(sub, j)
+                    elif w2 == 2:
+                        l2, j = read_varint(sub, j)
+                        j += l2
+                    elif w2 == 5:
+                        j += 4
+                    else:
+                        j += 8
+            tokens.append(piece.decode("utf-8", errors="replace"))
+            scores.append(score)
+            types.append({1: 1, 2: 2, 3: 3, 4: 4, 6: 6}.get(ptype, 1))
+            i = end
+        elif wire == 2:
+            ln, i = read_varint(data, i)
+            i += ln
+        elif wire == 0:
+            _, i = read_varint(data, i)
+        elif wire == 5:
+            i += 4
+        else:
+            i += 8
+    return {"tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.scores": [float(s) for s in scores],
+            "tokenizer.ggml.token_type": types}
+
+
+def _tokenizer_fields_from_dir(model_dir) -> dict:
+    """Extract tokenizer.ggml.* KVs from an HF checkpoint directory
+    (convert_hf_to_gguf set_vocab counterpart: SPM via tokenizer.model,
+    BPE via tokenizer.json)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    d = _P(model_dir)
+    fields: dict = {}
+    if (d / "tokenizer.model").exists():
+        fields = _parse_spm_model(str(d / "tokenizer.model"))
+    elif (d / "tokenizer.json").exists():
+        tj = _json.loads((d / "tokenizer.json").read_text())
+        model = tj.get("model", {})
+        vocab = model.get("vocab", {})
+        ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+        tokens = [t for t, _ in ordered]
+        types = [1] * len(tokens)
+        for at in tj.get("added_tokens", []):
+            tid = at.get("id")
+            if tid is not None:
+                while tid >= len(tokens):
+                    tokens.append("")
+                    types.append(1)
+                tokens[tid] = at["content"]
+                types[tid] = 3 if at.get("special") else 4
+        merges = model.get("merges", [])
+        merges = [" ".join(m) if isinstance(m, (list, tuple)) else m
+                  for m in merges]
+        fields = {"tokenizer.ggml.model": "gpt2",
+                  "tokenizer.ggml.pre": "default",
+                  "tokenizer.ggml.tokens": tokens,
+                  "tokenizer.ggml.token_type": types,
+                  "tokenizer.ggml.merges": merges}
+    # special ids from tokenizer_config / config
+    cfgs = {}
+    for name in ("tokenizer_config.json", "config.json",
+                 "generation_config.json"):
+        p = d / name
+        if p.exists():
+            try:
+                cfgs[name] = _json.loads(p.read_text())
+            except _json.JSONDecodeError:
+                pass
+    tok_index = {t: i for i, t in
+                 enumerate(fields.get("tokenizer.ggml.tokens", []))}
+
+    def resolve(val):
+        if isinstance(val, dict):
+            val = val.get("content")
+        if isinstance(val, str):
+            return tok_index.get(val)
+        if isinstance(val, list):
+            val = val[0] if val else None
+        return val if isinstance(val, int) else None
+
+    for key, names in (("bos_token_id", "bos"), ("eos_token_id", "eos"),
+                       ("pad_token_id", "padding"), ("unk_token_id", "unknown")):
+        for src in ("generation_config.json", "config.json",
+                    "tokenizer_config.json"):
+            v = resolve(cfgs.get(src, {}).get(key))
+            if v is None and src == "tokenizer_config.json":
+                v = resolve(cfgs[src].get(key.replace("_id", "")) if src in cfgs else None)
+            if v is not None:
+                fields[f"tokenizer.ggml.{names}_token_id"] = int(v)
+                break
+    return fields
+
+
+def _load_state_dict_dir(model_dir) -> dict:
+    """All tensors from *.safetensors (preferred) or pytorch bin shards."""
+    from pathlib import Path as _P
+
+    d = _P(model_dir)
+    sd: dict = {}
+    st_files = sorted(d.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(str(f), framework="np") as r:
+                for k in r.keys():
+                    t = r.get_tensor(k)
+                    if t.dtype.kind not in "fiu":   # bf16 → f32
+                        t = t.astype(np.float32)
+                    sd[k] = t
+        return sd
+    for f in sorted(d.glob("pytorch_model*.bin")):
+        import torch
+
+        for k, v in torch.load(str(f), map_location="cpu",
+                               weights_only=True).items():
+            sd[k] = v.float().numpy()
+    if not sd:
+        raise FileNotFoundError(f"no safetensors/bin weights in {model_dir}")
+    return sd
+
+
+def main(argv=None):
+    """convert_hf_to_gguf.py counterpart CLI:
+    python -m superllama_tpu.tools.convert_hf DIR --outfile out.gguf
+    [--outtype f32|f16|bf16|q8_0|q4_k|...] [--mmproj]"""
+    import argparse
+
+    from transformers import AutoConfig
+
+    ap = argparse.ArgumentParser(description="Convert an HF checkpoint "
+                                             "directory to GGUF")
+    ap.add_argument("model_dir")
+    ap.add_argument("--outfile", required=True)
+    ap.add_argument("--outtype", default="f16")
+    ap.add_argument("--mmproj", action="store_true",
+                    help="write the vision tower as an mmproj GGUF instead")
+    ap.add_argument("--arch", default=None,
+                    help="override the GGUF architecture string")
+    a = ap.parse_args(argv)
+
+    config = AutoConfig.from_pretrained(a.model_dir)
+    sd = _load_state_dict_dir(a.model_dir)
+    if a.mmproj:
+        from .convert_mmproj import convert_mmproj
+
+        convert_mmproj(a.outfile, config, sd)
+        print(f"wrote mmproj {a.outfile}")
+        return
+    ttype = GGMLType[a.outtype.upper()]
+    tok_fields = _tokenizer_fields_from_dir(a.model_dir)
+    convert_state_dict(a.outfile, config, sd, ttype,
+                       tokenizer_fields=tok_fields, arch=a.arch)
+    print(f"wrote {a.outfile}")
+
+
+if __name__ == "__main__":
+    main()
