@@ -143,3 +143,47 @@ def convert_lora_from_peft(
         suffix = "lora_a" if is_a else "lora_b"
         w.add_tensor(f"blk.{il}.{gg}.weight.{suffix}", t, GGMLType.F32)
     w.write()
+
+
+def main(argv=None):
+    """convert_lora_to_gguf.py counterpart CLI:
+    python -m superllama_tpu.models.lora PEFT_DIR --outfile adapter.gguf
+    [--arch llama] [--n-head N] [--n-head-kv N]"""
+    import argparse
+    import json
+    from pathlib import Path
+
+    ap = argparse.ArgumentParser(
+        description="Convert a PEFT LoRA adapter directory to GGUF")
+    ap.add_argument("adapter_dir")
+    ap.add_argument("--outfile", required=True)
+    ap.add_argument("--arch", default="llama")
+    ap.add_argument("--n-head", type=int, default=None)
+    ap.add_argument("--n-head-kv", type=int, default=None)
+    a = ap.parse_args(argv)
+
+    d = Path(a.adapter_dir)
+    cfg = json.loads((d / "adapter_config.json").read_text())
+    alpha = float(cfg.get("lora_alpha", cfg.get("alpha", 1.0)))
+    sd = {}
+    st = d / "adapter_model.safetensors"
+    if st.exists():
+        from safetensors import safe_open
+
+        with safe_open(str(st), framework="np") as r:
+            for k in r.keys():
+                t = r.get_tensor(k)
+                sd[k] = (t if t.dtype.kind == "f" else t.astype(np.float32))
+    else:
+        import torch
+
+        sd = {k: v.float().numpy() for k, v in torch.load(
+            str(d / "adapter_model.bin"), map_location="cpu",
+            weights_only=True).items()}
+    convert_lora_from_peft(a.outfile, sd, alpha, arch=a.arch,
+                           n_head=a.n_head, n_head_kv=a.n_head_kv)
+    print(f"wrote {a.outfile} (alpha {alpha})")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,3 +89,25 @@ def test_cli_mmproj(tmp_path):
 
     vp = params_from_mmproj(str(out))
     assert len(vp["layers"]) == 1 and vp["hp"]["n_head"] == 4
+
+
+def test_cli_lora(tmp_path):
+    """PEFT adapter dir → adapter GGUF via the lora CLI."""
+    rng = np.random.default_rng(3)
+    d = tmp_path / "peft"
+    d.mkdir()
+    (d / "adapter_config.json").write_text(json.dumps({"lora_alpha": 16}))
+    sd = {}
+    for proj in ("q_proj", "v_proj"):
+        sd[f"base_model.model.model.layers.0.self_attn.{proj}.lora_A.weight"] = \
+            torch.tensor(rng.normal(0, 0.1, (4, 64)).astype(np.float32))
+        sd[f"base_model.model.model.layers.0.self_attn.{proj}.lora_B.weight"] = \
+            torch.tensor(rng.normal(0, 0.1, (64, 4)).astype(np.float32))
+    from safetensors.torch import save_file
+    save_file(sd, str(d / "adapter_model.safetensors"))
+
+    from superllama_tpu.models.lora import load_lora, main as lora_main
+    out = tmp_path / "adapter.gguf"
+    lora_main([str(d), "--outfile", str(out), "--arch", "qwen2"])
+    adapter = load_lora(str(out))
+    assert adapter.alpha == 16 and adapter.rank == 4
