@@ -83,7 +83,7 @@ OPTIONS: list[Opt] = [
     _o("--keep", help="tokens kept from the initial prompt on context "
        "shift", type=int, default=0, tools=GEN),
     _o("--kv-dtype", help="KV cache dtype", default="bfloat16",
-       choices=("bfloat16", "float32", "q8_0"),
+       choices=("bfloat16", "float32", "q8_0", "q4_0"),
        env="LLAMA_ARG_CACHE_TYPE_K"),
     _o("--flash-attn", help="flash attention: on/off/auto (auto = Pallas "
        "kernels on TPU)", default="auto", choices=("on", "off", "auto"),

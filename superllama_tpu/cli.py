@@ -75,7 +75,7 @@ def _load(args):
         print(f"applied control vector {path} x{scale}", file=sys.stderr)
     print(f"loaded {args.model} [{model.hparams.arch}] "
           f"in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    kvd = (args.kv_dtype if args.kv_dtype == "q8_0"
+    kvd = (args.kv_dtype if args.kv_dtype in ("q8_0", "q4_0")
            else getattr(jnp, args.kv_dtype))
     return model, kvd
 

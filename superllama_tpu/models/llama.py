@@ -592,7 +592,9 @@ def llama_forward(
                 ck, cv, cpos = cache.full.k[li], cache.full.v[li], cache.full.pos
             else:
                 cache = kv_update_layer(cache, il, slots, k, v)
-                ck, cv = (cache.k[il], cache.v[il]) if (flash and cache.quantized)                     else kv_layer(cache, il, k.dtype)
+                ck, cv = (cache.k[il], cache.v[il]) \
+                    if (flash and cache.quantized and not cache.q4) \
+                    else kv_layer(cache, il, k.dtype)
                 cpos = cache.pos
                 if s_window:   # read-side slot cap (decode-length bucketing)
                     ck, cv, cpos = (ck[:, :, :s_window], cv[:, :, :s_window],
@@ -604,7 +606,8 @@ def llama_forward(
                 # VMEM dequant — HBM traffic stays 1 byte/element)
                 qargs = ({"k_scale": cache.k_scale[il],
                           "v_scale": cache.v_scale[il]}
-                         if getattr(cache, "quantized", False) else {})
+                         if (getattr(cache, "quantized", False)
+                             and not cache.q4) else {})
                 if s_window and not iswa and qargs:
                     qargs = {k: v[:, :, :s_window] for k, v in qargs.items()}
                 attn = flash_attention(

@@ -36,24 +36,70 @@ class KVCache(NamedTuple):
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    @property
+    def q4(self) -> bool:
+        """Q4_0-style nibble-packed KV (scales are per-32-group: the extra
+        trailing dim distinguishes from Q8_0's per-row scale)."""
+        return self.k_scale is not None and self.k_scale.ndim == self.k.ndim
+
 
 def kv_cache_init(n_layer: int, batch: int, max_seq: int, n_head_kv: int,
                   head_dim: int, head_dim_v: int | None = None,
                   dtype=jnp.bfloat16) -> KVCache:
-    """dtype may be a float dtype or the string "q8_0" for int8-quantized KV
-    with per-row scales (the reference's cache_type_k/v=q8_0)."""
+    """dtype may be a float dtype or the strings "q8_0" (int8 codes,
+    per-row scale) / "q4_0" (nibble-packed codes, per-32-group scale) —
+    the reference's cache_type_k/v counterparts."""
     head_dim_v = head_dim_v if head_dim_v is not None else head_dim
-    quant = isinstance(dtype, str) and dtype in ("q8_0", "q8", "int8")
-    store = jnp.int8 if quant else dtype
+    q8 = isinstance(dtype, str) and dtype in ("q8_0", "q8", "int8")
+    q4 = isinstance(dtype, str) and dtype in ("q4_0", "q4", "int4")
     sh = (n_layer, batch, n_head_kv, max_seq)
+    if q4:
+        assert head_dim % 32 == 0 and head_dim_v % 32 == 0, \
+            "q4_0 KV needs head dims divisible by 32"
+        return KVCache(
+            k=jnp.zeros((*sh, head_dim // 2), jnp.uint8),
+            v=jnp.zeros((*sh, head_dim_v // 2), jnp.uint8),
+            pos=jnp.full((batch, max_seq), -1, jnp.int32),
+            cursor=jnp.zeros((batch,), jnp.int32),
+            k_scale=jnp.zeros((*sh, head_dim // 32), jnp.float32),
+            v_scale=jnp.zeros((*sh, head_dim_v // 32), jnp.float32),
+        )
+    store = jnp.int8 if q8 else dtype
     return KVCache(
         k=jnp.zeros((*sh, head_dim), store),
         v=jnp.zeros((*sh, head_dim_v), store),
         pos=jnp.full((batch, max_seq), -1, jnp.int32),
         cursor=jnp.zeros((batch,), jnp.int32),
-        k_scale=jnp.zeros(sh, jnp.float32) if quant else None,
-        v_scale=jnp.zeros(sh, jnp.float32) if quant else None,
+        k_scale=jnp.zeros(sh, jnp.float32) if q8 else None,
+        v_scale=jnp.zeros(sh, jnp.float32) if q8 else None,
     )
+
+
+def q4_quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., D) float → (uint8 nibble-packed codes (..., D/2), f32 per-32-
+    group scales (..., D/32)): Q4_0 semantics (symmetric, amax/7)."""
+    D = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], D // 32, 32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 7.0
+    inv = jnp.where(amax > 0, 7.0 / amax, 0.0)
+    q = jnp.clip(jnp.round(xf * inv[..., None]), -7, 7).astype(jnp.int32) + 8
+    q = q.reshape(*x.shape[:-1], D)
+    lo, hi = q[..., 0::2], q[..., 1::2]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return packed, scale
+
+
+def q4_dequant(codes: jax.Array, scales: jax.Array,
+               dtype=jnp.float32) -> jax.Array:
+    """Inverse of q4_quantize_rows."""
+    c = codes.astype(jnp.int32)
+    lo = (c & 0xF) - 8
+    hi = (c >> 4) - 8
+    D = codes.shape[-1] * 2
+    q = jnp.stack([lo, hi], axis=-1).reshape(*codes.shape[:-1], D)
+    g = q.reshape(*codes.shape[:-1], D // 32, 32).astype(jnp.float32)
+    return (g * scales[..., None]).reshape(*codes.shape[:-1], D).astype(dtype)
 
 
 def q8_quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -67,8 +113,11 @@ def q8_quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def kv_layer(cache: KVCache, il: int, dtype=jnp.float32):
-    """K/V arrays of one layer, dequantized when the cache is Q8_0."""
+    """K/V arrays of one layer, dequantized when the cache is quantized."""
     ck, cv = cache.k[il], cache.v[il]
+    if cache.q4:
+        return (q4_dequant(ck, cache.k_scale[il], dtype),
+                q4_dequant(cv, cache.v_scale[il], dtype))
     if cache.k_scale is not None:
         ck = (ck.astype(jnp.float32)
               * cache.k_scale[il][..., None]).astype(dtype)
@@ -98,8 +147,9 @@ def kv_update_layer(cache: KVCache, layer: int, slots: jax.Array,
     kt = k_new.transpose(0, 2, 1, 3)                           # (B,Hkv,T,D)
     vt = v_new.transpose(0, 2, 1, 3)
     if cache.k_scale is not None:
-        kc, ks = q8_quantize_rows(kt)
-        vc, vs = q8_quantize_rows(vt)
+        quantize = q4_quantize_rows if cache.q4 else q8_quantize_rows
+        kc, ks = quantize(kt)
+        vc, vs = quantize(vt)
         k = cache.k.at[layer, b_idx, h_idx, s_idx].set(kc, mode=mode)
         v = cache.v.at[layer, b_idx, h_idx, s_idx].set(vc, mode=mode)
         k_scale = cache.k_scale.at[layer, b_idx, h_idx, s_idx].set(ks, mode=mode)

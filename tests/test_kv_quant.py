@@ -156,3 +156,56 @@ def test_q8_context_shift_and_self_extend_ops():
     np.testing.assert_allclose(np.asarray(ck_q, np.float32)[:, :, live],
                                np.asarray(ref.k[0], np.float32)[:, :, live],
                                atol=0.05, rtol=0.5)
+
+
+def test_q4_cache_roundtrip():
+    """Q4_0 KV (nibble-packed, per-32-group scales): write/read roundtrip
+    within quantization error."""
+    from superllama_tpu.runtime.kv_cache import (kv_cache_init, kv_layer,
+                                                 kv_update_layer,
+                                                 kv_write_slots, kv_advance)
+
+    rng = np.random.default_rng(0)
+    cache = kv_cache_init(1, 1, 16, 2, 64, dtype="q4_0")
+    assert cache.q4 and cache.k.dtype == jnp.uint8
+    assert cache.k.shape[-1] == 32 and cache.k_scale.shape[-1] == 2
+    k = rng.normal(0, 1, (1, 8, 2, 64)).astype(np.float32)
+    v = rng.normal(0, 1, (1, 8, 2, 64)).astype(np.float32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    slots = kv_write_slots(cache, 8)
+    cache = kv_advance(cache, slots, pos)
+    cache = kv_update_layer(cache, 0, slots, jnp.asarray(k), jnp.asarray(v))
+    ck, cv = kv_layer(cache, 0)
+    kt = k.transpose(0, 2, 1, 3)
+    # 4-bit symmetric: |err| <= scale/2 = amax/14 per 32-group
+    amax = np.abs(kt.reshape(1, 2, 8, 2, 32)).max(-1, keepdims=True)
+    bound = (amax / 14.0 + 1e-6).repeat(32, -1).reshape(1, 2, 8, 64)
+    assert (np.abs(np.asarray(ck[:, :, :8]) - kt) <= bound + 1e-5).all()
+
+
+def test_forward_parity_q4_vs_f32(model):
+    """Greedy decode with a Q4_0 cache broadly agrees with the f32 cache on
+    a real (HF-init) model; logits stay finite and within 4-bit tolerance."""
+    hp = model.hparams
+    ids = model.tokenizer.encode("The quick brown fox jumps", add_special=True)
+    outs = {}
+    for name, dt in (("f32", jnp.float32), ("q4", "q4_0")):
+        c = kv_cache_init(hp.n_layer, 1, 128, hp.n_head_kv, hp.head_dim,
+                          hp.head_dim_v, dtype=dt)
+        toks = jnp.asarray([ids], jnp.int32)
+        pos = jnp.arange(len(ids), dtype=jnp.int32)[None]
+        lg, c = llama_forward(model.params, hp, toks, pos, c)
+        # one TEACHER-FORCED decode step (greedy trajectories diverge
+        # chaotically on random tiny models — not a meaningful 4-bit metric)
+        lg2, c = llama_forward(model.params, hp,
+                               jnp.asarray([[7]], jnp.int32),
+                               jnp.asarray([[len(ids)]], jnp.int32), c)
+        outs[name] = (np.asarray(lg[0], np.float32),
+                      np.asarray(lg2[0], np.float32))
+    for step in (0, 1):
+        a, b = outs["f32"][step], outs["q4"][step]
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+        assert np.isfinite(b).all() and rel < 0.15, (step, rel)
+    # prefill-step argmax agreement across positions
+    agree = (outs["f32"][0].argmax(-1) == outs["q4"][0].argmax(-1)).mean()
+    assert agree > 0.7, agree
