@@ -1650,7 +1650,7 @@ def _tokenizer_fields_from_dir(model_dir) -> dict:
         merges = [" ".join(m) if isinstance(m, (list, tuple)) else m
                   for m in merges]
         fields = {"tokenizer.ggml.model": "gpt2",
-                  "tokenizer.ggml.pre": "default",
+                  "tokenizer.ggml.pre": "default",   # refined by caller
                   "tokenizer.ggml.tokens": tokens,
                   "tokenizer.ggml.token_type": types,
                   "tokenizer.ggml.merges": merges}
@@ -1747,6 +1747,27 @@ def main(argv=None):
         return
     ttype = GGMLType[a.outtype.upper()]
     tok_fields = _tokenizer_fields_from_dir(a.model_dir)
+    # pretokenizer family by model_type (the reference detects via chkhsh;
+    # the model_type → pre map covers the same mainstream checkpoints)
+    _PRE_BY_TYPE = {
+        "llama": "llama-bpe", "mllama": "llama-bpe", "llama4": "llama4",
+        "qwen2": "qwen2", "qwen2_moe": "qwen2", "qwen3": "qwen2",
+        "qwen3_moe": "qwen2", "qwen2_vl": "qwen2", "qwen2_5_vl": "qwen2",
+        "qwen3_vl": "qwen2", "qwen3_vl_moe": "qwen2", "qwen3_next": "qwen2",
+        "deepseek_v2": "deepseek-llm", "deepseek_v3": "deepseek-v3",
+        "starcoder2": "starcoder", "gpt_bigcode": "starcoder",
+        "falcon": "falcon", "falcon_h1": "falcon-h1",
+        "gpt2": "gpt-2", "phi": "phi-2", "mpt": "mpt", "olmo": "olmo",
+        "olmo2": "olmo", "dbrx": "dbrx", "glm4": "glm4", "chatglm": "glm4",
+        "command-r": "command-r", "cohere": "command-r",
+        "stablelm": "stablelm2", "bloom": "bloom", "jais": "jais",
+        "smollm3": "smollm", "lfm2": "lfm2", "modernbert": "modern-bert",
+        "hunyuan_v1_dense": "hunyuan-dense", "hunyuan_v1_moe": "hunyuan",
+        "exaone": "exaone", "exaone4": "exaone4", "minimax_m2": "minimax-m2",
+    }
+    if tok_fields.get("tokenizer.ggml.model") == "gpt2":
+        mt = getattr(config, "model_type", "")
+        tok_fields["tokenizer.ggml.pre"] = _PRE_BY_TYPE.get(mt, "default")
     convert_state_dict(a.outfile, config, sd, ttype,
                        tokenizer_fields=tok_fields, arch=a.arch)
     print(f"wrote {a.outfile}")
