@@ -135,20 +135,39 @@ def _qmatmul_2d(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
 
     witems = _weight_layout(qt)
     names = tuple(n for n, _ in witems)
+    # Mosaic requires block sublane dims divisible by 8 (or the full dim).
+    # Superblock-scale planes (d/dmin: one row per group·sb weights) tile to
+    # <8 rows per k-step — hoist those to full-K blocks and slice per-k
+    # in-kernel (matches the reference's in-kernel superblock scale decode).
+    hoisted: dict[str, int] = {}
     in_specs = [
         pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec((bk * num // den, bn), lambda m, n, k: (k, n),
-                     memory_space=pltpu.VMEM)
-        for _, (num, den) in witems
     ]
+    for name, (num, den) in witems:
+        rows = bk * num // den
+        total = getattr(qt, name).shape[0]
+        if rows % 8 == 0 or rows == total:
+            in_specs.append(pl.BlockSpec((rows, bn), lambda m, n, k: (k, n),
+                                         memory_space=pltpu.VMEM))
+        else:
+            hoisted[name] = rows
+            in_specs.append(pl.BlockSpec((total, bn), lambda m, n, k: (0, n),
+                                         memory_space=pltpu.VMEM))
     args = [x] + [getattr(qt, n) for n in names]
     impl = partial(_qmm_kernel, nibble=qt.nibble, hi_bits=qt.hi_bits,
                    gs=qt.group, sb=qt.sb, offset=qt.offset, n_k=n_k,
                    compute_dtype=compute_dtype)
 
     def kern(x_ref, *rest):
-        wrefs = dict(zip(names, rest[: len(names)]))
+        k = pl.program_id(2)
+        wrefs = {}
+        for i, nm in enumerate(names):
+            r = rest[i]
+            if nm in hoisted:
+                rpk = hoisted[nm]
+                wrefs[nm] = r[pl.ds(k * rpk, rpk), :]
+            else:
+                wrefs[nm] = r
         o_ref, acc_ref = rest[len(names):]
         impl(x_ref, wrefs, o_ref, acc_ref)
 
