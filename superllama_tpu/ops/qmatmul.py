@@ -137,37 +137,44 @@ def _qmatmul_2d(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
     names = tuple(n for n, _ in witems)
     # Mosaic requires block sublane dims divisible by 8 (or the full dim).
     # Superblock-scale planes (d/dmin: one row per group·sb weights) tile to
-    # <8 rows per k-step — hoist those to full-K blocks and slice per-k
-    # in-kernel (matches the reference's in-kernel superblock scale decode).
-    hoisted: dict[str, int] = {}
+    # <8 rows per k-step. A dynamic sublane slice of a hoisted full-K block
+    # is NOT statically 8-aligned (Mosaic rejects it on hardware), so instead
+    # reshape those planes to (n_k, rows, N) and let the grid's k index pick
+    # the leading dim — the (rows, N) tile is then a full-dim block, which
+    # Mosaic pads internally (matches the reference's in-kernel superblock
+    # scale decode, ggml-cuda/mmvq.cu).
+    hoisted: set[str] = set()
     in_specs = [
         pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
     ]
+    args = [x]
     for name, (num, den) in witems:
         rows = bk * num // den
-        total = getattr(qt, name).shape[0]
+        plane = getattr(qt, name)
+        total = plane.shape[0]
         if rows % 8 == 0 or rows == total:
             in_specs.append(pl.BlockSpec((rows, bn), lambda m, n, k: (k, n),
                                          memory_space=pltpu.VMEM))
         else:
-            hoisted[name] = rows
-            in_specs.append(pl.BlockSpec((total, bn), lambda m, n, k: (0, n),
-                                         memory_space=pltpu.VMEM))
-    args = [x] + [getattr(qt, n) for n in names]
+            hoisted.add(name)
+            pad_rows = n_k * rows - total
+            if pad_rows:
+                plane = jnp.pad(plane, ((0, pad_rows), (0, 0)))
+            plane = plane.reshape(n_k, rows, plane.shape[1])
+            in_specs.append(pl.BlockSpec(
+                (1, rows, bn), lambda m, n, k: (k, 0, n),
+                memory_space=pltpu.VMEM))
+        args.append(plane)
     impl = partial(_qmm_kernel, nibble=qt.nibble, hi_bits=qt.hi_bits,
                    gs=qt.group, sb=qt.sb, offset=qt.offset, n_k=n_k,
                    compute_dtype=compute_dtype)
 
     def kern(x_ref, *rest):
-        k = pl.program_id(2)
         wrefs = {}
         for i, nm in enumerate(names):
             r = rest[i]
-            if nm in hoisted:
-                rpk = hoisted[nm]
-                wrefs[nm] = r[pl.ds(k * rpk, rpk), :]
-            else:
-                wrefs[nm] = r
+            # hoisted planes arrive as (1, rows, bn) blocks — drop the lead
+            wrefs[nm] = r[0] if nm in hoisted else r
         o_ref, acc_ref = rest[len(names):]
         impl(x_ref, wrefs, o_ref, acc_ref)
 

@@ -88,6 +88,25 @@ def test_qmatmul_odd_batch_and_3d():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("ttype", [GGMLType.Q4_K, GGMLType.Q6_K,
+                                   GGMLType.Q2_K])
+def test_qmatmul_fused_m32_multi_ktile(ttype):
+    """M=32 fused path with n_k>1 so superblock-scale planes (d/dmin) tile to
+    <8 rows per k-step. Regression for the r2 TPU Mosaic failure: a dynamic
+    sublane slice of the hoisted plane is not statically 8-aligned; the fix
+    reshapes the plane to (n_k, rows, N) and indexes the leading dim from the
+    grid (verified on hardware by _tpu_qmm_check.py)."""
+    w = _weight(N=128, K=1024)          # bk=512 -> n_k=2, d-plane 2 rows/tile
+    raw = _packed(w, ttype)
+    qt = repack(raw, ttype, w.shape)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (32, 1024)).astype(np.float32))
+    ref = qmatmul_ref(x, qt)
+    got = qmatmul(x, qt, force_fused=True)
+    nmse = float(jnp.mean((got - ref) ** 2) / jnp.mean(ref ** 2))
+    assert nmse < 1e-7, f"{ttype.name}: NMSE {nmse:g}"
+
+
 def test_qmatmul_decode_shape():
     """M=1 (decode GEMV) path."""
     w = _weight(N=64, K=512)
