@@ -105,6 +105,60 @@ _ARCH_MAP = {
     "MT5ForConditionalGeneration": "t5",
     "T5EncoderModel": "t5encoder",
     "ModernBertForMaskedLM": "modern-bert",
+    # --- wave 3: remaining reference converter classes ---
+    # aliases onto existing mappers (convert_hf_to_gguf.py registers the same
+    # class names onto the same MODEL_ARCH values)
+    "MPTForCausalLM": "mpt",
+    "BloomModel": "bloom",
+    "MambaLMHeadModel": "mamba",
+    "Qwen2Model": "qwen2",
+    "KORMoForCausalLM": "qwen2",
+    "Qwen2AudioForConditionalGeneration": "qwen2",
+    "AudioFlamingo3ForConditionalGeneration": "qwen2",
+    "Qwen2VLModel": "qwen2vl",
+    "LFM2ForCausalLM": "lfm2",
+    "Lfm2Model": "lfm2",
+    "Lfm2VlForConditionalGeneration": "lfm2",
+    "Ernie4_5_ForCausalLM": "ernie4_5",
+    "PhiMoEForCausalLM": "phimoe",
+    "BitnetForCausalLM": "bitnet",
+    "T5WithLMHeadModel": "t5",
+    "UMT5ForConditionalGeneration": "t5",
+    "UMT5Model": "t5",
+    "BertForMaskedLM": "bert",
+    "CamembertModel": "bert",
+    "DistilBertForMaskedLM": "bert",
+    "DistilBertForSequenceClassification": "bert",
+    "ModernBertForSequenceClassification": "modern-bert",
+    "InternLM3ForCausalLM": "llama",
+    "UltravoxModel": "llama",
+    "VoxtralForConditionalGeneration": "llama",
+    "JanusForConditionalGeneration": "llama",
+    "KimiVLForConditionalGeneration": "deepseek2",
+    "YoutuVLForConditionalGeneration": "deepseek2",
+    "Glm4MoeLiteForCausalLM": "deepseek2",
+    "SolarOpenForCausalLM": "glm4moe",
+    "Glm4vForConditionalGeneration": "glm4",
+    "Glm4vMoeForConditionalGeneration": "glm4moe",
+    "Llama4ForConditionalGeneration": "llama4",
+    "GemmaForCausalLM": "gemma",
+    "Gemma3TextModel": "gemma3",
+    # new per-arch mappers (this file, below)
+    "OrionForCausalLM": "orion",
+    "XverseForCausalLM": "xverse",
+    "BaichuanForCausalLM": "baichuan",
+    "BaiChuanForCausalLM": "baichuan",
+    "InternLM2ForCausalLM": "internlm2",
+    "ExaoneForCausalLM": "exaone",
+    "MiniCPMForCausalLM": "minicpm",
+    "OLMoForCausalLM": "olmo",
+    "DeepseekForCausalLM": "deepseek",
+    "QWenLMHeadModel": "qwen",
+    "JAISLMHeadModel": "jais",
+    "ChatGLMModel": "chatglm",
+    "ChatGLMForConditionalGeneration": "chatglm",
+    "CodeShellForCausalLM": "codeshell",
+    "DreamModel": "dream",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -115,7 +169,10 @@ _NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron",
                   "qwen3next"}
 # archs using adjacent-pair (NORM) rope that need HF q/k permutation
 _PERMUTE_QK = {"llama", "granite", "smollm3", "granitemoe", "granitehybrid",
-               "arcee"}
+               "arcee",
+               # wave 3 (each mirrors the reference class's modify_tensors
+               # permute): XverseModel, MiniCPMModel, OlmoModel, DeepseekModel
+               "xverse", "minicpm", "olmo", "deepseek"}
 
 
 def _put_deepseek2_layer(put, get, hf, gg, config, n_expert):
@@ -893,6 +950,192 @@ def _convert_bert(w, put, get, config):
         put(gg + "layer_output_norm.bias", get(hf + "output.LayerNorm.bias"))
 
 
+def _convert_internlm2(w, put, get, config):
+    """InternLM2 mapping (convert_hf_to_gguf InternLM2Model counterpart):
+    model.tok_embeddings / attention.wqkv grouped-interleaved fused qkv
+    ((G, q_per_kv+2, D, E): q rows permuted like llama, then k, then v) /
+    feed_forward.w1=gate w3=up w2=down."""
+    put("token_embd.weight", get("model.tok_embeddings.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("output.weight"))
+    E = config.hidden_size
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    D = E // H
+    q_per_kv = H // HKV
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "attention_norm.weight"))
+        qkv = get(hf + "attention.wqkv.weight")
+        qkv = qkv.reshape(HKV, q_per_kv + 2, D, E)
+        q = qkv[:, :q_per_kv].reshape(-1, E)
+        k = qkv[:, -2].reshape(-1, E)
+        v = qkv[:, -1].reshape(-1, E)
+        put(gg + "attn_q.weight", permute_qk(q, H))
+        put(gg + "attn_k.weight", permute_qk(k, HKV))
+        put(gg + "attn_v.weight", v)
+        put(gg + "attn_output.weight", get(hf + "attention.wo.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ffn_norm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "feed_forward.w1.weight"))
+        put(gg + "ffn_up.weight", get(hf + "feed_forward.w3.weight"))
+        put(gg + "ffn_down.weight", get(hf + "feed_forward.w2.weight"))
+
+
+def _convert_baichuan(w, put, get, config):
+    """Baichuan mapping (convert_hf_to_gguf BaichuanModel counterpart):
+    llama-style names except the fused self_attn.W_pack [q; k; v] thirds,
+    q/k permuted for adjacent-pair rope."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        pack = get(hf + "self_attn.W_pack.weight")
+        r = pack.shape[0] // 3
+        put(gg + "attn_q.weight", permute_qk(pack[:r], H))
+        put(gg + "attn_k.weight", permute_qk(pack[r:2 * r], HKV))
+        put(gg + "attn_v.weight", pack[2 * r:])
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_exaone(w, put, get, config):
+    """EXAONE-3 mapping (convert_hf_to_gguf ExaoneModel counterpart):
+    transformer.h.N.{ln_1,attn.attention.*,ln_2,mlp.c_fc_0/c_fc_1/c_proj};
+    no q/k permute (the reference converter passes them through)."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    lm = get("lm_head.weight")
+    if lm is not None and not getattr(config, "tie_word_embeddings", False):
+        put("output.weight", lm)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_q.weight", get(hf + "attn.attention.q_proj.weight"))
+        put(gg + "attn_k.weight", get(hf + "attn.attention.k_proj.weight"))
+        put(gg + "attn_v.weight", get(hf + "attn.attention.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "attn.attention.out_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.c_fc_0.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.c_fc_1.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight"))
+
+
+def _convert_qwen1(w, put, get, config):
+    """Qwen-1 mapping (convert_hf_to_gguf QwenModel counterpart): the fused
+    c_attn [q; k; v] stays fused (GGUF attn_qkv, create_tensors
+    llama-model.cpp:3541), mlp.w2=gate w1=up c_proj=down."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output.weight", get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_qkv.weight", get(hf + "attn.c_attn.weight"))
+        put(gg + "attn_qkv.bias", get(hf + "attn.c_attn.bias"))
+        put(gg + "attn_output.weight", get(hf + "attn.c_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.w2.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.w1.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight"))
+
+
+def _convert_jais(w, put, get, config):
+    """JAIS mapping (convert_hf_to_gguf JaisModel counterpart): gpt2-style
+    Conv1D tensors transposed; muP embedding/output scales folded into the
+    weights; ALiBi slopes tensor dropped (max_alibi_bias is metadata);
+    fused c_attn kept fused; mlp.c_fc=up, c_fc2=gate."""
+    emb_scale = float(getattr(config, "mup_embeddings_scale", None)
+                      or getattr(config, "embeddings_scale", 1.0))
+    width_scale = 1.0
+    if getattr(config, "mup_output_alpha", None) is not None:
+        width_scale = (float(config.mup_output_alpha)
+                       * float(config.mup_width_scale))
+    elif getattr(config, "width_scale", None) is not None:
+        width_scale = float(config.width_scale)
+    wte = get("transformer.wte.weight")
+    put("token_embd.weight", wte * emb_scale)
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output_norm.bias", get("transformer.ln_f.bias"))
+    lm = get("lm_head.weight")
+    put("output.weight", (lm if lm is not None else wte) * width_scale)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "ln_1.bias"))
+        put(gg + "attn_qkv.weight", get(hf + "attn.c_attn.weight").T)
+        put(gg + "attn_qkv.bias", get(hf + "attn.c_attn.bias"))
+        put(gg + "attn_output.weight", get(hf + "attn.c_proj.weight").T)
+        put(gg + "attn_output.bias", get(hf + "attn.c_proj.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "ln_2.bias"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.c_fc2.weight").T)
+        put(gg + "ffn_gate.bias", get(hf + "mlp.c_fc2.bias"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.c_fc.weight").T)
+        put(gg + "ffn_up.bias", get(hf + "mlp.c_fc.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight").T)
+        put(gg + "ffn_down.bias", get(hf + "mlp.c_proj.bias"))
+
+
+def _convert_chatglm(w, put, get, config):
+    """ChatGLM/GLM-3 mapping (convert_hf_to_gguf ChatGLMModel counterpart):
+    transformer.encoder.layers.* with fused query_key_value kept fused,
+    fused dense_h_to_4h (gate‖up swiglu) kept as ffn_up."""
+    emb = get("transformer.embedding.word_embeddings.weight")
+    if emb is None:
+        emb = get("embedding.word_embeddings.weight")
+    put("token_embd.weight", emb)
+    for pre in ("transformer.", ""):
+        if get(pre + "encoder.final_layernorm.weight") is not None:
+            put("output_norm.weight", get(pre + "encoder.final_layernorm.weight"))
+            put("output.weight", get(pre + "output_layer.weight"))
+            break
+    for il in range(config.num_hidden_layers):
+        gg = f"blk.{il}."
+        hf = None
+        for pre in ("transformer.", ""):
+            if get(pre + f"encoder.layers.{il}.input_layernorm.weight") is not None:
+                hf = pre + f"encoder.layers.{il}."
+                break
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_qkv.weight", get(hf + "self_attention.query_key_value.weight"))
+        put(gg + "attn_qkv.bias", get(hf + "self_attention.query_key_value.bias"))
+        put(gg + "attn_output.weight", get(hf + "self_attention.dense.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.dense_h_to_4h.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.dense_4h_to_h.weight"))
+
+
+def _convert_codeshell(w, put, get, config):
+    """CodeShell mapping (convert_hf_to_gguf CodeShellModel counterpart):
+    gpt-bigcode naming with GQA, fused c_attn kept fused (create_tensors
+    codeshell uses ATTN_QKV)."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output_norm.bias", get("transformer.ln_f.bias"))
+    put("output.weight", get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "ln_1.bias"))
+        put(gg + "attn_qkv.weight", get(hf + "attn.c_attn.weight"))
+        put(gg + "attn_qkv.bias", get(hf + "attn.c_attn.bias"))
+        put(gg + "attn_output.weight", get(hf + "attn.c_proj.weight"))
+        put(gg + "attn_output.bias", get(hf + "attn.c_proj.bias"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_norm.bias", get(hf + "ln_2.bias"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.c_fc.weight"))
+        put(gg + "ffn_up.bias", get(hf + "mlp.c_fc.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight"))
+        put(gg + "ffn_down.bias", get(hf + "mlp.c_proj.bias"))
+
+
 def convert_state_dict(
     out_path: str,
     config: Any,
@@ -904,6 +1147,15 @@ def convert_state_dict(
     """Write a GGUF from an HF-style config + state dict (numpy arrays)."""
     archs = getattr(config, "architectures", None) or []
     arch = arch or (_ARCH_MAP.get(archs[0]) if archs else None) or "llama"
+    if getattr(config, "num_hidden_layers", None) is None:
+        # exaone (num_layers) / gpt2-family remote configs (n_layer)
+        alt = (getattr(config, "num_layers", None)
+               or getattr(config, "n_layer", None))
+        if alt is not None:
+            try:
+                config.num_hidden_layers = int(alt)
+            except Exception:
+                pass
 
     # multimodal wrappers (qwen-vl / llava / gemma3n-cond): extract the text
     # stack under language_model.* and convert with the text config; the
@@ -968,6 +1220,86 @@ def convert_state_dict(
             w.add_tensor(gguf_name, arr, t)
 
         _convert_t5(w, put5, get5, config)
+        w.write()
+        return
+
+    if arch in ("jais", "codeshell", "chatglm"):
+        w = GGUFWriter(out_path, arch=arch)
+        w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+
+        def getc(*names, default=None):
+            for n in names:
+                v = getattr(config, n, None)
+                if v is not None:
+                    return v
+            return default
+
+        def put_c(gguf_name, arr, qtype=ggml_type):
+            if arr is None:
+                return
+            t = GGMLType.F32 if arr.ndim == 1 else qtype
+            if (arr.ndim >= 2 and arr.shape[-1] % 256 != 0
+                    and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16)):
+                t = GGMLType.F16
+            w.add_tensor(gguf_name, arr, t)
+
+        def get_c(name):
+            t = state_dict.get(name)
+            return None if t is None else np.asarray(t, dtype=np.float32)
+
+        E = int(getc("hidden_size", "n_embd"))
+        H = int(getc("num_attention_heads", "n_head"))
+        L = int(getc("num_hidden_layers", "n_layer", "num_layers"))
+        w.add(f"{arch}.embedding_length", E)
+        w.add(f"{arch}.block_count", L)
+        w.add(f"{arch}.attention.head_count", H)
+        w.add(f"{arch}.vocab_size", int(config.vocab_size))
+        if arch == "jais":
+            # JaisModel counterpart: n_inner FFN, biased LNs, ALiBi
+            w.add(f"{arch}.context_length", int(getc("n_positions", default=2048)))
+            w.add(f"{arch}.feed_forward_length", int(getc("n_inner", default=4 * E)))
+            w.add(f"{arch}.attention.head_count_kv", H)
+            w.add(f"{arch}.attention.key_length", E // H)
+            w.add(f"{arch}.attention.value_length", E // H)
+            w.add(f"{arch}.rope.dimension_count", E // H)
+            w.add(f"{arch}.rope.freq_base", 10000.0)
+            w.add(f"{arch}.attention.layer_norm_epsilon",
+                  float(getc("layer_norm_epsilon", default=1e-5)))
+            w.add(f"{arch}.attention.max_alibi_bias", 8.0)
+            _convert_jais(w, put_c, get_c, config)
+        elif arch == "codeshell":
+            w.add(f"{arch}.context_length", int(getc("n_positions", default=8192)))
+            w.add(f"{arch}.feed_forward_length", int(getc("n_inner", default=4 * E)))
+            HKV = int(getc("num_query_groups", "num_key_value_heads", default=H))
+            w.add(f"{arch}.attention.head_count_kv", HKV)
+            w.add(f"{arch}.attention.key_length", E // H)
+            w.add(f"{arch}.attention.value_length", E // H)
+            w.add(f"{arch}.rope.dimension_count", E // H)
+            w.add(f"{arch}.rope.freq_base", 10000.0)
+            w.add(f"{arch}.attention.layer_norm_epsilon",
+                  float(getc("layer_norm_epsilon", default=1e-5)))
+            _convert_codeshell(w, put_c, get_c, config)
+        else:  # chatglm (ChatGLMModel counterpart)
+            D = int(getc("attention_dim",
+                         default=E // H))
+            w.add(f"{arch}.context_length", int(getc("seq_length", default=E)))
+            w.add(f"{arch}.feed_forward_length",
+                  int(getc("ffn_hidden_size", "intermediate_size",
+                           default=4 * E)))
+            w.add(f"{arch}.attention.head_count_kv",
+                  int(getc("multi_query_group_num", "num_key_value_heads",
+                           default=H)))
+            w.add(f"{arch}.attention.key_length", D)
+            w.add(f"{arch}.attention.value_length", D)
+            w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(getc("layernorm_epsilon", default=1e-5)))
+            w.add(f"{arch}.rope.dimension_count",
+                  int(D * float(getc("partial_rotary_factor", default=0.5))))
+            w.add(f"{arch}.rope.freq_base",
+                  10000.0 * float(getc("rope_ratio", default=1.0)))
+            _convert_chatglm(w, put_c, get_c, config)
+        for key, val in (tokenizer_fields or {}).items():
+            w.add(key, val)
         w.write()
         return
 
@@ -1372,6 +1704,45 @@ def convert_state_dict(
         w.add(f"{arch}.attention.max_alibi_bias",
               float(getattr(ac, "alibi_bias_max", 8.0) if ac is not None else 8.0))
         _convert_mpt(w, put, get, config)
+        w.write()
+        return
+    if arch == "dream":
+        w.add(f"{arch}.attention.causal", False)  # diffusion LM (DreamModel)
+    if arch == "orion":
+        # OrionModel counterpart: config says rms_norm_eps but the model is
+        # LayerNorm (modeling_orion.py L570)
+        w.add(f"{arch}.attention.layer_norm_epsilon",
+              float(getattr(config, "rms_norm_eps", 1e-5)))
+    if arch == "olmo":
+        w.add(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+        if getattr(config, "clip_qkv", None) is not None:
+            w.add(f"{arch}.attention.clamp_kqv", float(config.clip_qkv))
+    if arch == "minicpm":
+        # muP scalings (MiniCPMModel counterpart)
+        if getattr(config, "scale_emb", None):
+            w.add(f"{arch}.embedding_scale", float(config.scale_emb))
+        if getattr(config, "scale_depth", None):
+            w.add(f"{arch}.residual_scale",
+                  float(config.scale_depth) / config.num_hidden_layers ** 0.5)
+        if getattr(config, "dim_model_base", None):
+            w.add(f"{arch}.logit_scale",
+                  float(config.hidden_size) / float(config.dim_model_base))
+    if arch == "deepseek" and not getattr(config, "routed_scaling_factor", None):
+        w.add(f"{arch}.expert_weights_scale", 1.0)  # DeepseekModel counterpart
+    if arch == "internlm2":
+        _convert_internlm2(w, put, get, config)
+        w.write()
+        return
+    if arch == "baichuan":
+        _convert_baichuan(w, put, get, config)
+        w.write()
+        return
+    if arch == "exaone":
+        _convert_exaone(w, put, get, config)
+        w.write()
+        return
+    if arch == "qwen":
+        _convert_qwen1(w, put, get, config)
         w.write()
         return
 

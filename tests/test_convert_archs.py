@@ -1,0 +1,384 @@
+"""Converter ↔ reference-spec parity for HF classes with no installed
+transformers implementation.
+
+Each case builds an HF-named state dict that is the exact INVERSE of the
+tiny-model spec in tests/ref_arch_specs.py (those spec GGUFs are themselves
+pinned token-level to the compiled reference by tests/test_arch_golden.py).
+Running tools/convert_hf.convert_state_dict on the HF dict must reproduce
+the spec GGUF: identical tensor sets with bit-equal F32 payloads, every
+spec metadata key present and equal, and identical runtime HParams after
+load_model. This checks the same mapping the reference's
+convert_hf_to_gguf.py classes implement (class list convert_hf_to_gguf.py;
+name tables gguf-py/gguf/tensor_mapping.py) without needing
+trust_remote_code checkpoints."""
+
+import dataclasses
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from superllama_tpu.gguf import GGMLType, GGUFReader
+from superllama_tpu.models import load_model
+from superllama_tpu.tools.convert_hf import convert_state_dict
+
+from ref_arch_specs import SPECS, build_gguf, tokenizer_fields
+
+
+def unpermute(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Inverse of convert_hf.permute_qk: GGUF adjacent-pair → HF interleaved."""
+    out_dim = w.shape[0]
+    return (w.reshape(n_head, out_dim // n_head // 2, 2, *w.shape[1:])
+            .swapaxes(1, 2).reshape(w.shape))
+
+
+def _llama_style_hf(t: dict, L: int, H: int, HKV: int, permute: bool,
+                    ln_bias: bool = False) -> dict:
+    """Inverse of the converter's generic model.layers.* loop."""
+    sd = {"model.embed_tokens.weight": t["token_embd.weight"]}
+    if "output_norm.weight" in t:
+        sd["model.norm.weight"] = t["output_norm.weight"]
+    if "output_norm.bias" in t:
+        sd["model.norm.bias"] = t["output_norm.bias"]
+    if "output.weight" in t:
+        sd["lm_head.weight"] = t["output.weight"]
+    for i in range(L):
+        b, hf = f"blk.{i}.", f"model.layers.{i}."
+        q, k = t[b + "attn_q.weight"], t[b + "attn_k.weight"]
+        if permute:
+            q, k = unpermute(q, H), unpermute(k, HKV)
+        sd[hf + "self_attn.q_proj.weight"] = q
+        sd[hf + "self_attn.k_proj.weight"] = k
+        sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+        sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+        for gg, name in (("attn_norm", "input_layernorm"),
+                         ("ffn_norm", "post_attention_layernorm")):
+            if b + gg + ".weight" in t:
+                sd[hf + name + ".weight"] = t[b + gg + ".weight"]
+            if ln_bias and b + gg + ".bias" in t:
+                sd[hf + name + ".bias"] = t[b + gg + ".bias"]
+        for gg, name in (("ffn_gate", "mlp.gate_proj"),
+                         ("ffn_up", "mlp.up_proj"),
+                         ("ffn_down", "mlp.down_proj")):
+            if b + gg + ".weight" in t:
+                sd[hf + name + ".weight"] = t[b + gg + ".weight"]
+        for part in ("q", "k", "v"):
+            if b + f"attn_{part}.bias" in t:
+                sd[hf + f"self_attn.{part}_proj.bias"] = t[b + f"attn_{part}.bias"]
+    return sd
+
+
+def _cfg(cls_name: str, **kw) -> SimpleNamespace:
+    base = dict(architectures=[cls_name], max_position_embeddings=512,
+                rope_theta=10000.0, vocab_size=32000,
+                tie_word_embeddings=False, name_or_path="tiny")
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+# Each case: spec name -> (HF class name, config builder, hf state-dict
+# builder taking the spec tensors).
+
+def case_orion():
+    cfg = _cfg("OrionForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=4, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5)
+    return cfg, lambda t: _llama_style_hf(t, 2, 4, 4, permute=False,
+                                          ln_bias=True)
+
+
+def case_xverse():
+    cfg = _cfg("XverseForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=4, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5)
+    return cfg, lambda t: _llama_style_hf(t, 2, 4, 4, permute=True)
+
+
+def case_baichuan():
+    cfg = _cfg("BaichuanForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=4, intermediate_size=128,
+               num_hidden_layers=32, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = _llama_style_hf(t, 32, 4, 4, permute=True)
+        for i in range(32):
+            hf = f"model.layers.{i}."
+            sd[hf + "self_attn.W_pack.weight"] = np.concatenate([
+                sd.pop(hf + "self_attn.q_proj.weight"),
+                sd.pop(hf + "self_attn.k_proj.weight"),
+                sd.pop(hf + "self_attn.v_proj.weight")])
+        return sd
+    return cfg, build
+
+
+def case_internlm2():
+    E, H, HKV, D = 64, 4, 2, 16
+    cfg = _cfg("InternLM2ForCausalLM", hidden_size=E, num_attention_heads=H,
+               num_key_value_heads=HKV, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = {"model.tok_embeddings.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "output.weight": t["output.weight"]}
+        qpk = H // HKV
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            q = unpermute(t[b + "attn_q.weight"], H).reshape(HKV, qpk, D, E)
+            k = unpermute(t[b + "attn_k.weight"], HKV).reshape(HKV, 1, D, E)
+            v = t[b + "attn_v.weight"].reshape(HKV, 1, D, E)
+            sd[hf + "attention.wqkv.weight"] = np.concatenate(
+                [q, k, v], axis=1).reshape(-1, E)
+            sd[hf + "attention.wo.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "attention_norm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "ffn_norm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "feed_forward.w1.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "feed_forward.w3.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "feed_forward.w2.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_exaone():
+    cfg = _cfg("ExaoneForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_layers=2, rms_norm_eps=1e-5)  # exaone: num_layers
+
+    def build(t):
+        sd = {"transformer.wte.weight": t["token_embd.weight"],
+              "transformer.ln_f.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.h.{i}."
+            sd[hf + "ln_1.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "attn.attention.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "attn.attention.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "attn.attention.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "attn.attention.out_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "ln_2.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.c_fc_0.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "mlp.c_fc_1.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.c_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_minicpm():
+    # defaults: embedding_scale 12, residual 1.4/sqrt(L), logit 256/E
+    cfg = _cfg("MiniCPMForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5, scale_emb=12,
+               scale_depth=1.4, dim_model_base=16, tie_word_embeddings=True)
+    return cfg, lambda t: _llama_style_hf(t, 2, 4, 2, permute=True)
+
+
+def case_olmo():
+    cfg = _cfg("OLMoForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=4, intermediate_size=128,
+               num_hidden_layers=2, clip_qkv=8.0)
+    return cfg, lambda t: _llama_style_hf(t, 2, 4, 4, permute=True)
+
+
+def case_deepseek():
+    NE = 4
+    cfg = _cfg("DeepseekForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=3, rms_norm_eps=1e-5, n_routed_experts=NE,
+               num_experts_per_tok=2, moe_intermediate_size=48,
+               n_shared_experts=2, first_k_dense_replace=1)
+
+    def build(t):
+        sd = _llama_style_hf(t, 3, 4, 2, permute=True)
+        for i in range(1, 3):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "mlp.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            for kind in ("gate", "up", "down"):
+                stack = t[b + f"ffn_{kind}_exps.weight"]
+                for e in range(NE):
+                    sd[hf + f"mlp.experts.{e}.{kind}_proj.weight"] = stack[e]
+                sd[hf + f"mlp.shared_experts.{kind}_proj.weight"] = \
+                    t[b + f"ffn_{kind}_shexp.weight"]
+        return sd
+    return cfg, build
+
+
+def case_qwen():
+    cfg = _cfg("QWenLMHeadModel", hidden_size=64, num_attention_heads=4,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = {"transformer.wte.weight": t["token_embd.weight"],
+              "transformer.ln_f.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.h.{i}."
+            sd[hf + "ln_1.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "attn.c_attn.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "attn.c_attn.bias"] = t[b + "attn_qkv.bias"]
+            sd[hf + "attn.c_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "ln_2.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.w2.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "mlp.w1.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.c_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_jais():
+    cfg = _cfg("JAISLMHeadModel", n_embd=64, n_head=4, n_layer=2,
+               n_positions=512, n_inner=128, layer_norm_epsilon=1e-5,
+               mup_embeddings_scale=1.0, mup_output_alpha=1.0,
+               mup_width_scale=1.0, activation_function="swiglu",
+               position_embedding_type="alibi")
+
+    def build(t):
+        sd = {"transformer.wte.weight": t["token_embd.weight"],
+              "transformer.ln_f.weight": t["output_norm.weight"],
+              "transformer.ln_f.bias": t["output_norm.bias"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.h.{i}."
+            sd[hf + "ln_1.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "ln_1.bias"] = t[b + "attn_norm.bias"]
+            sd[hf + "attn.c_attn.weight"] = t[b + "attn_qkv.weight"].T
+            sd[hf + "attn.c_attn.bias"] = t[b + "attn_qkv.bias"]
+            sd[hf + "attn.c_proj.weight"] = t[b + "attn_output.weight"].T
+            sd[hf + "attn.c_proj.bias"] = t[b + "attn_output.bias"]
+            sd[hf + "ln_2.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "ln_2.bias"] = t[b + "ffn_norm.bias"]
+            sd[hf + "mlp.c_fc2.weight"] = t[b + "ffn_gate.weight"].T
+            sd[hf + "mlp.c_fc2.bias"] = t[b + "ffn_gate.bias"]
+            sd[hf + "mlp.c_fc.weight"] = t[b + "ffn_up.weight"].T
+            sd[hf + "mlp.c_fc.bias"] = t[b + "ffn_up.bias"]
+            sd[hf + "mlp.c_proj.weight"] = t[b + "ffn_down.weight"].T
+            sd[hf + "mlp.c_proj.bias"] = t[b + "ffn_down.bias"]
+        return sd
+    return cfg, build
+
+
+def case_chatglm():
+    cfg = _cfg("ChatGLMModel", hidden_size=64, num_attention_heads=4,
+               multi_query_group_num=2, num_hidden_layers=2,
+               ffn_hidden_size=128, seq_length=512, layernorm_epsilon=1e-5)
+
+    def build(t):
+        sd = {"transformer.embedding.word_embeddings.weight":
+                  t["token_embd.weight"],
+              "transformer.encoder.final_layernorm.weight":
+                  t["output_norm.weight"],
+              "transformer.output_layer.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.encoder.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attention.query_key_value.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "self_attention.query_key_value.bias"] = t[b + "attn_qkv.bias"]
+            sd[hf + "self_attention.dense.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.dense_h_to_4h.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.dense_4h_to_h.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_codeshell():
+    cfg = _cfg("CodeShellForCausalLM", n_embd=64, n_head=4, n_layer=2,
+               num_query_groups=2, n_positions=512, n_inner=128,
+               layer_norm_epsilon=1e-5)
+
+    def build(t):
+        sd = {"transformer.wte.weight": t["token_embd.weight"],
+              "transformer.ln_f.weight": t["output_norm.weight"],
+              "transformer.ln_f.bias": t["output_norm.bias"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.h.{i}."
+            sd[hf + "ln_1.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "ln_1.bias"] = t[b + "attn_norm.bias"]
+            sd[hf + "attn.c_attn.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "attn.c_attn.bias"] = t[b + "attn_qkv.bias"]
+            sd[hf + "attn.c_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "attn.c_proj.bias"] = t[b + "attn_output.bias"]
+            sd[hf + "ln_2.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "ln_2.bias"] = t[b + "ffn_norm.bias"]
+            sd[hf + "mlp.c_fc.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.c_fc.bias"] = t[b + "ffn_up.bias"]
+            sd[hf + "mlp.c_proj.weight"] = t[b + "ffn_down.weight"]
+            sd[hf + "mlp.c_proj.bias"] = t[b + "ffn_down.bias"]
+        return sd
+    return cfg, build
+
+
+def case_dream():
+    cfg = _cfg("DreamModel", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5)
+    return cfg, lambda t: _llama_style_hf(t, 2, 4, 2, permute=False)
+
+
+CASES = {
+    "orion": case_orion, "xverse": case_xverse, "baichuan": case_baichuan,
+    "internlm2": case_internlm2, "exaone": case_exaone,
+    "minicpm": case_minicpm, "olmo": case_olmo, "deepseek": case_deepseek,
+    "qwen": case_qwen, "jais": case_jais, "chatglm": case_chatglm,
+    "codeshell": case_codeshell, "dream": case_dream,
+}
+
+
+def _hparams_equal(a, b) -> list[str]:
+    bad = []
+    da, db = dataclasses.asdict(a), dataclasses.asdict(b)
+    for k in da:
+        va, vb = da[k], db[k]
+        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+            ok = np.array_equal(np.asarray(va), np.asarray(vb))
+        elif isinstance(va, float) and isinstance(vb, float):
+            # GGUF stores f32; spec-side defaults are python doubles
+            ok = va == pytest.approx(vb, rel=1e-6, abs=1e-12)
+        else:
+            ok = va == vb
+        if not ok:
+            bad.append(f"{k}: {va!r} != {vb!r}")
+    return bad
+
+
+@pytest.mark.parametrize("name", sorted(CASES), ids=str)
+def test_convert_matches_spec(name, tmp_path):
+    arch, md, tensors = SPECS[name]()
+    spec_path = tmp_path / f"{name}.spec.gguf"
+    build_gguf(spec_path, arch, md, tensors)
+
+    cfg, build = CASES[name]()
+    sd = build(tensors)
+    out_path = tmp_path / f"{name}.conv.gguf"
+    convert_state_dict(str(out_path), cfg, sd, GGMLType.F32,
+                       tokenizer_fields=tokenizer_fields())
+
+    ra, rb = GGUFReader(spec_path), GGUFReader(out_path)
+    assert rb.arch() == arch
+    # every spec metadata key must exist with an equal value
+    for k, v in ra.metadata.items():
+        if k.startswith("general."):
+            continue
+        got = rb.metadata.get(k)
+        if isinstance(v, (np.ndarray, list, tuple)) \
+                or isinstance(got, (np.ndarray, list, tuple)):
+            assert got is not None and np.array_equal(
+                np.asarray(got), np.asarray(v)), f"{k} differs"
+        elif isinstance(v, float):
+            assert got == pytest.approx(v, rel=1e-6), f"{k}: {got} != {v}"
+        else:
+            assert got == v, f"{k}: {got!r} != {v!r}"
+    # identical tensor sets, bit-equal payloads
+    assert set(ra.tensors) == set(rb.tensors), (
+        set(ra.tensors) ^ set(rb.tensors))
+    for tname, ti in ra.tensors.items():
+        np.testing.assert_array_equal(
+            ti.astype_f32(), rb.tensors[tname].astype_f32(),
+            err_msg=f"{name}:{tname}")
+    # identical runtime hparams
+    ma = load_model(str(spec_path))
+    mb = load_model(str(out_path))
+    bad = _hparams_equal(ma.hparams, mb.hparams)
+    assert not bad, bad
