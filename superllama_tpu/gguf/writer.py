@@ -68,12 +68,22 @@ class GGUFWriter:
         self.path = path
         self.alignment = alignment
         self._kv: list[tuple[str, GGUFValueType, Any]] = []
+        self._kv_index: dict[str, int] = {}
         self._tensors: list[tuple[str, GGMLType, tuple[int, ...], np.ndarray]] = []
         if arch is not None:
             self.add("general.architecture", arch)
 
     def add(self, key: str, value: Any, vtype: GGUFValueType | None = None):
-        self._kv.append((key, vtype or _infer_vtype(value), value))
+        """Set a metadata KV; re-adding a key overwrites (last write wins),
+        so per-arch converters can refine generic defaults without emitting
+        duplicate keys."""
+        item = (key, vtype or _infer_vtype(value), value)
+        i = self._kv_index.get(key)
+        if i is not None:
+            self._kv[i] = item
+        else:
+            self._kv_index[key] = len(self._kv)
+            self._kv.append(item)
 
     def add_tensor(
         self,

@@ -159,6 +159,34 @@ _ARCH_MAP = {
     "ChatGLMForConditionalGeneration": "chatglm",
     "CodeShellForCausalLM": "codeshell",
     "DreamModel": "dream",
+    "ArcticForCausalLM": "arctic",
+    "GrokForCausalLM": "grok",
+    "Grok1ForCausalLM": "grok",
+    "ChameleonForCausalLM": "chameleon",
+    "ChameleonForConditionalGeneration": "chameleon",
+    "BailingMoeForCausalLM": "bailingmoe",
+    "BailingMoeV2ForCausalLM": "bailingmoe2",
+    "SmallThinkerForCausalLM": "smallthinker",
+    "GroveMoeForCausalLM": "grovemoe",
+    "modeling_grove_moe.GroveMoeForCausalLM": "grovemoe",
+    "DeciLMForCausalLM": "deci",
+    "OpenELMForCausalLM": "openelm",
+    "PlamoForCausalLM": "plamo",
+    "PLMForCausalLM": "plm",
+    "PanguEmbeddedForCausalLM": "pangu-embedded",
+    "MaincoderForCausalLM": "maincoder",
+    "MiniMaxM2ForCausalLM": "minimax-m2",
+    "MiniCPM3ForCausalLM": "minicpm3",
+    "MiMoV2FlashForCausalLM": "mimo2",
+    "LLaDAModelLM": "llada",
+    "LLaDAMoEModel": "llada-moe",
+    "LLaDAMoEModelLM": "llada-moe",
+    "RND1": "rnd1",
+    "ExaoneMoEForCausalLM": "exaone-moe",
+    "Lfm2MoeForCausalLM": "lfm2moe",
+    "AfmoeForCausalLM": "afmoe",
+    "StableLMEpochForCausalLM": "stablelm",
+    "LlavaStableLMEpochForCausalLM": "stablelm",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -1136,6 +1164,396 @@ def _convert_codeshell(w, put, get, config):
         put(gg + "ffn_down.bias", get(hf + "mlp.c_proj.bias"))
 
 
+def _stack_experts(get, prefix: str, n_expert: int, kinds=("gate_proj",
+                                                           "up_proj",
+                                                           "down_proj")):
+    """Stack per-expert matrices {prefix}{e}.{kind}.weight → (E, out, in)."""
+    out = {}
+    for kind in kinds:
+        mats = [get(f"{prefix}{e}.{kind}.weight") for e in range(n_expert)]
+        if any(m is None for m in mats):
+            return None
+        out[kind] = np.stack(mats)
+    return out
+
+
+def _convert_arctic(w, put, get, config):
+    """Snowflake Arctic mapping (convert_hf_to_gguf ArcticModel counterpart):
+    llama names + rope permute; residual_layernorm→ffn_norm and
+    post_attention_layernorm→ffn_norm_exps (arch_block_mappings_cfg,
+    gguf-py tensor_mapping.py ARCTIC); mixtral-style w1/w2/w3 experts plus
+    the parallel residual_mlp dense branch."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    NE = config.num_local_experts
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_q.weight", permute_qk(get(hf + "self_attn.q_proj.weight"), H))
+        put(gg + "attn_k.weight", permute_qk(get(hf + "self_attn.k_proj.weight"), HKV))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "residual_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "residual_mlp.w1.weight"))
+        put(gg + "ffn_up.weight", get(hf + "residual_mlp.w3.weight"))
+        put(gg + "ffn_down.weight", get(hf + "residual_mlp.w2.weight"))
+        put(gg + "ffn_norm_exps.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
+        ex = _stack_experts(get, hf + "block_sparse_moe.experts.", NE,
+                            kinds=("w1", "w2", "w3"))
+        put(gg + "ffn_gate_exps.weight", ex["w1"])
+        put(gg + "ffn_down_exps.weight", ex["w2"])
+        put(gg + "ffn_up_exps.weight", ex["w3"])
+
+
+def _convert_grok(w, put, get, config):
+    """Grok-1 mapping (convert_hf_to_gguf GrokModel counterpart):
+    transformer.decoder_layer.* names, rms_norm/_1/_2/_3 = attn/attn-out/
+    ffn/post-ffn norms, moe.{x}.linear=gate linear_1=down linear_v=up."""
+    put("token_embd.weight", get("transformer.in_out_embed.weight")
+        if get("transformer.in_out_embed.weight") is not None
+        else get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("transformer.rms_norm.weight")
+        if get("transformer.rms_norm.weight") is not None
+        else get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    NE = config.num_local_experts
+    for il in range(config.num_hidden_layers):
+        gg = f"blk.{il}."
+        hf = f"transformer.decoder_layer.{il}."
+        if get(hf + "rms_norm.weight") is None:
+            hf = f"model.layers.{il}."  # grok-2 style naming
+            put(gg + "attn_norm.weight", get(hf + "pre_attn_norm.weight"))
+            put(gg + "attn_output_norm.weight", get(hf + "post_attn_norm.weight"))
+            put(gg + "ffn_norm.weight", get(hf + "pre_moe_norm.weight"))
+            put(gg + "post_ffw_norm.weight", get(hf + "post_moe_norm.weight"))
+            put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+            put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+            put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+            put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
+            ex = _stack_experts(get, hf + "block_sparse_moe.experts.", NE,
+                                kinds=("w1", "w2", "w3"))
+            put(gg + "ffn_gate_exps.weight", ex["w1"])
+            put(gg + "ffn_down_exps.weight", ex["w2"])
+            put(gg + "ffn_up_exps.weight", ex["w3"])
+            continue
+        put(gg + "attn_norm.weight", get(hf + "rms_norm.weight"))
+        put(gg + "attn_q.weight", get(hf + "multi_head_attention.query.weight"))
+        put(gg + "attn_k.weight", get(hf + "multi_head_attention.key.weight"))
+        put(gg + "attn_v.weight", get(hf + "multi_head_attention.value.weight"))
+        put(gg + "attn_output.weight", get(hf + "multi_head_attention.linear.weight"))
+        put(gg + "attn_output_norm.weight", get(hf + "rms_norm_1.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "rms_norm_2.weight"))
+        put(gg + "post_ffw_norm.weight", get(hf + "rms_norm_3.weight"))
+        put(gg + "ffn_gate_inp.weight", get(hf + "router.weight"))
+        ex = _stack_experts(get, hf + "moe.", NE,
+                            kinds=("linear", "linear_1", "linear_v"))
+        put(gg + "ffn_gate_exps.weight", ex["linear"])
+        put(gg + "ffn_down_exps.weight", ex["linear_1"])
+        put(gg + "ffn_up_exps.weight", ex["linear_v"])
+
+
+def _chameleon_unshuffle_norm(v: np.ndarray, n_heads: int) -> np.ndarray:
+    """ChameleonModel._reverse_hf_permute: row 0 de-interleaved to the
+    adjacent-pair rope layout, repeated across heads → (H, D)."""
+    d = v.shape[-1]
+    row = v.reshape(-1, d)[0]
+    row = row.reshape(2, d // 2).T.reshape(-1)
+    return np.tile(row, (n_heads, 1))
+
+
+def _convert_chameleon(w, put, get, config):
+    """Chameleon mapping (convert_hf_to_gguf ChameleonModel counterpart):
+    llama names + rope permute; per-head q/k LayerNorms de-interleaved and
+    broadcast to (H, D); vqmodel image tower skipped."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_q.weight", permute_qk(get(hf + "self_attn.q_proj.weight"), H))
+        put(gg + "attn_k.weight", permute_qk(get(hf + "self_attn.k_proj.weight"), HKV))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        for part, n in (("q", H), ("k", HKV)):
+            for suf in ("weight", "bias"):
+                t = get(hf + f"self_attn.{part}_norm.{suf}")
+                if t is not None:
+                    put(gg + f"attn_{part}_norm.{suf}",
+                        _chameleon_unshuffle_norm(t, n))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_bailingmoe(w, put, get, config):
+    """BailingMoe (Ling) mapping (convert_hf_to_gguf BailingMoeModel
+    counterpart): model.word_embeddings, fused attention.query_key_value
+    split+permuted, attention.dense, per-expert mlp.experts + shared."""
+    put("token_embd.weight", get("model.word_embeddings.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    E = config.hidden_size
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    D = getattr(config, "head_dim", None) or E // H
+    NE = config.num_experts
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        qkv = get(hf + "attention.query_key_value.weight")
+        nq, nk = H * D, HKV * D
+        put(gg + "attn_q.weight", permute_qk(qkv[:nq], H))
+        put(gg + "attn_k.weight", permute_qk(qkv[nq:nq + nk], HKV))
+        put(gg + "attn_v.weight", qkv[nq + nk:])
+        put(gg + "attn_output.weight", get(hf + "attention.dense.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+        ex = _stack_experts(get, hf + "mlp.experts.", NE)
+        if ex is not None:
+            put(gg + "ffn_gate_exps.weight", ex["gate_proj"])
+            put(gg + "ffn_up_exps.weight", ex["up_proj"])
+            put(gg + "ffn_down_exps.weight", ex["down_proj"])
+            put(gg + "ffn_gate_shexp.weight", get(hf + "mlp.shared_experts.gate_proj.weight"))
+            put(gg + "ffn_up_shexp.weight", get(hf + "mlp.shared_experts.up_proj.weight"))
+            put(gg + "ffn_down_shexp.weight", get(hf + "mlp.shared_experts.down_proj.weight"))
+        else:  # dense lead layer
+            put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_bailingmoe2(w, put, get, config):
+    """BailingMoe2 (Ling-2) mapping (BailingMoeV2Model counterpart): fused
+    attention.query_key_value KEPT fused, query/key_layernorm per-head
+    norms, sigmoid MoE with gate.expert_bias, dense lead layers."""
+    put("token_embd.weight", get("model.word_embeddings.weight"))
+    fln = get("model.final_layernorm.weight")
+    put("output_norm.weight", fln if fln is not None
+        else get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    NE = config.num_experts
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_qkv.weight", get(hf + "attention.query_key_value.weight"))
+        put(gg + "attn_output.weight", get(hf + "attention.dense.weight"))
+        put(gg + "attn_q_norm.weight", get(hf + "attention.query_layernorm.weight"))
+        put(gg + "attn_k_norm.weight", get(hf + "attention.key_layernorm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        ex = _stack_experts(get, hf + "mlp.experts.", NE)
+        if ex is not None:
+            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+            eb = get(hf + "mlp.gate.expert_bias")
+            if eb is not None:
+                put(gg + "exp_probs_b.bias", eb.reshape(-1))
+            put(gg + "ffn_gate_exps.weight", ex["gate_proj"])
+            put(gg + "ffn_up_exps.weight", ex["up_proj"])
+            put(gg + "ffn_down_exps.weight", ex["down_proj"])
+            put(gg + "ffn_gate_shexp.weight", get(hf + "mlp.shared_experts.gate_proj.weight"))
+            put(gg + "ffn_up_shexp.weight", get(hf + "mlp.shared_experts.up_proj.weight"))
+            put(gg + "ffn_down_shexp.weight", get(hf + "mlp.shared_experts.down_proj.weight"))
+        else:
+            put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_smallthinker(w, put, get, config):
+    """SmallThinker mapping (SmallThinkerModel counterpart):
+    block_sparse_moe.primary_router + per-expert {gate,up,down}.weight."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    NE = (getattr(config, "num_experts", None)
+          or getattr(config, "moe_num_primary_experts", 0))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+        put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate_inp.weight",
+            get(hf + "block_sparse_moe.primary_router.weight"))
+        ex = _stack_experts(get, hf + "block_sparse_moe.experts.",
+                            NE, kinds=("gate", "up", "down"))
+        put(gg + "ffn_gate_exps.weight", ex["gate"])
+        put(gg + "ffn_up_exps.weight", ex["up"])
+        put(gg + "ffn_down_exps.weight", ex["down"])
+
+
+def _convert_grovemoe(w, put, get, config):
+    """GroveMoE mapping (GroveMoeModel counterpart): main expert bank plus
+    the adjugate chunk_experts bank; router mlp.gate; unused expert_bias
+    dropped."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    NE = config.num_experts
+    # experts_per_group hardcoded 2 in modeling_grove_moe.py:298
+    NG = int(getattr(config, "experts_per_group", None)
+             or getattr(config, "n_group_experts", None) or 2)
+    NC = NE // NG
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+        put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "attn_q_norm.weight", get(hf + "self_attn.q_norm.weight"))
+        put(gg + "attn_k_norm.weight", get(hf + "self_attn.k_norm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate_inp.weight", get(hf + "mlp.gate.weight"))
+        ex = _stack_experts(get, hf + "mlp.experts.", NE)
+        put(gg + "ffn_gate_exps.weight", ex["gate_proj"])
+        put(gg + "ffn_up_exps.weight", ex["up_proj"])
+        put(gg + "ffn_down_exps.weight", ex["down_proj"])
+        ch = _stack_experts(get, hf + "mlp.chunk_experts.", NC)
+        put(gg + "ffn_gate_chexps.weight", ch["gate_proj"])
+        put(gg + "ffn_up_chexps.weight", ch["up_proj"])
+        put(gg + "ffn_down_chexps.weight", ch["down_proj"])
+
+
+def _convert_deci(w, put, get, config):
+    """DeciLM / Nemotron-51B mapping (DeciModel counterpart): per-layer
+    head counts from block_configs (linear-attention, attention-free and
+    FFN-free layer kinds), per-layer rope permute."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    H_arr, HKV_arr = _deci_head_arrays(config)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        h, hkv = H_arr[il], HKV_arr[il]
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        q = get(hf + "self_attn.q_proj.weight")
+        if q is not None:
+            put(gg + "attn_q.weight", permute_qk(q, h))
+            put(gg + "attn_k.weight",
+                permute_qk(get(hf + "self_attn.k_proj.weight"), hkv))
+            put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _deci_ffn_size(mult: float, n_embd: int) -> int:
+    n = int(2 * mult * n_embd / 3)
+    return n if n % 256 == 0 else n + 256 - (n % 256)
+
+
+def _deci_head_arrays(config):
+    """Per-layer (n_head, n_head_kv) from DeciLM block_configs semantics."""
+    H = config.num_attention_heads
+    bcs = getattr(config, "block_configs", None)
+    if bcs is None:
+        L = config.num_hidden_layers
+        kv = getattr(config, "num_key_value_heads_per_layer", None)
+        if kv is not None:
+            return [H] * L, list(kv)
+        return [H] * L, [getattr(config, "num_key_value_heads", H)] * L
+    H_arr, HKV_arr = [], []
+    for bc in bcs:
+        att = bc["attention"] if isinstance(bc, dict) else bc.attention
+        g = att["n_heads_in_group"] if isinstance(att, dict) else att.n_heads_in_group
+        lin = (att["replace_with_linear"] if isinstance(att, dict)
+               else att.replace_with_linear)
+        if g is None:
+            H_arr.append(H if lin else 0)
+            HKV_arr.append(0)
+        else:
+            H_arr.append(H)
+            HKV_arr.append(H // g)
+    return H_arr, HKV_arr
+
+
+def _convert_openelm(w, put, get, config):
+    """OpenELM mapping (OpenELMModel counterpart): transformer.layers.*,
+    fused attn.qkv_proj kept fused, per-head q/k norms, ffn.proj_1 split
+    into gate‖up halves, proj_2=down, tied lm head."""
+    put("token_embd.weight", get("transformer.token_embeddings.weight"))
+    put("output_norm.weight", get("transformer.norm.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "attn_norm.weight"))
+        put(gg + "attn_qkv.weight", get(hf + "attn.qkv_proj.weight"))
+        put(gg + "attn_q_norm.weight", get(hf + "attn.q_norm.weight"))
+        put(gg + "attn_k_norm.weight", get(hf + "attn.k_norm.weight"))
+        put(gg + "attn_output.weight", get(hf + "attn.out_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ffn_norm.weight"))
+        p1 = get(hf + "ffn.proj_1.weight")
+        fdim = p1.shape[0] // 2
+        put(gg + "ffn_gate.weight", p1[:fdim])
+        put(gg + "ffn_up.weight", p1[fdim:])
+        put(gg + "ffn_down.weight", get(hf + "ffn.proj_2.weight"))
+
+
+def _convert_plamo1(w, put, get, config):
+    """PLaMo-1 mapping (PlamoModel counterpart): model.layers.layers.*
+    double-nested names, parallel attn+FFN, rotary inv_freq dropped."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "norm.weight"))
+        put(gg + "attn_q.weight", get(hf + "self_attn.q_proj.weight"))
+        put(gg + "attn_k.weight", get(hf + "self_attn.k_proj.weight"))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_llada(w, put, get, config):
+    """LLaDA dense mapping (LLaDAModel counterpart): olmo-style
+    model.transformer.blocks.* with fused attn/ffn projections split."""
+    put("token_embd.weight", get("model.transformer.wte.weight"))
+    put("output_norm.weight", get("model.transformer.ln_f.weight"))
+    put("output.weight", get("model.transformer.ff_out.weight"))
+    E = config.hidden_size
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    kvd = E // H * HKV
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.transformer.blocks.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "attn_norm.weight"))
+        if get(hf + "q_proj.weight") is not None:
+            put(gg + "attn_q.weight", get(hf + "q_proj.weight"))
+            put(gg + "attn_k.weight", get(hf + "k_proj.weight"))
+            put(gg + "attn_v.weight", get(hf + "v_proj.weight"))
+        else:
+            att = get(hf + "att_proj.weight")   # fused [q;k;v]
+            put(gg + "attn_q.weight", att[:E])
+            put(gg + "attn_k.weight", att[E:E + kvd])
+            put(gg + "attn_v.weight", att[E + kvd:])
+        put(gg + "attn_output.weight", get(hf + "attn_out.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ff_norm.weight"))
+        if get(hf + "up_proj.weight") is not None:
+            put(gg + "ffn_gate.weight", get(hf + "ff_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "up_proj.weight"))
+        else:
+            ff = get(hf + "ff_proj.weight")     # fused [up;gate] (olmo order)
+            fdim = ff.shape[0] // 2
+            put(gg + "ffn_up.weight", ff[:fdim])
+            put(gg + "ffn_gate.weight", ff[fdim:])
+        put(gg + "ffn_down.weight", get(hf + "ff_out.weight"))
+
+
 def convert_state_dict(
     out_path: str,
     config: Any,
@@ -1220,6 +1638,89 @@ def convert_state_dict(
             w.add_tensor(gguf_name, arr, t)
 
         _convert_t5(w, put5, get5, config)
+        w.write()
+        return
+
+    if arch in ("deci", "openelm"):
+        # per-layer head/FFN arrays preclude the generic scalar metadata
+        w = GGUFWriter(out_path, arch=arch)
+        w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+
+        def put_a(gguf_name, arr, qtype=ggml_type):
+            if arr is None:
+                return
+            t = GGMLType.F32 if arr.ndim == 1 else qtype
+            if (arr.ndim >= 2 and arr.shape[-1] % 256 != 0
+                    and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16)):
+                t = GGMLType.F16
+            w.add_tensor(gguf_name, arr, t)
+
+        def get_a(name):
+            t = state_dict.get(name)
+            return None if t is None else np.asarray(t, dtype=np.float32)
+
+        if arch == "deci":
+            E = config.hidden_size
+            H = config.num_attention_heads
+            D = getattr(config, "head_dim", None) or E // H
+            H_arr, HKV_arr = _deci_head_arrays(config)
+            F_arr = []
+            for bc in getattr(config, "block_configs", []):
+                ffn = bc["ffn"] if isinstance(bc, dict) else bc.ffn
+                fd = ffn.get("intermediate_size") if isinstance(ffn, dict) \
+                    else getattr(ffn, "intermediate_size", None)
+                mult = ffn.get("ffn_mult") if isinstance(ffn, dict) \
+                    else getattr(ffn, "ffn_mult", None)
+                F_arr.append(int(fd) if fd is not None
+                             else (_deci_ffn_size(mult, E) if mult else 0))
+            w.add(f"{arch}.context_length",
+                  int(getattr(config, "max_position_embeddings", 2048)))
+            w.add(f"{arch}.embedding_length", E)
+            w.add(f"{arch}.block_count", int(config.num_hidden_layers))
+            w.add(f"{arch}.feed_forward_length",
+                  F_arr or int(getattr(config, "intermediate_size", 4 * E)))
+            w.add(f"{arch}.attention.head_count", H_arr)
+            w.add(f"{arch}.attention.head_count_kv", HKV_arr)
+            w.add(f"{arch}.attention.key_length", D)
+            w.add(f"{arch}.attention.value_length", D)
+            w.add(f"{arch}.rope.dimension_count", D)
+            w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(getattr(config, "rms_norm_eps", 1e-5)))
+            w.add(f"{arch}.rope.freq_base",
+                  float(getattr(config, "rope_theta", 10000.0)))
+            w.add(f"{arch}.vocab_size", int(config.vocab_size))
+            _convert_deci(w, put_a, get_a, config)
+        else:  # openelm (OpenELMModel counterpart)
+            E = int(config.model_dim)
+            D = int(config.head_dim)
+            H_arr = [int(x) for x in config.num_query_heads]
+            HKV_arr = [int(x) for x in config.num_kv_heads]
+            div = int(getattr(config, "ffn_dim_divisor", 256))
+
+            def mkdiv(v):
+                nv = max(div, int(v + div / 2) // div * div)
+                return nv + div if nv < 0.9 * v else nv
+            F_arr = [mkdiv(m * E) for m in config.ffn_multipliers]
+            L = len(H_arr)
+            config.num_hidden_layers = L
+            w.add(f"{arch}.context_length",
+                  int(getattr(config, "max_context_length", 2048)))
+            w.add(f"{arch}.embedding_length", E)
+            w.add(f"{arch}.block_count", L)
+            w.add(f"{arch}.feed_forward_length", F_arr)
+            w.add(f"{arch}.attention.head_count", H_arr)
+            w.add(f"{arch}.attention.head_count_kv", HKV_arr)
+            w.add(f"{arch}.attention.key_length", D)
+            w.add(f"{arch}.attention.value_length", D)
+            w.add(f"{arch}.rope.dimension_count", D)
+            w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(getattr(config, "rms_norm_eps", None) or 1e-6))
+            w.add(f"{arch}.rope.freq_base",
+                  float(getattr(config, "rope_freq_constant", 10000.0)))
+            w.add(f"{arch}.vocab_size", int(config.vocab_size))
+            _convert_openelm(w, put_a, get_a, config)
+        for key, val in (tokenizer_fields or {}).items():
+            w.add(key, val)
         w.write()
         return
 
@@ -1419,19 +1920,31 @@ def convert_state_dict(
                   or getattr(config, "moe_k", 0)            # ernie4_5-moe
                   or getattr(config, "moe_topk", 0)         # hunyuan-moe
                   or getattr(getattr(config, "ffn_config", None), "moe_top_k", 0) or 2))
-        if getattr(config, "moe_intermediate_size", None):
+        moe_ff = (getattr(config, "moe_intermediate_size", None)
+                  or getattr(config, "expert_intermediate_size", None)  # llada
+                  or getattr(config, "moe_ffn_hidden_size", None))  # smallthinker
+        if moe_ff:
+            w.add(f"{arch}.expert_feed_forward_length", int(moe_ff))
+        if arch == "minimax-m2":  # MiniMaxM2Model: experts are full-width
             w.add(f"{arch}.expert_feed_forward_length",
-                  int(config.moe_intermediate_size))
+                  int(config.intermediate_size))
         shared = int(getattr(config, "n_shared_experts", 0)
                      or getattr(config, "moe_num_shared_experts", 0)
-                     or getattr(config, "num_shared_expert", 0) or 0)
+                     or getattr(config, "num_shared_expert", 0)
+                     or getattr(config, "num_shared_experts", 0) or 0)
+        if shared and moe_ff and arch in ("exaone-moe", "bailingmoe2"):
+            sh_ff = (getattr(config, "moe_shared_expert_intermediate_size",
+                             None) or int(moe_ff) * shared)
+            w.add(f"{arch}.expert_shared_feed_forward_length", int(sh_ff))
         if shared and arch != "deepseek2":  # deepseek2 branch writes its own
             w.add(f"{arch}.expert_shared_count", shared)
         dense_lead = (getattr(config, "first_k_dense_replace", None)
                       if arch != "deepseek2" else None)
         if dense_lead is None:
             dense_lead = getattr(config, "moe_layer_start_index", None)  # ernie
-        if dense_lead:
+        if dense_lead is None:
+            dense_lead = getattr(config, "first_last_k_dense_replace", None)  # exaone-moe
+        if dense_lead is not None:
             w.add(f"{arch}.leading_dense_block_count", int(dense_lead))
         if (getattr(config, "routed_scaling_factor", None)
                 and arch != "deepseek2"):
@@ -1444,7 +1957,7 @@ def convert_state_dict(
         if arch in ("ernie4_5-moe", "hunyuan-moe"):
             # build_moe_ffn called with norm_w=true in both graphs
             w.add(f"{arch}.expert_weights_norm", True)
-        if getattr(config, "num_nextn_predict_layers", None):
+        if getattr(config, "num_nextn_predict_layers", None) is not None:
             w.add(f"{arch}.nextn_predict_layers",
                   int(config.num_nextn_predict_layers))
         if getattr(config, "norm_topk_prob", None) is not None:
@@ -1708,6 +2221,60 @@ def convert_state_dict(
         return
     if arch == "dream":
         w.add(f"{arch}.attention.causal", False)  # diffusion LM (DreamModel)
+    if arch in ("llada", "llada-moe", "rnd1"):
+        w.add(f"{arch}.attention.causal", False)  # diffusion LMs
+    if arch == "chameleon":
+        w.add(f"{arch}.swin_norm", bool(getattr(config, "swin_norm", False)))
+    if arch == "grok":
+        # GrokModel counterpart: softcaps + muP scales (defaults match the
+        # reference builder's old-GGUF defaults, llama-model.cpp:795-813)
+        w.add(f"{arch}.attn_logit_softcapping",
+              float(getattr(config, "attn_logit_softcapping", None) or 30.0))
+        w.add(f"{arch}.router_logit_softcapping",
+              float(getattr(config, "router_logit_softcapping", None) or 30.0))
+        if getattr(config, "final_logit_softcapping", None):
+            w.add(f"{arch}.final_logit_softcapping",
+                  float(config.final_logit_softcapping))
+        rope_dim = (getattr(config, "head_dim", None)
+                    or config.hidden_size // config.num_attention_heads)
+        w.add(f"{arch}.attention.output_scale",
+              float(getattr(config, "attn_output_multiplier", None)
+                    or rope_dim ** -0.5))
+        if getattr(config, "embedding_multiplier_scale", None):
+            w.add(f"{arch}.embedding_scale",
+                  float(config.embedding_multiplier_scale))
+        if getattr(config, "output_multiplier_scale", None):
+            w.add(f"{arch}.logit_scale",
+                  float(config.output_multiplier_scale))
+    if arch == "minimax-m2":
+        w.add(f"{arch}.rope.dimension_count", int(config.rotary_dim))
+    if arch == "grovemoe":
+        # reference hardcodes these from modeling_grove_moe.py:298-376;
+        # honor explicit config keys when present, else the same defaults
+        w.add(f"{arch}.expert_chunk_feed_forward_length",
+              int(getattr(config, "moe_chunk_intermediate_size", None)
+                  or getattr(config, "head_dim", None) or 128))
+        w.add(f"{arch}.experts_per_group",
+              int(getattr(config, "experts_per_group", None)
+                  or getattr(config, "n_group_experts", None) or 2))
+        w.add(f"{arch}.expert_group_scale",
+              float(getattr(config, "expert_group_scale", None) or 0.05))
+    if arch == "smallthinker":
+        apply_softmax = getattr(config, "moe_primary_router_apply_softmax",
+                                None)
+        w.add(f"{arch}.expert_gating_func", 1 if apply_softmax else 2)
+        if getattr(config, "sliding_window_size", None) and any(
+                getattr(config, "sliding_window_layout", []) or []):
+            w.add(f"{arch}.attention.sliding_window",
+                  int(config.sliding_window_size))
+    if arch in ("plm", "minicpm3"):
+        w.add(f"{arch}.attention.kv_lora_rank", int(config.kv_lora_rank))
+        if getattr(config, "q_lora_rank", None):
+            w.add(f"{arch}.attention.q_lora_rank", int(config.q_lora_rank))
+        w.add(f"{arch}.attention.key_length",
+              int(config.qk_nope_head_dim) + int(config.qk_rope_head_dim))
+        w.add(f"{arch}.attention.value_length", int(config.v_head_dim))
+        w.add(f"{arch}.rope.dimension_count", int(config.qk_rope_head_dim))
     if arch == "orion":
         # OrionModel counterpart: config says rms_norm_eps but the model is
         # LayerNorm (modeling_orion.py L570)
@@ -1727,8 +2294,10 @@ def convert_state_dict(
         if getattr(config, "dim_model_base", None):
             w.add(f"{arch}.logit_scale",
                   float(config.hidden_size) / float(config.dim_model_base))
-    if arch == "deepseek" and not getattr(config, "routed_scaling_factor", None):
-        w.add(f"{arch}.expert_weights_scale", 1.0)  # DeepseekModel counterpart
+    if arch in ("deepseek", "bailingmoe") and not getattr(
+            config, "routed_scaling_factor", None):
+        # Deepseek/BailingMoe converters hardcode expert_weights_scale 1.0
+        w.add(f"{arch}.expert_weights_scale", 1.0)
     if arch == "internlm2":
         _convert_internlm2(w, put, get, config)
         w.write()
@@ -1743,6 +2312,42 @@ def convert_state_dict(
         return
     if arch == "qwen":
         _convert_qwen1(w, put, get, config)
+        w.write()
+        return
+    if arch == "arctic":
+        _convert_arctic(w, put, get, config)
+        w.write()
+        return
+    if arch == "grok":
+        _convert_grok(w, put, get, config)
+        w.write()
+        return
+    if arch == "chameleon":
+        _convert_chameleon(w, put, get, config)
+        w.write()
+        return
+    if arch == "bailingmoe":
+        _convert_bailingmoe(w, put, get, config)
+        w.write()
+        return
+    if arch == "bailingmoe2":
+        _convert_bailingmoe2(w, put, get, config)
+        w.write()
+        return
+    if arch == "smallthinker":
+        _convert_smallthinker(w, put, get, config)
+        w.write()
+        return
+    if arch == "grovemoe":
+        _convert_grovemoe(w, put, get, config)
+        w.write()
+        return
+    if arch == "plamo":
+        _convert_plamo1(w, put, get, config)
+        w.write()
+        return
+    if arch == "llada":
+        _convert_llada(w, put, get, config)
         w.write()
         return
 
@@ -1762,7 +2367,8 @@ def convert_state_dict(
     for il in range(config.num_hidden_layers):
         hf = f"model.layers.{il}."
         gg = f"blk.{il}."
-        if arch == "deepseek2":
+        if arch in ("deepseek2", "minicpm3", "plm"):
+            # shared MLA tensor layout (q LoRA optional, kv latent + mqa)
             _put_deepseek2_layer(put, get, hf, gg, config, n_expert)
             continue
         q = get(hf + "self_attn.q_proj.weight")
@@ -1809,7 +2415,10 @@ def convert_state_dict(
             if get(hf + "input_layernorm.weight") is not None
             else get_norm(hf + "attention_layernorm.weight"))   # apertus
         put(gg + "attn_norm.bias", get(hf + "input_layernorm.bias"))
-        put(gg + "attn_sinks.weight", get(hf + "self_attn.sinks"))
+        put(gg + "attn_sinks.weight",
+            get(hf + "self_attn.sinks")
+            if get(hf + "self_attn.sinks") is not None
+            else get(hf + "self_attn.attention_sink_bias"))  # mimo2
         # bitnet sub-norms (pre-out-projection / pre-down-projection RMS)
         put(gg + "attn_sub_norm.weight", get(hf + "self_attn.attn_sub_norm.weight"))
         put(gg + "ffn_sub_norm.weight", get(hf + "mlp.ffn_sub_norm.weight"))
@@ -1853,6 +2462,11 @@ def convert_state_dict(
             _put_granite_moe_ffn(put, get, hf, gg, config, np)
         elif get(hf + "block_sparse_moe.gate.weight") is not None:  # mixtral
             put(gg + "ffn_gate_inp.weight", get(hf + "block_sparse_moe.gate.weight"))
+            eb = get(hf + "block_sparse_moe.e_score_correction_bias")  # minimax-m2
+            if eb is None:
+                eb = get(hf + "block_sparse_moe.e_score_correction.bias")
+            if eb is not None:
+                put(gg + "exp_probs_b.bias", eb.reshape(-1))
             w1 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w1.weight") for e in range(n_expert)])
             w2 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w2.weight") for e in range(n_expert)])
             w3 = np.stack([get(hf + f"block_sparse_moe.experts.{e}.w3.weight") for e in range(n_expert)])

@@ -317,12 +317,493 @@ def case_dream():
     return cfg, lambda t: _llama_style_hf(t, 2, 4, 2, permute=False)
 
 
+def _unstack_experts(sd, t, b, hf, NE, kinds=("gate", "up", "down"),
+                     suffix="_proj"):
+    for kind in kinds:
+        stack = t[b + f"ffn_{kind}_exps.weight"]
+        for e in range(NE):
+            sd[hf + f"mlp.experts.{e}.{kind}{suffix}.weight"] = stack[e]
+
+
+def case_arctic():
+    NE = 4
+    cfg = _cfg("ArcticForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=96,
+               num_hidden_layers=2, rms_norm_eps=1e-5, num_local_experts=NE,
+               num_experts_per_tok=2)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = unpermute(t[b + "attn_q.weight"], 4)
+            sd[hf + "self_attn.k_proj.weight"] = unpermute(t[b + "attn_k.weight"], 2)
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "residual_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "residual_mlp.w1.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "residual_mlp.w3.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "residual_mlp.w2.weight"] = t[b + "ffn_down.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm_exps.weight"]
+            sd[hf + "block_sparse_moe.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            for hw, gw in (("w1", "gate"), ("w2", "down"), ("w3", "up")):
+                stack = t[b + f"ffn_{gw}_exps.weight"]
+                for e in range(NE):
+                    sd[hf + f"block_sparse_moe.experts.{e}.{hw}.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
+def case_grok():
+    NE = 4
+    cfg = _cfg("Grok1ForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=96,
+               num_hidden_layers=2, rms_norm_eps=1e-5, num_local_experts=NE,
+               num_experts_per_tok=2,
+               embedding_multiplier_scale=78.38367176906169,
+               output_multiplier_scale=0.5773502691896257,
+               attn_output_multiplier=0.08838834764831845)
+
+    def build(t):
+        sd = {"transformer.in_out_embed.weight": t["token_embd.weight"],
+              "transformer.rms_norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.decoder_layer.{i}."
+            sd[hf + "rms_norm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "multi_head_attention.query.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "multi_head_attention.key.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "multi_head_attention.value.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "multi_head_attention.linear.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "rms_norm_1.weight"] = t[b + "attn_output_norm.weight"]
+            sd[hf + "rms_norm_2.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "rms_norm_3.weight"] = t[b + "post_ffw_norm.weight"]
+            sd[hf + "router.weight"] = t[b + "ffn_gate_inp.weight"]
+            for hw, gw in (("linear", "gate"), ("linear_1", "down"),
+                           ("linear_v", "up")):
+                stack = t[b + f"ffn_{gw}_exps.weight"]
+                for e in range(NE):
+                    sd[hf + f"moe.{e}.{hw}.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
+def case_chameleon():
+    cfg = _cfg("ChameleonForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5, swin_norm=False)
+
+    def shuffle_row(row):
+        # inverse of ChameleonModel._reverse_hf_permute row transform
+        d = row.shape[0]
+        return row.reshape(d // 2, 2).T.reshape(-1)
+
+    def build(t):
+        sd = _llama_style_hf(t, 2, 4, 2, permute=True)
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            for part, n in (("q", 4), ("k", 2)):
+                for suf in ("weight", "bias"):
+                    arr = t[b + f"attn_{part}_norm.{suf}"]
+                    sd[hf + f"self_attn.{part}_norm.{suf}"] = \
+                        np.tile(shuffle_row(arr[0]), (n, 1))
+        return sd
+
+    def expected(t):
+        # the HF checkpoint can only carry ONE norm row; the converter
+        # broadcasts it across heads (ChameleonModel._reverse_hf_permute
+        # takes data[0]); the spec's per-head-distinct norms are a stricter
+        # graph test and are not converter-reachable
+        out = dict(t)
+        for i in range(2):
+            b = f"blk.{i}."
+            for part, n in (("q", 4), ("k", 2)):
+                for suf in ("weight", "bias"):
+                    arr = t[b + f"attn_{part}_norm.{suf}"]
+                    out[b + f"attn_{part}_norm.{suf}"] = np.tile(arr[0], (n, 1))
+        return out
+    return cfg, build, expected
+
+
+def case_bailingmoe():
+    NE = 4
+    cfg = _cfg("BailingMoeForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               num_experts=NE, num_experts_per_tok=2,
+               moe_intermediate_size=48, num_shared_experts=1,
+               norm_topk_prob=True, first_k_dense_replace=0)
+
+    def build(t):
+        sd = {"model.word_embeddings.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "attention.query_key_value.weight"] = np.concatenate([
+                unpermute(t[b + "attn_q.weight"], 4),
+                unpermute(t[b + "attn_k.weight"], 2),
+                t[b + "attn_v.weight"]])
+            sd[hf + "attention.dense.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            _unstack_experts(sd, t, b, hf, NE)
+            for kind in ("gate", "up", "down"):
+                sd[hf + f"mlp.shared_experts.{kind}_proj.weight"] = \
+                    t[b + f"ffn_{kind}_shexp.weight"]
+        return sd
+    return cfg, build
+
+
+def case_bailingmoe2():
+    NE = 4
+    cfg = _cfg("BailingMoeV2ForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               num_experts=NE, num_experts_per_tok=2,
+               moe_intermediate_size=48, num_shared_experts=1,
+               norm_topk_prob=True, first_k_dense_replace=1,
+               routed_scaling_factor=1.5, scoring_func="sigmoid",
+               num_nextn_predict_layers=0)
+
+    def build(t):
+        sd = {"model.word_embeddings.weight": t["token_embd.weight"],
+              "model.final_layernorm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "attention.query_key_value.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "attention.dense.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "attention.query_layernorm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "attention.key_layernorm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            if b + "ffn_gate.weight" in t:      # dense lead
+                sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+                sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+            else:
+                sd[hf + "mlp.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+                sd[hf + "mlp.gate.expert_bias"] = t[b + "exp_probs_b.bias"]
+                _unstack_experts(sd, t, b, hf, NE)
+                for kind in ("gate", "up", "down"):
+                    sd[hf + f"mlp.shared_experts.{kind}_proj.weight"] = \
+                        t[b + f"ffn_{kind}_shexp.weight"]
+        return sd
+    return cfg, build
+
+
+def case_smallthinker():
+    NE = 4
+    cfg = _cfg("SmallThinkerForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               num_experts=NE, num_experts_per_tok=2,
+               moe_ffn_hidden_size=48,
+               moe_primary_router_apply_softmax=False)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "block_sparse_moe.primary_router.weight"] = \
+                t[b + "ffn_gate_inp.weight"]
+            for kind in ("gate", "up", "down"):
+                stack = t[b + f"ffn_{kind}_exps.weight"]
+                for e in range(NE):
+                    sd[hf + f"block_sparse_moe.experts.{e}.{kind}.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
+def case_grovemoe():
+    NE = 8
+    cfg = _cfg("GroveMoeForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               num_experts=NE, num_experts_per_tok=2,
+               moe_intermediate_size=48, moe_chunk_intermediate_size=32,
+               experts_per_group=4, expert_group_scale=0.05)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            _unstack_experts(sd, t, b, hf, NE)
+            for kind in ("gate", "up", "down"):
+                stack = t[b + f"ffn_{kind}_chexps.weight"]
+                for e in range(stack.shape[0]):
+                    sd[hf + f"mlp.chunk_experts.{e}.{kind}_proj.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
+def case_deci():
+    F = 128
+    blocks = [
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": True},
+         "ffn": {"ffn_mult": 1.0, "intermediate_size": F}},
+        {"attention": {"n_heads_in_group": None, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0, "intermediate_size": F}},
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": None}},
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0, "intermediate_size": F}},
+    ]
+    cfg = _cfg("DeciLMForCausalLM", hidden_size=64, num_attention_heads=4,
+               intermediate_size=F, num_hidden_layers=4, rms_norm_eps=1e-5,
+               block_configs=blocks)
+    H_arr, HKV_arr = [4, 0, 4, 4], [0, 0, 2, 2]
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(4):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            if b + "attn_norm.weight" in t:
+                sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            if b + "attn_q.weight" in t:
+                sd[hf + "self_attn.q_proj.weight"] = \
+                    unpermute(t[b + "attn_q.weight"], H_arr[i])
+                sd[hf + "self_attn.k_proj.weight"] = \
+                    unpermute(t[b + "attn_k.weight"], HKV_arr[i])
+                sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            if b + "attn_output.weight" in t:
+                sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            if b + "ffn_norm.weight" in t:
+                sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+                sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+                sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_openelm():
+    cfg = _cfg("OpenELMForCausalLM", model_dim=64, head_dim=16,
+               num_query_heads=[3, 4], num_kv_heads=[1, 2],
+               ffn_multipliers=[1.5, 2.0], ffn_dim_divisor=32,
+               max_context_length=512, rms_norm_eps=1e-5,
+               rope_freq_constant=10000.0, num_hidden_layers=2)
+
+    def build(t):
+        sd = {"transformer.token_embeddings.weight": t["token_embd.weight"],
+              "transformer.norm.weight": t["output_norm.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer.layers.{i}."
+            sd[hf + "attn_norm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "attn.qkv_proj.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "attn.out_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "ffn_norm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "ffn.proj_1.weight"] = np.concatenate(
+                [t[b + "ffn_gate.weight"], t[b + "ffn_up.weight"]])
+            sd[hf + "ffn.proj_2.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_plamo():
+    cfg = _cfg("PlamoForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=4, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.layers.{i}."
+            sd[hf + "norm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_plm():
+    cfg = _cfg("PLMForCausalLM", hidden_size=64, num_attention_heads=4,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=16,
+               v_head_dim=16, tie_word_embeddings=True)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.kv_a_proj_with_mqa.weight"] = t[b + "attn_kv_a_mqa.weight"]
+            sd[hf + "self_attn.kv_a_layernorm.weight"] = t[b + "attn_kv_a_norm.weight"]
+            sd[hf + "self_attn.kv_b_proj.weight"] = t[b + "attn_kv_b.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_minicpm3():
+    cfg = _cfg("MiniCPM3ForCausalLM", hidden_size=64, num_attention_heads=4,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               kv_lora_rank=32, q_lora_rank=32, qk_nope_head_dim=16,
+               qk_rope_head_dim=16, v_head_dim=16)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_a_proj.weight"] = t[b + "attn_q_a.weight"]
+            sd[hf + "self_attn.q_a_layernorm.weight"] = t[b + "attn_q_a_norm.weight"]
+            sd[hf + "self_attn.q_b_proj.weight"] = t[b + "attn_q_b.weight"]
+            sd[hf + "self_attn.kv_a_proj_with_mqa.weight"] = t[b + "attn_kv_a_mqa.weight"]
+            sd[hf + "self_attn.kv_a_layernorm.weight"] = t[b + "attn_kv_a_norm.weight"]
+            sd[hf + "self_attn.kv_b_proj.weight"] = t[b + "attn_kv_b.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_minimax_m2():
+    NE = 4
+    cfg = _cfg("MiniMaxM2ForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+               intermediate_size=48, num_hidden_layers=2, rms_norm_eps=1e-5,
+               num_local_experts=NE, num_experts_per_tok=2, rotary_dim=8,
+               scoring_func="softmax")
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "block_sparse_moe.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            sd[hf + "block_sparse_moe.e_score_correction_bias"] = t[b + "exp_probs_b.bias"]
+            for hw, gw in (("w1", "gate"), ("w2", "down"), ("w3", "up")):
+                stack = t[b + f"ffn_{gw}_exps.weight"]
+                for e in range(NE):
+                    sd[hf + f"block_sparse_moe.experts.{e}.{hw}.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
+def case_pangu():
+    cfg = _cfg("PanguEmbeddedForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = _llama_style_hf(t, 2, 4, 2, permute=False)
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "self_attn.o_proj.bias"] = t[b + "attn_output.bias"]
+        return sd
+    return cfg, build
+
+
+def case_maincoder():
+    cfg = _cfg("MaincoderForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = _llama_style_hf(t, 2, 4, 2, permute=False)
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+        return sd
+    return cfg, build
+
+
+def case_llada_moe():
+    NE = 4
+    cfg = _cfg("LLaDAMoEModelLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5, num_experts=NE,
+               num_experts_per_tok=2, expert_intermediate_size=48)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            _unstack_experts(sd, t, b, hf, NE)
+        return sd
+    return cfg, build
+
+
 CASES = {
     "orion": case_orion, "xverse": case_xverse, "baichuan": case_baichuan,
     "internlm2": case_internlm2, "exaone": case_exaone,
     "minicpm": case_minicpm, "olmo": case_olmo, "deepseek": case_deepseek,
     "qwen": case_qwen, "jais": case_jais, "chatglm": case_chatglm,
     "codeshell": case_codeshell, "dream": case_dream,
+    "arctic": case_arctic, "grok": case_grok, "chameleon": case_chameleon,
+    "bailingmoe": case_bailingmoe, "bailingmoe2": case_bailingmoe2,
+    "smallthinker": case_smallthinker, "grovemoe": case_grovemoe,
+    "deci": case_deci, "openelm": case_openelm, "plamo": case_plamo,
+    "plm": case_plm, "minicpm3": case_minicpm3,
+    "minimax-m2": case_minimax_m2, "pangu-embedded": case_pangu,
+    "maincoder": case_maincoder, "llada-moe": case_llada_moe,
 }
 
 
@@ -346,10 +827,13 @@ def _hparams_equal(a, b) -> list[str]:
 @pytest.mark.parametrize("name", sorted(CASES), ids=str)
 def test_convert_matches_spec(name, tmp_path):
     arch, md, tensors = SPECS[name]()
+    case = CASES[name]()
+    cfg, build = case[0], case[1]
+    if len(case) > 2:  # converter-reachable expected tensors differ from spec
+        tensors = case[2](tensors)
     spec_path = tmp_path / f"{name}.spec.gguf"
     build_gguf(spec_path, arch, md, tensors)
 
-    cfg, build = CASES[name]()
     sd = build(tensors)
     out_path = tmp_path / f"{name}.conv.gguf"
     convert_state_dict(str(out_path), cfg, sd, GGMLType.F32,
