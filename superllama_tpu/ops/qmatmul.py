@@ -92,7 +92,8 @@ def _tile_scales(refs: dict, *, sb: int):
 
 
 def _qmm_kernel(x_ref, wrefs, o_ref, acc_ref, *, nibble: bool, hi_bits: int,
-                gs: int, sb: int, offset: int, n_k: int, compute_dtype):
+                gs: int, sb: int, offset: int, n_k: int, compute_dtype,
+                k_rem: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -106,8 +107,17 @@ def _qmm_kernel(x_ref, wrefs, o_ref, acc_ref, *, nibble: bool, hi_bits: int,
     if a is not None:
         w = w + a.reshape(-1, 1, bn)
     w = w.reshape(bk, bn).astype(compute_dtype)
-    acc_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
-                          preferred_element_type=jnp.float32)
+    x = x_ref[:].astype(compute_dtype)
+    if k_rem:
+        # partial last k-tile: Pallas out-of-bounds block fill is undefined
+        # (garbage scale floats can be NaN, and NaN·0 = NaN through the MXU),
+        # so select-zero the overhang on BOTH operands
+        valid = jnp.where(k == n_k - 1, k_rem, bk)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+        w = jnp.where(rows < valid, w, jnp.zeros_like(w))
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        x = jnp.where(cols < valid, x, jnp.zeros_like(x))
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
     def _():
@@ -167,7 +177,7 @@ def _qmatmul_2d(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
         args.append(plane)
     impl = partial(_qmm_kernel, nibble=qt.nibble, hi_bits=qt.hi_bits,
                    gs=qt.group, sb=qt.sb, offset=qt.offset, n_k=n_k,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, k_rem=K % bk)
 
     def kern(x_ref, *rest):
         wrefs = {}

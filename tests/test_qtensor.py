@@ -107,6 +107,24 @@ def test_qmatmul_fused_m32_multi_ktile(ttype):
     assert nmse < 1e-7, f"{ttype.name}: NMSE {nmse:g}"
 
 
+@pytest.mark.parametrize("ttype", [GGMLType.Q4_K, GGMLType.Q6_K])
+def test_qmatmul_fused_partial_k_tile(ttype):
+    """K=768 -> bk=512, partial last k-tile. On hardware the out-of-bounds
+    block fill is undefined (garbage scale floats poisoned the accumulator
+    with NaN, caught on v5e); the kernel select-zeros the overhang on both
+    operands. Verified bit-clean on TPU by _tpu_qmm_check.py."""
+    w = _weight(N=128, K=768)
+    raw = _packed(w, ttype)
+    qt = repack(raw, ttype, w.shape)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(0, 1, (32, 768)).astype(np.float32))
+    ref = qmatmul_ref(x, qt)
+    got = qmatmul(x, qt, force_fused=True)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    nmse = float(jnp.mean((got - ref) ** 2) / jnp.mean(ref ** 2))
+    assert nmse < 1e-7, f"{ttype.name}: NMSE {nmse:g}"
+
+
 def test_qmatmul_decode_shape():
     """M=1 (decode GEMV) path."""
     w = _weight(N=64, K=512)
