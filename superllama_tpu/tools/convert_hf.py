@@ -187,6 +187,11 @@ _ARCH_MAP = {
     "AfmoeForCausalLM": "afmoe",
     "StableLMEpochForCausalLM": "stablelm",
     "LlavaStableLMEpochForCausalLM": "stablelm",
+    "CogVLMForCausalLM": "cogvlm",
+    "GPTRefactForCausalLM": "refact",
+    "RWForCausalLM": "falcon",
+    "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
+    "RwkvHybridForCausalLM": "arwkv7",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -778,9 +783,21 @@ def _convert_lfm2(w, put, get, config):
             put(gg + "attn_output.weight", get(hf + "self_attn.out_proj.weight"))
             put(gg + "attn_q_norm.weight", get(hf + "self_attn.q_layernorm.weight"))
             put(gg + "attn_k_norm.weight", get(hf + "self_attn.k_layernorm.weight"))
-        put(gg + "ffn_gate.weight", get(hf + "feed_forward.w1.weight"))
-        put(gg + "ffn_up.weight", get(hf + "feed_forward.w3.weight"))
-        put(gg + "ffn_down.weight", get(hf + "feed_forward.w2.weight"))
+        if get(hf + "feed_forward.gate.weight") is not None:  # lfm2moe layer
+            put(gg + "ffn_gate_inp.weight", get(hf + "feed_forward.gate.weight"))
+            eb = get(hf + "feed_forward.expert_bias")
+            if eb is not None:
+                put(gg + "exp_probs_b.bias", eb.reshape(-1))
+            NE = int(getattr(config, "num_experts", 0))
+            ex = _stack_experts(get, hf + "feed_forward.experts.", NE,
+                                kinds=("w1", "w2", "w3"))
+            put(gg + "ffn_gate_exps.weight", ex["w1"])
+            put(gg + "ffn_down_exps.weight", ex["w2"])
+            put(gg + "ffn_up_exps.weight", ex["w3"])
+        else:
+            put(gg + "ffn_gate.weight", get(hf + "feed_forward.w1.weight"))
+            put(gg + "ffn_up.weight", get(hf + "feed_forward.w3.weight"))
+            put(gg + "ffn_down.weight", get(hf + "feed_forward.w2.weight"))
 
 
 def _convert_jamba(w, put, get, config, np):
@@ -1519,6 +1536,206 @@ def _convert_plamo1(w, put, get, config):
         put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
 
 
+def _convert_afmoe(w, put, get, config):
+    """AFMoE mapping (convert_hf_to_gguf AfmoeModel counterpart): dual
+    pre/post norms, σ-gated attention (self_attn.gate_proj → attn_gate),
+    per-head q/k norms, rope permute (LlamaModel base), sigmoid MoE with
+    expert_bias and shared expert, dense lead layers."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    H = config.num_attention_heads
+    HKV = getattr(config, "num_key_value_heads", None) or H
+    NE = int(getattr(config, "num_experts", 0))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "post_attention_norm.weight",
+            get(hf + "post_attention_layernorm.weight"))
+        put(gg + "attn_q.weight", permute_qk(get(hf + "self_attn.q_proj.weight"), H))
+        put(gg + "attn_k.weight", permute_qk(get(hf + "self_attn.k_proj.weight"), HKV))
+        put(gg + "attn_v.weight", get(hf + "self_attn.v_proj.weight"))
+        put(gg + "attn_output.weight", get(hf + "self_attn.o_proj.weight"))
+        put(gg + "attn_gate.weight", get(hf + "self_attn.gate_proj.weight"))
+        put(gg + "attn_q_norm.weight", get(hf + "self_attn.q_norm.weight"))
+        put(gg + "attn_k_norm.weight", get(hf + "self_attn.k_norm.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "pre_mlp_layernorm.weight"))
+        put(gg + "post_ffw_norm.weight", get(hf + "post_mlp_layernorm.weight"))
+        if get(hf + "mlp.router.gate.weight") is not None:  # MoE layer
+            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.router.gate.weight"))
+            eb = get(hf + "mlp.expert_bias")
+            if eb is not None:
+                put(gg + "exp_probs_b.bias", eb.reshape(-1))
+            ex = _stack_experts(get, hf + "mlp.experts.", NE)
+            put(gg + "ffn_gate_exps.weight", ex["gate_proj"])
+            put(gg + "ffn_up_exps.weight", ex["up_proj"])
+            put(gg + "ffn_down_exps.weight", ex["down_proj"])
+            for sh in ("mlp.shared_expert.", "mlp.shared_experts."):
+                if get(hf + sh + "gate_proj.weight") is not None:
+                    put(gg + "ffn_gate_shexp.weight", get(hf + sh + "gate_proj.weight"))
+                    put(gg + "ffn_up_shexp.weight", get(hf + sh + "up_proj.weight"))
+                    put(gg + "ffn_down_shexp.weight", get(hf + sh + "down_proj.weight"))
+                    break
+        else:
+            put(gg + "ffn_gate.weight", get(hf + "mlp.gate_proj.weight"))
+            put(gg + "ffn_up.weight", get(hf + "mlp.up_proj.weight"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_cogvlm(w, put, get, config):
+    """CogVLM text-path mapping (convert_hf_to_gguf CogVLMModel
+    counterpart): fused language_expert qkv/dense plus the vision-expert
+    bank (vis_* GGUF tensors, used by image ubatches)."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "input_layernorm.weight"))
+        put(gg + "attn_qkv.weight",
+            get(hf + "self_attn.language_expert_query_key_value.weight"))
+        put(gg + "attn_output.weight",
+            get(hf + "self_attn.language_expert_dense.weight"))
+        put(gg + "vis_attn_qkv.weight",
+            get(hf + "self_attn.vision_expert_query_key_value.weight"))
+        put(gg + "vis_attn_output.weight",
+            get(hf + "self_attn.vision_expert_dense.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "post_attention_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.language_mlp.gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.language_mlp.up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.language_mlp.down_proj.weight"))
+        put(gg + "vis_gate.weight", get(hf + "mlp.vision_mlp.gate_proj.weight"))
+        put(gg + "vis_up.weight", get(hf + "mlp.vision_mlp.up_proj.weight"))
+        put(gg + "vis_down.weight", get(hf + "mlp.vision_mlp.down_proj.weight"))
+
+
+def _convert_refact(w, put, get, config):
+    """Refact mapping (convert_hf_to_gguf RefactModel counterpart): MQA with
+    fused kv split, gpt2-ish transformer.h naming, LLaMA-rounded FFN."""
+    put("token_embd.weight", get("transformer.wte.weight"))
+    put("output_norm.weight", get("transformer.ln_f.weight"))
+    put("output.weight", get("lm_head.weight"))
+    E = getattr(config, "n_embd", None) or config.hidden_size
+    H = getattr(config, "n_head", None) or config.num_attention_heads
+    D = E // H
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer.h.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "ln_1.weight"))
+        put(gg + "attn_q.weight", get(hf + "attn.q.weight"))
+        kv = get(hf + "attn.kv.weight")
+        put(gg + "attn_k.weight", kv[:D])
+        put(gg + "attn_v.weight", kv[D:])
+        put(gg + "attn_output.weight", get(hf + "attn.c_proj.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ln_2.weight"))
+        put(gg + "ffn_gate.weight", get(hf + "mlp.linear_1.weight"))
+        put(gg + "ffn_up.weight", get(hf + "mlp.linear_3.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.c_proj.weight"))
+
+
+_RWKV6_LERP_ORDER = ("w", "k", "v", "r", "g")
+
+
+def _convert_rwkv6qwen2(w, put, get, config):
+    """RWKV6-in-Qwen2 mapping (convert_hf_to_gguf RWKV6Qwen2Model
+    counterpart): qrwkv time mix — low-rank token-shift/decay stacks are
+    transposed and their 5 groups reordered rkvwg→wkvrg; the five lerp
+    vectors fuse into one (5,1,1,E) tensor; GQA k/v/q(+bias) map onto
+    time_mix key/value/receptance."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    E = config.hidden_size
+    perm = [3, 1, 2, 0, 4]  # rkvwg → wkvrg (involution)
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.self_attn.", f"blk.{il}."
+        put(gg + "attn_norm.weight",
+            get(f"model.layers.{il}.input_layernorm.weight"))
+        w1 = get(hf + "time_maa_w1").T            # (E,5·ED) → (5·ED,E)
+        ed = w1.shape[0] // 5
+        w1 = w1.reshape(5, ed, E)[perm].reshape(5 * ed, E)
+        put(gg + "time_mix_w1.weight", w1)
+        w2 = get(hf + "time_maa_w2")              # (5,ED,E)
+        w2 = w2.transpose(0, 2, 1)[perm]          # → (5,E,ED), reordered
+        put(gg + "time_mix_w2.weight", w2)
+        put(gg + "time_mix_lerp_x.weight",
+            get(hf + "time_maa_x").reshape(1, 1, E))
+        fused = np.stack([get(hf + f"time_maa_{i}").reshape(1, 1, E)
+                          for i in _RWKV6_LERP_ORDER])
+        put(gg + "time_mix_lerp_fused.weight", fused)
+        put(gg + "time_mix_decay.weight", get(hf + "time_decay").reshape(E))
+        put(gg + "time_mix_decay_w1.weight", get(hf + "time_decay_w1").T)
+        put(gg + "time_mix_decay_w2.weight", get(hf + "time_decay_w2").T)
+        put(gg + "time_mix_key.weight", get(hf + "k_proj.weight"))
+        put(gg + "time_mix_key.bias", get(hf + "k_proj.bias"))
+        put(gg + "time_mix_value.weight", get(hf + "v_proj.weight"))
+        put(gg + "time_mix_value.bias", get(hf + "v_proj.bias"))
+        put(gg + "time_mix_receptance.weight", get(hf + "q_proj.weight"))
+        put(gg + "time_mix_receptance.bias", get(hf + "q_proj.bias"))
+        put(gg + "time_mix_gate.weight", get(hf + "gate.weight"))
+        put(gg + "time_mix_output.weight", get(hf + "o_proj.weight"))
+        mlp = f"model.layers.{il}.mlp."
+        put(gg + "ffn_norm.weight",
+            get(f"model.layers.{il}.post_attention_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(mlp + "gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(mlp + "up_proj.weight"))
+        put(gg + "ffn_down.weight", get(mlp + "down_proj.weight"))
+
+
+def _convert_arwkv7(w, put, get, config):
+    """ARWKV-7 mapping (convert_hf_to_gguf ARwkv7Model counterpart): rwkv7
+    time mix (w/a/v low-rank stacks transposed, fused x_x lerp reshaped to
+    (5,1,1,E), r_k flattened) with a Qwen silu FFN; layer-0 v0/v1/v2 are
+    copied from a0/a1/a2 when the checkpoint ships dummies (reference
+    behavior) but kept when real."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight"))
+    put("output.weight", get("lm_head.weight"))
+    E = config.hidden_size
+    for il in range(config.num_hidden_layers):
+        gg = f"blk.{il}."
+        at = None
+        for cand in (f"model.layers.{il}.self_attn.time_mixer.",
+                     f"model.layers.{il}.self_attn.",
+                     f"model.layers.{il}.attention."):
+            if get(cand + "w0") is not None or get(cand + "w0.weight") is not None:
+                at = cand
+                break
+
+        def g(name, at=at):
+            v = get(at + name)
+            return v if v is not None else get(at + name + ".weight")
+
+        put(gg + "attn_norm.weight",
+            get(f"model.layers.{il}.input_layernorm.weight"))
+        put(gg + "time_mix_w0.weight", g("w0").reshape(E))
+        put(gg + "time_mix_w1.weight", g("w1").T)
+        put(gg + "time_mix_w2.weight", g("w2").T)
+        put(gg + "time_mix_a0.weight", g("a0").reshape(E))
+        put(gg + "time_mix_a1.weight", g("a1").T)
+        put(gg + "time_mix_a2.weight", g("a2").T)
+        v0, v1, v2 = g("v0"), g("v1"), g("v2")
+        if il == 0 and v0 is None:  # dummy first-layer v → reuse a (ref)
+            v0, v1, v2 = g("a0"), g("a1"), g("a2")
+        put(gg + "time_mix_v0.weight", v0.reshape(E))
+        put(gg + "time_mix_v1.weight", v1.T)
+        put(gg + "time_mix_v2.weight", v2.T)
+        put(gg + "time_mix_lerp_fused.weight",
+            g("x_x").reshape(5, 1, 1, E))
+        put(gg + "time_mix_k_k.weight", g("k_k").reshape(E))
+        put(gg + "time_mix_k_a.weight", g("k_a").reshape(E))
+        put(gg + "time_mix_r_k.weight", g("r_k").reshape(E))
+        put(gg + "time_mix_key.weight", g("key"))
+        put(gg + "time_mix_value.weight", g("value"))
+        put(gg + "time_mix_receptance.weight", g("receptance"))
+        put(gg + "time_mix_output.weight", g("output"))
+        mlp = f"model.layers.{il}.mlp."
+        put(gg + "ffn_norm.weight",
+            get(f"model.layers.{il}.post_attention_layernorm.weight"))
+        put(gg + "ffn_gate.weight", get(mlp + "gate_proj.weight"))
+        put(gg + "ffn_up.weight", get(mlp + "up_proj.weight"))
+        put(gg + "ffn_down.weight", get(mlp + "down_proj.weight"))
+
+
 def _convert_llada(w, put, get, config):
     """LLaDA dense mapping (LLaDAModel counterpart): olmo-style
     model.transformer.blocks.* with fused attn/ffn projections split."""
@@ -1834,7 +2051,7 @@ def convert_state_dict(
           n_ff if isinstance(n_ff, list) else int(n_ff))
     w.add(f"{arch}.attention.head_count", int(n_head))
     # hybrid stacks carry a per-layer kv-head array (0 = recurrent/conv layer)
-    if arch == "lfm2":
+    if arch in ("lfm2", "lfm2moe"):
         lt = list(getattr(config, "layer_types", []) or [])
         w.add(f"{arch}.attention.head_count_kv",
               [0 if t == "conv" else int(n_kv) for t in lt])
@@ -1944,6 +2161,8 @@ def convert_state_dict(
             dense_lead = getattr(config, "moe_layer_start_index", None)  # ernie
         if dense_lead is None:
             dense_lead = getattr(config, "first_last_k_dense_replace", None)  # exaone-moe
+        if dense_lead is None:
+            dense_lead = getattr(config, "num_dense_layers", None)  # afmoe/lfm2moe
         if dense_lead is not None:
             w.add(f"{arch}.leading_dense_block_count", int(dense_lead))
         if (getattr(config, "routed_scaling_factor", None)
@@ -2181,9 +2400,14 @@ def convert_state_dict(
         _convert_gptbigcode(w, put, get, config)
         w.write()
         return
-    if arch == "lfm2":
+    if arch in ("lfm2", "lfm2moe"):
         w.add(f"{arch}.shortconv.l_cache",
               int(getattr(config, "conv_L_cache", 3)))
+        if arch == "lfm2moe":
+            # LFM2MoeModel counterpart: sigmoid router, dense lead layers
+            w.add(f"{arch}.leading_dense_block_count",
+                  int(getattr(config, "num_dense_layers", 0)))
+            w.add(f"{arch}.expert_gating_func", 2)
         _convert_lfm2(w, put, get, config)
         w.write()
         return
@@ -2267,6 +2491,54 @@ def convert_state_dict(
                 getattr(config, "sliding_window_layout", []) or []):
             w.add(f"{arch}.attention.sliding_window",
                   int(config.sliding_window_size))
+    if arch == "rwkv6qwen2":
+        # RWKV6Qwen2Model counterpart: wkv head size = attention head dim,
+        # low-rank token-shift/decay dims from the qwen-rwkv config
+        E = config.hidden_size
+        w.add(f"{arch}.wkv.head_size", E // config.num_attention_heads)
+        w.add(f"{arch}.time_mix_extra_dim",
+              int(getattr(config, "lora_rank_tokenshift", None)
+                  or (64 if E >= 4096 else 32)))
+        w.add(f"{arch}.time_decay_extra_dim",
+              int(getattr(config, "lora_rank_decay", None)
+                  or (128 if E >= 4096 else 64)))
+        w.add(f"{arch}.token_shift_count", 1)
+    if arch == "arwkv7":
+        # ARwkv7Model counterpart
+        w.add(f"{arch}.wkv.head_size", int(config.head_size))
+        w.add(f"{arch}.attention.decay_lora_rank",
+              int(getattr(config, "lora_rank_decay", None) or 64))
+        w.add(f"{arch}.attention.iclr_lora_rank",
+              int(getattr(config, "lora_rank_iclr", None) or 64))
+        w.add(f"{arch}.attention.value_residual_mix_lora_rank",
+              int(getattr(config, "lora_rank_value_residual_mix", None) or 32))
+        if getattr(config, "wkv_has_gate", False):
+            w.add(f"{arch}.attention.gate_lora_rank",
+                  int(getattr(config, "lora_rank_gate", None) or 128))
+        w.add(f"{arch}.token_shift_count", 1)
+    if arch == "afmoe":
+        # AfmoeModel counterpart: route_norm/route_scale, sigmoid router
+        if getattr(config, "route_norm", None) is not None:
+            w.add(f"{arch}.expert_weights_norm", bool(config.route_norm))
+        if getattr(config, "route_scale", None) is not None:
+            w.add(f"{arch}.expert_weights_scale", float(config.route_scale))
+        w.add(f"{arch}.expert_gating_func", 2)
+    if arch == "mimo2":
+        # MimoV2Model counterpart: per-layer kv heads from the hybrid
+        # sliding-window pattern, separate v head dim, noaux_tc router
+        pat = [int(x) for x in getattr(config, "hybrid_layer_pattern", [])]
+        kv_full = int(config.num_key_value_heads)
+        kv_swa = int(getattr(config, "swa_num_key_value_heads", kv_full))
+        w.add(f"{arch}.attention.head_count_kv",
+              [kv_swa if p == 1 else kv_full for p in pat])
+        w.add(f"{arch}.attention.sliding_window",
+              int(getattr(config, "sliding_window", 0) or 0))
+        w.add(f"{arch}.attention.sliding_window_pattern",
+              [bool(p) for p in pat])
+        w.add(f"{arch}.attention.value_length", int(config.v_head_dim))
+        if getattr(config, "layernorm_epsilon", None):
+            w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(config.layernorm_epsilon))
     if arch in ("plm", "minicpm3"):
         w.add(f"{arch}.attention.kv_lora_rank", int(config.kv_lora_rank))
         if getattr(config, "q_lora_rank", None):
@@ -2348,6 +2620,26 @@ def convert_state_dict(
         return
     if arch == "llada":
         _convert_llada(w, put, get, config)
+        w.write()
+        return
+    if arch == "cogvlm":
+        _convert_cogvlm(w, put, get, config)
+        w.write()
+        return
+    if arch == "afmoe":
+        _convert_afmoe(w, put, get, config)
+        w.write()
+        return
+    if arch == "refact":
+        _convert_refact(w, put, get, config)
+        w.write()
+        return
+    if arch == "rwkv6qwen2":
+        _convert_rwkv6qwen2(w, put, get, config)
+        w.write()
+        return
+    if arch == "arwkv7":
+        _convert_arwkv7(w, put, get, config)
         w.write()
         return
 
@@ -2498,9 +2790,14 @@ def convert_state_dict(
                 get(hf + "mlp.gate.weight")
                 if get(hf + "mlp.gate.weight") is not None
                 else get(hf + "mlp.gate.wg.weight"))            # hunyuan
-            eb = (get(hf + "mlp.gate.e_score_correction_bias")  # glm4/dots1
-                  if get(hf + "mlp.gate.e_score_correction_bias") is not None
-                  else get(hf + "mlp.moe_statics.e_score_correction_bias"))
+            eb = None
+            for cand in ("mlp.gate.e_score_correction_bias",   # glm4/dots1
+                         "mlp.moe_statics.e_score_correction_bias",  # ernie
+                         "mlp.e_score_correction_bias",        # exaone-moe
+                         "mlp.e_score_correction"):            # fla naming
+                if get(hf + cand) is not None:
+                    eb = get(hf + cand)
+                    break
             if eb is not None:
                 put(gg + "exp_probs_b.bias", eb.reshape(-1))    # ernie (1,E)
             for kind in ("gate", "up", "down"):

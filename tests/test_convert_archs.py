@@ -791,6 +791,308 @@ def case_llada_moe():
     return cfg, build
 
 
+_RWKV6_PERM = [3, 1, 2, 0, 4]  # rkvwg ↔ wkvrg (involution)
+
+
+def case_rwkv6qwen2():
+    E, ED, DD = 64, 16, 16
+    cfg = _cfg("RWKV6Qwen2ForCausalLM", hidden_size=E,
+               num_attention_heads=4, num_key_value_heads=2,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5,
+               lora_rank_tokenshift=ED, lora_rank_decay=DD)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}.self_attn."
+            sd[f"model.layers.{i}.input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            w1 = t[b + "time_mix_w1.weight"]            # (5·ED, E) wkvrg
+            sd[hf + "time_maa_w1"] = \
+                w1.reshape(5, ED, E)[_RWKV6_PERM].reshape(5 * ED, E).T
+            w2 = t[b + "time_mix_w2.weight"]            # (5, E, ED) wkvrg
+            sd[hf + "time_maa_w2"] = w2[_RWKV6_PERM].transpose(0, 2, 1)
+            sd[hf + "time_maa_x"] = t[b + "time_mix_lerp_x.weight"]
+            fused = t[b + "time_mix_lerp_fused.weight"]  # (5,1,1,E) w,k,v,r,g
+            for j, nm in enumerate("wkvrg"):
+                sd[hf + f"time_maa_{nm}"] = fused[j]
+            sd[hf + "time_decay"] = t[b + "time_mix_decay.weight"].reshape(1, 1, E)
+            sd[hf + "time_decay_w1"] = t[b + "time_mix_decay_w1.weight"].T
+            sd[hf + "time_decay_w2"] = t[b + "time_mix_decay_w2.weight"].T
+            for hn, gn in (("k_proj", "time_mix_key"),
+                           ("v_proj", "time_mix_value"),
+                           ("q_proj", "time_mix_receptance")):
+                sd[hf + hn + ".weight"] = t[b + gn + ".weight"]
+                sd[hf + hn + ".bias"] = t[b + gn + ".bias"]
+            sd[hf + "gate.weight"] = t[b + "time_mix_gate.weight"]
+            sd[hf + "o_proj.weight"] = t[b + "time_mix_output.weight"]
+            mlp = f"model.layers.{i}."
+            sd[mlp + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[mlp + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+            sd[mlp + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[mlp + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_arwkv7():
+    E = 128
+    cfg = _cfg("RwkvHybridForCausalLM", hidden_size=E,
+               num_attention_heads=2, intermediate_size=128,
+               num_hidden_layers=2, rms_norm_eps=1e-5, head_size=64,
+               wkv_has_gate=False, wkv_version=7, lora_rank_decay=16,
+               lora_rank_iclr=16, lora_rank_value_residual_mix=16)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b = f"blk.{i}."
+            hf = f"model.layers.{i}.self_attn.time_mixer."
+            sd[f"model.layers.{i}.input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            for k in ("w", "a", "v"):
+                sd[hf + f"{k}0"] = t[b + f"time_mix_{k}0.weight"].reshape(1, 1, E)
+                sd[hf + f"{k}1"] = t[b + f"time_mix_{k}1.weight"].T
+                sd[hf + f"{k}2"] = t[b + f"time_mix_{k}2.weight"].T
+            sd[hf + "x_x"] = t[b + "time_mix_lerp_fused.weight"].reshape(5, E)
+            sd[hf + "k_k"] = t[b + "time_mix_k_k.weight"]
+            sd[hf + "k_a"] = t[b + "time_mix_k_a.weight"]
+            sd[hf + "r_k"] = t[b + "time_mix_r_k.weight"].reshape(2, 64)
+            for nm in ("key", "value", "receptance", "output"):
+                sd[hf + nm + ".weight"] = t[b + f"time_mix_{nm}.weight"]
+            mlp = f"model.layers.{i}."
+            sd[mlp + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[mlp + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+            sd[mlp + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[mlp + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_lfm2():
+    cfg = _cfg("Lfm2ForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=4, rms_norm_eps=1e-5, conv_L_cache=3,
+               layer_types=["conv", "full_attention", "conv",
+                            "full_attention"],
+               tie_word_embeddings=True)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.embedding_norm.weight": t["token_embd_norm.weight"]}
+        for i in range(4):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "operator_norm.weight"] = t[b + "attn_norm.weight"]
+            if b + "shortconv.conv.weight" in t:
+                sd[hf + "conv.conv.weight"] = t[b + "shortconv.conv.weight"][:, None, :]
+                sd[hf + "conv.in_proj.weight"] = t[b + "shortconv.in_proj.weight"]
+                sd[hf + "conv.out_proj.weight"] = t[b + "shortconv.out_proj.weight"]
+            else:
+                sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+                sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+                sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+                sd[hf + "self_attn.out_proj.weight"] = t[b + "attn_output.weight"]
+                sd[hf + "self_attn.q_layernorm.weight"] = t[b + "attn_q_norm.weight"]
+                sd[hf + "self_attn.k_layernorm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "ffn_norm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "feed_forward.w1.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "feed_forward.w3.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "feed_forward.w2.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_lfm2moe():
+    NE = 4
+    cfg = _cfg("Lfm2MoeForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               num_hidden_layers=3, rms_norm_eps=1e-5, conv_L_cache=3,
+               layer_types=["conv", "full_attention", "conv"],
+               num_experts=NE, num_experts_per_tok=2,
+               moe_intermediate_size=48, num_dense_layers=1,
+               tie_word_embeddings=True)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.embedding_norm.weight": t["token_embd_norm.weight"]}
+        for i in range(3):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "operator_norm.weight"] = t[b + "attn_norm.weight"]
+            if b + "shortconv.conv.weight" in t:
+                sd[hf + "conv.conv.weight"] = t[b + "shortconv.conv.weight"][:, None, :]
+                sd[hf + "conv.in_proj.weight"] = t[b + "shortconv.in_proj.weight"]
+                sd[hf + "conv.out_proj.weight"] = t[b + "shortconv.out_proj.weight"]
+            else:
+                sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+                sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+                sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+                sd[hf + "self_attn.out_proj.weight"] = t[b + "attn_output.weight"]
+                sd[hf + "self_attn.q_layernorm.weight"] = t[b + "attn_q_norm.weight"]
+                sd[hf + "self_attn.k_layernorm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "ffn_norm.weight"] = t[b + "ffn_norm.weight"]
+            if b + "ffn_gate.weight" in t:     # dense lead
+                sd[hf + "feed_forward.w1.weight"] = t[b + "ffn_gate.weight"]
+                sd[hf + "feed_forward.w3.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "feed_forward.w2.weight"] = t[b + "ffn_down.weight"]
+            else:
+                sd[hf + "feed_forward.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+                sd[hf + "feed_forward.expert_bias"] = t[b + "exp_probs_b.bias"]
+                for hw, gw in (("w1", "gate"), ("w2", "down"), ("w3", "up")):
+                    stack = t[b + f"ffn_{gw}_exps.weight"]
+                    for e in range(NE):
+                        sd[hf + f"feed_forward.experts.{e}.{hw}.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
+def case_cogvlm():
+    cfg = _cfg("CogVLMForCausalLM", hidden_size=64, num_attention_heads=4,
+               intermediate_size=128, num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.language_expert_query_key_value.weight"] = \
+                t[b + "attn_qkv.weight"]
+            sd[hf + "self_attn.language_expert_dense.weight"] = \
+                t[b + "attn_output.weight"]
+            sd[hf + "self_attn.vision_expert_query_key_value.weight"] = \
+                t[b + "vis_attn_qkv.weight"]
+            sd[hf + "self_attn.vision_expert_dense.weight"] = \
+                t[b + "vis_attn_output.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "mlp.language_mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "mlp.language_mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.language_mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+            sd[hf + "mlp.vision_mlp.gate_proj.weight"] = t[b + "vis_gate.weight"]
+            sd[hf + "mlp.vision_mlp.up_proj.weight"] = t[b + "vis_up.weight"]
+            sd[hf + "mlp.vision_mlp.down_proj.weight"] = t[b + "vis_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_afmoe():
+    NE = 4
+    cfg = _cfg("AfmoeForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, head_dim=16, intermediate_size=128,
+               num_hidden_layers=4, rms_norm_eps=1e-5, num_experts=NE,
+               num_experts_per_tok=2, moe_intermediate_size=48,
+               num_shared_experts=1, num_dense_layers=1, route_norm=True,
+               route_scale=2.0, sliding_window=64)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(4):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = \
+                t[b + "post_attention_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = unpermute(t[b + "attn_q.weight"], 4)
+            sd[hf + "self_attn.k_proj.weight"] = unpermute(t[b + "attn_k.weight"], 2)
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.gate_proj.weight"] = t[b + "attn_gate.weight"]
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "pre_mlp_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "post_mlp_layernorm.weight"] = t[b + "post_ffw_norm.weight"]
+            if b + "ffn_gate.weight" in t:     # dense lead
+                sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+                sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+            else:
+                sd[hf + "mlp.router.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+                sd[hf + "mlp.expert_bias"] = t[b + "exp_probs_b.bias"]
+                _unstack_experts(sd, t, b, hf, NE)
+                for kind in ("gate", "up", "down"):
+                    sd[hf + f"mlp.shared_expert.{kind}_proj.weight"] = \
+                        t[b + f"ffn_{kind}_shexp.weight"]
+        return sd
+    return cfg, build
+
+
+def case_exaone_moe():
+    NE = 4
+    cfg = _cfg("ExaoneMoEForCausalLM", hidden_size=64,
+               num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+               intermediate_size=128, num_hidden_layers=4, rms_norm_eps=1e-5,
+               num_experts=NE, num_experts_per_tok=2,
+               moe_intermediate_size=48, num_shared_experts=1,
+               moe_shared_expert_intermediate_size=96,
+               routed_scaling_factor=1.0, norm_topk_prob=True,
+               first_k_dense_replace=1, num_nextn_predict_layers=0,
+               sliding_window=64, scoring_func="sigmoid")
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "lm_head.weight": t["output.weight"]}
+        for i in range(4):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"]
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            if b + "ffn_gate.weight" in t:     # dense lead
+                sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+                sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+            else:
+                sd[hf + "mlp.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+                sd[hf + "mlp.e_score_correction_bias"] = t[b + "exp_probs_b.bias"]
+                _unstack_experts(sd, t, b, hf, NE)
+                for kind in ("gate", "up", "down"):
+                    sd[hf + f"mlp.shared_experts.{kind}_proj.weight"] = \
+                        t[b + f"ffn_{kind}_shexp.weight"]
+        return sd
+    return cfg, build
+
+
+def case_phimoe():
+    NE = 4
+    cfg = _cfg("PhiMoEForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=48,
+               num_hidden_layers=2, rms_norm_eps=1e-5, num_local_experts=NE,
+               num_experts_per_tok=2)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"],
+              "model.norm.bias": t["output_norm.bias"],
+              "lm_head.weight": t["output.weight"],
+              "lm_head.bias": t["output.bias"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "input_layernorm.bias"] = t[b + "attn_norm.bias"]
+            for part in ("q", "k", "v"):
+                sd[hf + f"self_attn.{part}_proj.weight"] = t[b + f"attn_{part}.weight"]
+                sd[hf + f"self_attn.{part}_proj.bias"] = t[b + f"attn_{part}.bias"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.o_proj.bias"] = t[b + "attn_output.bias"]
+            sd[hf + "post_attention_layernorm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "post_attention_layernorm.bias"] = t[b + "ffn_norm.bias"]
+            sd[hf + "block_sparse_moe.gate.weight"] = t[b + "ffn_gate_inp.weight"]
+            for hw, gw in (("w1", "gate"), ("w2", "down"), ("w3", "up")):
+                stack = t[b + f"ffn_{gw}_exps.weight"]
+                for e in range(NE):
+                    sd[hf + f"block_sparse_moe.experts.{e}.{hw}.weight"] = stack[e]
+        return sd
+    return cfg, build
+
+
 CASES = {
     "orion": case_orion, "xverse": case_xverse, "baichuan": case_baichuan,
     "internlm2": case_internlm2, "exaone": case_exaone,
@@ -804,6 +1106,10 @@ CASES = {
     "plm": case_plm, "minicpm3": case_minicpm3,
     "minimax-m2": case_minimax_m2, "pangu-embedded": case_pangu,
     "maincoder": case_maincoder, "llada-moe": case_llada_moe,
+    "rwkv6qwen2": case_rwkv6qwen2, "arwkv7": case_arwkv7,
+    "lfm2": case_lfm2, "lfm2moe": case_lfm2moe, "cogvlm": case_cogvlm,
+    "afmoe": case_afmoe, "exaone-moe": case_exaone_moe,
+    "phimoe": case_phimoe,
 }
 
 
