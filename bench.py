@@ -293,11 +293,15 @@ def main():
     from superllama_tpu.runtime.engine import Engine, GenRequest
 
     m8 = LoadedModel(hparams=hp8, params=p8, tokenizer=None, metadata={})
+    # block_size 32: through the tunnel a block fetch costs one ~250 ms RTT
+    # regardless of size, so the block must carry ≥ RTT worth of decode work
+    # (32·~9 ms ≈ 300 ms) for the 2-deep pipeline to hide it
     eng = Engine(m8, n_slots=8, n_ctx=S8, kv_dtype=jnp.bfloat16,
-                 prefill_buckets=(32,), block_size=16)
+                 prefill_buckets=(32,), block_size=32)
+    eng.warmup()   # AOT-compile every decode window OUTSIDE the timed region
     rng_e = np.random.default_rng(7)
     mk = lambda n_tok: [int(x) for x in rng_e.integers(1, 1000, n_tok)]
-    # warm: compiles prefill/insert/block/truncate
+    # warm: compiles prefill/insert/truncate
     eng.generate(mk(32), max_tokens=33, stop_eog=False)
 
     r1 = eng.generate(mk(32), max_tokens=257, stop_eog=False)

@@ -349,6 +349,47 @@ class Engine:
         if self._thread:
             self._thread.join(timeout=5)
 
+    def warmup(self) -> None:
+        """AOT-compile every decode-window variant of the hot jits before
+        serving (the llama-server warmup run, server.cpp main — but compile-
+        only: abstract avals, no device data moves). Without this, the first
+        request that outgrows a window bucket pays a full XLA compile inside
+        its token stream (20-40 s through the axon AOT tunnel, dwarfing the
+        decode itself)."""
+        if self.cache is None:      # paged mode compiles per page topology
+            return
+        absify = lambda t: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        params_a = absify(self.model.params)
+        cache_a = absify(self.cache)
+        B = self.n_slots
+        tok = jax.ShapeDtypeStruct((B, 1), jnp.int32)
+        pos = jax.ShapeDtypeStruct((B, 1), jnp.int32)
+        wins: list[int | None] = []
+        w = 256
+        while w < self.n_ctx:
+            wins.append(w)
+            w *= 2
+        wins.append(None)
+        if not self._win_ok:
+            wins = [None]
+        for win in wins:
+            self._decode.lower(params_a, tok, pos, cache_a,
+                               s_window=win).compile()
+        if self.block_size > 1:
+            dsamp = self._dsamp
+            sp = {k: jax.ShapeDtypeStruct(np.asarray(v).shape,
+                                          np.asarray(v).dtype)
+                  for k, v in dsamp.chain_params(
+                      [None] * B, self.hp.n_vocab).items()}
+            ring = jax.ShapeDtypeStruct((B, dsamp.RING), jnp.int32)
+            keys = jax.ShapeDtypeStruct((B, 2), jnp.uint32)
+            counts = jax.ShapeDtypeStruct((B,), jnp.int32)
+            for win in wins:
+                self._block.lower(params_a, tok, pos, cache_a, ring, keys,
+                                  counts, sp, n_steps=self.block_size,
+                                  s_window=win).compile()
+
     def run_until_drained(self):
         """Synchronous mode: run steps until all work completes (tests/CLI)."""
         while not self._queue.empty() or any(s.state != SlotState.IDLE for s in self.slots):
@@ -887,6 +928,12 @@ class Engine:
             self.model.params, jnp.asarray(tok0), jnp.asarray(pos0),
             self.cache, jnp.asarray(ring), keys, jnp.asarray(counts), sp,
             n_steps=nb, s_window=win)
+        try:  # start the D2H copy NOW: by consume time (one pipelined block
+            # later) the tokens are already host-resident instead of paying
+            # a full tunnel round-trip inside the hot loop
+            toks.copy_to_host_async()
+        except Exception:
+            pass
         return {"ids": tuple(s.idx for s in active), "toks": toks,
                 "fed0": {s.idx: int(tok0[s.idx, 0]) for s in active},
                 "carry": (tok_l, pos_l, ring_d, counts_d),
@@ -900,6 +947,10 @@ class Engine:
             self.model.params, tok_l, pos_l, self.cache, ring_d,
             pend["keys"], counts_d, pend["sp"], n_steps=self.block_size,
             s_window=pend["win"])
+        try:
+            toks.copy_to_host_async()
+        except Exception:
+            pass
         return {"ids": pend["ids"], "toks": toks, "fed0": None,
                 "carry": (tok_l2, pos_l2, ring2, counts2),
                 "keys": pend["keys"], "sp": pend["sp"], "win": pend["win"]}

@@ -192,6 +192,10 @@ _ARCH_MAP = {
     "RWForCausalLM": "falcon",
     "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
     "RwkvHybridForCausalLM": "arwkv7",
+    "Plamo2ForCausalLM": "plamo2",
+    "PLaMo2ForCausalLM": "plamo2",
+    "Plamo3ForCausalLM": "plamo3",
+    "PLaMo3ForCausalLM": "plamo3",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -1736,6 +1740,68 @@ def _convert_arwkv7(w, put, get, config):
         put(gg + "ffn_down.weight", get(mlp + "down_proj.weight"))
 
 
+def _convert_plamo3(w, put, get, config):
+    """PLaMo-3 mapping (convert_hf_to_gguf Plamo3Model counterpart):
+    model.layers.layers.* nesting, zero-centered norms re-centered
+    (+1, +1/5, +1/5^1.5 per position), fused qkv kept fused, per-head q/k
+    norms, fused SWIGLU gate_up, suffix-less post-norm GGUF names."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight") + 1.0)
+    put("output.weight", get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "pre_mixer_norm.weight") + 1.0)
+        put(gg + "attn_qkv.weight", get(hf + "mixer.qkv_proj.weight"))
+        put(gg + "attn_q_norm.weight", get(hf + "mixer.q_norm.weight") + 1.0)
+        put(gg + "attn_k_norm.weight", get(hf + "mixer.k_norm.weight") + 1.0)
+        put(gg + "attn_output.weight", get(hf + "mixer.o_proj.weight"))
+        put(gg + "post_attention_norm",
+            get(hf + "post_mixer_norm.weight") + 1.0 / 5)
+        put(gg + "ffn_norm.weight", get(hf + "pre_mlp_norm.weight") + 1.0)
+        put(gg + "post_ffw_norm",
+            get(hf + "post_mlp_norm.weight") + 1.0 / 5 ** 1.5)
+        put(gg + "ffn_up.weight", get(hf + "mlp.gate_up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
+def _convert_plamo2(w, put, get, config):
+    """PLaMo-2 mapping (convert_hf_to_gguf Plamo2Model counterpart): hybrid
+    mamba/attention; A_log → -exp, conv1d squeezed, dt/B/C stream norms,
+    per-head q/k norm planes, same zero-centered norm re-centering."""
+    put("token_embd.weight", get("model.embed_tokens.weight"))
+    put("output_norm.weight", get("model.norm.weight") + 1.0)
+    put("output.weight", get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "pre_mixer_norm.weight") + 1.0)
+        if get(hf + "mixer.in_proj.weight") is not None:    # mamba layer
+            put(gg + "ssm_in.weight", get(hf + "mixer.in_proj.weight"))
+            conv = get(hf + "mixer.conv1d.weight")
+            put(gg + "ssm_conv1d.weight",
+                conv[:, 0, :] if conv.ndim == 3 else conv)
+            put(gg + "ssm_x.weight", get(hf + "mixer.bcdt_proj.weight"))
+            put(gg + "ssm_dt.weight", get(hf + "mixer.dt_proj.weight"))
+            put(gg + "ssm_dt.bias", get(hf + "mixer.dt_bias"))
+            put(gg + "ssm_a", -np.exp(get(hf + "mixer.A_log")))
+            put(gg + "ssm_d", get(hf + "mixer.D"))
+            put(gg + "ssm_out.weight", get(hf + "mixer.out_proj.weight"))
+            put(gg + "ssm_dt_norm", get(hf + "mixer.dt_norm_weight"))
+            put(gg + "ssm_b_norm", get(hf + "mixer.B_norm_weight"))
+            put(gg + "ssm_c_norm", get(hf + "mixer.C_norm_weight"))
+        else:                                               # attention layer
+            put(gg + "attn_qkv.weight", get(hf + "mixer.qkv_proj.weight"))
+            put(gg + "attn_q_norm.weight", get(hf + "mixer.q_weight"))
+            put(gg + "attn_k_norm.weight", get(hf + "mixer.k_weight"))
+            put(gg + "attn_output.weight", get(hf + "mixer.o_proj.weight"))
+        put(gg + "post_attention_norm",
+            get(hf + "post_mixer_norm.weight") + 1.0 / 5)
+        put(gg + "ffn_norm.weight", get(hf + "pre_mlp_norm.weight") + 1.0)
+        put(gg + "post_ffw_norm",
+            get(hf + "post_mlp_norm.weight") + 1.0 / 5 ** 1.5)
+        put(gg + "ffn_up.weight", get(hf + "mlp.gate_up_proj.weight"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.down_proj.weight"))
+
+
 def _convert_llada(w, put, get, config):
     """LLaDA dense mapping (LLaDAModel counterpart): olmo-style
     model.transformer.blocks.* with fused attn/ffn projections split."""
@@ -2021,10 +2087,75 @@ def convert_state_dict(
         w.write()
         return
 
+    if arch == "plamo2":
+        # per-layer mamba/attention pattern precludes the generic metadata
+        w = GGUFWriter(out_path, arch=arch)
+        w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+        E = config.hidden_size
+        H = config.num_attention_heads
+        HKV = getattr(config, "num_key_value_heads", None) or H
+        D = int(getattr(config, "hidden_size_per_head", None)
+                or getattr(config, "head_dim", None) or E // H)
+        L = int(config.num_hidden_layers)
+        step = int(getattr(config, "mamba_step", 2))
+        if getattr(config, "mamba_enabled", True):
+            kv_arr = []
+            for i in range(L):
+                is_mamba = ((i != L - 1) if L <= step // 2
+                            else (i % step) != (step // 2))
+                kv_arr.append(0 if is_mamba else int(HKV))
+        else:
+            kv_arr = [int(HKV)] * L
+        nh = int(getattr(config, "mamba_num_heads", 64))
+        w.add(f"{arch}.context_length",
+              int(getattr(config, "max_position_embeddings", 2048)))
+        w.add(f"{arch}.embedding_length", E)
+        w.add(f"{arch}.block_count", L)
+        w.add(f"{arch}.feed_forward_length",
+              int(getattr(config, "intermediate_size", 4 * E)))
+        w.add(f"{arch}.attention.head_count", int(H))
+        w.add(f"{arch}.attention.head_count_kv", kv_arr)
+        w.add(f"{arch}.attention.key_length", D)
+        w.add(f"{arch}.attention.value_length", D)
+        w.add(f"{arch}.rope.dimension_count", D)
+        w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(getattr(config, "rms_norm_eps", 1e-6)))
+        w.add(f"{arch}.rope.freq_base",
+              float(getattr(config, "rope_theta", 10000.0)))
+        w.add(f"{arch}.vocab_size", int(config.vocab_size))
+        w.add(f"{arch}.ssm.state_size",
+              int(getattr(config, "mamba_d_state", 64)))
+        w.add(f"{arch}.ssm.conv_kernel",
+              int(getattr(config, "mamba_d_conv", 4)))
+        w.add(f"{arch}.ssm.time_step_rank", nh)
+        w.add(f"{arch}.ssm.inner_size", nh * D)
+        w.add(f"{arch}.ssm.group_count", 0)
+
+        def put_p(gguf_name, arr, qtype=ggml_type):
+            if arr is None:
+                return
+            t = GGMLType.F32 if arr.ndim == 1 else qtype
+            if (arr.ndim >= 2 and arr.shape[-1] % 256 != 0
+                    and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16)):
+                t = GGMLType.F16
+            w.add_tensor(gguf_name, arr, t)
+
+        def get_p(name):
+            t = state_dict.get(name)
+            return None if t is None else np.asarray(t, dtype=np.float32)
+
+        _convert_plamo2(w, put_p, get_p, config)
+        for key, val in (tokenizer_fields or {}).items():
+            w.add(key, val)
+        w.write()
+        return
+
     n_head = getattr(config, "num_attention_heads", 0)
     n_kv = getattr(config, "num_key_value_heads", None) or n_head
     n_embd = config.hidden_size
-    head_dim = getattr(config, "head_dim", None) or (n_embd // n_head if n_head else 0)
+    head_dim = (getattr(config, "head_dim", None)
+                or getattr(config, "hidden_size_per_head", None)  # plamo3
+                or (n_embd // n_head if n_head else 0))
     if arch == "deepseek2":  # MLA: k head = nope + rope dims, v head separate
         head_dim = int(config.qk_nope_head_dim) + int(config.qk_rope_head_dim)
         n_kv = n_head
@@ -2640,6 +2771,10 @@ def convert_state_dict(
         return
     if arch == "arwkv7":
         _convert_arwkv7(w, put, get, config)
+        w.write()
+        return
+    if arch == "plamo3":
+        _convert_plamo3(w, put, get, config)
         w.write()
         return
 

@@ -1093,6 +1093,71 @@ def case_phimoe():
     return cfg, build
 
 
+def case_plamo3():
+    cfg = _cfg("Plamo3ForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, head_dim=16, intermediate_size=64,
+               num_hidden_layers=2, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"] - 1.0,
+              "lm_head.weight": t["output.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"model.layers.layers.{i}."
+            sd[hf + "pre_mixer_norm.weight"] = t[b + "attn_norm.weight"] - 1.0
+            sd[hf + "mixer.qkv_proj.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "mixer.q_norm.weight"] = t[b + "attn_q_norm.weight"] - 1.0
+            sd[hf + "mixer.k_norm.weight"] = t[b + "attn_k_norm.weight"] - 1.0
+            sd[hf + "mixer.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_mixer_norm.weight"] = t[b + "post_attention_norm"] - 1.0 / 5
+            sd[hf + "pre_mlp_norm.weight"] = t[b + "ffn_norm.weight"] - 1.0
+            sd[hf + "post_mlp_norm.weight"] = t[b + "post_ffw_norm"] - 1.0 / 5 ** 1.5
+            sd[hf + "mlp.gate_up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_plamo2():
+    cfg = _cfg("Plamo2ForCausalLM", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, hidden_size_per_head=16,
+               intermediate_size=64, num_hidden_layers=4, mamba_step=2,
+               mamba_enabled=True, mamba_num_heads=4, mamba_d_state=8,
+               mamba_d_conv=4, rms_norm_eps=1e-5)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"] - 1.0,
+              "lm_head.weight": t["output.weight"]}
+        for i in range(4):
+            b, hf = f"blk.{i}.", f"model.layers.layers.{i}."
+            sd[hf + "pre_mixer_norm.weight"] = t[b + "attn_norm.weight"] - 1.0
+            if b + "ssm_in.weight" in t:
+                sd[hf + "mixer.in_proj.weight"] = t[b + "ssm_in.weight"]
+                sd[hf + "mixer.conv1d.weight"] = t[b + "ssm_conv1d.weight"][:, None, :]
+                sd[hf + "mixer.bcdt_proj.weight"] = t[b + "ssm_x.weight"]
+                sd[hf + "mixer.dt_proj.weight"] = t[b + "ssm_dt.weight"]
+                sd[hf + "mixer.dt_bias"] = t[b + "ssm_dt.bias"]
+                sd[hf + "mixer.A_log"] = np.log(-t[b + "ssm_a"])
+                sd[hf + "mixer.D"] = t[b + "ssm_d"]
+                sd[hf + "mixer.out_proj.weight"] = t[b + "ssm_out.weight"]
+                sd[hf + "mixer.dt_norm_weight"] = t[b + "ssm_dt_norm"]
+                sd[hf + "mixer.B_norm_weight"] = t[b + "ssm_b_norm"]
+                sd[hf + "mixer.C_norm_weight"] = t[b + "ssm_c_norm"]
+            else:
+                sd[hf + "mixer.qkv_proj.weight"] = t[b + "attn_qkv.weight"]
+                sd[hf + "mixer.q_weight"] = t[b + "attn_q_norm.weight"]
+                sd[hf + "mixer.k_weight"] = t[b + "attn_k_norm.weight"]
+                sd[hf + "mixer.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "post_mixer_norm.weight"] = t[b + "post_attention_norm"] - 1.0 / 5
+            sd[hf + "pre_mlp_norm.weight"] = t[b + "ffn_norm.weight"] - 1.0
+            sd[hf + "post_mlp_norm.weight"] = t[b + "post_ffw_norm"] - 1.0 / 5 ** 1.5
+            sd[hf + "mlp.gate_up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
 CASES = {
     "orion": case_orion, "xverse": case_xverse, "baichuan": case_baichuan,
     "internlm2": case_internlm2, "exaone": case_exaone,
@@ -1107,6 +1172,7 @@ CASES = {
     "minimax-m2": case_minimax_m2, "pangu-embedded": case_pangu,
     "maincoder": case_maincoder, "llada-moe": case_llada_moe,
     "rwkv6qwen2": case_rwkv6qwen2, "arwkv7": case_arwkv7,
+    "plamo2": case_plamo2, "plamo3": case_plamo3,
     "lfm2": case_lfm2, "lfm2moe": case_lfm2moe, "cogvlm": case_cogvlm,
     "afmoe": case_afmoe, "exaone-moe": case_exaone_moe,
     "phimoe": case_phimoe,
@@ -1160,13 +1226,19 @@ def test_convert_matches_spec(name, tmp_path):
             assert got == pytest.approx(v, rel=1e-6), f"{k}: {got} != {v}"
         else:
             assert got == v, f"{k}: {got!r} != {v!r}"
-    # identical tensor sets, bit-equal payloads
+    # identical tensor sets, bit-equal payloads (ssm_a goes through a
+    # log/-exp roundtrip — A_log is the HF storage form — so f32-close only)
     assert set(ra.tensors) == set(rb.tensors), (
         set(ra.tensors) ^ set(rb.tensors))
     for tname, ti in ra.tensors.items():
-        np.testing.assert_array_equal(
-            ti.astype_f32(), rb.tensors[tname].astype_f32(),
-            err_msg=f"{name}:{tname}")
+        if tname.endswith("ssm_a"):
+            np.testing.assert_allclose(
+                ti.astype_f32(), rb.tensors[tname].astype_f32(),
+                rtol=1e-6, atol=1e-7, err_msg=f"{name}:{tname}")
+        else:
+            np.testing.assert_array_equal(
+                ti.astype_f32(), rb.tensors[tname].astype_f32(),
+                err_msg=f"{name}:{tname}")
     # identical runtime hparams
     ma = load_model(str(spec_path))
     mb = load_model(str(out_path))
