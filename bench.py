@@ -297,7 +297,7 @@ def main():
     # regardless of size, so the block must carry ≥ RTT worth of decode work
     # (32·~9 ms ≈ 300 ms) for the 2-deep pipeline to hide it
     eng = Engine(m8, n_slots=8, n_ctx=S8, kv_dtype=jnp.bfloat16,
-                 prefill_buckets=(32,), block_size=32)
+                 prefill_buckets=(32,), block_size=32, pipeline_depth=3)
     eng.warmup()   # AOT-compile every decode window OUTSIDE the timed region
     rng_e = np.random.default_rng(7)
     mk = lambda n_tok: [int(x) for x in rng_e.integers(1, 1000, n_tok)]

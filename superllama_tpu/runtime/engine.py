@@ -113,7 +113,8 @@ class Engine:
                  kv_dtype=jnp.bfloat16, prefill_buckets=PREFILL_BUCKETS,
                  draft_model: LoadedModel | None = None, n_draft: int = 8,
                  ctx_shift: bool = False, lookup_ngrams: int = 0,
-                 block_size: int = 8, paged: bool = False,
+                 block_size: int = 8, pipeline_depth: int = 2,
+                 paged: bool = False,
                  page_size: int = 256, n_pages: int | None = None,
                  max_pages_per_seq: int | None = None):
         self.model = model
@@ -171,7 +172,8 @@ class Engine:
         self._dsamp = dsamp
 
         def decode_block(params, tok0, pos0, cache, ring, base_keys, counts,
-                         sp, n_steps: int, s_window: int | None = None):
+                         sp, n_steps: int, s_window: int | None = None,
+                         greedy_only: bool = False):
             def body(carry, i):
                 tok, pos, cache, ring = carry
                 if s_window and self._win_ok:
@@ -179,9 +181,14 @@ class Engine:
                                     s_window=s_window)
                 else:
                     lg, cache = fwd(params, hp, tok, pos, cache)
-                keys = jax.vmap(jax.random.fold_in)(base_keys, counts + i)
-                nxt, ring = dsamp.chain_step(
-                    lg[:, -1].astype(jnp.float32), ring, keys, sp)
+                if greedy_only:
+                    # static fast path: every row greedy → plain argmax, no
+                    # top-k/penalty machinery in the graph (~ms/step saved)
+                    nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+                else:
+                    keys = jax.vmap(jax.random.fold_in)(base_keys, counts + i)
+                    nxt, ring = dsamp.chain_step(
+                        lg[:, -1].astype(jnp.float32), ring, keys, sp)
                 active = pos[:, 0] >= 0
                 nxt = jnp.where(active, nxt, tok[:, 0])
                 pos2 = jnp.where(active[:, None], pos + 1, pos)
@@ -196,12 +203,17 @@ class Engine:
                     counts + n_steps, cache)
 
         self._block = jax.jit(decode_block,
-                              static_argnames=("n_steps", "s_window"),
+                              static_argnames=("n_steps", "s_window",
+                                               "greedy_only"),
                               donate_argnums=(3,))
-        # in-flight block: {"ids", "toks", "carry", "keys", "sp"} — the
-        # pipelined handoff (device runs block k+1 while the host inspects
-        # block k's tokens for stop conditions)
-        self._pending: dict | None = None
+        # in-flight blocks: [{"ids", "toks", "carry", "keys", "sp"}, …] — the
+        # pipelined handoff (device runs blocks k+1…k+d while the host
+        # inspects block k's tokens for stop conditions). Depth >2 hides the
+        # fetch behind compute entirely: by consume time the oldest block
+        # finished a full iteration ago, so the host pays only transfer
+        # latency, not the block's compute.
+        self._pending_q: list[dict] = []
+        self.pipeline_depth = max(1, int(pipeline_depth))
 
         def prefill(params, tokens, pos, cache):
             return fwd(params, hp, tokens, pos, cache)
@@ -386,9 +398,11 @@ class Engine:
             keys = jax.ShapeDtypeStruct((B, 2), jnp.uint32)
             counts = jax.ShapeDtypeStruct((B,), jnp.int32)
             for win in wins:
-                self._block.lower(params_a, tok, pos, cache_a, ring, keys,
-                                  counts, sp, n_steps=self.block_size,
-                                  s_window=win).compile()
+                for greedy in (True, False):
+                    self._block.lower(params_a, tok, pos, cache_a, ring,
+                                      keys, counts, sp,
+                                      n_steps=self.block_size, s_window=win,
+                                      greedy_only=greedy).compile()
 
     def run_until_drained(self):
         """Synchronous mode: run steps until all work completes (tests/CLI)."""
@@ -789,9 +803,11 @@ class Engine:
         mutation (legacy decode, context shift, slot ops, prompt-cache
         truncate) — those paths compute keep vectors from host n_past and
         would otherwise cut the block's still-unconsumed KV rows."""
-        if self._pending is not None:
-            pend, self._pending = self._pending, None
-            self._consume_block(pend)
+        q, self._pending_q = self._pending_q, []
+        nb = self.block_size
+        while q:
+            pend = q.pop(0)
+            self._consume_block(pend, inflight_extra=nb * len(q))
 
     def _paged_pick(self, active: list[_Slot]) -> list[_Slot]:
         """Swap-scheduling admission: pick slots whose page chains fit the
@@ -924,10 +940,12 @@ class Engine:
               for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
         keys = jnp.asarray(base_keys)
         win = self._s_bucket(max(s.n_past for s in active) + 2 * nb + 1)
+        greedy = all(c is None or c.get("greedy")
+                     or (c.get("temp", 1.0) == 0.0) for c in cfgs)
         toks, tok_l, pos_l, ring_d, counts_d, self.cache = self._block(
             self.model.params, jnp.asarray(tok0), jnp.asarray(pos0),
             self.cache, jnp.asarray(ring), keys, jnp.asarray(counts), sp,
-            n_steps=nb, s_window=win)
+            n_steps=nb, s_window=win, greedy_only=greedy)
         try:  # start the D2H copy NOW: by consume time (one pipelined block
             # later) the tokens are already host-resident instead of paying
             # a full tunnel round-trip inside the hot loop
@@ -937,7 +955,7 @@ class Engine:
         return {"ids": tuple(s.idx for s in active), "toks": toks,
                 "fed0": {s.idx: int(tok0[s.idx, 0]) for s in active},
                 "carry": (tok_l, pos_l, ring_d, counts_d),
-                "keys": keys, "sp": sp, "win": win}
+                "keys": keys, "sp": sp, "win": win, "greedy": greedy}
 
     def _chain_block(self, pend: dict) -> dict:
         """Dispatch the next block straight off the previous block's
@@ -946,14 +964,15 @@ class Engine:
         toks, tok_l2, pos_l2, ring2, counts2, self.cache = self._block(
             self.model.params, tok_l, pos_l, self.cache, ring_d,
             pend["keys"], counts_d, pend["sp"], n_steps=self.block_size,
-            s_window=pend["win"])
+            s_window=pend["win"], greedy_only=pend["greedy"])
         try:
             toks.copy_to_host_async()
         except Exception:
             pass
         return {"ids": pend["ids"], "toks": toks, "fed0": None,
                 "carry": (tok_l2, pos_l2, ring2, counts2),
-                "keys": pend["keys"], "sp": pend["sp"], "win": pend["win"]}
+                "keys": pend["keys"], "sp": pend["sp"], "win": pend["win"],
+                "greedy": pend["greedy"]}
 
     def _consume_block(self, pend: dict, inflight_extra: int = 0) -> None:
         """Fetch a landed block's tokens, emit per slot, roll back overshoot.
@@ -1005,26 +1024,33 @@ class Engine:
         non-empty pending block always covers exactly the generating set."""
         t0 = time.perf_counter()
         nb = self.block_size
-        pend, self._pending = self._pending, None
+        q = self._pending_q
         cur_ids = tuple(s.idx for s in active)
-        win_ok = (pend is None or pend["win"] is None
-                  or max(s.n_past for s in active) + 2 * nb + 1 <= pend["win"])
-        if pend is not None and (pend["ids"] != cur_ids or not win_ok):
+        max_past = max(s.n_past for s in active)
+        win_ok = all(p["win"] is None
+                     or max_past + (len(q) + 1) * nb + 1 <= p["win"]
+                     for p in q)
+        if q and (q[0]["ids"] != cur_ids or not win_ok):
             # active set grew (a prefill finalized) or the slot window is
-            # outgrown: land the old pipeline; the next step relaunches
-            self._consume_block(pend)
+            # outgrown: land the whole pipeline; the next step relaunches
+            self._flush_pending()
         else:
-            if pend is None:
-                pend = self._launch_block(active)
-            nxt = self._chain_block(pend)
-            self._consume_block(pend, inflight_extra=nb)
+            if not q:
+                q.append(self._launch_block(active))
+            # top up the pipeline while the window covers the extra depth
+            while len(q) < self.pipeline_depth:
+                last_win = q[-1]["win"]
+                if (last_win is not None
+                        and max_past + (len(q) + 1) * nb + 1 > last_win):
+                    break
+                q.append(self._chain_block(q[-1]))
+            pend = q.pop(0)
+            self._consume_block(pend, inflight_extra=nb * len(q))
             if tuple(i for i in pend["ids"]
-                     if self.slots[i].state == SlotState.GENERATING) == pend["ids"]:
-                self._pending = nxt           # steady state: stay pipelined
-            else:
-                # a stop landed: drain the chained block now (survivors emit,
-                # stopped rows roll back) so idle slots are safe to reuse
-                self._consume_block(nxt)
+                     if self.slots[i].state == SlotState.GENERATING) != pend["ids"]:
+                # a stop landed: drain the chained blocks now (survivors
+                # emit, stopped rows roll back) so idle slots are reusable
+                self._flush_pending()
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True

@@ -142,7 +142,10 @@ _ARCH_MAP = {
     "Glm4vMoeForConditionalGeneration": "glm4moe",
     "Llama4ForConditionalGeneration": "llama4",
     "GemmaForCausalLM": "gemma",
-    "Gemma3TextModel": "gemma3",
+    # EmbeddingGemma ships as Gemma3TextModel (convert_hf_to_gguf
+    # EmbeddingGemma class); causal gemma3 checkpoints use
+    # Gemma3ForCausalLM/-ConditionalGeneration
+    "Gemma3TextModel": "gemma-embedding",
     # new per-arch mappers (this file, below)
     "OrionForCausalLM": "orion",
     "XverseForCausalLM": "xverse",
@@ -196,11 +199,17 @@ _ARCH_MAP = {
     "PLaMo2ForCausalLM": "plamo2",
     "Plamo3ForCausalLM": "plamo3",
     "PLaMo3ForCausalLM": "plamo3",
+    "NomicBertModel": "nomic-bert",
+    "JinaBertModel": "jina-bert-v2",
+    "JinaBertForMaskedLM": "jina-bert-v2",
+    "NeoBERT": "neo-bert",
+    "NeoBERTLMHead": "neo-bert",
+    "NeoBERTForSequenceClassification": "neo-bert",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
 # nemotron LayerNorm1P)
-_NORM_PLUS_ONE = {"gemma2", "gemma3", "nemotron",
+_NORM_PLUS_ONE = {"gemma2", "gemma3", "gemma-embedding", "nemotron",
                   # Qwen3NextRMSNorm is zero-centered (y = x·(1+w)); the
                   # GATED linear_attn.norm is standard and stays raw
                   "qwen3next"}
@@ -1740,6 +1749,96 @@ def _convert_arwkv7(w, put, get, config):
         put(gg + "ffn_down.weight", get(mlp + "down_proj.weight"))
 
 
+def _convert_nomic_bert(w, put, get, config):
+    """nomic-bert / nomic-bert-moe mapping (convert_hf_to_gguf
+    NomicBertModel counterpart): fused attn.Wqkv, norm1/norm2 post-norms,
+    fc11=gate fc12=up fc2=down; MoE layers carry router.layer + stacked
+    experts.mlp.w1/w2."""
+    put("token_embd.weight", get("embeddings.word_embeddings.weight"))
+    put("token_types.weight", get("embeddings.token_type_embeddings.weight"))
+    put("token_embd_norm.weight", get("emb_ln.weight"))
+    put("token_embd_norm.bias", get("emb_ln.bias"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"encoder.layers.{il}.", f"blk.{il}."
+        put(gg + "attn_qkv.weight", get(hf + "attn.Wqkv.weight"))
+        put(gg + "attn_qkv.bias", get(hf + "attn.Wqkv.bias"))
+        put(gg + "attn_output.weight", get(hf + "attn.out_proj.weight"))
+        put(gg + "attn_output_norm.weight", get(hf + "norm1.weight"))
+        put(gg + "attn_output_norm.bias", get(hf + "norm1.bias"))
+        if get(hf + "mlp.router.layer.weight") is not None:  # moe layer
+            put(gg + "ffn_gate_inp.weight", get(hf + "mlp.router.layer.weight"))
+            put(gg + "ffn_up_exps.weight", get(hf + "mlp.experts.mlp.w1"))
+            put(gg + "ffn_down_exps.weight", get(hf + "mlp.experts.mlp.w2"))
+        elif get(hf + "mlp.fc11.weight") is not None:        # gated dense
+            put(gg + "ffn_gate.weight", get(hf + "mlp.fc11.weight"))
+            put(gg + "ffn_up.weight", get(hf + "mlp.fc12.weight"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.fc2.weight"))
+        else:                                                # gelu-seq dense
+            put(gg + "ffn_up.weight", get(hf + "mlp.fc1.weight"))
+            put(gg + "ffn_up.bias", get(hf + "mlp.fc1.bias"))
+            put(gg + "ffn_down.weight", get(hf + "mlp.fc2.weight"))
+            put(gg + "ffn_down.bias", get(hf + "mlp.fc2.bias"))
+        put(gg + "layer_output_norm.weight", get(hf + "norm2.weight"))
+        put(gg + "layer_output_norm.bias", get(hf + "norm2.bias"))
+
+
+def _convert_jina_v2(w, put, get, config):
+    """jina-bert-v2 mapping (convert_hf_to_gguf JinaBertV2Model
+    counterpart): bert-style attention with the extra attn_norm_2 double
+    residual, fused GEGLU gated_layers split into gate‖up halves."""
+    put("token_embd.weight", get("embeddings.word_embeddings.weight"))
+    put("token_types.weight", get("embeddings.token_type_embeddings.weight"))
+    put("token_embd_norm.weight", get("embeddings.LayerNorm.weight"))
+    put("token_embd_norm.bias", get("embeddings.LayerNorm.bias"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"encoder.layer.{il}.", f"blk.{il}."
+        for part, hn in (("q", "query"), ("k", "key"), ("v", "value")):
+            put(gg + f"attn_{part}.weight",
+                get(hf + f"attention.self.{hn}.weight"))
+            put(gg + f"attn_{part}.bias",
+                get(hf + f"attention.self.{hn}.bias"))
+        put(gg + "attn_output.weight", get(hf + "attention.output.dense.weight"))
+        put(gg + "attn_output.bias", get(hf + "attention.output.dense.bias"))
+        put(gg + "attn_output_norm.weight",
+            get(hf + "attention.output.LayerNorm.weight"))
+        put(gg + "attn_output_norm.bias",
+            get(hf + "attention.output.LayerNorm.bias"))
+        put(gg + "attn_norm_2.weight", get(hf + "mlp.layernorm.weight"))
+        put(gg + "attn_norm_2.bias", get(hf + "mlp.layernorm.bias"))
+        gl = get(hf + "mlp.gated_layers.weight")
+        if gl is not None:                     # fused GEGLU [gate; up]
+            fdim = gl.shape[0] // 2
+            put(gg + "ffn_gate.weight", gl[:fdim])
+            put(gg + "ffn_up.weight", gl[fdim:])
+        else:                                  # split variant
+            put(gg + "ffn_gate.weight", get(hf + "mlp.gated_layers_w.weight"))
+            put(gg + "ffn_up.weight", get(hf + "mlp.gated_layers_v.weight"))
+        put(gg + "ffn_up.bias", get(hf + "mlp.up_gated_layer.bias")
+            if get(hf + "mlp.up_gated_layer.bias") is not None
+            else get(hf + "mlp.gated_layers.bias"))
+        put(gg + "ffn_down.weight", get(hf + "mlp.wo.weight"))
+        put(gg + "ffn_down.bias", get(hf + "mlp.wo.bias"))
+        put(gg + "layer_output_norm.weight",
+            get(hf + "output.LayerNorm.weight"))
+        put(gg + "layer_output_norm.bias", get(hf + "output.LayerNorm.bias"))
+
+
+def _convert_neobert(w, put, get, config):
+    """NeoBERT mapping (convert_hf_to_gguf NeoBert counterpart): pre-norm
+    RMS, fused qkv, fused SWIGLU w12 kept fused as ffn_up, final
+    enc.output_norm from the top-level layer_norm."""
+    put("token_embd.weight", get("encoder.weight"))
+    put("enc.output_norm.weight", get("layer_norm.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"transformer_encoder.{il}.", f"blk.{il}."
+        put(gg + "attn_norm.weight", get(hf + "attention_norm.weight"))
+        put(gg + "attn_qkv.weight", get(hf + "qkv.weight"))
+        put(gg + "attn_output.weight", get(hf + "wo.weight"))
+        put(gg + "ffn_norm.weight", get(hf + "ffn_norm.weight"))
+        put(gg + "ffn_up.weight", get(hf + "ffn.w12.weight"))
+        put(gg + "ffn_down.weight", get(hf + "ffn.w3.weight"))
+
+
 def _convert_plamo3(w, put, get, config):
     """PLaMo-3 mapping (convert_hf_to_gguf Plamo3Model counterpart):
     model.layers.layers.* nesting, zero-centered norms re-centered
@@ -1848,6 +1947,8 @@ def convert_state_dict(
     """Write a GGUF from an HF-style config + state dict (numpy arrays)."""
     archs = getattr(config, "architectures", None) or []
     arch = arch or (_ARCH_MAP.get(archs[0]) if archs else None) or "llama"
+    if arch == "nomic-bert" and getattr(config, "moe_every_n_layers", 0):
+        arch = "nomic-bert-moe"  # same HF class; MoE detected from config
     if getattr(config, "num_hidden_layers", None) is None:
         # exaone (num_layers) / gpt2-family remote configs (n_layer)
         alt = (getattr(config, "num_layers", None)
@@ -2002,6 +2103,76 @@ def convert_state_dict(
                   float(getattr(config, "rope_freq_constant", 10000.0)))
             w.add(f"{arch}.vocab_size", int(config.vocab_size))
             _convert_openelm(w, put_a, get_a, config)
+        for key, val in (tokenizer_fields or {}).items():
+            w.add(key, val)
+        w.write()
+        return
+
+    if arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v2", "neo-bert"):
+        w = GGUFWriter(out_path, arch=arch)
+        w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+
+        def getc(*names, default=None):
+            for n in names:
+                v = getattr(config, n, None)
+                if v is not None:
+                    return v
+            return default
+
+        def put_e(gguf_name, arr, qtype=ggml_type):
+            if arr is None:
+                return
+            t = GGMLType.F32 if arr.ndim == 1 else qtype
+            if (arr.ndim >= 2 and arr.shape[-1] % 256 != 0
+                    and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16)):
+                t = GGMLType.F16
+            w.add_tensor(gguf_name, arr, t)
+
+        def get_e(name):
+            t = state_dict.get(name)
+            return None if t is None else np.asarray(t, dtype=np.float32)
+
+        E = int(getc("hidden_size", "n_embd"))
+        H = int(getc("num_attention_heads", "n_head"))
+        L = int(getc("num_hidden_layers", "n_layer", "num_layers"))
+        F = int(getc("intermediate_size", "n_inner", default=4 * E))
+        w.add(f"{arch}.context_length",
+              int(getc("max_trained_positions", "max_position_embeddings",
+                       default=512)))
+        w.add(f"{arch}.embedding_length", E)
+        w.add(f"{arch}.block_count", L)
+        w.add(f"{arch}.feed_forward_length", F)
+        w.add(f"{arch}.attention.head_count", H)
+        w.add(f"{arch}.attention.head_count_kv", H)
+        w.add(f"{arch}.attention.key_length", E // H)
+        w.add(f"{arch}.attention.value_length", E // H)
+        w.add(f"{arch}.rope.dimension_count", E // H)
+        w.add(f"{arch}.rope.freq_base",
+              float(getc("rotary_emb_base", "rope_theta", default=10000.0)))
+        w.add(f"{arch}.vocab_size", int(config.vocab_size))
+        w.add(f"{arch}.attention.causal", False)
+        w.add(f"{arch}.pooling_type", 1)   # mean (the embedding default)
+        if arch == "neo-bert":
+            w.add(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(getc("norm_eps", "rms_norm_eps", default=1e-5)))
+            _convert_neobert(w, put_e, get_e, config)
+        else:
+            w.add(f"{arch}.attention.layer_norm_epsilon",
+                  float(getc("layer_norm_epsilon", "layer_norm_eps",
+                             default=1e-12)))
+            w.add("tokenizer.ggml.token_type_count",
+                  int(getc("type_vocab_size", default=2)))
+            if arch == "jina-bert-v2":
+                _convert_jina_v2(w, put_e, get_e, config)
+            else:
+                if arch == "nomic-bert-moe":
+                    w.add(f"{arch}.moe_every_n_layers",
+                          int(getc("moe_every_n_layers", default=2)))
+                    w.add(f"{arch}.expert_count", int(config.num_experts))
+                    w.add(f"{arch}.expert_used_count",
+                          int(getc("moe_top_k", "num_experts_per_tok",
+                                   default=2)))
+                _convert_nomic_bert(w, put_e, get_e, config)
         for key, val in (tokenizer_fields or {}).items():
             w.add(key, val)
         w.write()
@@ -2576,6 +2747,8 @@ def convert_state_dict(
         return
     if arch == "dream":
         w.add(f"{arch}.attention.causal", False)  # diffusion LM (DreamModel)
+    if arch == "gemma-embedding":
+        w.add(f"{arch}.pooling_type", 1)   # mean (EmbeddingGemma counterpart)
     if arch in ("llada", "llada-moe", "rnd1"):
         w.add(f"{arch}.attention.causal", False)  # diffusion LMs
     if arch == "chameleon":

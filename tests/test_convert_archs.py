@@ -24,7 +24,7 @@ from superllama_tpu.gguf import GGMLType, GGUFReader
 from superllama_tpu.models import load_model
 from superllama_tpu.tools.convert_hf import convert_state_dict
 
-from ref_arch_specs import SPECS, build_gguf, tokenizer_fields
+from ref_arch_specs import ENC_SPECS, SPECS, build_gguf, tokenizer_fields
 
 
 def unpermute(w: np.ndarray, n_head: int) -> np.ndarray:
@@ -1093,6 +1093,132 @@ def case_phimoe():
     return cfg, build
 
 
+def case_nomic_bert():
+    cfg = _cfg("NomicBertModel", n_embd=64, n_head=4, n_layer=2, n_inner=128,
+               layer_norm_epsilon=1e-12, max_trained_positions=512)
+
+    def build(t):
+        sd = {"embeddings.word_embeddings.weight": t["token_embd.weight"],
+              "embeddings.token_type_embeddings.weight": t["token_types.weight"],
+              "emb_ln.weight": t["token_embd_norm.weight"],
+              "emb_ln.bias": t["token_embd_norm.bias"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"encoder.layers.{i}."
+            sd[hf + "attn.Wqkv.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "attn.Wqkv.bias"] = t[b + "attn_qkv.bias"]
+            sd[hf + "attn.out_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "norm1.weight"] = t[b + "attn_output_norm.weight"]
+            sd[hf + "norm1.bias"] = t[b + "attn_output_norm.bias"]
+            if b + "ffn_gate_inp.weight" in t:
+                sd[hf + "mlp.router.layer.weight"] = t[b + "ffn_gate_inp.weight"]
+                sd[hf + "mlp.experts.mlp.w1"] = t[b + "ffn_up_exps.weight"]
+                sd[hf + "mlp.experts.mlp.w2"] = t[b + "ffn_down_exps.weight"]
+            elif b + "ffn_gate.weight" in t:
+                sd[hf + "mlp.fc11.weight"] = t[b + "ffn_gate.weight"]
+                sd[hf + "mlp.fc12.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "mlp.fc2.weight"] = t[b + "ffn_down.weight"]
+            else:
+                sd[hf + "mlp.fc1.weight"] = t[b + "ffn_up.weight"]
+                sd[hf + "mlp.fc1.bias"] = t[b + "ffn_up.bias"]
+                sd[hf + "mlp.fc2.weight"] = t[b + "ffn_down.weight"]
+                sd[hf + "mlp.fc2.bias"] = t[b + "ffn_down.bias"]
+            sd[hf + "norm2.weight"] = t[b + "layer_output_norm.weight"]
+            sd[hf + "norm2.bias"] = t[b + "layer_output_norm.bias"]
+        return sd
+    return cfg, build
+
+
+def case_nomic_bert_moe():
+    cfg, build = case_nomic_bert()
+    cfg.architectures = ["NomicBertModel"]
+    cfg.num_experts = 4
+    cfg.moe_top_k = 2
+    cfg.moe_every_n_layers = 2
+    return cfg, build
+
+
+def case_jina_v2():
+    cfg = _cfg("JinaBertModel", hidden_size=64, num_attention_heads=4,
+               num_hidden_layers=2, intermediate_size=128,
+               layer_norm_eps=1e-12)
+
+    def build(t):
+        sd = {"embeddings.word_embeddings.weight": t["token_embd.weight"],
+              "embeddings.token_type_embeddings.weight": t["token_types.weight"],
+              "embeddings.LayerNorm.weight": t["token_embd_norm.weight"],
+              "embeddings.LayerNorm.bias": t["token_embd_norm.bias"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"encoder.layer.{i}."
+            for part, hn in (("q", "query"), ("k", "key"), ("v", "value")):
+                sd[hf + f"attention.self.{hn}.weight"] = t[b + f"attn_{part}.weight"]
+                sd[hf + f"attention.self.{hn}.bias"] = t[b + f"attn_{part}.bias"]
+            sd[hf + "attention.output.dense.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "attention.output.dense.bias"] = t[b + "attn_output.bias"]
+            sd[hf + "attention.output.LayerNorm.weight"] = t[b + "attn_output_norm.weight"]
+            sd[hf + "attention.output.LayerNorm.bias"] = t[b + "attn_output_norm.bias"]
+            sd[hf + "mlp.layernorm.weight"] = t[b + "attn_norm_2.weight"]
+            sd[hf + "mlp.layernorm.bias"] = t[b + "attn_norm_2.bias"]
+            sd[hf + "mlp.gated_layers.weight"] = np.concatenate(
+                [t[b + "ffn_gate.weight"], t[b + "ffn_up.weight"]])
+            sd[hf + "mlp.gated_layers.bias"] = t[b + "ffn_up.bias"]
+            sd[hf + "mlp.wo.weight"] = t[b + "ffn_down.weight"]
+            sd[hf + "mlp.wo.bias"] = t[b + "ffn_down.bias"]
+            sd[hf + "output.LayerNorm.weight"] = t[b + "layer_output_norm.weight"]
+            sd[hf + "output.LayerNorm.bias"] = t[b + "layer_output_norm.bias"]
+        return sd
+    return cfg, build
+
+
+def case_neo_bert():
+    cfg = _cfg("NeoBERT", hidden_size=64, num_attention_heads=4,
+               num_hidden_layers=2, intermediate_size=64, norm_eps=1e-5)
+
+    def build(t):
+        sd = {"encoder.weight": t["token_embd.weight"],
+              "layer_norm.weight": t["enc.output_norm.weight"]}
+        for i in range(2):
+            b, hf = f"blk.{i}.", f"transformer_encoder.{i}."
+            sd[hf + "attention_norm.weight"] = t[b + "attn_norm.weight"]
+            sd[hf + "qkv.weight"] = t[b + "attn_qkv.weight"]
+            sd[hf + "wo.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "ffn_norm.weight"] = t[b + "ffn_norm.weight"]
+            sd[hf + "ffn.w12.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "ffn.w3.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
+def case_gemma_embedding():
+    cfg = _cfg("Gemma3TextModel", hidden_size=64, num_attention_heads=4,
+               num_key_value_heads=2, head_dim=16, intermediate_size=128,
+               num_hidden_layers=6, rms_norm_eps=1e-5, sliding_window=8,
+               rope_local_base_freq=10000.0, tie_word_embeddings=True)
+
+    def build(t):
+        sd = {"model.embed_tokens.weight": t["token_embd.weight"],
+              "model.norm.weight": t["output_norm.weight"] - 1.0}
+        for i in range(6):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            sd[hf + "input_layernorm.weight"] = t[b + "attn_norm.weight"] - 1.0
+            sd[hf + "self_attn.q_proj.weight"] = t[b + "attn_q.weight"]
+            sd[hf + "self_attn.k_proj.weight"] = t[b + "attn_k.weight"]
+            sd[hf + "self_attn.v_proj.weight"] = t[b + "attn_v.weight"]
+            sd[hf + "self_attn.o_proj.weight"] = t[b + "attn_output.weight"]
+            sd[hf + "self_attn.q_norm.weight"] = t[b + "attn_q_norm.weight"] - 1.0
+            sd[hf + "self_attn.k_norm.weight"] = t[b + "attn_k_norm.weight"] - 1.0
+            sd[hf + "post_attention_layernorm.weight"] = \
+                t[b + "post_attention_norm.weight"] - 1.0
+            sd[hf + "pre_feedforward_layernorm.weight"] = \
+                t[b + "ffn_norm.weight"] - 1.0
+            sd[hf + "post_feedforward_layernorm.weight"] = \
+                t[b + "post_ffw_norm.weight"] - 1.0
+            sd[hf + "mlp.gate_proj.weight"] = t[b + "ffn_gate.weight"]
+            sd[hf + "mlp.up_proj.weight"] = t[b + "ffn_up.weight"]
+            sd[hf + "mlp.down_proj.weight"] = t[b + "ffn_down.weight"]
+        return sd
+    return cfg, build
+
+
 def case_plamo3():
     cfg = _cfg("Plamo3ForCausalLM", hidden_size=64, num_attention_heads=4,
                num_key_value_heads=2, head_dim=16, intermediate_size=64,
@@ -1173,6 +1299,9 @@ CASES = {
     "maincoder": case_maincoder, "llada-moe": case_llada_moe,
     "rwkv6qwen2": case_rwkv6qwen2, "arwkv7": case_arwkv7,
     "plamo2": case_plamo2, "plamo3": case_plamo3,
+    "nomic-bert": case_nomic_bert, "nomic-bert-moe": case_nomic_bert_moe,
+    "jina-bert-v2": case_jina_v2, "neo-bert": case_neo_bert,
+    "gemma-embedding": case_gemma_embedding,
     "lfm2": case_lfm2, "lfm2moe": case_lfm2moe, "cogvlm": case_cogvlm,
     "afmoe": case_afmoe, "exaone-moe": case_exaone_moe,
     "phimoe": case_phimoe,
@@ -1198,7 +1327,8 @@ def _hparams_equal(a, b) -> list[str]:
 
 @pytest.mark.parametrize("name", sorted(CASES), ids=str)
 def test_convert_matches_spec(name, tmp_path):
-    arch, md, tensors = SPECS[name]()
+    spec_fn = SPECS.get(name) or ENC_SPECS[name]
+    arch, md, tensors = spec_fn()
     case = CASES[name]()
     cfg, build = case[0], case[1]
     if len(case) > 2:  # converter-reachable expected tensors differ from spec
