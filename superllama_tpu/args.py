@@ -117,7 +117,7 @@ OPTIONS: list[Opt] = [
        default=0.0, tools=GEN),
     _o("--xtc-threshold", help="XTC threshold", type=float, default=0.1,
        tools=GEN),
-    _o("--top-n-sigma", help="top-n-sigma cutoff (-1 = off)", type=float,
+    _o("--top-n-sigma", "--top-nsigma", help="top-n-sigma cutoff (-1 = off)", type=float,
        default=-1.0, tools=GEN),
     _o("--dynatemp-range", help="dynamic temperature range", type=float,
        default=0.0, tools=GEN),
@@ -161,7 +161,7 @@ OPTIONS: list[Opt] = [
     # ---- speculative / lookup decoding
     _o("-md", "--draft-model", help="draft model for speculative decoding",
        env="LLAMA_ARG_MODEL_DRAFT", tools=GEN),
-    _o("--draft-n", help="draft tokens per round", type=int, default=8,
+    _o("--draft-n", "--draft", help="draft tokens per round", type=int, default=8,
        env="LLAMA_ARG_DRAFT_MAX", dest="draft_n", tools=GEN),
     _o("--draft-p-min", help="min draft acceptance probability",
        type=float, default=0.0, tools=GEN),
@@ -174,7 +174,7 @@ OPTIONS: list[Opt] = [
        env="LLAMA_ARG_PORT", tools=SRV),
     _o("--api-key", help="NAME=KEY api key (repeatable)", repeatable=True,
        env="LLAMA_API_KEY", tools=SRV),
-    _o("--slots", help="concurrent generation slots", type=int, default=4,
+    _o("-np", "--slots", "--parallel", help="concurrent generation slots", type=int, default=4,
        env="LLAMA_ARG_N_PARALLEL", tools=SRV),
     _o("--timeout", help="per-request timeout seconds", type=int,
        default=600, tools=SRV),
@@ -215,6 +215,419 @@ OPTIONS: list[Opt] = [
     _o("--preset", help="named parameter preset (presets.py)", tools=GEN),
     _o("-v", "--verbose", help="verbose logging", action="store_true"),
     _o("--log-file", help="mirror logs to a file", env="LLAMA_LOG_FILE"),
+    # =================================================================
+    # wave 3: the rest of the common/arg.cpp table. Flags whose semantics
+    # are host-CPU or GPU-vendor specific are ACCEPTED (scripts written for
+    # the reference keep working) and noted as no-ops on TPU.
+    # ---- sampling (rest)
+    _o("--samplers", help="semicolon list ordering the sampler chain",
+       env="LLAMA_ARG_SAMPLERS", tools=GEN),
+    _o("--sampler-seq", help="single-char shorthand for --samplers",
+       tools=GEN),
+    _o("--dry-sequence-breaker", help="DRY sequence breaker (repeatable; "
+       "'none' clears)", repeatable=True, tools=GEN),
+    _o("--seed-draft", help="draft model RNG seed", type=int, tools=GEN),
+    # ---- prompt / io
+    # (-p/--prompt and -f/--file are declared by the run/diffusion
+    # subcommands directly — they are positional-required there)
+    _o("--in-file", help="input file (repeatable)", repeatable=True),
+    _o("-e", "--escape", help="process prompt escape sequences "
+       "(\\n, \\t, …)", action="store_true", tools=RUN),
+    _o("--no-escape", help="do not process escape sequences",
+       action="store_true", tools=RUN),
+    _o("--in-prefix", help="prefix prepended to user inputs", tools=RUN),
+    _o("--in-suffix", help="suffix appended to user inputs", tools=RUN),
+    _o("--in-prefix-bos", help="prepend BOS to user inputs",
+       action="store_true", tools=RUN),
+    _o("--system-prompt", help="system message", dest="system_prompt",
+       tools=RUN),
+    _o("--verbose-prompt", help="print the tokenized prompt",
+       action="store_true", tools=RUN),
+    _o("--display-prompt", help="echo the prompt before generation "
+       "(default)", action="store_true", tools=RUN),
+    _o("--no-display-prompt", help="do not echo the prompt",
+       action="store_true", tools=RUN),
+    _o("--simple-io", help="plain stdin/stdout (no console codes)",
+       action="store_true", tools=RUN),
+    _o("--interactive", help="interactive chat mode", action="store_true",
+       tools=RUN),
+    _o("--interactive-first", help="wait for input before generating",
+       action="store_true", tools=RUN),
+    _o("--multiline-input", help="allow multi-line input terminated by \\",
+       action="store_true", tools=RUN),
+    _o("--color", help="colorized output", action="store_true", tools=RUN),
+    _o("--reverse-prompt", help="stop generation at this string "
+       "(repeatable)", repeatable=True, tools=RUN),
+    _o("--special", help="render special/control tokens in output",
+       action="store_true", tools=RUN),
+    _o("--spm-infill", help="suffix/prefix/middle FIM token order",
+       action="store_true", tools=RUN),
+    # ---- context / memory (rest)
+    _o("--context-shift", help="enable context shift on a full window",
+       action="store_true", env="LLAMA_ARG_CONTEXT_SHIFT", tools=GEN),
+    _o("--no-context-shift", help="fail instead of shifting on a full "
+       "context", action="store_true", tools=GEN),
+    _o("--cache-reuse", help="min prompt-cache chunk length to reuse via "
+       "KV shift", type=int, default=0, env="LLAMA_ARG_CACHE_REUSE",
+       tools=SRV),
+    _o("--cache-prompt", help="reuse cached prompt KV across requests "
+       "(default)", action="store_true", tools=SRV),
+    _o("--no-cache-prompt", help="disable prompt KV reuse",
+       action="store_true", tools=SRV),
+    _o("--swa-full", help="keep full-size KV for SWA layers (disable the "
+       "two-tier iSWA cache)", action="store_true",
+       env="LLAMA_ARG_SWA_FULL", tools=GEN),
+    _o("--swa-checkpoints", help="max SWA rollback checkpoints per slot",
+       type=int, default=3, env="LLAMA_ARG_SWA_CHECKPOINTS", tools=SRV),
+    _o("--ctx-checkpoints", help="max context checkpoints per slot",
+       type=int, default=8, tools=SRV),
+    _o("--kv-unified", help="single shared KV buffer across slots",
+       action="store_true", env="LLAMA_ARG_KV_SPLIT", tools=SRV),
+    _o("--cache-type-v", help="V cache dtype (TPU path quantizes K and V "
+       "together; accepted for compatibility)", default="bfloat16",
+       env="LLAMA_ARG_CACHE_TYPE_V", tools=GEN),
+    _o("--defrag-thold", help="KV defrag threshold (no-op: the ring cache "
+       "never fragments)", type=float, default=0.1, tools=GEN),
+    _o("--prompt-cache", help="save/load prompt KV state to this file",
+       tools=RUN),
+    _o("--prompt-cache-all", help="also cache generated tokens",
+       action="store_true", tools=RUN),
+    _o("--prompt-cache-ro", help="use the prompt cache read-only",
+       action="store_true", tools=RUN),
+    # ---- rope / yarn (rest)
+    _o("--rope-scale", help="rope context scaling factor (reciprocal of "
+       "--rope-freq-scale)", type=float, tools=GEN),
+    _o("--yarn-ext-factor", help="YaRN extrapolation mix factor",
+       type=float, default=-1.0, env="LLAMA_ARG_YARN_EXT_FACTOR",
+       tools=GEN),
+    _o("--yarn-beta-fast", help="YaRN low-correction dim", type=float,
+       default=32.0, env="LLAMA_ARG_YARN_BETA_FAST", tools=GEN),
+    _o("--yarn-beta-slow", help="YaRN high-correction dim", type=float,
+       default=1.0, env="LLAMA_ARG_YARN_BETA_SLOW", tools=GEN),
+    # ---- model load (rest)
+    _o("-mu", "--model-url", help="model download URL (unavailable: "
+       "zero-egress build)", env="LLAMA_ARG_MODEL_URL"),
+    _o("-hf", "--hf-repo", help="HuggingFace repo (unavailable: "
+       "zero-egress build)", env="LLAMA_ARG_HF_REPO"),
+    _o("-hff", "--hf-file", help="HF file name", env="LLAMA_ARG_HF_FILE"),
+    _o("-hfd", "--hf-repo-draft", help="HF repo for the draft model",
+       env="LLAMA_ARG_HF_REPO_DRAFT"),
+    _o("-hft", "--hf-token", help="HF auth token", env="HF_TOKEN"),
+    _o("--mmap", help="mmap model weights (default)", action="store_true"),
+    _o("--no-mmap", help="read weights instead of mmap",
+       action="store_true", env="LLAMA_ARG_NO_MMAP"),
+    _o("--mlock", help="lock weights in RAM (no-op: weights live in HBM)",
+       action="store_true", env="LLAMA_ARG_MLOCK"),
+    _o("--check-tensors", help="validate tensor data while loading",
+       action="store_true"),
+    _o("--override-tensor", help="per-tensor buffer override (no-op: XLA "
+       "owns placement)", repeatable=True, metavar="PATTERN"),
+    _o("--tensor-filter", help="regex filter of tensors to load",
+       repeatable=True),
+    _o("--repack", help="repack weights for the fused kernels (default on "
+       "TPU)", action="store_true"),
+    _o("--lora-scaled", help="LoRA adapter with scale: FILE SCALE "
+       "(repeatable)", repeatable=True, nargs="+", metavar="FILE SCALE",
+       tools=GEN),
+    _o("--lora-init-without-apply", help="load adapters without applying "
+       "(apply later via /lora-adapters)", action="store_true", tools=SRV),
+    _o("--control-vector-scaled", help="control vector with scale: FILE "
+       "SCALE (repeatable)", repeatable=True, nargs="+", tools=GEN),
+    _o("--control-vector-layer-range", help="layer range START END for "
+       "control vectors", nargs="+", metavar="START END", tools=GEN),
+    # ---- threads / scheduling (host-CPU semantics; accepted, no-op on TPU)
+    _o("-t", "--threads", help="host threads (no-op: XLA runtime owns "
+       "threading)", type=int, default=-1, env="LLAMA_ARG_THREADS"),
+    _o("-tb", "--threads-batch", help="host threads for batch processing "
+       "(no-op on TPU)", type=int, default=-1),
+    _o("--threads-draft", help="draft-model threads (no-op on TPU)",
+       type=int, default=-1, tools=GEN),
+    _o("--threads-batch-draft", help="draft batch threads (no-op on TPU)",
+       type=int, default=-1, tools=GEN),
+    _o("--cpu-mask", help="CPU affinity mask (no-op on TPU)"),
+    _o("--cpu-range", help="CPU affinity range (no-op on TPU)"),
+    _o("--cpu-strict", help="strict CPU placement (no-op on TPU)",
+       type=int, default=0),
+    _o("--cpu-mask-batch", help="batch CPU mask (no-op on TPU)"),
+    _o("--cpu-range-batch", help="batch CPU range (no-op on TPU)"),
+    _o("--cpu-strict-batch", help="strict batch placement (no-op on TPU)",
+       type=int, default=0),
+    _o("--cpu-mask-draft", help="draft CPU mask (no-op on TPU)",
+       tools=GEN),
+    _o("--cpu-range-draft", help="draft CPU range (no-op on TPU)",
+       tools=GEN),
+    _o("--cpu-strict-draft", help="strict draft placement (no-op on TPU)",
+       type=int, default=0, tools=GEN),
+    _o("--cpu-mask-batch-draft", help="draft batch CPU mask (no-op)",
+       tools=GEN),
+    _o("--cpu-strict-batch-draft", help="strict draft batch placement "
+       "(no-op on TPU)", type=int, default=0, tools=GEN),
+    _o("--poll", help="polling level for work waits (no-op on TPU)",
+       type=int, default=50),
+    _o("--poll-batch", help="batch polling level (no-op on TPU)",
+       type=int),
+    _o("--poll-draft", help="draft polling level (no-op on TPU)", type=int,
+       tools=GEN),
+    _o("--poll-batch-draft", help="draft batch polling (no-op on TPU)",
+       type=int, tools=GEN),
+    _o("--prio", help="process priority (no-op on TPU)", type=int,
+       default=0),
+    _o("--prio-batch", help="batch priority (no-op on TPU)", type=int),
+    _o("--prio-draft", help="draft priority (no-op on TPU)", type=int,
+       tools=GEN),
+    _o("--prio-batch-draft", help="draft batch priority (no-op on TPU)",
+       type=int, tools=GEN),
+    _o("--numa", help="NUMA strategy (no-op on TPU)",
+       choices=("distribute", "isolate", "numactl")),
+    # ---- device / split (GPU-vendor semantics; mesh flags supersede)
+    _o("-ngl", "--gpu-layers", help="layers offloaded to device (no-op: "
+       "all layers live in HBM; layer_stream spills under pressure)",
+       type=int, default=-1, env="LLAMA_ARG_N_GPU_LAYERS"),
+    _o("--gpu-layers-draft", help="draft model device layers (no-op)",
+       type=int, default=-1, tools=GEN),
+    _o("--split-mode", help="multi-device split mode (superseded by the "
+       "mesh axes: --mesh-tp/--mesh-dp)", choices=("none", "layer", "row")),
+    _o("--tensor-split", help="per-device split fractions (superseded by "
+       "the mesh)", env="LLAMA_ARG_TENSOR_SPLIT"),
+    _o("--main-gpu", help="main device ordinal (no-op: GSPMD places)",
+       type=int, default=0),
+    _o("--device", help="device list (superseded by the mesh)",
+       env="LLAMA_ARG_DEVICE"),
+    _o("--device-draft", help="draft model device list (no-op)",
+       tools=GEN),
+    _o("--list-devices", help="print available devices and exit",
+       action="store_true"),
+    _o("--rpc", help="RPC server list (superseded by jax.distributed "
+       "multihost)", env="LLAMA_ARG_RPC"),
+    _o("--no-op-offload", help="disable host op offload (no-op on TPU)",
+       action="store_true"),
+    _o("--no-kv-offload", help="keep KV on host (no-op: KV lives in HBM)",
+       action="store_true", env="LLAMA_ARG_NO_KV_OFFLOAD"),
+    _o("--no-repack", help="disable weight repacking", action="store_true"),
+    _o("--no-host", help="bypass host buffers (no-op on TPU)",
+       action="store_true"),
+    # ---- speculative (rest)
+    _o("--draft-min", help="min draft tokens per round", type=int,
+       default=1, env="LLAMA_ARG_DRAFT_MIN", tools=GEN),
+    _o("--draft-p-split", help="draft split probability", type=float,
+       default=0.1, tools=GEN),
+    _o("--spec-replace", help="TARGET DRAFT template replacement for "
+       "vocab-translated speculation", nargs="+", repeatable=True,
+       tools=GEN),
+    _o("--ctx-size-draft", help="draft model context size", type=int,
+       default=0, env="LLAMA_ARG_CTX_SIZE_DRAFT", tools=GEN),
+    _o("--cache-type-k-draft", help="draft K cache dtype", tools=GEN),
+    _o("--cache-type-v-draft", help="draft V cache dtype", tools=GEN),
+    # ---- embeddings / rerank
+    _o("--embedding", help="embedding mode (llama-embedding)",
+       action="store_true", env="LLAMA_ARG_EMBEDDINGS",
+       tools=SRV | frozenset({"embedding"})),
+    _o("--pooling", help="pooling type",
+       choices=("none", "mean", "cls", "last", "rank"),
+       env="LLAMA_ARG_POOLING", tools=SRV | frozenset({"embedding"})),
+    _o("--attention", help="attention type for embeddings",
+       choices=("causal", "non-causal"),
+       tools=frozenset({"embedding"})),
+    _o("--embd-normalize", help="embedding normalization: -1=none, 0=max "
+       "abs, 2=L2, >2=p-norm", type=int, default=2,
+       tools=frozenset({"embedding"})),
+    _o("--embd-output-format", help="output format: '', 'array', 'json', "
+       "'json+'", tools=frozenset({"embedding"})),
+    _o("--embd-separator", help="separator between input prompts",
+       tools=frozenset({"embedding"})),
+    _o("--cls-separator", help="separator for classification pairs",
+       tools=frozenset({"embedding"})),
+    _o("--rerank", help="reranking mode (/rerank endpoint)",
+       action="store_true", env="LLAMA_ARG_RERANKING", tools=SRV),
+    _o("--embd-gemma-default", help="load EmbeddingGemma defaults",
+       action="store_true", tools=frozenset({"embedding"})),
+    # ---- perplexity / eval tool
+    _o("--ppl", help="perplexity over the input text (default mode)",
+       action="store_true", tools=frozenset({"perplexity"})),
+    _o("--ppl-stride", help="stride for sliding-window ppl", type=int,
+       default=0, tools=frozenset({"perplexity"})),
+    _o("--ppl-output-type", help="0 = final ppl, 1 = per-chunk table",
+       type=int, default=0, tools=frozenset({"perplexity"})),
+    _o("--hellaswag", help="HellaSwag scoring mode", action="store_true",
+       tools=frozenset({"perplexity"})),
+    _o("--hellaswag-tasks", help="number of HellaSwag tasks", type=int,
+       default=400, tools=frozenset({"perplexity"})),
+    _o("--winogrande", help="Winogrande scoring mode", action="store_true",
+       tools=frozenset({"perplexity"})),
+    _o("--winogrande-tasks", help="number of Winogrande tasks", type=int,
+       default=0, tools=frozenset({"perplexity"})),
+    _o("--multiple-choice", help="multiple-choice scoring mode",
+       action="store_true", tools=frozenset({"perplexity"})),
+    _o("--multiple-choice-tasks", help="number of MC tasks", type=int,
+       default=0, tools=frozenset({"perplexity"})),
+    _o("--kl-divergence", help="KL divergence vs a saved logits file",
+       action="store_true", tools=frozenset({"perplexity"})),
+    _o("--save-all-logits", "--kl-divergence-base",
+       help="save logits to this file for later KL comparison",
+       dest="save_logits_file", tools=frozenset({"perplexity"})),
+    _o("--chunks", help="max chunks to process (-1 = all)", type=int,
+       default=-1, tools=frozenset({"perplexity", "imatrix"})),
+    # ---- imatrix tool
+    _o("--save-frequency", help="save every N chunks (0 = only at end)",
+       type=int, default=0, tools=frozenset({"imatrix"})),
+    _o("--output-frequency", help="status print frequency", type=int,
+       default=10, tools=frozenset({"imatrix"})),
+    _o("--process-output", help="collect stats for the output tensor",
+       action="store_true", tools=frozenset({"imatrix"})),
+    _o("--in-file-imatrix", help="previous imatrix to continue from",
+       repeatable=True, tools=frozenset({"imatrix"})),
+    _o("--show-statistics", help="print imatrix tensor statistics",
+       action="store_true", tools=frozenset({"imatrix"})),
+    # ---- cvector generator
+    _o("--positive-file", help="positive prompts file",
+       tools=frozenset({"cvector"})),
+    _o("--negative-file", help="negative prompts file",
+       tools=frozenset({"cvector"})),
+    _o("--pca-batch", help="PCA batch size", type=int, default=100,
+       tools=frozenset({"cvector"})),
+    _o("--pca-iter", help="PCA iterations", type=int, default=1000,
+       tools=frozenset({"cvector"})),
+    _o("--method", help="dimensionality reduction method",
+       choices=("pca", "mean"), tools=frozenset({"cvector"})),
+    # ---- server (rest)
+    _o("--threads-http", help="HTTP worker threads", type=int, default=-1,
+       env="LLAMA_ARG_THREADS_HTTP", tools=SRV),
+    _o("--api-prefix", help="prefix prepended to all routes",
+       env="LLAMA_ARG_API_PREFIX", tools=SRV),
+    _o("--api-key-file", help="file with one api key per line", tools=SRV),
+    _o("--metrics", help="enable /metrics (prometheus)",
+       action="store_true", env="LLAMA_ARG_ENDPOINT_METRICS", tools=SRV),
+    _o("--props", help="enable POST /props updates", action="store_true",
+       env="LLAMA_ARG_ENDPOINT_PROPS", tools=SRV),
+    _o("--slots-endpoint", help="enable /slots (default)",
+       action="store_true", tools=SRV),
+    _o("--no-slots", help="disable /slots", action="store_true",
+       env="LLAMA_ARG_NO_ENDPOINT_SLOTS", tools=SRV),
+    _o("--slot-save-path", help="directory for slot KV state files",
+       tools=SRV),
+    _o("--slot-prompt-similarity", help="min prompt similarity to reuse a "
+       "slot", type=float, default=0.5, tools=SRV),
+    _o("--webui", help="serve the bundled web UI (default)",
+       action="store_true", tools=SRV),
+    _o("--no-webui", help="disable the web UI", action="store_true",
+       env="LLAMA_ARG_NO_WEBUI", tools=SRV),
+    _o("--webui-config", help="inline JSON web UI config", tools=SRV),
+    _o("--webui-config-file", help="web UI config file", tools=SRV),
+    _o("--jinja", help="render chat templates with the jinja engine "
+       "(default; builtin fallback otherwise)", action="store_true",
+       env="LLAMA_ARG_JINJA", tools=SRV),
+    _o("--no-jinja", help="builtin chat templates only",
+       action="store_true", tools=SRV),
+    _o("--chat-template-file", help="file with a jinja chat template",
+       env="LLAMA_ARG_CHAT_TEMPLATE_FILE", tools=SRV),
+    _o("--chat-template-kwargs", help="JSON of extra template variables",
+       env="LLAMA_CHAT_TEMPLATE_KWARGS", tools=SRV),
+    _o("--reasoning-format", help="how reasoning is returned",
+       choices=("auto", "none", "deepseek", "deepseek-legacy"),
+       env="LLAMA_ARG_THINK", tools=SRV),
+    _o("--reasoning-budget", help="max thinking tokens (-1 = unlimited, "
+       "0 = disable thinking)", type=int, default=-1,
+       env="LLAMA_ARG_THINK_BUDGET", tools=SRV),
+    _o("--prefill-assistant", help="prefill an open assistant message "
+       "(default on)", action="store_true",
+       env="LLAMA_ARG_PREFILL_ASSISTANT", tools=SRV),
+    _o("--no-prefill-assistant", help="never prefill assistant messages",
+       action="store_true", tools=SRV),
+    _o("--models-dir", help="router: directory of loadable GGUFs",
+       env="LLAMA_ARG_MODELS_DIR", tools=SRV),
+    _o("--models-max", help="router: max resident models", type=int,
+       default=4, env="LLAMA_ARG_MODELS_MAX", tools=SRV),
+    _o("--models-autoload", help="router: load models on first use "
+       "(default)", action="store_true", tools=SRV),
+    _o("--no-models-autoload", help="router: explicit /models/load only",
+       action="store_true", tools=SRV),
+    _o("--models-preset", help="router: preset config file", tools=SRV),
+    # ---- multimodal
+    _o("--mmproj", help="multimodal projector GGUF",
+       env="LLAMA_ARG_MMPROJ", tools=GEN),
+    _o("--mmproj-url", help="mmproj download URL (unavailable: "
+       "zero-egress)", env="LLAMA_ARG_MMPROJ_URL", tools=GEN),
+    _o("--no-mmproj", help="ignore any bundled mmproj", action="store_true",
+       tools=GEN),
+    _o("--no-mmproj-offload", help="keep the vision tower on host (no-op "
+       "on TPU)", action="store_true", tools=GEN),
+    _o("--mmproj-auto", help="auto-locate the mmproj next to the model "
+       "(default)", action="store_true", tools=GEN),
+    _o("--image", help="image file for multimodal prompts (repeatable)",
+       repeatable=True, tools=GEN),
+    _o("--image-min-tokens", help="min image patch tokens", type=int,
+       tools=GEN),
+    _o("--image-max-tokens", help="max image patch tokens", type=int,
+       tools=GEN),
+    _o("--media-path", help="base directory for media references",
+       tools=GEN),
+    # ---- TTS
+    _o("--tts-oute-default", help="load OuteTTS default model pair",
+       action="store_true", tools=frozenset({"tts"})),
+    _o("--tts-speaker-file", help="speaker embedding JSON",
+       tools=frozenset({"tts"})),
+    _o("--tts-use-guide-tokens", help="use guide tokens for word recall",
+       action="store_true", tools=frozenset({"tts"})),
+    _o("--vocoder-model", help="WavTokenizer decoder GGUF",
+       tools=frozenset({"tts"})),
+    # ---- diffusion LMs
+    _o("--diffusion-steps", help="denoising steps", type=int, default=128,
+       tools=frozenset({"diffusion"})),
+    _o("--diffusion-algorithm", help="unmasking algorithm id", type=int,
+       default=4, tools=frozenset({"diffusion"})),
+    _o("--diffusion-visual", help="live denoising display",
+       action="store_true", tools=frozenset({"diffusion"})),
+    _o("--diffusion-eps", help="timestep epsilon", type=float,
+       tools=frozenset({"diffusion"})),
+    _o("--diffusion-block-length", help="block length for semi-ar "
+       "generation", type=int, tools=frozenset({"diffusion"})),
+    _o("--diffusion-alg-temp", help="algorithm temperature", type=float,
+       tools=frozenset({"diffusion"})),
+    _o("--diffusion-cfg-scale", help="classifier-free guidance scale",
+       type=float, tools=frozenset({"diffusion"})),
+    _o("--diffusion-add-gumbel-noise", help="add gumbel noise",
+       action="store_true", tools=frozenset({"diffusion"})),
+    # ---- logging (rest)
+    _o("--log-disable", help="disable all logging", action="store_true"),
+    _o("--log-colors", help="colorized log output",
+       choices=("on", "off", "auto"), env="LLAMA_LOG_COLORS"),
+    _o("--log-timestamps", help="prefix log lines with timestamps",
+       action="store_true", env="LLAMA_LOG_TIMESTAMPS"),
+    _o("--log-prefix", help="prefix log lines with the level",
+       action="store_true", env="LLAMA_LOG_PREFIX"),
+    _o("--log-verbosity", help="verbosity threshold", type=int, default=0,
+       env="LLAMA_LOG_VERBOSITY"),
+    _o("--perf", help="print performance counters at exit",
+       action="store_true", dest="perf"),
+    _o("--no-perf", help="disable performance counters",
+       action="store_true"),
+    _o("--show-timings", help="per-request timing breakdown (server "
+       "default)", action="store_true", tools=SRV),
+    # ---- bench / parallel drivers
+    _o("--pps", help="batched-bench: prompt is shared across sequences",
+       action="store_true", tools=frozenset({"bench"})),
+    _o("-npp", help="batched-bench prompt lengths (comma list)",
+       dest="n_pp", tools=frozenset({"bench"})),
+    _o("-ntg", help="batched-bench generation lengths", dest="n_tg",
+       tools=frozenset({"bench"})),
+    _o("-npl", help="batched-bench batch sizes", dest="n_pl",
+       tools=frozenset({"bench"})),
+    _o("--junk", help="passkey: junk paragraph repeats", type=int,
+       default=250, tools=frozenset({"bench"})),
+    _o("--pos", help="passkey: needle position", type=int, default=-1,
+       tools=frozenset({"bench"})),
+    # ---- misc (rest)
+    _o("--version", help="print version and exit", action="store_true"),
+    _o("--license", help="print license and exit", action="store_true"),
+    _o("--completion-bash", help="print a bash completion script",
+       action="store_true"),
+    _o("--warmup", help="run a warmup pass (default)", action="store_true"),
+    _o("--no-warmup", help="skip model warmup", action="store_true"),
+    _o("--check-tensors-draft", help="validate draft tensors",
+       action="store_true", tools=GEN),
+    _o("--offline", help="offline mode: never touch the network "
+       "(always true in this build)", action="store_true",
+       env="LLAMA_OFFLINE"),
 ]
 
 _BY_DEST = {o.dest_name: o for o in OPTIONS}
