@@ -372,9 +372,13 @@ def llama_forward(
     window-bounded by construction).
 
     flash=None auto-selects the Pallas flash-attention kernel on TPU for
-    prefill-sized T (where the T×S logits matrix dominates memory); decode
-    (T small) currently uses the XLA-fused reference — the batched-head
-    flash-decode variant is tracked as a perf follow-up.
+    prefill-sized T (where the T×S logits matrix dominates memory). Decode
+    (T < 32) stays on XLA-fused attention: measured end-to-end on v5e the
+    q-tile-parallel flash kernel LOSES at decode shapes (its grid has no
+    sequence parallelism at T=1; depth-8k 8B decode 81.5 vs 87.5 tok/s) —
+    tools/flash_decode_probe cells measured under host contention had
+    suggested otherwise. The sequence-parallel split-KV decode kernel
+    (fattn-vec analog) is ops/flash_attention.flash_decode_attention.
     """
     B, T = tokens.shape
     if flash is None:

@@ -205,6 +205,11 @@ _ARCH_MAP = {
     "NeoBERT": "neo-bert",
     "NeoBERTLMHead": "neo-bert",
     "NeoBERTForSequenceClassification": "neo-bert",
+    "LlamaBidirectionalModel": "llama-embed",
+    "SmolVLMForConditionalGeneration": "llama",
+    "Idefics3ForConditionalGeneration": "llama",
+    "LightOnOCRForConditionalGeneration": "llama",
+    "Qwen2_5OmniModel": "qwen2vl",
 }
 
 # archs whose norm weights are stored as (1 + w) in HF (gemma RMSNorm,
@@ -1962,6 +1967,30 @@ def convert_state_dict(
     # multimodal wrappers (qwen-vl / llava / gemma3n-cond): extract the text
     # stack under language_model.* and convert with the text config; the
     # vision/audio towers load separately (tools/mtmd.py)
+    if any(k.startswith(("model.text_model.", "text_model.", "thinker."))
+           for k in state_dict):
+        # SmolVLM/Idefics3 (text_model.) and Qwen2.5-Omni (thinker.)
+        # wrappers: strip the prefix, drop the towers, recurse
+        tsd = {}
+        for k, v in state_dict.items():
+            for pre in ("model.text_model.", "text_model.", "thinker."):
+                if k.startswith(pre):
+                    k2 = k[len(pre):]
+                    if not k2.startswith(("vision", "audio", "visual",
+                                          "connector.", "talker.",
+                                          "token2wav.")):
+                        tsd[k2 if k2.startswith(("model.", "lm_head"))
+                            else "model." + k2] = v
+                    break
+            else:
+                if not k.startswith(("model.vision_model.", "vision_model.",
+                                     "model.connector.", "connector.",
+                                     "talker.", "token2wav.")):
+                    tsd[k] = v
+        tc = getattr(config, "text_config", None) or config
+        return convert_state_dict(out_path, tc, tsd, ggml_type,
+                                  tokenizer_fields, arch=arch)
+
     if any(k.startswith(("model.language_model.", "language_model."))
            for k in state_dict):
         tsd = {}

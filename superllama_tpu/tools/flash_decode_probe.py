@@ -23,12 +23,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _timed_chain(fn, q0, reps: int) -> tuple[float, jax.Array]:
-    """Run `reps` data-dependent links; a host fetch is the only barrier."""
+def _timed_chain(fn, q0, kv, reps: int) -> tuple[float, jax.Array]:
+    """Run `reps` data-dependent links; a host fetch is the only barrier.
+    K/V ride as explicit arguments — closing over them would bake hundreds
+    of MB of constants into the compile payload (tunnel-fatal)."""
     t0 = time.perf_counter()
     q = q0
     for i in range(reps):
-        q = fn(q, jnp.float32(1e-6 * (i + 1)))      # salt: no dedup
+        q = fn(q, jnp.float32(1e-6 * (i + 1)), *kv)  # salt: no dedup
     _ = np.asarray(q[0, 0, 0, :1])                  # real completion barrier
     return time.perf_counter() - t0, q
 
@@ -51,24 +53,25 @@ def probe(B=8, H=32, Hkv=8, D=128, dtype=jnp.bfloat16):
             scale = 1.0 / (D ** 0.5)
 
             @jax.jit
-            def xla_link(q, salt, k=k, v=v, kv_pos=kv_pos, q_pos=q_pos):
+            def xla_link(q, salt, k, v, kv_pos, q_pos):
                 mask = causal_mask(kv_pos, q_pos)
                 o = attention_ref(q, k, v, mask, scale=scale)
                 return q + o.astype(q.dtype) * salt
 
             @jax.jit
-            def flash_link(q, salt, k=k, v=v, kv_pos=kv_pos, q_pos=q_pos):
+            def flash_link(q, salt, k, v, kv_pos, q_pos):
                 o = flash_attention(q, k, v, q_pos, kv_pos, scale=scale,
                                     interpret=False)
                 return q + o.astype(q.dtype) * salt
 
             q0 = jax.random.normal(kq, (B, T, H, D), dtype)
+            kv = (k, v, kv_pos, q_pos)
             cell = {}
             for name, link in (("xla", xla_link), ("flash", flash_link)):
                 try:
-                    _, qw = _timed_chain(link, q0, 2)       # compile + warm
-                    lo, qw = _timed_chain(link, qw, 4)
-                    hi, qw = _timed_chain(link, qw, 24)
+                    _, qw = _timed_chain(link, q0, kv, 2)   # compile + warm
+                    lo, qw = _timed_chain(link, qw, kv, 4)
+                    hi, qw = _timed_chain(link, qw, kv, 24)
                     cell[name] = (hi - lo) / 20.0 * 1e3     # ms per step
                 except Exception as e:                      # noqa: BLE001
                     cell[name] = float("nan")
