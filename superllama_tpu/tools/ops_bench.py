@@ -79,7 +79,9 @@ def bench_qmv(ttype_name="Q4_K", N=4096, K=4096):
         return (y[:, :K] / (1.0 + jnp.abs(y[:, :K])))  # normalized feedback
 
     x0 = jnp.ones((1, K), jnp.float32)
-    dt = _scan_time(step, x0)
+    # a single GEMV is ~tens of µs: the two scan lengths must differ by
+    # hundreds of ms of real work to clear the ~30 ms tunnel jitter
+    dt = _scan_time(step, x0, n_lo=64, n_hi=2112)
     return {"GBps": round(qt.nbytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"{ttype_name} {N}x{K} M=1"}
@@ -188,12 +190,24 @@ def main():
         print(json.dumps(out))
         return
     scale = 0.25 if small else 1.0
-    out["qmv_q4k_gemv"] = bench_qmv(N=int(4096 * scale), K=4096)
-    out["qmm_q4k_prefill"] = bench_qmm(M=int(1024 * scale),
-                                       N=int(4096 * scale), K=4096)
-    out["flash_attn_prefill"] = bench_fa_prefill(
-        T=int(2048 * scale), S=int(2048 * scale))
-    out["flash_attn_decode_q8"] = bench_fa_decode(S=int(8192 * scale))
+    cases = [
+        ("qmv_q4k_gemv", lambda: bench_qmv(N=int(4096 * scale), K=4096)),
+        ("qmm_q4k_prefill", lambda: bench_qmm(M=int(1024 * scale),
+                                              N=int(4096 * scale), K=4096)),
+        ("flash_attn_prefill", lambda: bench_fa_prefill(
+            T=int(2048 * scale), S=int(2048 * scale))),
+        ("flash_attn_decode_q8",
+         lambda: bench_fa_decode(S=int(8192 * scale))),
+    ]
+    for name, fn in cases:
+        for attempt in (1, 2):   # the tunnel occasionally drops a compile
+            try:
+                out[name] = fn()
+                break
+            except Exception as e:                       # noqa: BLE001
+                if attempt == 2:
+                    out[name] = {"error": str(e)[:160]}
+        print(json.dumps({name: out[name]}), flush=True)
     path = Path(__file__).resolve().parents[2] / "docs" / "ops_perf.json"
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
