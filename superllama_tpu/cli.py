@@ -83,6 +83,16 @@ def _load(args):
 def cmd_run(args):
     from .runtime.decode_loop import DecodeLoop
     from .runtime.engine import Engine, GenRequest
+    from .utils import profiler
+
+    trace_dir = getattr(args, "profile_dir", None)
+    if trace_dir:
+        # whole-run device trace (jax.profiler / XProf; SURVEY §5.1)
+        args.profile_dir = None
+        with profiler.device_trace(trace_dir):
+            rc = cmd_run(args)
+        print(f"[device trace written; view: tensorboard --logdir {trace_dir}]")
+        return rc
 
     if args.preset:
         from .presets import apply_preset, load_preset
@@ -391,6 +401,8 @@ def main(argv=None) -> int:
     add_options(p, "run")
     p.add_argument("-p", "--prompt", required=True)
     p.add_argument("--stream", action="store_true")
+    p.add_argument("--profile-dir", help="capture a jax.profiler device "
+                   "trace of the run into this directory (XProf/TensorBoard)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("diffusion", help="diffusion-LM generation (LLaDA/Dream)")

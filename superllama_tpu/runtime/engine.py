@@ -424,10 +424,14 @@ class Engine:
         requests, advance each loading slot by ONE prompt chunk, then run a
         decode block for the generating slots — prompt loading never stalls
         generation for more than one chunk."""
+        from ..utils import profiler
+
         with self._step_lock:
             launched = self._launch_waiting()
-            prefilled = self._prefill_step()
-            decoded = self._decode_step()
+            with profiler.annotate("engine.prefill"):
+                prefilled = self._prefill_step()
+            with profiler.annotate("engine.decode"):
+                decoded = self._decode_step()
             return launched or prefilled or decoded
 
     def _launch_waiting(self) -> bool:

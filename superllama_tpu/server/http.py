@@ -806,6 +806,25 @@ def make_handler(app: ServerApp):
                               "/api/chat"):  # /api/chat: ollama-compat alias
                     self._dispatch_gen(body, client, a.handle_chat,
                                        self._sse_chat_chunk)
+                elif path == "/profile/start":
+                    # capture a device-trace window of live serving traffic
+                    # (jax.profiler / XProf; SURVEY §5.1)
+                    from ..utils import profiler
+                    tdir = body.get("dir") or "/tmp/superllama_trace"
+                    if profiler.start(tdir):
+                        self._send_json({"tracing": True, "dir": tdir})
+                    else:
+                        ok = False
+                        self._err(409, "profiler unavailable or already "
+                                       "tracing")
+                elif path == "/profile/stop":
+                    from ..utils import profiler
+                    tdir = profiler.stop()
+                    if tdir is None:
+                        ok = False
+                        self._err(409, "no active trace")
+                    else:
+                        self._send_json({"tracing": False, "dir": tdir})
                 elif path == "/api/show":
                     self._send_json(a.ollama_show())
                 elif path == "/apply-template":
