@@ -27,6 +27,21 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
+    # reference LlamaModel registrations (convert_hf_to_gguf.py): plain
+    # aliases and llama-graph wrappers (VLlama3 = SmolVLM text stack)
+    "LlamaModel": "llama",
+    "LLaMAForCausalLM": "llama",
+    "IQuestCoderForCausalLM": "llama",
+    "VLlama3ForCausalLM": "llama",
+    # Mistral3/Ministral3: llama tensor layout; the vision tower is dropped
+    # by the language_model.* wrapper extraction (Mistral3Model counterpart —
+    # non-ministral3 checkpoints use the LLAMA arch there too)
+    "Mistral3ForConditionalGeneration": "llama",
+    "Ministral3ForCausalLM": "llama",
+    "YoutuForCausalLM": "deepseek2",
+    "Rwkv6ForCausalLM": "rwkv6",
+    "Rwkv7ForCausalLM": "rwkv7",
+    "RWKV7ForCausalLM": "rwkv7",
     "MistralForCausalLM": "llama",
     "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
@@ -1754,6 +1769,146 @@ def _convert_arwkv7(w, put, get, config):
         put(gg + "ffn_down.weight", get(mlp + "down_proj.weight"))
 
 
+def _convert_rwkv6(w, put, get, config):
+    """Plain RWKV-6 world mapping (convert_hf_to_gguf Rwkv6Model
+    counterpart): HF rwkv.blocks.* names; low-rank token-shift/decay stacks
+    transposed, the five time_maa lerp vectors fused to (5,1,1,E) in w/k/v/
+    r/g order, time_faaaa kept (H,head_size), and the 2^(il//rescale_every)
+    output/value rescale folded into the weights."""
+    E = config.hidden_size
+    rescale = int(getattr(config, "rescale_every", 0) or 0)
+    put("token_embd.weight", get("rwkv.embeddings.weight"))
+    put("token_embd_norm.weight", get("rwkv.blocks.0.pre_ln.weight"))
+    put("token_embd_norm.bias", get("rwkv.blocks.0.pre_ln.bias"))
+    put("output_norm.weight", get("rwkv.ln_out.weight"))
+    put("output_norm.bias", get("rwkv.ln_out.bias"))
+    put("output.weight", get("head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"rwkv.blocks.{il}.", f"blk.{il}."
+        at, fw = hf + "attention.", hf + "feed_forward."
+        put(gg + "attn_norm.weight", get(hf + "ln1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "ln1.bias"))
+        put(gg + "attn_norm_2.weight", get(hf + "ln2.weight"))
+        put(gg + "attn_norm_2.bias", get(hf + "ln2.bias"))
+        put(gg + "time_mix_lerp_x.weight", get(at + "time_maa_x").reshape(E))
+        fused = np.stack([get(at + f"time_maa_{i}").reshape(1, E)
+                          for i in _RWKV6_LERP_ORDER])          # (5,1,E)
+        put(gg + "time_mix_lerp_fused.weight", fused[:, None])  # (5,1,1,E)
+        put(gg + "time_mix_w1.weight", get(at + "time_maa_w1").T)
+        put(gg + "time_mix_w2.weight",
+            get(at + "time_maa_w2").transpose(0, 2, 1))         # (5,E,ED)
+        put(gg + "time_mix_first.weight", get(at + "time_faaaa"))
+        put(gg + "time_mix_decay.weight", get(at + "time_decay").reshape(E))
+        put(gg + "time_mix_decay_w1.weight", get(at + "time_decay_w1").T)
+        put(gg + "time_mix_decay_w2.weight", get(at + "time_decay_w2").T)
+        scale = 2.0 ** (il // rescale) if rescale > 0 else 1.0
+        put(gg + "time_mix_key.weight", get(at + "key.weight"))
+        put(gg + "time_mix_value.weight", get(at + "value.weight"))
+        put(gg + "time_mix_receptance.weight", get(at + "receptance.weight"))
+        put(gg + "time_mix_gate.weight", get(at + "gate.weight"))
+        put(gg + "time_mix_output.weight", get(at + "output.weight") / scale)
+        put(gg + "time_mix_ln.weight", get(at + "ln_x.weight"))
+        put(gg + "time_mix_ln.bias", get(at + "ln_x.bias"))
+        put(gg + "channel_mix_lerp_k.weight",
+            get(fw + "time_maa_k").reshape(E))
+        put(gg + "channel_mix_lerp_r.weight",
+            get(fw + "time_maa_r").reshape(E))
+        put(gg + "channel_mix_key.weight", get(fw + "key.weight"))
+        put(gg + "channel_mix_value.weight", get(fw + "value.weight") / scale)
+        put(gg + "channel_mix_receptance.weight",
+            get(fw + "receptance.weight"))
+
+
+_RWKV7_LERP_ORDER = ("r", "w", "k", "v", "a", "g")
+
+
+def _convert_rwkv7(w, put, get, config):
+    """Plain RWKV-7 mapping (convert_hf_to_gguf Rwkv7Model counterpart):
+    HF model.layers.N names (official `attention.w1` or fla-hub
+    `attn.w_lora.lora.N` low-rank forms), x_r..x_g lerps fused to
+    (n,1,1,E) in r/w/k/v/a/g order, layer-0 dummy v0/v1/v2 emitted from
+    a0/a1/a2 (reference keeps the loader happy that way), r_k flattened."""
+    E = config.hidden_size
+    has_gate = bool(getattr(config, "wkv_has_gate", True))
+    n_mix = 6 if has_gate else 5
+    put("token_embd.weight", get("model.embeddings.weight"))
+    pre = ("model.pre_ln." if get("model.pre_ln.weight") is not None
+           else "model.layers.0.pre_norm.")
+    put("token_embd_norm.weight", get(pre + "weight"))
+    put("token_embd_norm.bias", get(pre + "bias"))
+    put("output_norm.weight", get("model.ln_out.weight"))
+    put("output_norm.bias", get("model.ln_out.bias"))
+    head = get("head.weight")
+    put("output.weight", head if head is not None else get("lm_head.weight"))
+    for il in range(config.num_hidden_layers):
+        hf, gg = f"model.layers.{il}.", f"blk.{il}."
+        # official RWKV names attention.*; fla-hub uses attn./time_mixer.
+        at = next((c for c in (hf + "attention.", hf + "attn.",
+                               hf + "self_attn.time_mixer.")
+                   if get(c + "receptance.weight") is not None
+                   or get(c + "r_proj.weight") is not None), hf + "attention.")
+        lora_t = get(at + "w_lora.lora.0.weight") is None
+
+        def g(n, at=at, lora_t=lora_t):
+            """Low-rank pair/bias under either naming; transpose official."""
+            v = get(at + n)
+            if v is not None:
+                return v.T if (lora_t and v.ndim == 2) else v
+            stem, idx = n[:-1], n[-1]       # w1 → (w, 1)
+            if idx == "0":                  # bias of the second lora linear
+                return get(at + f"{stem}_lora.lora.2.bias")
+            return get(at + f"{stem}_lora.lora.{0 if idx == '1' else 2}.weight")
+
+        put(gg + "attn_norm.weight", get(hf + "ln1.weight"))
+        put(gg + "attn_norm.bias", get(hf + "ln1.bias"))
+        ln2 = (hf + "ln2." if get(hf + "ln2.weight") is not None
+               else hf + "feed_forward_norm.")
+        put(gg + "attn_norm_2.weight", get(ln2 + "weight"))
+        put(gg + "attn_norm_2.bias", get(ln2 + "bias"))
+        xx = get(at + "x_x")
+        if xx is not None:                  # already-fused lerp stack
+            put(gg + "time_mix_lerp_fused.weight",
+                xx.reshape(n_mix, 1, 1, E))
+        else:
+            fused = np.stack([get(at + f"x_{i}").reshape(1, 1, E)
+                              for i in _RWKV7_LERP_ORDER[:n_mix]])
+            put(gg + "time_mix_lerp_fused.weight", fused)
+        put(gg + "time_mix_w0.weight", g("w0").reshape(E))
+        put(gg + "time_mix_w1.weight", g("w1"))
+        put(gg + "time_mix_w2.weight", g("w2"))
+        put(gg + "time_mix_a0.weight", g("a0").reshape(E))
+        put(gg + "time_mix_a1.weight", g("a1"))
+        put(gg + "time_mix_a2.weight", g("a2"))
+        v0, v1, v2 = g("v0"), g("v1"), g("v2")
+        if il == 0 or v0 is None:           # dummy first-layer v ← a (ref)
+            v0, v1, v2 = g("a0"), g("a1"), g("a2")
+        put(gg + "time_mix_v0.weight", v0.reshape(E))
+        put(gg + "time_mix_v1.weight", v1)
+        put(gg + "time_mix_v2.weight", v2)
+        if has_gate:
+            put(gg + "time_mix_g1.weight", g("g1"))
+            put(gg + "time_mix_g2.weight", g("g2"))
+        put(gg + "time_mix_k_k.weight", g("k_k").reshape(E))
+        put(gg + "time_mix_k_a.weight", g("k_a").reshape(E))
+        put(gg + "time_mix_r_k.weight", g("r_k").reshape(-1))
+        for nm, cands in (("key", ("key", "k_proj")),
+                          ("value", ("value", "v_proj")),
+                          ("receptance", ("receptance", "r_proj")),
+                          ("output", ("output", "o_proj"))):
+            t = next((get(at + c + ".weight") for c in cands
+                      if get(at + c + ".weight") is not None), None)
+            put(gg + f"time_mix_{nm}.weight", t)
+        lnx = (at + "ln_x." if get(at + "ln_x.weight") is not None
+               else at + "g_norm.")
+        put(gg + "time_mix_ln.weight", get(lnx + "weight"))
+        put(gg + "time_mix_ln.bias", get(lnx + "bias"))
+        fw = (hf + "feed_forward." if get(hf + "feed_forward.key.weight")
+              is not None else hf + "ffn.")
+        put(gg + "channel_mix_lerp_k.weight", get(fw + "x_k").reshape(E))
+        put(gg + "channel_mix_key.weight", get(fw + "key.weight"))
+        put(gg + "channel_mix_value.weight", get(fw + "value.weight"))
+
+
 def _convert_nomic_bert(w, put, get, config):
     """nomic-bert / nomic-bert-moe mapping (convert_hf_to_gguf
     NomicBertModel counterpart): fused attn.Wqkv, norm1/norm2 post-norms,
@@ -2051,6 +2206,81 @@ def convert_state_dict(
             w.add_tensor(gguf_name, arr, t)
 
         _convert_t5(w, put5, get5, config)
+        w.write()
+        return
+
+    if arch in ("rwkv6", "rwkv7"):
+        # recurrent wkv archs have no attention head metadata (reference
+        # Rwkv6Model/Rwkv7Model set_gguf_parameters writes head_count 0)
+        w = GGUFWriter(out_path, arch=arch)
+        w.add("general.name", getattr(config, "name_or_path", "") or "converted")
+
+        def getc(*names, default=None):
+            for n in names:
+                v = getattr(config, n, None)
+                if v is not None:
+                    return v
+            return default
+
+        def put_r(gguf_name, arr, qtype=ggml_type):
+            if arr is None:
+                return
+            arr = np.asarray(arr, np.float32)
+            t = GGMLType.F32 if arr.ndim != 2 else qtype
+            if (arr.ndim == 2 and arr.shape[-1] % 256 != 0
+                    and t not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16)):
+                t = GGMLType.F16
+            w.add_tensor(gguf_name, arr, t)
+
+        def get_r(name):
+            t = state_dict.get(name)
+            return None if t is None else np.asarray(t, dtype=np.float32)
+
+        E = int(getc("hidden_size", "n_embd"))
+        L = int(getc("num_hidden_layers", "n_layer", "num_layers"))
+        w.add(f"{arch}.context_length", 1048576)   # RWKV: unbounded (ref)
+        w.add(f"{arch}.embedding_length", E)
+        w.add(f"{arch}.block_count", L)
+        w.add(f"{arch}.attention.layer_norm_epsilon",
+              float(getc("layer_norm_epsilon", "norm_eps", default=1e-5)))
+        w.add(f"{arch}.attention.head_count", 0)   # unused; required by ref
+        w.add(f"{arch}.vocab_size", int(config.vocab_size))
+        if arch == "rwkv6":
+            head_size = int(getc("head_size", "head_dim", default=64))
+            w.add(f"{arch}.wkv.head_size", head_size)
+            w.add(f"{arch}.rescale_every_n_layers",
+                  int(getc("rescale_every", default=0) or 0))
+            w.add(f"{arch}.time_mix_extra_dim",
+                  int(getc("time_mix_extra_dim",
+                           default=64 if E == 4096 else 32)))
+            w.add(f"{arch}.time_decay_extra_dim",
+                  int(getc("time_decay_extra_dim",
+                           default=128 if E == 4096 else 64)))
+            w.add(f"{arch}.feed_forward_length",
+                  int(getc("intermediate_size",
+                           default=int((E * 3.5) // 32 * 32))))
+            _convert_rwkv6(w, put_r, get_r, config)
+        else:
+            head_size = int(getc("head_size", "head_dim", default=64))
+            lora = lambda exp, mult: max(1, round(E ** exp * mult / 32)) * 32
+            w.add(f"{arch}.wkv.head_size", head_size)
+            w.add(f"{arch}.attention.decay_lora_rank",
+                  int(getc("lora_rank_decay", "decay_low_rank_dim",
+                           default=lora(0.5, 1.8))))
+            w.add(f"{arch}.attention.iclr_lora_rank",
+                  int(getc("lora_rank_iclr", "a_low_rank_dim",
+                           default=lora(0.5, 1.8))))
+            w.add(f"{arch}.attention.value_residual_mix_lora_rank",
+                  int(getc("lora_rank_value_residual_mix", "v_low_rank_dim",
+                           default=lora(0.5, 1.3))))
+            w.add(f"{arch}.attention.gate_lora_rank",
+                  int(getc("lora_rank_gate", "gate_low_rank_dim",
+                           default=lora(0.8, 0.6))))
+            w.add(f"{arch}.feed_forward_length",
+                  int(getc("intermediate_size", default=E * 4)))
+            _convert_rwkv7(w, put_r, get_r, config)
+        for key, val in (tokenizer_fields or {}).items():
+            w.add(key, val)
         w.write()
         return
 

@@ -1224,6 +1224,131 @@ def spec_rwkv6qwen2():
     return "rwkv6qwen2", md, p.tensors
 
 
+@spec("rwkv6")
+def spec_rwkv6():
+    """Plain RWKV-6 world (rwkv6.cpp): token-shift lerp stacks, wkv6 linear
+    attention with bonus (time_mix_first) + per-head group norm, silu'd gate,
+    squared-relu channel mix, 2^(il//rescale_every) weight rescale.
+    Shapes per create_tensors llama-model.cpp:5635 (ED/DD = the reference
+    converter's E<4096 defaults)."""
+    E, HS, F, L = 64, 16, 128, 2
+    ED, DD = 32, 64
+    H = E // HS
+    p = P("rwkv6")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("token_embd_norm.weight", E)
+    p.bias("token_embd_norm.bias", E)
+    p.norm("output_norm.weight", E)
+    p.bias("output_norm.bias", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.bias(b + "attn_norm.bias", E)
+        p.norm(b + "attn_norm_2.weight", E)
+        p.bias(b + "attn_norm_2.bias", E)
+        p.tensors[b + "time_mix_lerp_x.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.1 + 0.5)
+        p.tensors[b + "time_mix_lerp_fused.weight"] = (
+            p.rng.standard_normal((5, 1, 1, E)).astype(np.float32) * 0.1
+            + 0.5)
+        p.w(b + "time_mix_w1.weight", 5 * ED, E, scale=0.1)
+        p.tensors[b + "time_mix_w2.weight"] = (
+            p.rng.standard_normal((5, E, ED)).astype(np.float32) * 0.1)
+        p.tensors[b + "time_mix_first.weight"] = (
+            p.rng.standard_normal((H, HS)).astype(np.float32))
+        p.bias(b + "time_mix_decay.weight", E, scale=0.3)
+        p.w(b + "time_mix_decay_w1.weight", DD, E, scale=0.1)
+        p.w(b + "time_mix_decay_w2.weight", E, DD, scale=0.1)
+        p.w(b + "time_mix_key.weight", E, E)
+        p.w(b + "time_mix_value.weight", E, E)
+        p.w(b + "time_mix_receptance.weight", E, E)
+        p.w(b + "time_mix_gate.weight", E, E)
+        p.norm(b + "time_mix_ln.weight", E)
+        p.bias(b + "time_mix_ln.bias", E)
+        p.w(b + "time_mix_output.weight", E, E)
+        p.tensors[b + "channel_mix_lerp_k.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.1 + 0.5)
+        p.tensors[b + "channel_mix_lerp_r.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.1 + 0.5)
+        p.w(b + "channel_mix_key.weight", F, E)
+        p.w(b + "channel_mix_value.weight", E, F)
+        p.w(b + "channel_mix_receptance.weight", E, E)
+    md = {"context_length": 1048576, "embedding_length": E, "block_count": L,
+          "feed_forward_length": F, "attention.layer_norm_epsilon": 1e-5,
+          "attention.head_count": 0, "vocab_size": V,
+          "wkv.head_size": HS, "rescale_every_n_layers": 2,
+          "time_mix_extra_dim": ED, "time_decay_extra_dim": DD}
+    return "rwkv6", md, p.tensors
+
+
+@spec("rwkv7")
+def spec_rwkv7():
+    """Plain RWKV-7 (rwkv7.cpp): w/a/v/g low-rank stacks, 6-way fused lerp,
+    k_k/k_a/r_k vectors, value-residual mixing toward layer 0 (dummy v0/v1/v2
+    on layer 0 = copies of a0/a1/a2, reference converter behavior). Shapes
+    per create_tensors llama-model.cpp:5750 (v rank differs from iclr rank
+    to pin the layer-0-uses-iclr-rank rule)."""
+    E, HS, F, L = 64, 16, 128, 2
+    RD, RA, RV, RG = 16, 16, 32, 16
+    p = P("rwkv7")
+    p.w("token_embd.weight", V, E, scale=0.02)
+    p.norm("token_embd_norm.weight", E)
+    p.bias("token_embd_norm.bias", E)
+    p.norm("output_norm.weight", E)
+    p.bias("output_norm.bias", E)
+    p.w("output.weight", V, E)
+    for i in range(L):
+        b = f"blk.{i}."
+        p.norm(b + "attn_norm.weight", E)
+        p.bias(b + "attn_norm.bias", E)
+        p.norm(b + "attn_norm_2.weight", E)
+        p.bias(b + "attn_norm_2.bias", E)
+        p.tensors[b + "time_mix_lerp_fused.weight"] = (
+            p.rng.standard_normal((6, 1, 1, E)).astype(np.float32) * 0.1
+            + 0.5)
+        p.bias(b + "time_mix_w0.weight", E, scale=0.3)
+        p.w(b + "time_mix_w1.weight", RD, E, scale=0.1)
+        p.w(b + "time_mix_w2.weight", E, RD, scale=0.1)
+        p.bias(b + "time_mix_a0.weight", E, scale=0.3)
+        p.w(b + "time_mix_a1.weight", RA, E, scale=0.1)
+        p.w(b + "time_mix_a2.weight", E, RA, scale=0.1)
+        if i == 0:   # dummies: the converter copies a0/a1/a2 (iclr rank)
+            p.tensors[b + "time_mix_v0.weight"] = p.tensors[b + "time_mix_a0.weight"]
+            p.tensors[b + "time_mix_v1.weight"] = p.tensors[b + "time_mix_a1.weight"]
+            p.tensors[b + "time_mix_v2.weight"] = p.tensors[b + "time_mix_a2.weight"]
+        else:
+            p.bias(b + "time_mix_v0.weight", E, scale=0.3)
+            p.w(b + "time_mix_v1.weight", RV, E, scale=0.1)
+            p.w(b + "time_mix_v2.weight", E, RV, scale=0.1)
+        p.w(b + "time_mix_g1.weight", RG, E, scale=0.1)
+        p.w(b + "time_mix_g2.weight", E, RG, scale=0.1)
+        p.tensors[b + "time_mix_k_k.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.3 + 1.0)
+        p.tensors[b + "time_mix_k_a.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.3)
+        p.tensors[b + "time_mix_r_k.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.3)
+        p.w(b + "time_mix_key.weight", E, E)
+        p.w(b + "time_mix_value.weight", E, E)
+        p.w(b + "time_mix_receptance.weight", E, E)
+        p.norm(b + "time_mix_ln.weight", E)
+        p.bias(b + "time_mix_ln.bias", E)
+        p.w(b + "time_mix_output.weight", E, E)
+        p.tensors[b + "channel_mix_lerp_k.weight"] = (
+            p.rng.standard_normal(E).astype(np.float32) * 0.1 + 0.5)
+        p.w(b + "channel_mix_key.weight", F, E)
+        p.w(b + "channel_mix_value.weight", E, F)
+    md = {"context_length": 1048576, "embedding_length": E, "block_count": L,
+          "feed_forward_length": F, "attention.layer_norm_epsilon": 1e-5,
+          "attention.head_count": 0, "vocab_size": V,
+          "wkv.head_size": HS, "attention.decay_lora_rank": RD,
+          "attention.iclr_lora_rank": RA,
+          "attention.value_residual_mix_lora_rank": RV,
+          "attention.gate_lora_rank": RG}
+    return "rwkv7", md, p.tensors
+
+
 @spec("cogvlm")
 def spec_cogvlm():
     """CogVLM text path (cogvlm.cpp): per-UBATCH expert switch between text

@@ -871,6 +871,93 @@ def case_arwkv7():
     return cfg, build
 
 
+def case_rwkv6():
+    E, L = 64, 2
+    cfg = _cfg("Rwkv6ForCausalLM", hidden_size=E, num_hidden_layers=L,
+               head_size=16, rescale_every=2, intermediate_size=128,
+               layer_norm_epsilon=1e-5)
+
+    def build(t):
+        sd = {"rwkv.embeddings.weight": t["token_embd.weight"],
+              "rwkv.blocks.0.pre_ln.weight": t["token_embd_norm.weight"],
+              "rwkv.blocks.0.pre_ln.bias": t["token_embd_norm.bias"],
+              "rwkv.ln_out.weight": t["output_norm.weight"],
+              "rwkv.ln_out.bias": t["output_norm.bias"],
+              "head.weight": t["output.weight"]}
+        for i in range(L):
+            b, hf = f"blk.{i}.", f"rwkv.blocks.{i}."
+            at, fw = hf + "attention.", hf + "feed_forward."
+            for gg, name in (("attn_norm", "ln1"), ("attn_norm_2", "ln2")):
+                sd[hf + name + ".weight"] = t[b + gg + ".weight"]
+                sd[hf + name + ".bias"] = t[b + gg + ".bias"]
+            sd[at + "time_maa_x"] = t[b + "time_mix_lerp_x.weight"].reshape(1, 1, E)
+            fused = t[b + "time_mix_lerp_fused.weight"]     # (5,1,1,E) wkvrg
+            for j, n in enumerate("wkvrg"):
+                sd[at + f"time_maa_{n}"] = fused[j].reshape(1, 1, E)
+            sd[at + "time_maa_w1"] = t[b + "time_mix_w1.weight"].T
+            sd[at + "time_maa_w2"] = t[b + "time_mix_w2.weight"].transpose(0, 2, 1)
+            sd[at + "time_faaaa"] = t[b + "time_mix_first.weight"]
+            sd[at + "time_decay"] = t[b + "time_mix_decay.weight"].reshape(1, 1, E)
+            sd[at + "time_decay_w1"] = t[b + "time_mix_decay_w1.weight"].T
+            sd[at + "time_decay_w2"] = t[b + "time_mix_decay_w2.weight"].T
+            scale = 2.0 ** (i // 2)
+            for nm in ("key", "value", "receptance", "gate"):
+                sd[at + nm + ".weight"] = t[b + f"time_mix_{nm}.weight"]
+            sd[at + "output.weight"] = t[b + "time_mix_output.weight"] * scale
+            sd[at + "ln_x.weight"] = t[b + "time_mix_ln.weight"]
+            sd[at + "ln_x.bias"] = t[b + "time_mix_ln.bias"]
+            sd[fw + "time_maa_k"] = t[b + "channel_mix_lerp_k.weight"].reshape(1, 1, E)
+            sd[fw + "time_maa_r"] = t[b + "channel_mix_lerp_r.weight"].reshape(1, 1, E)
+            sd[fw + "key.weight"] = t[b + "channel_mix_key.weight"]
+            sd[fw + "value.weight"] = t[b + "channel_mix_value.weight"] * scale
+            sd[fw + "receptance.weight"] = t[b + "channel_mix_receptance.weight"]
+        return sd
+    return cfg, build
+
+
+def case_rwkv7():
+    E, L = 64, 2
+    cfg = _cfg("Rwkv7ForCausalLM", hidden_size=E, num_hidden_layers=L,
+               head_size=16, intermediate_size=128, norm_eps=1e-5,
+               lora_rank_decay=16, lora_rank_iclr=16,
+               lora_rank_value_residual_mix=32, lora_rank_gate=16,
+               wkv_has_gate=True)
+
+    def build(t):
+        sd = {"model.embeddings.weight": t["token_embd.weight"],
+              "model.pre_ln.weight": t["token_embd_norm.weight"],
+              "model.pre_ln.bias": t["token_embd_norm.bias"],
+              "model.ln_out.weight": t["output_norm.weight"],
+              "model.ln_out.bias": t["output_norm.bias"],
+              "head.weight": t["output.weight"]}
+        for i in range(L):
+            b, hf = f"blk.{i}.", f"model.layers.{i}."
+            at, fw = hf + "attention.", hf + "feed_forward."
+            for gg, name in (("attn_norm", "ln1"), ("attn_norm_2", "ln2")):
+                sd[hf + name + ".weight"] = t[b + gg + ".weight"]
+                sd[hf + name + ".bias"] = t[b + gg + ".bias"]
+            fused = t[b + "time_mix_lerp_fused.weight"]     # (6,1,1,E) rwkvag
+            for j, n in enumerate(("r", "w", "k", "v", "a", "g")):
+                sd[at + f"x_{n}"] = fused[j].reshape(1, 1, E)
+            stacks = ["w", "a", "g"] if i == 0 else ["w", "a", "v", "g"]
+            for k in stacks:
+                if k != "g":
+                    sd[at + f"{k}0"] = t[b + f"time_mix_{k}0.weight"].reshape(1, 1, E)
+                sd[at + f"{k}1"] = t[b + f"time_mix_{k}1.weight"].T
+                sd[at + f"{k}2"] = t[b + f"time_mix_{k}2.weight"].T
+            for nm in ("k_k", "k_a", "r_k"):
+                sd[at + nm] = t[b + f"time_mix_{nm}.weight"]
+            for nm in ("key", "value", "receptance", "output"):
+                sd[at + nm + ".weight"] = t[b + f"time_mix_{nm}.weight"]
+            sd[at + "ln_x.weight"] = t[b + "time_mix_ln.weight"]
+            sd[at + "ln_x.bias"] = t[b + "time_mix_ln.bias"]
+            sd[fw + "x_k"] = t[b + "channel_mix_lerp_k.weight"].reshape(1, 1, E)
+            sd[fw + "key.weight"] = t[b + "channel_mix_key.weight"]
+            sd[fw + "value.weight"] = t[b + "channel_mix_value.weight"]
+        return sd
+    return cfg, build
+
+
 def case_lfm2():
     cfg = _cfg("Lfm2ForCausalLM", hidden_size=64, num_attention_heads=4,
                num_key_value_heads=2, intermediate_size=128,
@@ -1298,6 +1385,7 @@ CASES = {
     "minimax-m2": case_minimax_m2, "pangu-embedded": case_pangu,
     "maincoder": case_maincoder, "llada-moe": case_llada_moe,
     "rwkv6qwen2": case_rwkv6qwen2, "arwkv7": case_arwkv7,
+    "rwkv6": case_rwkv6, "rwkv7": case_rwkv7,
     "plamo2": case_plamo2, "plamo3": case_plamo3,
     "nomic-bert": case_nomic_bert, "nomic-bert-moe": case_nomic_bert_moe,
     "jina-bert-v2": case_jina_v2, "neo-bert": case_neo_bert,
