@@ -1288,8 +1288,11 @@ def spec_rwkv7():
     k_k/k_a/r_k vectors, value-residual mixing toward layer 0 (dummy v0/v1/v2
     on layer 0 = copies of a0/a1/a2, reference converter behavior). Shapes
     per create_tensors llama-model.cpp:5750 (v rank differs from iclr rank
-    to pin the layer-0-uses-iclr-rank rule)."""
-    E, HS, F, L = 64, 16, 128, 2
+    to pin the layer-0-uses-iclr-rank rule). head_size MUST be 64 (the real
+    rwkv7 head size): the reference's AVX wkv7 kernel assumes
+    head_size % GGML_F32_STEP == 0 (ggml-cpu/ops.cpp:10041 "There shouldn't
+    be left-overs") and reads/writes out of bounds for smaller heads."""
+    E, HS, F, L = 128, 64, 128, 2
     RD, RA, RV, RG = 16, 16, 32, 16
     p = P("rwkv7")
     p.w("token_embd.weight", V, E, scale=0.02)

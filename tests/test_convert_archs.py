@@ -916,9 +916,9 @@ def case_rwkv6():
 
 
 def case_rwkv7():
-    E, L = 64, 2
+    E, L = 128, 2
     cfg = _cfg("Rwkv7ForCausalLM", hidden_size=E, num_hidden_layers=L,
-               head_size=16, intermediate_size=128, norm_eps=1e-5,
+               head_size=64, intermediate_size=128, norm_eps=1e-5,
                lora_rank_decay=16, lora_rank_iclr=16,
                lora_rank_value_residual_mix=32, lora_rank_gate=16,
                wkv_has_gate=True)
