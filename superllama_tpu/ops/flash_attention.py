@@ -92,7 +92,8 @@ def _fa_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, k_ref, v_ref, ks_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "swa_window", "logit_softcap", "interpret"),
+    static_argnames=("scale", "swa_window", "logit_softcap", "interpret",
+                     "block_s"),
 )
 def flash_attention(
     q: jax.Array,          # (B, T, H, D)
@@ -107,6 +108,7 @@ def flash_attention(
     k_scale: jax.Array | None = None,  # (B, H_kv, S) Q8_0 per-row scales
     v_scale: jax.Array | None = None,
     interpret: bool | None = None,
+    block_s: int | None = None,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -123,7 +125,21 @@ def flash_attention(
     qpos_exp = jnp.repeat(q_pos, G, axis=1)[:, :, None]     # (B, T*G, 1)
 
     bt = min(T, max(8, 128 // G))
-    bs = min(S, 512)
+    if block_s is not None:
+        bs = min(S, block_s)
+    elif bt * G <= 32:
+        # decode shapes (fattn-vec regime): each S-step does almost no MXU
+        # work, so per-grid-step fixed cost dominates at bs=512 (measured
+        # ~1.1 µs/step on v5e → 123 GB/s). Stream much larger K/V tiles —
+        # VMEM-bounded: k+v tile ≤ ~2 MB buys full HBM bandwidth.
+        cap = 8192 if k.dtype == jnp.int8 else 4096
+        bs = min(S, cap)
+    else:
+        bs = min(S, 512)
+    # S-overhang blocks would read undefined pad positions into the masking
+    # arithmetic: shrink bs to the largest power-of-two divisor of S
+    while S % bs:
+        bs //= 2
     n_t, n_s = pl.cdiv(T, bt), pl.cdiv(S, bs)
 
     # per-row sink logits: row-major (bt, G) layout matches the kernel's

@@ -257,8 +257,9 @@ def _qmv_kernel(xq_ref, sx_ref, xs_ref, wrefs, o_ref, *, nibble: bool,
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret", "out_dtype_name"))
-def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
+@partial(jax.jit, static_argnames=("interpret", "out_dtype_name", "block_n"))
+def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32",
+                block_n: int | None = None):
     M, K = x.shape
     N = qt.N
     gs = qt.group
@@ -266,10 +267,11 @@ def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32"):
     witems = _weight_layout(qt)
     names = tuple(n for n, _ in witems)
     # full-K tiles (GEMV weights stream once; K/gs scale lanes must be a full
-    # dimension for mosaic tiling); shrink bn to bound VMEM
+    # dimension for mosaic tiling); shrink bn to bound VMEM (~16 MB/core,
+    # double-buffered weight tiles must leave room for x/acc)
     per_n = sum((K * num) // den * getattr(qt, nm).dtype.itemsize
                 for nm, (num, den) in witems)
-    bn = min(N, 512)
+    bn = min(N, block_n or 512)
     while per_n * bn > 6 * 1024 * 1024 and bn > 128:
         bn //= 2
     n_n = pl.cdiv(N, bn)
