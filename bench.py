@@ -29,6 +29,47 @@ def fetch(x):
     return np.asarray(x)
 
 
+def check_regression(result):
+    """Perf tripwire: compare this run against the best value recorded in any
+    committed BENCH_r*.json and print a loud WARN on stderr for any >10%
+    per-metric drop (for *_ms metrics, a >10% rise). The driver's JSON
+    contract uses stdout; warnings go to stderr so they never corrupt it."""
+    import glob
+    import os
+    best = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        d = d.get("parsed", d)  # driver wraps the JSON line under "parsed"
+        if not isinstance(d, dict):
+            continue
+        flat = {d.get("metric"): d.get("value")}
+        flat.update(d.get("extra") or {})
+        for k, v in flat.items():
+            if not isinstance(v, (int, float)) or not k:
+                continue
+            if k.endswith("_ms"):
+                best[k] = min(best.get(k, v), v)
+            else:
+                best[k] = max(best.get(k, v), v)
+    now = {result["metric"]: result["value"]}
+    now.update(result.get("extra") or {})
+    for k, v in now.items():
+        if not isinstance(v, (int, float)) or k not in best or best[k] <= 0:
+            continue
+        if k.endswith("_ms"):
+            if v > 1.10 * best[k]:
+                print(f"WARN: perf regression: {k} = {v} vs best {best[k]} "
+                      f"({v / best[k]:.2f}x slower)", file=sys.stderr)
+        elif v < 0.90 * best[k]:
+            print(f"WARN: perf regression: {k} = {v} vs best {best[k]} "
+                  f"({v / best[k]:.2f}x)", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -158,10 +199,11 @@ def main():
              "device": str(jax.devices()[0])}
 
     if "--small" in sys.argv:
-        print(json.dumps({
+        result = {
             "metric": "decode_tok_per_s_tinyllama1.1b_q4k_b1",
             "value": round(q4k_tps, 2), "unit": "tok/s",
-            "vs_baseline": round(q4k_tps / baseline, 3), "extra": extra}))
+            "vs_baseline": round(q4k_tps / baseline, 3), "extra": extra}
+        print(json.dumps(result))
         return
 
     # ---- Llama-3-8B Q4_K single chip (BASELINE config 2, the north star) ---
@@ -318,13 +360,15 @@ def main():
     extra["engine_b1_tok_per_s"] = round(eng_b1, 2)
     extra["engine_b8_tok_per_s"] = round(eng_b8, 1)
     extra["engine_ttft_p50_ms"] = round(1e3 * ttfts[len(ttfts) // 2], 1)
-    print(json.dumps({
+    result = {
         "metric": "decode_tok_per_s_llama3_8b_q4k_b1",
         "value": round(tps8, 2),
         "unit": "tok/s",
         "vs_baseline": round(tps8 / baseline, 3),
         "extra": extra,
-    }))
+    }
+    check_regression(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
