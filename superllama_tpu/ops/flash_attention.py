@@ -515,7 +515,10 @@ def flash_decode_attention(
             B, Hkv, T * G, 1)
 
     qpos_exp = jnp.repeat(q_pos, G, axis=1)[:, :, None]    # (B, T*G, 1)
-    bs = min(S, block_s or (8192 if mode != "f" else 4096))
+    # 2048-slot KV chunks: big enough to amortize the ~1 µs/grid-step fixed
+    # cost, small enough that Mosaic's int8-dot operand staging stays inside
+    # the 16 MB VMEM budget (bs=8192 q8 hits a 24 MB scoped-vmem OOM)
+    bs = min(S, block_s or 2048)
     n_s = pl.cdiv(S, bs)
 
     has_sinks = sinks is not None
