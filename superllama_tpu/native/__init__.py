@@ -62,10 +62,27 @@ def _load() -> ctypes.CDLL | None:
         lib.slq_repack.argtypes = [
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.slq_set_iq_grids.restype = ctypes.c_int
+        lib.slq_set_iq_grids.argtypes = [ctypes.c_void_p] * 6
+        _inject_iq_grids(lib)
         _LIB = lib
     except (OSError, subprocess.SubprocessError):
         _LIB = None
     return _LIB
+
+
+def _inject_iq_grids(lib) -> None:
+    """Hand the i-quant lattice codebooks (gguf/iq_grids.npz) to the C++
+    decoders; failure just leaves the grid formats unsupported natively."""
+    try:
+        with np.load(Path(__file__).parent.parent / "gguf"
+                     / "iq_grids.npz") as z:
+            bufs = [np.ascontiguousarray(z[k].view(np.uint8))
+                    for k in ("iq2xxs_grid", "iq2xs_grid", "iq2s_grid",
+                              "iq3xxs_grid", "iq3s_grid", "iq1s_grid")]
+        lib.slq_set_iq_grids(*[b.ctypes.data for b in bufs])
+    except (OSError, KeyError):
+        pass
 
 
 def available(ttype: int, for_encode: bool = False) -> bool:

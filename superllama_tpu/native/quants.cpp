@@ -259,6 +259,288 @@ void deq_q2_k(const uint8_t* b, float* y) {
     }
 }
 
+inline void q3k_unpack_scales(const uint8_t* s, int8_t* sc) {
+    // 12 bytes → 16 6-bit values (dequantize_row_q3_K kmask unpack; matches
+    // gguf/quants.py _q3k_unpack_scales byte-for-byte)
+    for (int c = 0; c < 4; c++) {
+        sc[c]      = (int8_t)((s[c] & 0x0F)     | (((s[8 + c] >> 0) & 3) << 4));
+        sc[4 + c]  = (int8_t)((s[4 + c] & 0x0F) | (((s[8 + c] >> 2) & 3) << 4));
+        sc[8 + c]  = (int8_t)((s[c] >> 4)       | (((s[8 + c] >> 4) & 3) << 4));
+        sc[12 + c] = (int8_t)((s[4 + c] >> 4)   | (((s[8 + c] >> 6) & 3) << 4));
+    }
+}
+
+inline void q3k_pack_scales(const uint8_t* ls, uint8_t* out) {
+    // inverse of q3k_unpack_scales: 16 values [0,63] → 12 bytes
+    for (int c = 0; c < 4; c++) {
+        out[c]     = (uint8_t)((ls[c] & 0x0F) | ((ls[8 + c] & 0x0F) << 4));
+        out[4 + c] = (uint8_t)((ls[4 + c] & 0x0F) | ((ls[12 + c] & 0x0F) << 4));
+        out[8 + c] = (uint8_t)((ls[c] >> 4) | ((ls[4 + c] >> 4) << 2) |
+                               ((ls[8 + c] >> 4) << 4) | ((ls[12 + c] >> 4) << 6));
+    }
+}
+
+void deq_q3_k(const uint8_t* b, float* y) {
+    const uint8_t* hm = b;
+    const uint8_t* qs = b + 32;
+    int8_t sc[16];
+    q3k_unpack_scales(b + 96, sc);
+    float d = h2f(b + 108);
+    int out = 0, is = 0, m = 1;
+    for (int n = 0; n < 256; n += 128) {
+        const uint8_t* q = qs + n / 4;
+        for (int shift = 0; shift < 8; shift += 2) {
+            for (int half = 0; half < 32; half += 16) {
+                float dl = d * ((float)sc[is] - 32.0f);
+                for (int i = 0; i < 16; i++) {
+                    int low = (q[half + i] >> shift) & 3;
+                    int hbit = (hm[half + i] & m) ? 0 : 4;
+                    y[out + i] = dl * (float)(low - hbit);
+                }
+                out += 16;
+                is++;
+            }
+            m <<= 1;
+        }
+    }
+}
+
+void deq_q8_k(const uint8_t* b, float* y) {
+    float d;
+    std::memcpy(&d, b, 4);
+    const int8_t* q = (const int8_t*)(b + 4);
+    for (int i = 0; i < 256; i++) y[i] = d * (float)q[i];
+}
+
+void deq_iq4_xs(const uint8_t* b, float* y) {
+    float d = h2f(b);
+    uint16_t scales_h = rd_u16(b + 2);
+    const uint8_t* scales_l = b + 4;
+    const uint8_t* qs = b + 8;
+    for (int ib = 0; ib < 8; ib++) {
+        int ls = ((scales_l[ib / 2] >> (4 * (ib % 2))) & 0x0F) |
+                 (((scales_h >> (2 * ib)) & 3) << 4);
+        float dl = d * ((float)ls - 32.0f);
+        const uint8_t* q = qs + ib * 16;
+        for (int i = 0; i < 16; i++) {
+            y[ib * 32 + i] = dl * KV_IQ4NL[q[i] & 0x0F];
+            y[ib * 32 + 16 + i] = dl * KV_IQ4NL[q[i] >> 4];
+        }
+    }
+}
+
+void deq_tq1_0(const uint8_t* b, float* y) {
+    // ternary base-3: 5 trits/byte for qs, 4 trits/byte for qh
+    // (dequantize_row_tq1_0)
+    const uint8_t* qs = b;
+    const uint8_t* qh = b + 48;
+    float d = h2f(b + 52);
+    static const int pow3[5] = {1, 3, 9, 27, 81};
+    int pos = 0;
+    static const int starts[2] = {0, 32}, widths[2] = {32, 16};
+    for (int s = 0; s < 2; s++) {
+        for (int m = 0; m < 5; m++) {
+            for (int i = 0; i < widths[s]; i++) {
+                int q = ((qs[starts[s] + i] * pow3[m]) & 0xFF) * 3 / 256;
+                y[pos + i] = ((float)q - 1.0f) * d;
+            }
+            pos += widths[s];
+        }
+    }
+    for (int m = 0; m < 4; m++) {
+        for (int i = 0; i < 4; i++) {
+            int q = ((qh[i] * pow3[m]) & 0xFF) * 3 / 256;
+            y[pos + i] = ((float)q - 1.0f) * d;
+        }
+        pos += 4;
+    }
+}
+
+void deq_tq2_0(const uint8_t* b, float* y) {
+    const uint8_t* qs = b;
+    float d = h2f(b + 64);
+    int pos = 0;
+    for (int j = 0; j < 64; j += 32) {
+        for (int shift = 0; shift < 8; shift += 2) {
+            for (int i = 0; i < 32; i++)
+                y[pos + i] = ((float)((qs[j + i] >> shift) & 3) - 1.0f) * d;
+            pos += 32;
+        }
+    }
+}
+
+// ----------------------- codebook i-quants (decode) --------------------------
+// Lattice grids are injected at load time from gguf/iq_grids.npz via
+// slq_set_iq_grids (the shared ecosystem tables; ggml-common.h iq*_grid).
+
+uint8_t g_iq2xxs[256 * 8], g_iq2xs[512 * 8], g_iq2s[1024 * 8];
+uint8_t g_iq3xxs[256 * 4], g_iq3s[512 * 4];
+int8_t g_iq1s[2048 * 8];
+bool g_grids = false;
+
+inline float mulsgn(float x, uint8_t sbyte, int j) {
+    // x * (bit ? -1 : +1) with x86 mulss NaN semantics (return the NaN
+    // operand unchanged) — gcc folds a literal *-1.0f into a sign-bit flip,
+    // which would diverge from the numpy reference on NaN-scaled blocks
+    if (((sbyte >> j) & 1) == 0) return x;
+    return std::isnan(x) ? x : -x;
+}
+
+inline uint8_t ksign(uint8_t i) {  // ksigns_iq2xs: index | odd-parity bit
+    return (uint8_t)(i | ((__builtin_popcount(i) & 1) << 7));
+}
+
+void deq_iq2_xxs(const uint8_t* bp, float* y) {
+    float d = h2f(bp);
+    const uint8_t* q = bp + 2;
+    for (int g = 0; g < 8; g++) {
+        uint16_t w[4];
+        std::memcpy(w, q + 8 * g, 8);
+        uint32_t aux0 = w[0] | ((uint32_t)w[1] << 16);
+        uint32_t aux1 = w[2] | ((uint32_t)w[3] << 16);
+        float db = d * (0.5f + (float)(aux1 >> 28)) * 0.25f;
+        for (int l = 0; l < 4; l++) {
+            const uint8_t* vals = g_iq2xxs + ((aux0 >> (8 * l)) & 255) * 8;
+            uint8_t sb = ksign((uint8_t)((aux1 >> (7 * l)) & 127));
+            for (int j = 0; j < 8; j++)
+                y[g * 32 + l * 8 + j] = mulsgn(db * (float)vals[j], sb, j);
+        }
+    }
+}
+
+void deq_iq2_xs(const uint8_t* bp, float* y) {
+    float d = h2f(bp);
+    uint16_t q16[32];
+    std::memcpy(q16, bp + 2, 64);
+    const uint8_t* sc = bp + 66;
+    for (int g = 0; g < 8; g++) {
+        float db0 = d * (0.5f + (float)(sc[g] & 0x0F)) * 0.25f;
+        float db1 = d * (0.5f + (float)(sc[g] >> 4)) * 0.25f;
+        for (int l = 0; l < 4; l++) {
+            uint16_t w = q16[g * 4 + l];
+            const uint8_t* vals = g_iq2xs + (w & 511) * 8;
+            uint8_t sb = ksign((uint8_t)(w >> 9));
+            float db = l < 2 ? db0 : db1;
+            for (int j = 0; j < 8; j++)
+                y[g * 32 + l * 8 + j] = mulsgn(db * (float)vals[j], sb, j);
+        }
+    }
+}
+
+void deq_iq2_s(const uint8_t* bp, float* y) {
+    float d = h2f(bp);
+    const uint8_t* qs = bp + 2;
+    const uint8_t* signs = bp + 34;
+    const uint8_t* qh = bp + 66;
+    const uint8_t* sc = bp + 74;
+    for (int g = 0; g < 8; g++) {
+        float db0 = d * (0.5f + (float)(sc[g] & 0x0F)) * 0.25f;
+        float db1 = d * (0.5f + (float)(sc[g] >> 4)) * 0.25f;
+        for (int l = 0; l < 4; l++) {
+            uint16_t idx = (uint16_t)qs[g * 4 + l] |
+                           (((uint16_t)qh[g] << (8 - 2 * l)) & 0x300);
+            const uint8_t* vals = g_iq2s + idx * 8;
+            uint8_t sb = signs[g * 4 + l];
+            float db = l < 2 ? db0 : db1;
+            for (int j = 0; j < 8; j++)
+                y[g * 32 + l * 8 + j] = mulsgn(db * (float)vals[j], sb, j);
+        }
+    }
+}
+
+void deq_iq3_xxs(const uint8_t* bp, float* y) {
+    float d = h2f(bp);
+    const uint8_t* qs = bp + 2;
+    for (int g = 0; g < 8; g++) {
+        uint32_t sas;
+        std::memcpy(&sas, bp + 66 + 4 * g, 4);
+        float db = d * (0.5f + (float)(sas >> 28)) * 0.5f;
+        for (int l = 0; l < 4; l++) {
+            const uint8_t* v0 = g_iq3xxs + qs[g * 8 + l * 2] * 4;
+            const uint8_t* v1 = g_iq3xxs + qs[g * 8 + l * 2 + 1] * 4;
+            uint8_t sb = ksign((uint8_t)((sas >> (7 * l)) & 127));
+            for (int j = 0; j < 4; j++) {
+                y[g * 32 + l * 8 + j] = mulsgn(db * (float)v0[j], sb, j);
+                y[g * 32 + l * 8 + 4 + j] = mulsgn(db * (float)v1[j], sb, 4 + j);
+            }
+        }
+    }
+}
+
+void deq_iq3_s(const uint8_t* bp, float* y) {
+    float d = h2f(bp);
+    const uint8_t* qs = bp + 2;
+    const uint8_t* qh = bp + 66;
+    const uint8_t* signs = bp + 74;
+    const uint8_t* sc = bp + 106;
+    for (int g = 0; g < 8; g++) {
+        int ls = (g % 2 == 0) ? (sc[g / 2] & 0x0F) : (sc[g / 2] >> 4);
+        float db = d * (1.0f + 2.0f * (float)ls);
+        for (int l = 0; l < 4; l++) {
+            uint16_t i1 = (uint16_t)qs[g * 8 + l * 2] |
+                          (((uint16_t)qh[g] << (8 - 2 * l)) & 256);
+            uint16_t i2 = (uint16_t)qs[g * 8 + l * 2 + 1] |
+                          (((uint16_t)qh[g] << (7 - 2 * l)) & 256);
+            const uint8_t* v0 = g_iq3s + i1 * 4;
+            const uint8_t* v1 = g_iq3s + i2 * 4;
+            uint8_t sb = signs[g * 4 + l];
+            for (int j = 0; j < 4; j++) {
+                y[g * 32 + l * 8 + j] = mulsgn(db * (float)v0[j], sb, j);
+                y[g * 32 + l * 8 + 4 + j] = mulsgn(db * (float)v1[j], sb, 4 + j);
+            }
+        }
+    }
+}
+
+void deq_iq1_s(const uint8_t* bp, float* y) {
+    float d = h2f(bp);
+    const uint8_t* qs = bp + 2;
+    for (int g = 0; g < 8; g++) {
+        uint16_t qh;
+        std::memcpy(&qh, bp + 34 + 2 * g, 2);
+        float dl = d * (2.0f * (float)((qh >> 12) & 7) + 1.0f);
+        float delta = (qh & 0x8000) ? -0.125f : 0.125f;
+        for (int l = 0; l < 4; l++) {
+            uint16_t idx = (uint16_t)qs[g * 4 + l] |
+                           (uint16_t)(((qh >> (3 * l)) & 7) << 8);
+            const int8_t* vals = g_iq1s + idx * 8;
+            for (int j = 0; j < 8; j++)
+                y[g * 32 + l * 8 + j] = dl * ((float)vals[j] + delta);
+        }
+    }
+}
+
+void deq_iq1_m(const uint8_t* bp, float* y) {
+    const uint8_t* qs = bp;
+    const uint8_t* qh = bp + 32;
+    uint16_t sc[4];
+    std::memcpy(sc, bp + 48, 8);
+    uint16_t d16 = (uint16_t)((sc[0] >> 12) | ((sc[1] >> 8) & 0x00F0) |
+                              ((sc[2] >> 4) & 0x0F00) | (sc[3] & 0xF000));
+    float d = half_to_float(d16);
+    for (int g = 0; g < 8; g++) {
+        int sh = 6 * (g % 2);
+        uint16_t s = sc[g / 2];
+        float dlA = d * (2.0f * (float)((s >> sh) & 7) + 1.0f);
+        float dlB = d * (2.0f * (float)((s >> (sh + 3)) & 7) + 1.0f);
+        uint8_t h0 = qh[g * 2], h1 = qh[g * 2 + 1];
+        uint16_t idx[4] = {
+            (uint16_t)(qs[g * 4 + 0] | (((uint16_t)h0 << 8) & 0x700)),
+            (uint16_t)(qs[g * 4 + 1] | (((uint16_t)h0 << 4) & 0x700)),
+            (uint16_t)(qs[g * 4 + 2] | (((uint16_t)h1 << 8) & 0x700)),
+            (uint16_t)(qs[g * 4 + 3] | (((uint16_t)h1 << 4) & 0x700))};
+        uint8_t hb[4] = {(uint8_t)(h0 & 0x08), (uint8_t)(h0 & 0x80),
+                         (uint8_t)(h1 & 0x08), (uint8_t)(h1 & 0x80)};
+        for (int l = 0; l < 4; l++) {
+            float dl = (l < 2) ? dlA : dlB;
+            float delta = hb[l] ? -0.125f : 0.125f;
+            const int8_t* vals = g_iq1s + idx[l] * 8;
+            for (int j = 0; j < 8; j++)
+                y[g * 32 + l * 8 + j] = dl * ((float)vals[j] + delta);
+        }
+    }
+}
+
 // -------------------------------- quantizers ---------------------------------
 
 void q_q8_0(const float* v, uint8_t* b) {
@@ -525,6 +807,175 @@ void q_q6_k(const float* v, uint8_t* b) {
     f2h(b + 208, d);
 }
 
+void q_q2_k(const float* v, uint8_t* b) {
+    // mirrors gguf/quants.py quant_q2_k bit-for-bit (per-16 affine groups,
+    // 4-bit scale/min planes)
+    float dg[16], mg[16];
+    for (int g = 0; g < 16; g++) {
+        const float* gr = v + g * 16;
+        float gmin = gr[0], gmax = gr[0];
+        for (int i = 1; i < 16; i++) {
+            gmin = std::min(gmin, gr[i]);
+            gmax = std::max(gmax, gr[i]);
+        }
+        gmin = std::min(gmin, 0.0f);
+        dg[g] = (gmax - gmin) / 3.0f;
+        mg[g] = -gmin;
+    }
+    float dmax = dg[0], mmax = mg[0];
+    for (int g = 1; g < 16; g++) {
+        if (dg[g] > dmax) dmax = dg[g];
+        if (mg[g] > mmax) mmax = mg[g];
+    }
+    float d = dmax / 15.0f, dmin = mmax / 15.0f;
+    uint8_t ls[16], lm[16];
+    for (int g = 0; g < 16; g++) {
+        ls[g] = (uint8_t)std::clamp(npround(d > 0 ? dg[g] / d : 0.0f), 0.0f, 15.0f);
+        lm[g] = (uint8_t)std::clamp(npround(dmin > 0 ? mg[g] / dmin : 0.0f), 0.0f, 15.0f);
+    }
+    float d16 = half_to_float(float_to_half(d));
+    float m16 = half_to_float(float_to_half(dmin));
+    for (int g = 0; g < 16; g++) b[g] = (uint8_t)(ls[g] | (lm[g] << 4));
+    uint8_t q[16][16];
+    for (int g = 0; g < 16; g++) {
+        float dl = d16 * (float)ls[g], ml = m16 * (float)lm[g];
+        const float* gr = v + g * 16;
+        for (int i = 0; i < 16; i++) {
+            float t = dl > 0 ? (gr[i] + ml) / dl : 0.0f;
+            q[g][i] = (uint8_t)std::clamp(npround(t), 0.0f, 3.0f);
+        }
+    }
+    std::memset(b + 16, 0, 64);
+    int is = 0;
+    for (int n = 0; n < 256; n += 128) {
+        int base = 16 + n / 4;
+        for (int shift = 0; shift < 8; shift += 2) {
+            for (int half = 0; half < 32; half += 16) {
+                for (int i = 0; i < 16; i++)
+                    b[base + half + i] |= (uint8_t)(q[is][i] << shift);
+                is++;
+            }
+        }
+    }
+    f2h(b + 80, d);
+    f2h(b + 82, dmin);
+}
+
+void q_q3_k(const float* v, uint8_t* b) {
+    // mirrors gguf/quants.py quant_q3_k (per-16 symmetric groups, 6-bit
+    // packed scales, high-bit plane)
+    float sg[16];
+    for (int g = 0; g < 16; g++) {
+        float amax = 0;
+        for (int i = 0; i < 16; i++)
+            amax = std::max(amax, std::fabs(v[g * 16 + i]));
+        sg[g] = amax / 4.0f;
+    }
+    float dmax = sg[0];
+    for (int g = 1; g < 16; g++)
+        if (sg[g] > dmax) dmax = sg[g];
+    float d = dmax / 31.0f;
+    uint8_t ls[16];
+    for (int g = 0; g < 16; g++) {
+        float r = d > 0 ? sg[g] / d : 0.0f;
+        ls[g] = (uint8_t)std::clamp(npround(r) + 32.0f, 0.0f, 63.0f);
+    }
+    float d16 = half_to_float(float_to_half(d));
+    int8_t q[16][16];
+    for (int g = 0; g < 16; g++) {
+        float dl = d16 * ((float)ls[g] - 32.0f);
+        for (int i = 0; i < 16; i++) {
+            float t = std::fabs(dl) > 0 ? v[g * 16 + i] / dl : 0.0f;
+            q[g][i] = (int8_t)((int)std::clamp(npround(t), -4.0f, 3.0f) + 4);
+        }
+    }
+    std::memset(b, 0, 96);
+    int is = 0, m = 1;
+    for (int n = 0; n < 256; n += 128) {
+        int base = 32 + n / 4;
+        for (int shift = 0; shift < 8; shift += 2) {
+            for (int half = 0; half < 32; half += 16) {
+                for (int i = 0; i < 16; i++) {
+                    uint8_t grp = (uint8_t)q[is][i];
+                    b[base + half + i] |= (uint8_t)((grp & 3) << shift);
+                    if (grp & 4) b[half + i] |= (uint8_t)m;
+                }
+                is++;
+            }
+            m <<= 1;
+        }
+    }
+    q3k_pack_scales(ls, b + 96);
+    f2h(b + 108, d);
+}
+
+void q_q8_k(const float* v, uint8_t* b) {
+    float amax = 0;
+    for (int i = 0; i < 256; i++) amax = std::max(amax, std::fabs(v[i]));
+    float d = amax / 127.0f;
+    float ds = d == 0 ? 1.0f : d;
+    int8_t q[256];
+    for (int i = 0; i < 256; i++) {
+        float t = std::clamp(npround(v[i] / ds), -127.0f, 127.0f);
+        q[i] = d == 0 ? (int8_t)0 : (int8_t)t;
+    }
+    std::memcpy(b, &d, 4);
+    std::memcpy(b + 4, q, 256);
+    for (int g = 0; g < 16; g++) {
+        int32_t s = 0;
+        for (int i = 0; i < 16; i++) s += q[g * 16 + i];
+        int16_t s16 = (int16_t)s;
+        std::memcpy(b + 260 + 2 * g, &s16, 2);
+    }
+}
+
+void q_tq1_0(const float* v, uint8_t* b) {
+    float amax = 0;
+    for (int i = 0; i < 256; i++) amax = std::max(amax, std::fabs(v[i]));
+    float d = amax, ds = d == 0 ? 1.0f : d;
+    int q[256];
+    for (int i = 0; i < 256; i++)
+        q[i] = (int)std::clamp(npround(v[i] / ds), -1.0f, 1.0f) + 1;
+    int pos = 0;
+    static const int starts[2] = {0, 32}, widths[2] = {32, 16};
+    for (int s = 0; s < 2; s++) {
+        int acc[32] = {0};
+        for (int m = 0; m < 5; m++) {
+            for (int i = 0; i < widths[s]; i++)
+                acc[i] = acc[i] * 3 + q[pos + i];
+            pos += widths[s];
+        }
+        for (int i = 0; i < widths[s]; i++)
+            b[starts[s] + i] = (uint8_t)((acc[i] * 256 + 242) / 243);
+    }
+    int acc4[4] = {0};
+    for (int m = 0; m < 4; m++) {
+        for (int i = 0; i < 4; i++) acc4[i] = acc4[i] * 3 + q[pos + i];
+        pos += 4;
+    }
+    for (int i = 0; i < 4; i++)
+        b[48 + i] = (uint8_t)((acc4[i] * 256 + 80) / 81);
+    f2h(b + 52, d);
+}
+
+void q_tq2_0(const float* v, uint8_t* b) {
+    float amax = 0;
+    for (int i = 0; i < 256; i++) amax = std::max(amax, std::fabs(v[i]));
+    float d = amax, ds = d == 0 ? 1.0f : d;
+    std::memset(b, 0, 64);
+    int pos = 0;
+    for (int j = 0; j < 64; j += 32) {
+        for (int shift = 0; shift < 8; shift += 2) {
+            for (int i = 0; i < 32; i++) {
+                int q = (int)std::clamp(npround(v[pos + i] / ds), -1.0f, 1.0f) + 1;
+                b[j + i] |= (uint8_t)(q << shift);
+            }
+            pos += 32;
+        }
+    }
+    f2h(b + 64, d);
+}
+
 // ------------------------------ block drivers --------------------------------
 
 struct Fmt {
@@ -542,11 +993,26 @@ Fmt fmt_for(int ttype) {
         case 6: return {22, 32, deq_q5_0, q_q5_0};     // Q5_0
         case 7: return {24, 32, deq_q5_1, q_q5_1};     // Q5_1
         case 8: return {34, 32, deq_q8_0, q_q8_0};     // Q8_0
-        case 10: return {84, 256, deq_q2_k, nullptr};  // Q2_K
+        case 10: return {84, 256, deq_q2_k, q_q2_k};   // Q2_K
+        case 11: return {110, 256, deq_q3_k, q_q3_k};  // Q3_K
         case 12: return {144, 256, deq_q4_k, q_q4_k};  // Q4_K
         case 13: return {176, 256, deq_q5_k, q_q5_k};  // Q5_K
         case 14: return {210, 256, deq_q6_k, q_q6_k};  // Q6_K
+        case 15: return {292, 256, deq_q8_k, q_q8_k};  // Q8_K
+        // codebook i-quants: decode only (enc is the offline numpy
+        // scale-search); requires slq_set_iq_grids first
+        case 16: return {66, 256, deq_iq2_xxs, nullptr};  // IQ2_XXS
+        case 17: return {74, 256, deq_iq2_xs, nullptr};   // IQ2_XS
+        case 18: return {98, 256, deq_iq3_xxs, nullptr};  // IQ3_XXS
+        case 19: return {50, 256, deq_iq1_s, nullptr};    // IQ1_S
         case 20: return {18, 32, deq_iq4_nl, q_iq4_nl};// IQ4_NL
+        case 21: return {110, 256, deq_iq3_s, nullptr};   // IQ3_S
+        case 22: return {82, 256, deq_iq2_s, nullptr};    // IQ2_S
+        case 29: return {56, 256, deq_iq1_m, nullptr};    // IQ1_M
+        case 23: return {136, 256, deq_iq4_xs, nullptr}; // IQ4_XS (enc: numpy
+                 // codebook scale-search — offline quantize path only)
+        case 34: return {54, 256, deq_tq1_0, q_tq1_0}; // TQ1_0
+        case 35: return {66, 256, deq_tq2_0, q_tq2_0}; // TQ2_0
         case 39: return {17, 32, deq_mxfp4, q_mxfp4};  // MXFP4
         default: return {0, 0, nullptr, nullptr};
     }
@@ -577,7 +1043,25 @@ extern "C" {
 int slq_supported(int ttype, int for_encode) {
     Fmt f = fmt_for(ttype);
     if (!f.type_size) return 0;
+    bool is_grid = (ttype >= 16 && ttype <= 22 && ttype != 20) || ttype == 29;
+    if (is_grid && !g_grids) return 0;
     return for_encode ? (f.enc != nullptr) : 1;
+}
+
+// inject the shared lattice codebooks (gguf/iq_grids.npz, viewed as byte
+// rows): iq2xxs 256x8, iq2xs 512x8, iq2s 1024x8, iq3xxs 256x4, iq3s 512x4,
+// iq1s 2048x8 (int8)
+int slq_set_iq_grids(const uint8_t* iq2xxs, const uint8_t* iq2xs,
+                     const uint8_t* iq2s, const uint8_t* iq3xxs,
+                     const uint8_t* iq3s, const int8_t* iq1s) {
+    std::memcpy(g_iq2xxs, iq2xxs, sizeof g_iq2xxs);
+    std::memcpy(g_iq2xs, iq2xs, sizeof g_iq2xs);
+    std::memcpy(g_iq2s, iq2s, sizeof g_iq2s);
+    std::memcpy(g_iq3xxs, iq3xxs, sizeof g_iq3xxs);
+    std::memcpy(g_iq3s, iq3s, sizeof g_iq3s);
+    std::memcpy(g_iq1s, iq1s, sizeof g_iq1s);
+    g_grids = true;
+    return 0;
 }
 
 // raw: nb * type_size bytes → out: nb * block_size floats

@@ -293,6 +293,68 @@ def _extract(raw: np.ndarray, ttype: GGMLType, N: int, K: int):
                 m <<= 1
             m = m  # m continues across halves (1..128 over 8 shifts)
         return codes, scales, None, 16, 0, False
+    if ttype == t.IQ4_XS:
+        # per-32 6-bit scales (4 low bits in scales_l nibbles, 2 high bits in
+        # scales_h) × the IQ4_NL codebook (ggml-quants.c dequantize_row_iq4_xs)
+        nsb_ = N * (K // 256)
+        b = raw.reshape(nsb_, 136)
+        d = _f16(b[:, 0:2]).reshape(nsb_)
+        scales_h = np.ascontiguousarray(b[:, 2:4]).view("<u2") \
+            .reshape(nsb_).astype(np.uint32)
+        scales_l = b[:, 4:8]
+        qs = b[:, 8:136].reshape(nsb_, 8, 16)
+        ib = np.arange(8)
+        ls = (((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0x0F).astype(np.uint32)
+              | (((scales_h[:, None] >> (2 * ib)) & 3) << 4))
+        scales = d[:, None] * (ls.astype(np.float32) - 32.0)      # (nsb, 8)
+        lut = np.array(KVALUES_IQ4NL, np.int8)
+        codes = np.concatenate([lut[qs & 0x0F], lut[qs >> 4]], axis=2)
+        return (codes.reshape(N, K // 256, 256), scales.reshape(N, K // 32),
+                None, 32, 0, False)
+    if ttype == t.Q8_K:
+        # f32 per-256 scale + raw int8 codes (block_q8_K, ggml-common.h);
+        # bsums are activation-side metadata — not needed for weight matmul
+        b = raw.reshape(N, K // 256, 292)
+        d = np.ascontiguousarray(b[:, :, 0:4]).view("<f4").reshape(N, K // 256)
+        codes = b[:, :, 4:260].view(np.int8)
+        return codes, d, None, 256, 0, False
+    if ttype == t.TQ1_0:
+        # ternary, 5 trits/byte base-3 packing (dequantize_row_tq1_0)
+        nsb_ = N * (K // 256)
+        b = raw.reshape(nsb_, 54)
+        qs, qh = b[:, 0:48], b[:, 48:52]
+        d = _f16(b[:, 52:54]).reshape(nsb_)
+        codes = np.empty((nsb_, 256), np.int8)
+        pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+        pos = 0
+        for j, width in ((0, 32), (32, 16)):
+            seg = qs[:, j : j + width].astype(np.uint16)
+            for m in range(5):
+                q = ((seg * pow3[m]) & 0xFF) * 3 // 256
+                codes[:, pos : pos + width] = q.astype(np.int8) - 1
+                pos += width
+        seg = qh.astype(np.uint16)
+        for m in range(4):
+            q = ((seg * pow3[m]) & 0xFF) * 3 // 256
+            codes[:, pos : pos + 4] = q.astype(np.int8) - 1
+            pos += 4
+        return (codes.reshape(N, K // 256, 256), d.reshape(N, K // 256),
+                None, 256, 0, False)
+    if ttype == t.TQ2_0:
+        # ternary, 4 crumbs/byte (dequantize_row_tq2_0)
+        nsb_ = N * (K // 256)
+        b = raw.reshape(nsb_, 66)
+        qs = b[:, 0:64]
+        d = _f16(b[:, 64:66]).reshape(nsb_)
+        codes = np.empty((nsb_, 256), np.int8)
+        pos = 0
+        for j in (0, 32):
+            seg = qs[:, j : j + 32]
+            for shift in (0, 2, 4, 6):
+                codes[:, pos : pos + 32] = ((seg >> shift) & 3).astype(np.int8) - 1
+                pos += 32
+        return (codes.reshape(N, K // 256, 256), d.reshape(N, K // 256),
+                None, 256, 0, False)
     # --- codebook i-quants: codes = signed grid values (int8), scales carry
     # the block scale; IQ1 additionally folds dl*delta into adds ---
     def _sgn_i8(sign_bytes):
@@ -501,6 +563,7 @@ REPACKABLE = {
     GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
     GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
     GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M,
+    GGMLType.IQ4_XS, GGMLType.Q8_K, GGMLType.TQ1_0, GGMLType.TQ2_0,
 }
 
 

@@ -12,9 +12,16 @@ from superllama_tpu.gguf.constants import GGML_TYPE_TRAITS, GGMLType
 from superllama_tpu.gguf.quants import DEQUANTIZERS, QUANTIZERS
 
 DEQ_TYPES = [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
-             GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q4_K, GGMLType.Q5_K,
-             GGMLType.Q6_K, GGMLType.IQ4_NL, GGMLType.MXFP4]
-ENC_TYPES = [t for t in DEQ_TYPES if t != GGMLType.Q2_K]
+             GGMLType.Q8_0, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+             GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q8_K, GGMLType.IQ4_NL,
+             GGMLType.IQ4_XS, GGMLType.MXFP4, GGMLType.TQ1_0, GGMLType.TQ2_0,
+             GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+             GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M]
+# i-quant encoders are codebook scale-searches (offline quantize path) — numpy
+ENC_TYPES = [t for t in DEQ_TYPES
+             if t not in (GGMLType.IQ4_XS, GGMLType.IQ2_XXS, GGMLType.IQ2_XS,
+                          GGMLType.IQ2_S, GGMLType.IQ3_XXS, GGMLType.IQ3_S,
+                          GGMLType.IQ1_S, GGMLType.IQ1_M)]
 
 pytestmark = pytest.mark.skipif(
     not native.available(int(GGMLType.Q8_0)),

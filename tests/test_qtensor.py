@@ -46,6 +46,10 @@ def _packed(w, ttype):
         if ttype == GGMLType.IQ1_M:
             raw.reshape(nb, -1)[:, 48:56] &= 0x3F
         return raw
+    if ttype == GGMLType.Q8_K:
+        # the reference's ggml_quantize_chunk asserts on Q8_K (activation-
+        # side format there); our encoder is oracle-validated via dequant
+        return quantize(w, ttype)
     if ggml_oracle.available():
         return ggml_oracle.quantize_ref(w, ttype)
     return quantize(w, ttype)
