@@ -13,6 +13,8 @@ The perf counterpart (GB/s + MFU per kernel, measured on real TPU) is
 tools/ops_bench.py, which feeds the docs/ops.md dashboard.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -32,8 +34,16 @@ RTYPES = sorted(REPACKABLE, key=int)
 NMSE_EXACT = 1e-7
 NMSE_GEMV = 5e-4
 
-# (M, K, N): decode GEMV row, small odd batch, MXU prefill tile, wide-K
-SHAPES = [(1, 512, 64), (5, 512, 128), (128, 512, 64), (16, 1024, 96)]
+# (M, K, N): decode GEMV row, small odd batch, MXU prefill tile, wide-K —
+# plus the hardware-regression shape classes that bit on v5e (VERDICT r3
+# item 10): partial last k-tile (K % bk != 0) at GEMV/small-M, K not a
+# multiple of 256 with M<=32 (Mosaic sublane-alignment class), the M=33..63
+# boundary between GEMV and MXU dispatch, and N % bn != 0 overhang
+SHAPES = [(1, 512, 64), (5, 512, 128), (128, 512, 64), (16, 1024, 96),
+          (1, 768, 64), (8, 768, 128),      # K-quant partial last k-tile
+          (2, 544, 128), (33, 544, 64),     # K%256!=0 (32-group formats)
+          (47, 1024, 96),                   # M in the 33..63 boundary band
+          (8, 512, 640)]                    # N % bn overhang
 
 IQ_CODEBOOK = {GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
                GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S,
@@ -41,6 +51,10 @@ IQ_CODEBOOK = {GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
 
 
 def _qt(ttype, N, K, seed=0):
+    from superllama_tpu.gguf.constants import GGML_TYPE_TRAITS
+
+    if K % GGML_TYPE_TRAITS[ttype].block_size:
+        pytest.skip(f"K={K} not a {ttype.name} block multiple")
     rng = np.random.default_rng(seed + int(ttype))
     w = (rng.normal(0, 0.4, (N, K)) + 0.05 * np.cos(np.arange(K))).astype(
         np.float32)
@@ -135,3 +149,173 @@ def test_flash_attention_sweep(T, S, G, swa, softcap, sinks, q8):
     tol = 1e-5 if q8 else 1e-9
     assert nmse < tol, f"cell T{T} S{S} G{G} swa{swa} cap{softcap} " \
         f"sinks{sinks} q8{q8}: NMSE {nmse:g}"
+
+
+# ------------------------- flash decode (split-KV) --------------------------
+# The fattn-vec analog: sequence-parallel decode kernel with f32 / Q8_0 /
+# Q4_0 KV streamed as codes (ops/flash_attention.flash_decode_attention).
+
+FD_CELLS = []
+for S in (256, 1000, 2048):
+    for G in (1, 4):
+        for kv in ("f", "q8", "q4"):
+            FD_CELLS.append((1, S, G, kv, 0, 0.0, False))
+# feature cells
+FD_CELLS += [
+    (1, 512, 4, "f", 64, 0.0, False),    # sliding window
+    (1, 512, 4, "q8", 0, 30.0, False),   # softcap on quantized KV
+    (1, 512, 4, "f", 0, 0.0, True),      # attention sinks
+    (8, 512, 4, "q8", 0, 0.0, False),    # T=8 multi-token decode
+    (2, 512, 2, "q4", 64, 0.0, True),    # combined q4+swa+sinks
+]
+
+
+@pytest.mark.parametrize("T,S,G,kv,swa,softcap,sinks", FD_CELLS,
+                         ids=lambda *_: None)
+def test_flash_decode_sweep(T, S, G, kv, swa, softcap, sinks):
+    from superllama_tpu.ops.flash_attention import flash_decode_attention
+    from superllama_tpu.runtime.kv_cache import (
+        causal_mask, q4_dequant, q4_quantize_rows, q8_quantize_rows)
+
+    B, Hkv, D = 2, 2, 64
+    H = Hkv * G
+    rng = np.random.default_rng(S + 17 * G)
+    q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    n_past = S - T - 3                       # a few empty tail slots
+    q_pos = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None] + n_past, (B, T))
+    kv_pos = jnp.where(jnp.arange(S)[None] < n_past + T,
+                       jnp.arange(S)[None], -1).astype(jnp.int32)
+    kv_pos = jnp.broadcast_to(kv_pos, (B, S))
+    sink_v = (jnp.asarray(rng.normal(0, 1, (H,)), jnp.float32)
+              if sinks else None)
+    kwargs = {}
+    if kv == "q8":
+        k_in, ks = q8_quantize_rows(k)
+        v_in, vs = q8_quantize_rows(v)
+        kwargs = {"k_scale": ks, "v_scale": vs}
+        k_ref = k_in.astype(jnp.float32) * ks[..., None]
+        v_ref = v_in.astype(jnp.float32) * vs[..., None]
+        # the kernel int8-quantizes Q too (Q8_1 style); with random
+        # (near-uniform) attention the output is O(1/sqrt(S)), which
+        # inflates NMSE by the shrinking denominator — absolute error
+        # stays at the int8-dot level
+        tol = 2e-3
+    elif kv == "q4":
+        k_in, ks = q4_quantize_rows(k)
+        v_in, vs = q4_quantize_rows(v)
+        kwargs = {"k_scale": ks, "v_scale": vs}
+        k_ref = q4_dequant(k_in, ks, jnp.float32)
+        v_ref = q4_dequant(v_in, vs, jnp.float32)
+        tol = 2e-3
+    else:
+        k_in, v_in, k_ref, v_ref = k, v, k, v
+        tol = 1e-9
+    got = flash_decode_attention(q, k_in, v_in, q_pos, kv_pos,
+                                 swa_window=swa, logit_softcap=softcap,
+                                 sinks=sink_v, **kwargs)
+    mask = causal_mask(kv_pos, q_pos, swa if swa else 0)
+    ref = ops.attention_ref(q, k_ref, v_ref, mask, logit_softcap=softcap,
+                            sinks=sink_v)
+    nmse = float(jnp.mean((got - ref) ** 2) / jnp.mean(ref ** 2))
+    assert got.shape == ref.shape
+    assert nmse < tol, f"T{T} S{S} G{G} {kv} swa{swa} cap{softcap} " \
+        f"sinks{sinks}: NMSE {nmse:g}"
+
+
+def test_flash_decode_split_kv_combine():
+    """Multiple S-chunks (block_s < S) must combine partials exactly —
+    the parallel_blocks merge of the reference's fattn-common.cuh."""
+    from superllama_tpu.ops.flash_attention import flash_decode_attention
+    from superllama_tpu.runtime.kv_cache import causal_mask
+
+    B, T, Hkv, G, D, S = 1, 1, 2, 4, 64, 1024
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(0, 1, (B, T, Hkv * G, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    q_pos = jnp.full((B, T), S - 1, jnp.int32)
+    kv_pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    one = flash_decode_attention(q, k, v, q_pos, kv_pos, block_s=1024)
+    four = flash_decode_attention(q, k, v, q_pos, kv_pos, block_s=256)
+    np.testing.assert_allclose(np.asarray(four), np.asarray(one),
+                               atol=1e-5, rtol=1e-5)
+
+
+# ----------------------- grad-check tier (training ops) ---------------------
+# The training step differentiates through the jnp reference ops
+# (training/train.py -> models/llama.py); check their VJPs against finite
+# differences (test-backend-ops GRAD mode counterpart, test-backend-ops.cpp).
+
+from jax.test_util import check_grads  # noqa: E402
+
+
+def _cg(f, *args):
+    check_grads(f, args, order=1, modes=("rev",), atol=1e-2, rtol=1e-2,
+                eps=1e-3)
+
+
+def test_grad_rms_norm():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+    _cg(lambda a, b: ops.rms_norm(a, b, 1e-5).sum(), x, w)
+
+
+def test_grad_layer_norm():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(1, 0.1, (64,)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)
+    _cg(lambda a, ww, bb: ops.layer_norm(a, ww, bb, 1e-5).sum(), x, w, b)
+
+
+def test_grad_rope():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 4, 32)), jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None], (2, 8))
+    inv = jnp.asarray(1.0 / 10000 ** (np.arange(16) / 16), jnp.float32)
+    _cg(lambda a: ops.apply_rope(a, pos, inv, 0).sum(), x)
+    _cg(lambda a: ops.apply_rope(a, pos, inv, 2).sum(), x)   # NEOX
+
+
+def test_grad_attention():
+    rng = np.random.default_rng(3)
+    B, T, S, Hkv, G, D = 1, 4, 8, 2, 2, 16
+    q = jnp.asarray(rng.normal(0, 1, (B, T, Hkv * G, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, Hkv, S, D)), jnp.float32)
+    from superllama_tpu.runtime.kv_cache import causal_mask
+    kv_pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    q_pos = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None] + (S - T), (B, T))
+    mask = causal_mask(kv_pos, q_pos)
+    _cg(lambda a, b, c: ops.attention_gqa(a, b, c, mask).sum(), q, k, v)
+    _cg(lambda a, b, c: ops.attention_ref(a, b, c, mask).sum(), q, k, v)
+
+
+@pytest.mark.parametrize("act", ["silu", "gelu", "relu", "gelu_erf"])
+def test_grad_activations(act):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64)), jnp.float32)
+    _cg(lambda a: ops.ACT_FNS[act](a).sum(), x)
+
+
+# ------------------------------ perf mode -----------------------------------
+
+
+@pytest.mark.skipif(os.environ.get("SLT_PERF") != "1",
+                    reason="opt-in: SLT_PERF=1 regenerates docs/ops_perf.json"
+                           " on real TPU (eval_perf counterpart)")
+def test_perf_regenerate_dashboard():
+    assert jax.default_backend() == "tpu", "perf mode needs the real chip"
+    from superllama_tpu.tools import ops_bench
+
+    ops_bench.main()
+    import json
+
+    with open("docs/ops_perf.json") as f:
+        perf = json.load(f)
+    assert any(isinstance(v, dict) for v in perf.values())
