@@ -96,3 +96,136 @@ def test_c_api_error_reporting(capi):
     h = lib.slt_model_load(b"/nonexistent/model.gguf")
     assert h == 0
     assert b"model_load" in lib.slt_last_error()
+
+
+def _declare_v2(lib):
+    ct = ctypes
+    for name in ("slt_model_n_vocab", "slt_model_n_embd", "slt_model_n_layer",
+                 "slt_model_n_head", "slt_model_n_ctx_train"):
+        getattr(lib, name).argtypes = [ct.c_longlong]
+        getattr(lib, name).restype = ct.c_int
+    lib.slt_model_meta.argtypes = [ct.c_longlong, ct.c_char_p, ct.c_char_p,
+                                   ct.c_int]
+    lib.slt_model_desc.argtypes = [ct.c_longlong, ct.c_char_p, ct.c_int]
+    lib.slt_vocab_bos.argtypes = [ct.c_longlong]
+    lib.slt_vocab_eos.argtypes = [ct.c_longlong]
+    lib.slt_vocab_is_eog.argtypes = [ct.c_longlong, ct.c_int]
+    lib.slt_token_to_piece.argtypes = [ct.c_longlong, ct.c_int, ct.c_char_p,
+                                       ct.c_int]
+    lib.slt_decode_ctx_new.restype = ct.c_longlong
+    lib.slt_decode_ctx_new.argtypes = [ct.c_longlong, ct.c_int]
+    lib.slt_decode.argtypes = [ct.c_longlong, ct.POINTER(ct.c_int), ct.c_int]
+    lib.slt_get_logits.argtypes = [ct.c_longlong, ct.POINTER(ct.c_float),
+                                   ct.c_int]
+    lib.slt_decode_reset.argtypes = [ct.c_longlong]
+    lib.slt_sampler_new.restype = ct.c_longlong
+    lib.slt_sampler_new.argtypes = [ct.c_char_p]
+    lib.slt_sampler_sample.argtypes = [ct.c_longlong,
+                                       ct.POINTER(ct.c_float), ct.c_int]
+    lib.slt_sampler_accept.argtypes = [ct.c_longlong, ct.c_int]
+    lib.slt_sampler_reset.argtypes = [ct.c_longlong]
+    lib.slt_state_get_size.restype = ct.c_longlong
+    lib.slt_state_get_size.argtypes = [ct.c_longlong, ct.c_int]
+    lib.slt_state_get_data.restype = ct.c_longlong
+    lib.slt_state_get_data.argtypes = [ct.c_longlong, ct.c_int,
+                                       ct.c_char_p, ct.c_longlong]
+    lib.slt_state_set_data.argtypes = [ct.c_longlong, ct.c_int,
+                                       ct.c_char_p, ct.c_longlong]
+    lib.slt_kv_clear.argtypes = [ct.c_longlong, ct.c_int]
+
+
+def test_c_api_model_info_and_vocab(capi, model_path):
+    lib = capi
+    _declare_v2(lib)
+    h = lib.slt_model_load(model_path.encode())
+    assert h > 0, lib.slt_last_error()
+    assert lib.slt_model_n_vocab(h) == 32000
+    assert lib.slt_model_n_embd(h) == 64
+    assert lib.slt_model_n_layer(h) == 2
+    assert lib.slt_model_n_head(h) == 4
+    buf = ctypes.create_string_buffer(256)
+    assert lib.slt_model_desc(h, buf, 256) > 0
+    assert b"llama" in buf.value
+    n = lib.slt_model_meta(h, b"general.architecture", buf, 256)
+    assert n > 0 and buf.value == b"llama"
+    bos, eos = lib.slt_vocab_bos(h), lib.slt_vocab_eos(h)
+    assert bos == 1 and eos == 2          # SPM llama vocab
+    assert lib.slt_vocab_is_eog(h, eos) == 1
+    assert lib.slt_vocab_is_eog(h, 5) == 0
+    m = lib.slt_token_to_piece(h, 5, buf, 256)
+    assert m >= 0
+    assert lib.slt_free(h) == 0
+
+
+def test_c_api_decode_sampler_loop(capi, model_path):
+    """Custom C decode loop (llama_decode + sampler_chain) must reproduce
+    slt_generate's greedy output token-for-token."""
+    lib = capi
+    _declare_v2(lib)
+    h = lib.slt_model_load(model_path.encode())
+    assert h > 0
+
+    ids = (ctypes.c_int * 64)()
+    n = lib.slt_tokenize(h, b"Once upon a time", ids, 64)
+    assert n > 0
+    n_vocab = lib.slt_model_n_vocab(h)
+
+    # reference: engine pipeline
+    ctx = lib.slt_ctx_new(h, 128, 1)
+    out = ctypes.create_string_buffer(4096)
+    assert lib.slt_generate(ctx, b"Once upon a time", 6, 0.0, out, 4096) >= 0
+    ref_text = out.value
+
+    # custom loop: decode + greedy sampler
+    dctx = lib.slt_decode_ctx_new(h, 128)
+    assert dctx > 0, lib.slt_last_error()
+    smp = lib.slt_sampler_new(b'{"temp": 0.0}')
+    assert smp > 0, lib.slt_last_error()
+    logits = (ctypes.c_float * n_vocab)()
+    toks = []
+    assert lib.slt_decode(dctx, ids, n) == n
+    for _ in range(6):
+        assert lib.slt_get_logits(dctx, logits, n_vocab) == n_vocab
+        t = lib.slt_sampler_sample(smp, logits, n_vocab)
+        assert t >= 0
+        toks.append(t)
+        one = (ctypes.c_int * 1)(t)
+        assert lib.slt_decode(dctx, one, 1) > 0
+    buf = ctypes.create_string_buffer(4096)
+    assert lib.slt_detokenize(h, (ctypes.c_int * len(toks))(*toks),
+                              len(toks), buf, 4096) >= 0
+    assert buf.value == ref_text, (buf.value, ref_text)
+
+    lib.slt_decode_reset(dctx)
+    for hh in (smp, dctx, ctx, h):
+        assert lib.slt_free(hh) == 0
+
+
+def test_c_api_state_roundtrip(capi, model_path, tmp_path):
+    """state_get_data → kv_clear → state_set_data must restore the slot:
+    continued generation equals uninterrupted generation."""
+    lib = capi
+    _declare_v2(lib)
+    h = lib.slt_model_load(model_path.encode())
+    ctx = lib.slt_ctx_new(h, 128, 1)
+    out = ctypes.create_string_buffer(4096)
+    assert lib.slt_generate(ctx, b"The quick brown", 4, 0.0, out, 4096) >= 0
+
+    size = lib.slt_state_get_size(ctx, 0)
+    assert size > 0, lib.slt_last_error()
+    blob = ctypes.create_string_buffer(int(size))
+    got = lib.slt_state_get_data(ctx, 0, blob, size)
+    assert got == size, lib.slt_last_error()
+
+    assert lib.slt_kv_clear(ctx, 0) == 0
+    n_past = lib.slt_state_set_data(ctx, 0, blob, size)
+    assert n_past > 0, lib.slt_last_error()
+
+    # file variant
+    p = str(tmp_path / "slot.npz").encode()
+    assert lib.slt_state_save_file(ctx, 0, p) == size
+    assert lib.slt_kv_clear(ctx, 0) == 0
+    assert lib.slt_state_load_file(ctx, 0, p) == n_past
+
+    for hh in (ctx, h):
+        assert lib.slt_free(hh) == 0
