@@ -74,6 +74,7 @@ def paged_flash_attention(
     kern = functools.partial(
         _fa_kernel, scale=float(scale), n_s=MAXP, swa=int(swa_window),
         softcap=float(logit_softcap), has_sinks=has_sinks, quantized=False,
+        s_rem=0,   # pages are whole blocks; NULL pages mask by position
     )
 
     def wrapped(tbl_ref, qp, kp, sk, qr, kr, vr, o, m, l, a):

@@ -681,6 +681,7 @@ class Engine:
         run): the chunk-interleave that keeps generating streams flowing
         while a long prompt loads."""
         worked = False
+        finals: list[tuple] = []
         for slot in [s for s in self.slots if s.state == SlotState.PREFILL]:
             if self.paged:
                 try:
@@ -723,15 +724,37 @@ class Engine:
             worked = True
             if slot.pending:
                 continue
-            # last chunk: finalize — insert scratch, sample the first token
-            last_logits = np.asarray(logits[row, len(chunk) - 1], np.float32)
+            # last chunk: finalize — insert now (device-side) but DEFER the
+            # first-token fetch so every finishing slot's copy overlaps (one
+            # host round-trip for the whole wave, not one per slot). Greedy
+            # requests additionally argmax on device and fetch 4 bytes
+            # instead of serializing the n_vocab logits row through the
+            # (possibly slow) host link — the TTFT tail.
             if not slot.in_place:
                 self.cache = self._insert(self.cache, slot.scratch, slot.idx,
                                           slot.n_prompt)
                 slot.scratch = None
+            sm = slot.req.sampling or {}
+            greedy = (slot.req.grammar is None
+                      and (not sm or sm.get("greedy")
+                           or sm.get("temp", 1.0) == 0.0))
+            val = (jnp.argmax(logits[row, len(chunk) - 1])
+                   if greedy else logits[row, len(chunk) - 1])
+            try:
+                val.copy_to_host_async()
+            except Exception:
+                pass
+            finals.append((slot, val, greedy))
+        for slot, val, greedy in finals:
             slot.state = SlotState.GENERATING
             slot.n_past = slot.n_prompt
-            self._emit(slot, slot.sampler.sample(last_logits))
+            if greedy:
+                tok1 = int(np.asarray(val))
+                slot.sampler.accept(tok1)    # sample() would accept too
+                self._emit(slot, tok1)
+            else:
+                self._emit(slot, slot.sampler.sample(
+                    np.asarray(val, np.float32)))
         return worked
 
     def _start_request_sync(self, slot: _Slot, req: GenRequest):
