@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import jnp_ref as ops
-from ..ops.flash_attention import flash_attention
+from ..ops.flash_attention import flash_attention, flash_decode_attention
 from ..ops.qmatmul import qmatmul
 from ..ops.qtensor import QTensor, dequant_qtensor
 from ..runtime.kv_cache import (
@@ -399,6 +399,15 @@ def llama_forward(
     if hp.alibi or attn_mask is not None:
         flash = False  # bias/custom masks ride the additive-mask attn path
     H, Hkv, D, Dv = hp.n_head, hp.n_head_kv, hp.head_dim, hp.head_dim_v
+    # quantized-KV decode rides the split-KV kernel: codes stream from HBM
+    # at 1 B (Q8_0) / 0.5 B (Q4_0) per element instead of materializing a
+    # 2 B/elem dequantized cache every step (type_k/type_v consumed directly
+    # by fattn in the reference, include/llama.h:372-373)
+    flash_dec = (not flash
+                 and (jax.default_backend() == "tpu"
+                      or bool(hp.extra.get("flash_decode")))  # tests: interpret
+                 and not hp.alibi and attn_mask is None
+                 and Hkv > 0 and T * (H // max(Hkv, 1)) <= 32)
 
     inv_freq, mscale, inv_freq_swa, mscale_swa = rope_setup(params, hp)
     kq_scale = hp.f_attn_scale if hp.f_attn_scale > 0.0 else 1.0 / (D ** 0.5)
@@ -597,6 +606,7 @@ def llama_forward(
                 logit_softcap=hp.attn_logit_softcap, sinks=sinks,
             )
         else:
+            fdec = False
             if iswa and swa:
                 li = sidx[il]
                 cache = cache._replace(swa=kv_update_layer(
@@ -609,8 +619,10 @@ def llama_forward(
                 ck, cv, cpos = cache.full.k[li], cache.full.v[li], cache.full.pos
             else:
                 cache = kv_update_layer(cache, il, slots, k, v)
+                fdec = (flash_dec and getattr(cache, "quantized", False)
+                        and not l4c and Hkv_l == Hkv)
                 ck, cv = (cache.k[il], cache.v[il]) \
-                    if (flash and cache.quantized and not cache.q4) \
+                    if ((flash and cache.quantized and not cache.q4) or fdec) \
                     else kv_layer(cache, il, k.dtype)
                 cpos = cache.pos
                 if s_window:   # read-side slot cap (decode-length bucketing)
@@ -618,7 +630,16 @@ def llama_forward(
                                     wpos)
             if Hkv_l < Hkv:  # strip phantom kv heads (per-layer head counts)
                 ck, cv = ck[:, :Hkv_l], cv[:, :Hkv_l]
-            if flash:
+            if not iswa and not paged and fdec:
+                qargs = {"k_scale": cache.k_scale[il],
+                         "v_scale": cache.v_scale[il]}
+                if s_window:
+                    qargs = {kq: vq[:, :, :s_window]
+                             for kq, vq in qargs.items()}
+                attn = flash_decode_attention(
+                    q, ck, cv, pos, cpos, scale=kq_scale, swa_window=swa,
+                    logit_softcap=hp.attn_logit_softcap, sinks=sinks, **qargs)
+            elif flash:
                 # Q8_0 caches stream int8 codes into the kernel (per-tile
                 # VMEM dequant — HBM traffic stays 1 byte/element)
                 qargs = ({"k_scale": cache.k_scale[il],

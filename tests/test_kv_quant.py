@@ -209,3 +209,43 @@ def test_forward_parity_q4_vs_f32(model):
     # prefill-step argmax agreement across positions
     agree = (outs["f32"][0].argmax(-1) == outs["q4"][0].argmax(-1)).mean()
     assert agree > 0.7, agree
+
+
+@pytest.mark.parametrize("kvt", ["q8_0", "q4_0"])
+def test_flash_decode_in_kernel_matches_materialized(model, kvt):
+    """VERDICT r4 item 6: with hp.extra['flash_decode'] (the TPU decode gate,
+    interpret-mode here), quantized-KV decode streams codes through
+    flash_decode_attention instead of materializing a dequantized cache —
+    logits must match the materialized path to f32-accumulation tolerance."""
+    hp = model.hparams
+    ids = model.tokenizer.encode("The quick brown fox", add_special=True)
+
+    def run(flash_decode: bool):
+        if flash_decode:
+            hp.extra["flash_decode"] = True
+        try:
+            c = kv_cache_init(hp.n_layer, 1, 128, hp.n_head_kv, hp.head_dim,
+                              hp.head_dim_v, dtype=kvt)
+            toks = jnp.asarray([ids], jnp.int32)
+            pos = jnp.arange(len(ids), dtype=jnp.int32)[None]
+            lg, c = llama_forward(model.params, hp, toks, pos, c)
+            t = int(jnp.argmax(lg[0, -1]))
+            seq, lgs = [], []
+            for i in range(6):
+                seq.append(t)
+                lg, c = llama_forward(model.params, hp,
+                                      jnp.asarray([[t]], jnp.int32),
+                                      jnp.asarray([[len(ids) + i]],
+                                                  jnp.int32), c)
+                lgs.append(np.asarray(lg[0, -1], np.float32))
+                t = int(jnp.argmax(lg[0, -1]))
+        finally:
+            hp.extra.pop("flash_decode", None)
+        return seq, np.stack(lgs)
+
+    seq_mat, lg_mat = run(False)
+    seq_ker, lg_ker = run(True)
+    assert seq_mat == seq_ker, (seq_mat, seq_ker)
+    # int8-quantized q in the kernel vs f32 materialized matmul: small drift
+    rel = (np.abs(lg_mat - lg_ker).max() / (np.abs(lg_mat).max() + 1e-9))
+    assert rel < 0.02, rel
