@@ -76,7 +76,8 @@ def bench_qmv(ttype_name="Q4_K", N=4096, K=4096):
 
     def step(x):
         y = qmatmul(x, qt, act_quant=True)        # (1, N)
-        return (y[:, :K] / (1.0 + jnp.abs(y[:, :K])))  # normalized feedback
+        fb = jnp.tile(y, (1, (K + N - 1) // N))[:, :K]  # data-dep feedback
+        return fb / (1.0 + jnp.abs(fb))
 
     x0 = jnp.ones((1, K), jnp.float32)
     # a single GEMV is ~tens of µs: the two scan lengths must differ by
@@ -97,7 +98,8 @@ def bench_qmm(ttype_name="Q4_K", M=1024, N=4096, K=4096):
 
     def step(x):
         y = qmatmul(x, qt)                        # (M, N)
-        return y[:, :K] / (1.0 + jnp.abs(y[:, :K]))
+        fb = jnp.tile(y, (1, (K + N - 1) // N))[:, :K]
+        return fb / (1.0 + jnp.abs(fb))
 
     x0 = jnp.ones((M, K), jnp.float32)
     dt = _scan_time(step, x0, n_lo=4, n_hi=20)
@@ -132,13 +134,14 @@ def bench_fa_prefill(T=2048, S=2048, Hkv=8, G=4, D=128):
             "shape": f"T{T} S{S} H{H} D{D} bf16"}
 
 
-def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, q8=True):
-    """Flash-decode attention (fattn-vec analog): bandwidth-bound; GB/s of
-    K/V traffic at T=1 over a deep cache (Q8_0 KV by default)."""
+def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, kv="q8"):
+    """Split-KV flash-decode attention (fattn-vec analog): bandwidth-bound;
+    GB/s of K/V traffic at T=1 over a deep cache. kv ∈ {bf16, q8, q4}."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.flash_attention import flash_attention
+    from ..ops.flash_attention import flash_decode_attention
+    from ..runtime.kv_cache import q4_quantize_rows, q8_quantize_rows
 
     H = Hkv * G
     key = jax.random.PRNGKey(2)
@@ -146,11 +149,14 @@ def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, q8=True):
     vf = jax.random.normal(jax.random.fold_in(key, 1), (1, Hkv, S, D),
                            jnp.float32)
     kwargs = {}
-    if q8:
-        ks = jnp.max(jnp.abs(kf), -1) / 127.0
-        vs = jnp.max(jnp.abs(vf), -1) / 127.0
-        k = jnp.round(kf / ks[..., None]).astype(jnp.int8)
-        v = jnp.round(vf / vs[..., None]).astype(jnp.int8)
+    if kv == "q8":
+        k, ks = q8_quantize_rows(kf)
+        v, vs = q8_quantize_rows(vf)
+        kwargs = {"k_scale": ks, "v_scale": vs}
+        kv_bytes = k.nbytes + v.nbytes + ks.nbytes + vs.nbytes
+    elif kv == "q4":
+        k, ks = q4_quantize_rows(kf)
+        v, vs = q4_quantize_rows(vf)
         kwargs = {"k_scale": ks, "v_scale": vs}
         kv_bytes = k.nbytes + v.nbytes + ks.nbytes + vs.nbytes
     else:
@@ -160,14 +166,50 @@ def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, q8=True):
     kv_pos = jnp.arange(S, dtype=jnp.int32)[None]
 
     def step(q):
-        o = flash_attention(q, k, v, q_pos, kv_pos, **kwargs)
+        o = flash_decode_attention(q, k, v, q_pos, kv_pos, **kwargs)
+        o = o.astype(jnp.float32)
         return o / (1.0 + jnp.abs(o))
 
     q0 = jnp.ones((1, 1, H, D), jnp.float32)
     dt = _scan_time(step, q0)
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
-            "shape": f"T1 S{S} H{H} D{D} {'q8' if q8 else 'bf16'} KV"}
+            "shape": f"T1 S{S} H{H} D{D} {kv} KV"}
+
+
+def bench_paged_attention(S=8192, P=256, Hkv=8, G=4, D=128, B=1):
+    """Paged flash attention over scalar-prefetch page tables at depth:
+    bandwidth-bound like contiguous decode; the gap vs flash_attn_decode
+    is the paging overhead (VERDICT r3 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.paged_attention import paged_flash_attention
+
+    H = Hkv * G
+    n_pages = B * S // P + 1                     # +1: the NULL page at slot 0
+    key = jax.random.PRNGKey(3)
+    k_pages = jax.random.normal(key, (n_pages, Hkv, P, D), jnp.bfloat16)
+    v_pages = jax.random.normal(jax.random.fold_in(key, 1),
+                                (n_pages, Hkv, P, D), jnp.bfloat16)
+    # page i+1 holds positions [i*P, (i+1)*P); NULL page all -1
+    page_pos = jnp.concatenate([
+        jnp.full((1, P), -1, jnp.int32),
+        jnp.arange(B * S, dtype=jnp.int32).reshape(-1, P)], axis=0)
+    table = (jnp.arange(B * (S // P), dtype=jnp.int32).reshape(B, -1) + 1)
+    q_pos = jnp.full((B, 1), S - 1, jnp.int32)
+    kv_bytes = ((n_pages - 1) * Hkv * P * D * 2 * 2) // B * B
+
+    def step(q):
+        o = paged_flash_attention(q, k_pages, v_pages, q_pos, page_pos,
+                                  table).astype(jnp.float32)
+        return o / (1.0 + jnp.abs(o))
+
+    q0 = jnp.ones((B, 1, H, D), jnp.float32)
+    dt = _scan_time(step, q0)
+    return {"GBps": round(kv_bytes / dt / 1e9, 1),
+            "us_per_call": round(dt * 1e6, 1),
+            "shape": f"T1 S{S} P{P} H{H} D{D} bf16 pages"}
 
 
 def main():
@@ -187,6 +229,8 @@ def main():
                                                      D=64)
         out["flash_attn_decode_q8"] = bench_fa_decode(S=256, Hkv=2, G=2,
                                                       D=64)
+        out["paged_attn_decode"] = bench_paged_attention(S=512, P=128,
+                                                         Hkv=2, G=2, D=64)
         print(json.dumps(out))
         return
     scale = 0.25 if small else 1.0
@@ -198,6 +242,12 @@ def main():
             T=int(2048 * scale), S=int(2048 * scale))),
         ("flash_attn_decode_q8",
          lambda: bench_fa_decode(S=int(8192 * scale))),
+        ("flash_attn_decode_q4",
+         lambda: bench_fa_decode(S=int(8192 * scale), kv="q4")),
+        ("flash_attn_decode_bf16",
+         lambda: bench_fa_decode(S=int(8192 * scale), kv="bf16")),
+        ("paged_attn_decode",
+         lambda: bench_paged_attention(S=int(8192 * scale))),
     ]
     for name, fn in cases:
         for attempt in (1, 2):   # the tunnel occasionally drops a compile
