@@ -384,6 +384,12 @@ def test_webui_served_at_root(server):
     assert resp.status == 200
     assert "text/html" in resp.getheader("Content-Type", "")
     assert "superllama_tpu" in body and "/v1/chat/completions" in body
+    # full-app structure: conversations sidebar, markdown renderer, sampling
+    # panel, SSE streaming plumbing, localStorage persistence
+    for marker in ('id="convs"', 'id="composer"', "renderMd", "localStorage",
+                   'id="settings"', "getReader", "reasoning_content",
+                   "/props", "regenerate"):
+        assert marker in body, marker
     conn.close()
 
 
