@@ -388,6 +388,9 @@ class Engine:
         for win in wins:
             self._decode.lower(params_a, tok, pos, cache_a,
                                s_window=win).compile()
+        for P in self.buckets:      # batched in-place prompt-wave prefill
+            tp = jax.ShapeDtypeStruct((B, P), jnp.int32)
+            self._decode.lower(params_a, tp, tp, cache_a).compile()
         if self.block_size > 1:
             dsamp = self._dsamp
             sp = {k: jax.ShapeDtypeStruct(np.asarray(v).shape,
@@ -682,7 +685,56 @@ class Engine:
         while a long prompt loads."""
         worked = False
         finals: list[tuple] = []
-        for slot in [s for s in self.slots if s.state == SlotState.PREFILL]:
+        loading = [s for s in self.slots if s.state == SlotState.PREFILL]
+        batch = ([] if self.paged else
+                 [s for s in loading if s.pending])
+        if len(batch) >= 2:
+            # batched prompt wave: one truncate (resets each loading row's
+            # cursor to its offset — a no-op for continuing rows) + ONE
+            # (n_slots, P) in-place dispatch carries every loading prompt's
+            # next chunk. A burst of N arrivals pays 2 dispatches instead of
+            # N prefills + N inserts (server-context update_slots admits a
+            # whole wave per iteration too).
+            t0 = time.perf_counter()
+            P = max(s.prefill_P for s in batch)
+            keep = np.zeros(self.n_slots, np.int32)
+            for s in self.slots:
+                keep[s.idx] = s.n_past
+            for s in batch:
+                keep[s.idx] = s.prefill_off
+            self.cache = self._truncate(self.cache, jnp.asarray(keep))
+            tok = np.zeros((self.n_slots, P), np.int32)
+            pos = np.full((self.n_slots, P), -1, np.int32)
+            for s in batch:
+                chunk = s.pending[:P]
+                tok[s.idx, : len(chunk)] = chunk
+                pos[s.idx, : len(chunk)] = np.arange(
+                    s.prefill_off, s.prefill_off + len(chunk))
+            logits, self.cache = self._decode(
+                self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                self.cache)
+            for s in batch:
+                chunk = s.pending[:P]
+                s.pending = s.pending[len(chunk):]
+                s.prefill_off += len(chunk)
+                s.in_place = True         # later chunks continue in place
+                s.scratch = None
+                if not s.pending:
+                    sm = s.req.sampling or {}
+                    greedy = (s.req.grammar is None
+                              and (not sm or sm.get("greedy")
+                                   or sm.get("temp", 1.0) == 0.0))
+                    val = (jnp.argmax(logits[s.idx, len(chunk) - 1])
+                           if greedy else logits[s.idx, len(chunk) - 1])
+                    try:
+                        val.copy_to_host_async()
+                    except Exception:
+                        pass
+                    finals.append((s, val, greedy))
+            self.metrics["prefill_s"] += time.perf_counter() - t0
+            worked = True
+            loading = [s for s in loading if s not in batch]
+        for slot in loading:
             if self.paged:
                 try:
                     self._paged_prefill_chunk(slot)
