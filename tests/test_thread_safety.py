@@ -90,3 +90,108 @@ def test_concurrent_submissions_one_engine(model):
             assert out["n_generated"] == 4
     finally:
         eng.stop()
+
+
+def test_stress_submits_slot_ops_metrics(model):
+    """Sanitizer-tier stress (the TSan-equivalent for the Python runtime):
+    sys.setswitchinterval(1e-5) forces maximal thread preemption while
+    submit / slot save-restore-erase / metrics reads hammer one running
+    engine from 3 thread families. Invariants: no exceptions anywhere,
+    every request completes with exactly max_tokens, slot states return to
+    IDLE, metrics counters are monotone."""
+    import sys
+    import time
+
+    old = sys.getswitchinterval()
+    sys.setswitchinterval(1e-5)
+    eng = Engine(model, n_slots=2, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16,))
+    eng.start()
+    errors: list = []
+    stop = threading.Event()
+    tok = model.tokenizer
+    done_reqs: list = []
+
+    def submitter(i):
+        try:
+            for j in range(6):
+                r = GenRequest(prompt_ids=tok.encode(f"stress {i} {j}"),
+                               max_tokens=3, stop_eog=False)
+                eng.submit(r)
+                out = r.result(timeout=300)
+                assert out.get("error") is None, out
+                assert out["n_generated"] == 3, out
+                done_reqs.append(r)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("submit", e))
+
+    def slot_opper():
+        try:
+            while not stop.is_set():
+                for idx in range(2):
+                    try:
+                        snap = eng.slot_save(idx)
+                        eng.slot_restore(idx, snap)
+                        eng.slot_erase(idx)
+                    except RuntimeError:
+                        pass          # busy slot: the legal refusal path
+                time.sleep(0.002)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("slotop", e))
+
+    def metrics_reader():
+        try:
+            last = -1
+            while not stop.is_set():
+                n = eng.metrics["n_tokens_generated"]
+                assert n >= last, (n, last)   # monotone under readers
+                last = n
+                time.sleep(0.001)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("metrics", e))
+
+    try:
+        subs = [threading.Thread(target=submitter, args=(i,))
+                for i in range(3)]
+        aux = [threading.Thread(target=slot_opper),
+               threading.Thread(target=metrics_reader)]
+        for t in subs + aux:
+            t.start()
+        for t in subs:
+            t.join(timeout=600)
+        stop.set()
+        for t in aux:
+            t.join(timeout=30)
+        assert not errors, errors
+        assert len(done_reqs) == 18
+        deadline = time.time() + 30
+        while time.time() < deadline and any(
+                s.state.name != "IDLE" for s in eng.slots):
+            time.sleep(0.05)
+        assert all(s.state.name == "IDLE" for s in eng.slots), \
+            [s.state for s in eng.slots]
+    finally:
+        stop.set()
+        eng.stop()
+        sys.setswitchinterval(old)
+
+
+def test_streaming_callback_cross_thread(model):
+    """Stream callbacks fire on the engine thread while the submitter reads
+    the growing buffer — the host-callback shared-state path."""
+    eng = Engine(model, n_slots=2, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16,))
+    eng.start()
+    try:
+        tok = model.tokenizer
+        chunks: list = []
+        r = GenRequest(prompt_ids=tok.encode("stream me"), max_tokens=6,
+                       stop_eog=False,
+                       stream=lambda t, piece: chunks.append((t, piece)))
+        eng.submit(r)
+        out = r.result(timeout=300)
+        assert out["n_generated"] == 6
+        assert len(chunks) == 6
+        assert [t for t, _ in chunks] == out["tokens"]
+    finally:
+        eng.stop()
