@@ -31,21 +31,33 @@ def _fetch(x):
 
 def _scan_time(step, carry0, n_lo=8, n_hi=64):
     """Per-iteration seconds of `step` via a jitted scan two-length
-    differential; `step(carry) -> carry` must be data-dependent."""
+    differential; `step(carry) -> carry` must be data-dependent.
+
+    The timed pass runs on a PERTURBED carry: the axon tunnel memoizes an
+    exactly-repeated (program, input) dispatch, so re-running the warm call
+    verbatim times as ~one RTT regardless of the real compute (measured:
+    impossible >HBM-peak "bandwidths" and 0.00 µs differentials)."""
     import jax
+    import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(c, n: int):
         return jax.lax.scan(lambda c, _: (step(c), None), c, None, length=n)[0]
 
+    def perturb(c, eps):
+        return jax.tree_util.tree_map(
+            lambda x: x + jnp.asarray(
+                eps if jnp.issubdtype(x.dtype, jnp.floating) else 1, x.dtype),
+            c)
+
     times = {}
     for n in (n_lo, n_hi):
-        for timed in (False, True):          # first pass compiles/warms
-            t0 = time.perf_counter()
-            out = run(carry0, n=n)
-            _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-            if timed:
-                times[n] = time.perf_counter() - t0
+        out = run(carry0, n=n)                        # compile + warm
+        _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        t0 = time.perf_counter()
+        out = run(perturb(carry0, 2 ** -6), n=n)      # fresh input: no memo
+        _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        times[n] = time.perf_counter() - t0
     return max(times[n_hi] - times[n_lo], 1e-9) / (n_hi - n_lo)
 
 
