@@ -315,7 +315,7 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     qpi = qpos_ref[0]                        # (TG, 1) int32
-    kpi = kpos_ref[0, :, 0][None, :]         # (1, BS) int32
+    kpi = kpos_ref[0, 0][None, :]            # (1, BS) int32
     _BIG = jnp.int32(1 << 30)
     kp_min = jnp.min(jnp.where(kpi < 0, _BIG, kpi))
     vis = kp_min <= jnp.max(qpi)
@@ -346,24 +346,17 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
             ) * scale
         elif mode == "q8":
             k = k_ref[0, 0]                  # (BS, D) int8
-            ks = ks_ref[0, 0]                # (BS, 1) f32
             ii = jax.lax.dot_general(
                 q2, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)          # (TG, BS)
-            ksr = ks[:, 0][None, :]
-            if s_rem:  # garbage scale floats can be NaN; codes are finite
-                valid = jnp.where(s_idx == n_s - 1, s_rem, bs)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-                ksr = jnp.where(cols < valid, ksr, jnp.zeros_like(ksr))
+            # scales arrive lane-major (…, n_s, bs), zero-padded past S —
+            # garbage codes beyond S are finite int8 and scale to 0
+            ksr = ks_ref[0, 0, 0][None, :]                 # (1, BS)
             logits = (ii.astype(jnp.float32)
                       * (qs_ref[0, 0] * scale) * ksr)      # (TG,1)·(1,BS)
         else:  # q4: nibble codes, per-32-group scales → per-group dot sums
             c = k_ref[0, 0].astype(jnp.int32)              # (BS, D//2)
-            ks = ks_ref[0, 0]                              # (BS, D//32)
-            if s_rem:
-                valid = jnp.where(s_idx == n_s - 1, s_rem, bs)
-                rows2 = jax.lax.broadcasted_iota(jnp.int32, ks.shape, 0)
-                ks = jnp.where(rows2 < valid, ks, jnp.zeros_like(ks))
+            ks = ks_ref[0, 0]                              # (D//32, BS) lane-major
             acc32 = jnp.zeros((tg, bs), jnp.float32)
             for grp in range(d // 32):
                 lo, hi = _nib_lo_hi(c[:, 16 * grp:16 * grp + 16])
@@ -374,7 +367,7 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
                     q2[:, 32 * grp:32 * grp + 32], kg,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                acc32 = acc32 + lg.astype(jnp.float32) * ks[:, grp][None, :]
+                acc32 = acc32 + lg.astype(jnp.float32) * ks[grp][None, :]
             logits = acc32 * (qs_ref[0, 0] * scale)
 
         if softcap > 0.0:
@@ -385,11 +378,7 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
         pen = jnp.minimum(0.0, qpf - kpf) + jnp.minimum(0.0, kpf)
         if swa > 0:
             pen = pen + jnp.minimum(0.0, kpf - qpf + float(swa) - 1.0)
-        if s_rem:
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (1, bs), 1).astype(jnp.float32)
-            validf = jnp.where(s_idx == n_s - 1, s_rem, bs).astype(jnp.float32)
-            pen = pen + jnp.minimum(0.0, validf - 1.0 - cols)
+        # (kv_pos is -1-padded past S, so its penalty masks the overhang)
         logits = logits + pen * _NEG
 
         m_prev = m_ref[:]
@@ -417,22 +406,16 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
                           preferred_element_type=jnp.float32)
         elif mode == "q8":
             v = v_ref[0, 0]                  # (BS, Dv) int8
-            vs = vs_ref[0, 0][:, 0][None, :]                # (1, BS)
-            if s_rem:
-                cols = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-                vs = jnp.where(cols < valid, vs, jnp.zeros_like(vs))
+            vs = vs_ref[0, 0, 0][None, :]                   # (1, BS)
             upd = _p_int8_dot(p * vs, v)
         else:  # q4 V: per-group scales; output columns land nibble-permuted
             cv = v_ref[0, 0].astype(jnp.int32)              # (BS, Dv//2)
-            vs = vs_ref[0, 0]                               # (BS, Dv//32)
-            if s_rem:
-                rows2 = jax.lax.broadcasted_iota(jnp.int32, vs.shape, 0)
-                vs = jnp.where(rows2 < valid, vs, jnp.zeros_like(vs))
+            vs = vs_ref[0, 0]                               # (Dv//32, BS)
             parts = []
             for grp in range(dv // 32):
                 lo, hi = _nib_lo_hi(cv[:, 16 * grp:16 * grp + 16])
                 vg = jnp.concatenate([lo, hi], axis=-1)     # (BS, 32)
-                parts.append(_p_int8_dot(p * vs[:, grp][None, :], vg))
+                parts.append(_p_int8_dot(p * vs[grp][None, :], vg))
             upd = jnp.concatenate(parts, axis=-1)           # (TG, Dv) permuted
         acc_ref[:] = acc_ref[:] * alpha + upd
 
@@ -520,6 +503,21 @@ def flash_decode_attention(
     # the 16 MB VMEM budget (bs=8192 q8 hits a 24 MB scoped-vmem OOM)
     bs = min(S, block_s or 2048)
     n_s = pl.cdiv(S, bs)
+    Sp = n_s * bs
+    # per-slot operands ride lane-major (…, n_s, bs) layouts: a (bs, 1)
+    # block is a 1-lane DMA and dominated the grid-step cost. Padding past
+    # S: pos -1 (position penalty masks), scales 0 (zero contribution).
+    kvp3 = (kv_pos if Sp == S else jnp.pad(
+        kv_pos, ((0, 0), (0, Sp - S)), constant_values=-1)
+    ).reshape(B, n_s, bs)
+    if mode == "q8":
+        pads = ((0, 0), (0, 0), (0, Sp - S))
+        ks_l = jnp.pad(k_scale, pads).reshape(B, Hkv, n_s, bs)
+        vs_l = jnp.pad(v_scale, pads).reshape(B, Hkv, n_s, bs)
+    elif mode == "q4":
+        pads = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        ks_l = jnp.transpose(jnp.pad(k_scale, pads), (0, 1, 3, 2))
+        vs_l = jnp.transpose(jnp.pad(v_scale, pads), (0, 1, 3, 2))
 
     has_sinks = sinks is not None
     if has_sinks:
@@ -543,7 +541,7 @@ def flash_decode_attention(
     in_specs = [
         pl.BlockSpec((1, T * G, 1), lambda b, h, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bs, 1), lambda b, h, s: (b, s, 0),
+        pl.BlockSpec((1, 1, bs), lambda b, h, s: (b, s, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T * G, 1), lambda b, h, s: (h, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -556,19 +554,23 @@ def flash_decode_attention(
         pl.BlockSpec((1, 1, bs, Dvp), lambda b, h, s: (b, h, s, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [qpos_exp, kv_pos[:, :, None], sinks_exp, q_in, qs, k, v]
-    if mode != "f":
-        sw = D // 32 if mode == "q4" else 1
-        svw = Dv // 32 if mode == "q4" else 1
-        ks4 = k_scale if mode == "q4" else k_scale[..., None]
-        vs4 = v_scale if mode == "q4" else v_scale[..., None]
+    args = [qpos_exp, kvp3, sinks_exp, q_in, qs, k, v]
+    if mode == "q8":
         in_specs += [
-            pl.BlockSpec((1, 1, bs, sw), lambda b, h, s: (b, h, s, 0),
+            pl.BlockSpec((1, 1, 1, bs), lambda b, h, s: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, svw), lambda b, h, s: (b, h, s, 0),
+            pl.BlockSpec((1, 1, 1, bs), lambda b, h, s: (b, h, s, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args += [ks4, vs4]
+        args += [ks_l, vs_l]
+    elif mode == "q4":
+        in_specs += [
+            pl.BlockSpec((1, 1, D // 32, bs), lambda b, h, s: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Dv // 32, bs), lambda b, h, s: (b, h, 0, s),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ks_l, vs_l]
     out = pl.pallas_call(
         kern,
         grid=(B, Hkv, n_s),
