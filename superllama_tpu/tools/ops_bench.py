@@ -93,8 +93,8 @@ def bench_qmv(ttype_name="Q4_K", N=4096, K=4096):
 
     x0 = jnp.ones((1, K), jnp.float32)
     # a single GEMV is ~tens of µs: the two scan lengths must differ by
-    # hundreds of ms of real work to clear the ~30 ms tunnel jitter
-    dt = _scan_time(step, x0, n_lo=64, n_hi=2112)
+    # ≥0.5 s of real work to clear the ~30-100 ms tunnel jitter
+    dt = _scan_time(step, x0, n_lo=64, n_hi=25664)
     return {"GBps": round(qt.nbytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"{ttype_name} {N}x{K} M=1"}
@@ -114,7 +114,7 @@ def bench_qmm(ttype_name="Q4_K", M=1024, N=4096, K=4096):
         return fb / (1.0 + jnp.abs(fb))
 
     x0 = jnp.ones((M, K), jnp.float32)
-    dt = _scan_time(step, x0, n_lo=4, n_hi=20)
+    dt = _scan_time(step, x0, n_lo=16, n_hi=1616)   # ~0.6 s differential
     return {"TFLOPs": round(2 * M * N * K / dt / 1e12, 2),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"{ttype_name} {M}x{K}x{N}"}
@@ -140,7 +140,7 @@ def bench_fa_prefill(T=2048, S=2048, Hkv=8, G=4, D=128):
         return (o / (1.0 + jnp.abs(o))).astype(jnp.float32)
 
     q0 = jnp.ones((1, T, H, D), jnp.float32)
-    dt = _scan_time(step, q0, n_lo=4, n_hi=20)
+    dt = _scan_time(step, q0, n_lo=8, n_hi=264)     # ~0.5 s differential
     return {"TFLOPs": round(4 * H * T * S * D / dt / 1e12, 2),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T{T} S{S} H{H} D{D} bf16"}
@@ -183,7 +183,7 @@ def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, kv="q8"):
         return o / (1.0 + jnp.abs(o))
 
     q0 = jnp.ones((1, 1, H, D), jnp.float32)
-    dt = _scan_time(step, q0)
+    dt = _scan_time(step, q0, n_lo=32, n_hi=3232)   # ~0.5 s differential
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T1 S{S} H{H} D{D} {kv} KV"}
@@ -218,7 +218,7 @@ def bench_paged_attention(S=8192, P=256, Hkv=8, G=4, D=128, B=1):
         return o / (1.0 + jnp.abs(o))
 
     q0 = jnp.ones((B, 1, H, D), jnp.float32)
-    dt = _scan_time(step, q0)
+    dt = _scan_time(step, q0, n_lo=32, n_hi=3232)
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T1 S{S} P{P} H{H} D{D} bf16 pages"}

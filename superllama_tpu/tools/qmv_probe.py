@@ -190,7 +190,7 @@ def main():
     # GBs of distinct weights per token, so the probe must too.
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
-    R = 16
+    R = 32      # 32 x 9.4 MB: no subset can hide in VMEM
     M = 8
     qts = [_q4k_device(N, K, seed=i) for i in range(R)]
     wbytes = sum(getattr(qts[0], f).nbytes
@@ -221,7 +221,7 @@ def main():
 
         # distinct carries per attempt: an exact repeat would be memoized by
         # the tunnel and time as ~0
-        dt = min(_scan_time(step, x0 + 0.03 * (i + 1), n_lo=4, n_hi=36)
+        dt = min(_scan_time(step, x0 + 0.03 * (i + 1), n_lo=16, n_hi=1040)
                  for i in range(2)) / R
         print(f"{name}: {dt*1e6:8.2f} us  {wbytes/dt/1e9:7.1f} GB/s  nmse={nmse:.1e}")
 
