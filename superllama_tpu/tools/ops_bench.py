@@ -29,20 +29,24 @@ def _fetch(x):
     return np.asarray(x)
 
 
-def _scan_time(step, carry0, n_lo=8, n_hi=64):
+def _scan_time(step, carry0, n_lo=8, n_hi=64, consts=()):
     """Per-iteration seconds of `step` via a jitted scan two-length
-    differential; `step(carry) -> carry` must be data-dependent.
+    differential; `step(carry, *consts) -> carry` must be data-dependent.
 
-    The timed pass runs on a PERTURBED carry: the axon tunnel memoizes an
-    exactly-repeated (program, input) dispatch, so re-running the warm call
-    verbatim times as ~one RTT regardless of the real compute (measured:
-    impossible >HBM-peak "bandwidths" and 0.00 µs differentials)."""
+    Two tunnel rules baked in here:
+    - the timed pass runs on a PERTURBED carry: the axon tunnel memoizes an
+      exactly-repeated (program, input) dispatch and times it as ~one RTT
+      (measured: impossible >HBM-peak "bandwidths", 0.00 µs differentials);
+    - big invariants (weights, KV) ride as `consts` RUNTIME ARGS — closing
+      over them bakes them into the compile payload (HTTP 413 past ~100 MB)
+      and lets XLA constant-promote them out of HBM, faking the bandwidth."""
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def run(c, n: int):
-        return jax.lax.scan(lambda c, _: (step(c), None), c, None, length=n)[0]
+    def run(c, n: int, *cs):
+        return jax.lax.scan(lambda c, _: (step(c, *cs), None), c, None,
+                            length=n)[0]
 
     def perturb(c, eps):
         return jax.tree_util.tree_map(
@@ -52,10 +56,10 @@ def _scan_time(step, carry0, n_lo=8, n_hi=64):
 
     times = {}
     for n in (n_lo, n_hi):
-        out = run(carry0, n=n)                        # compile + warm
+        out = run(carry0, n, *consts)                 # compile + warm
         _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         t0 = time.perf_counter()
-        out = run(perturb(carry0, 2 ** -6), n=n)      # fresh input: no memo
+        out = run(perturb(carry0, 2 ** -6), n, *consts)   # fresh: no memo
         _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         times[n] = time.perf_counter() - t0
     return max(times[n_hi] - times[n_lo], 1e-9) / (n_hi - n_lo)
@@ -84,17 +88,23 @@ def bench_qmv(ttype_name="Q4_K", N=4096, K=4096):
 
     from ..ops.qmatmul import qmatmul
 
-    qt = _q4k_device(N, K, seed=0)
+    # R distinct weights as runtime args: one closed-over tensor gets
+    # VMEM/const-promoted and the "bandwidth" reads far above HBM peak
+    R = 16
+    qts = [_q4k_device(N, K, seed=i) for i in range(R)]
 
-    def step(x):
-        y = qmatmul(x, qt, act_quant=True)        # (1, N)
-        fb = jnp.tile(y, (1, (K + N - 1) // N))[:, :K]  # data-dep feedback
-        return fb / (1.0 + jnp.abs(fb))
+    def step(x, *qts_):
+        for qt in qts_:
+            y = qmatmul(x, qt, act_quant=True)    # (1, N)
+            x = jnp.tile(y, (1, (K + N - 1) // N))[:, :K]
+            x = x / (1.0 + jnp.abs(x))            # data-dep feedback
+        return x
 
     x0 = jnp.ones((1, K), jnp.float32)
     # a single GEMV is ~tens of µs: the two scan lengths must differ by
     # ≥0.5 s of real work to clear the ~30-100 ms tunnel jitter
-    dt = _scan_time(step, x0, n_lo=64, n_hi=25664)
+    dt = _scan_time(step, x0, n_lo=8, n_hi=1608, consts=tuple(qts)) / R
+    qt = qts[0]
     return {"GBps": round(qt.nbytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"{ttype_name} {N}x{K} M=1"}
@@ -108,13 +118,14 @@ def bench_qmm(ttype_name="Q4_K", M=1024, N=4096, K=4096):
 
     qt = _q4k_device(N, K, seed=1)
 
-    def step(x):
-        y = qmatmul(x, qt)                        # (M, N)
+    def step(x, qt_):
+        y = qmatmul(x, qt_)                       # (M, N)
         fb = jnp.tile(y, (1, (K + N - 1) // N))[:, :K]
         return fb / (1.0 + jnp.abs(fb))
 
     x0 = jnp.ones((M, K), jnp.float32)
-    dt = _scan_time(step, x0, n_lo=16, n_hi=1616)   # ~0.6 s differential
+    dt = _scan_time(step, x0, n_lo=16, n_hi=1616,   # ~0.6 s differential
+                    consts=(qt,))
     return {"TFLOPs": round(2 * M * N * K / dt / 1e12, 2),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"{ttype_name} {M}x{K}x{N}"}
@@ -135,12 +146,13 @@ def bench_fa_prefill(T=2048, S=2048, Hkv=8, G=4, D=128):
     q_pos = jnp.arange(T, dtype=jnp.int32)[None] + (S - T)
     kv_pos = jnp.arange(S, dtype=jnp.int32)[None]
 
-    def step(q):
-        o = flash_attention(q.astype(jnp.bfloat16), k, v, q_pos, kv_pos)
+    def step(q, k_, v_):
+        o = flash_attention(q.astype(jnp.bfloat16), k_, v_, q_pos, kv_pos)
         return (o / (1.0 + jnp.abs(o))).astype(jnp.float32)
 
     q0 = jnp.ones((1, T, H, D), jnp.float32)
-    dt = _scan_time(step, q0, n_lo=8, n_hi=264)     # ~0.5 s differential
+    dt = _scan_time(step, q0, n_lo=8, n_hi=264,     # ~0.5 s differential
+                    consts=(k, v))
     return {"TFLOPs": round(4 * H * T * S * D / dt / 1e12, 2),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T{T} S{S} H{H} D{D} bf16"}
@@ -177,13 +189,16 @@ def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, kv="q8"):
     q_pos = jnp.full((1, 1), S - 1, jnp.int32)
     kv_pos = jnp.arange(S, dtype=jnp.int32)[None]
 
-    def step(q):
-        o = flash_decode_attention(q, k, v, q_pos, kv_pos, **kwargs)
+    def step(q, k_, v_, *sc):
+        kw = dict(zip(("k_scale", "v_scale"), sc))
+        o = flash_decode_attention(q, k_, v_, q_pos, kv_pos, **kw)
         o = o.astype(jnp.float32)
         return o / (1.0 + jnp.abs(o))
 
     q0 = jnp.ones((1, 1, H, D), jnp.float32)
-    dt = _scan_time(step, q0, n_lo=32, n_hi=3232)   # ~0.5 s differential
+    sc = ((kwargs["k_scale"], kwargs["v_scale"]) if kwargs else ())
+    dt = _scan_time(step, q0, n_lo=32, n_hi=3232,   # ~0.5 s differential
+                    consts=(k, v) + sc)
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T1 S{S} H{H} D{D} {kv} KV"}
@@ -212,13 +227,14 @@ def bench_paged_attention(S=8192, P=256, Hkv=8, G=4, D=128, B=1):
     q_pos = jnp.full((B, 1), S - 1, jnp.int32)
     kv_bytes = ((n_pages - 1) * Hkv * P * D * 2 * 2) // B * B
 
-    def step(q):
-        o = paged_flash_attention(q, k_pages, v_pages, q_pos, page_pos,
+    def step(q, kp, vp):
+        o = paged_flash_attention(q, kp, vp, q_pos, page_pos,
                                   table).astype(jnp.float32)
         return o / (1.0 + jnp.abs(o))
 
     q0 = jnp.ones((B, 1, H, D), jnp.float32)
-    dt = _scan_time(step, q0, n_lo=32, n_hi=3232)
+    dt = _scan_time(step, q0, n_lo=32, n_hi=3232,
+                    consts=(k_pages, v_pages))
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T1 S{S} P{P} H{H} D{D} bf16 pages"}

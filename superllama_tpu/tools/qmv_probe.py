@@ -213,15 +213,16 @@ def main():
             print(f"{name}: WRONG nmse={nmse:.2e}")
             return
 
-        def step(x):
-            for qt in qts:
+        def step(x, *qts_):
+            for qt in qts_:
                 y = fn(x, qt)
                 x = y[:, :K] / (1.0 + jnp.abs(y[:, :K]))
             return x
 
         # distinct carries per attempt: an exact repeat would be memoized by
         # the tunnel and time as ~0
-        dt = min(_scan_time(step, x0 + 0.03 * (i + 1), n_lo=16, n_hi=1040)
+        dt = min(_scan_time(step, x0 + 0.03 * (i + 1), n_lo=16, n_hi=1040,
+                            consts=tuple(qts))
                  for i in range(2)) / R
         print(f"{name}: {dt*1e6:8.2f} us  {wbytes/dt/1e9:7.1f} GB/s  nmse={nmse:.1e}")
 
