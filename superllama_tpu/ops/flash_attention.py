@@ -315,7 +315,7 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     qpi = qpos_ref[0]                        # (TG, 1) int32
-    kpi = kpos_ref[0, 0][None, :]            # (1, BS) int32
+    kpi = kpos_ref[0, 0, 0][None, :]         # (1, BS) int32
     _BIG = jnp.int32(1 << 30)
     kp_min = jnp.min(jnp.where(kpi < 0, _BIG, kpi))
     vis = kp_min <= jnp.max(qpi)
@@ -351,7 +351,7 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
                 preferred_element_type=jnp.int32)          # (TG, BS)
             # scales arrive lane-major (…, n_s, bs), zero-padded past S —
             # garbage codes beyond S are finite int8 and scale to 0
-            ksr = ks_ref[0, 0, 0][None, :]                 # (1, BS)
+            ksr = ks_ref[0, 0, 0, 0][None, :]              # (1, BS)
             logits = (ii.astype(jnp.float32)
                       * (qs_ref[0, 0] * scale) * ksr)      # (TG,1)·(1,BS)
         else:  # q4: nibble codes, per-32-group scales → per-group dot sums
@@ -406,7 +406,7 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
                           preferred_element_type=jnp.float32)
         elif mode == "q8":
             v = v_ref[0, 0]                  # (BS, Dv) int8
-            vs = vs_ref[0, 0, 0][None, :]                   # (1, BS)
+            vs = vs_ref[0, 0, 0, 0][None, :]                # (1, BS)
             upd = _p_int8_dot(p * vs, v)
         else:  # q4 V: per-group scales; output columns land nibble-permuted
             cv = v_ref[0, 0].astype(jnp.int32)              # (BS, Dv//2)
@@ -424,11 +424,9 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
         _, bt_, _, g_, _ = q_ref.shape
         denom = jnp.maximum(l_ref[:], 1e-30)
         out = acc_ref[:] / denom                            # (TG, Dv)
-        if mode == "q4":
-            # un-permute the nibble order (evens‖odds per 32-group → natural)
-            tg = out.shape[0]
-            out = out.reshape(tg, dv // 32, 2, 16)
-            out = jnp.swapaxes(out, 2, 3).reshape(tg, dv)
+        # q4 output columns land nibble-permuted; the un-permute happens
+        # HOST-side after the pallas_call (a lane-crossing reshape here is
+        # an unsupported Mosaic shape cast)
         o_ref[0, :, 0] = out.reshape(bt_, g_, dv).astype(o_ref.dtype)
 
 
@@ -507,13 +505,17 @@ def flash_decode_attention(
     # per-slot operands ride lane-major (…, n_s, bs) layouts: a (bs, 1)
     # block is a 1-lane DMA and dominated the grid-step cost. Padding past
     # S: pos -1 (position penalty masks), scales 0 (zero contribution).
+    # the singleton axis before bs keeps the second-minor BLOCK dim equal to
+    # its array dim (Mosaic requires block dims divisible by (8, 128) or
+    # equal to the array dim — a (1, bs) block over an (n_s, bs) array is
+    # illegal for n_s > 1)
     kvp3 = (kv_pos if Sp == S else jnp.pad(
         kv_pos, ((0, 0), (0, Sp - S)), constant_values=-1)
-    ).reshape(B, n_s, bs)
+    ).reshape(B, n_s, 1, bs)
     if mode == "q8":
         pads = ((0, 0), (0, 0), (0, Sp - S))
-        ks_l = jnp.pad(k_scale, pads).reshape(B, Hkv, n_s, bs)
-        vs_l = jnp.pad(v_scale, pads).reshape(B, Hkv, n_s, bs)
+        ks_l = jnp.pad(k_scale, pads).reshape(B, Hkv, n_s, 1, bs)
+        vs_l = jnp.pad(v_scale, pads).reshape(B, Hkv, n_s, 1, bs)
     elif mode == "q4":
         pads = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
         ks_l = jnp.transpose(jnp.pad(k_scale, pads), (0, 1, 3, 2))
@@ -541,7 +543,7 @@ def flash_decode_attention(
     in_specs = [
         pl.BlockSpec((1, T * G, 1), lambda b, h, s: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bs), lambda b, h, s: (b, s, 0),
+        pl.BlockSpec((1, 1, 1, bs), lambda b, h, s: (b, s, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, T * G, 1), lambda b, h, s: (h, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -557,9 +559,9 @@ def flash_decode_attention(
     args = [qpos_exp, kvp3, sinks_exp, q_in, qs, k, v]
     if mode == "q8":
         in_specs += [
-            pl.BlockSpec((1, 1, 1, bs), lambda b, h, s: (b, h, s, 0),
+            pl.BlockSpec((1, 1, 1, 1, bs), lambda b, h, s: (b, h, s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bs), lambda b, h, s: (b, h, s, 0),
+            pl.BlockSpec((1, 1, 1, 1, bs), lambda b, h, s: (b, h, s, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         args += [ks_l, vs_l]
@@ -593,4 +595,8 @@ def flash_decode_attention(
         ),
         interpret=interpret,
     )(*args)
+    if mode == "q4":
+        # invert the nibble permutation (evens‖odds per 32-group → natural)
+        out = out.reshape(B, T, Hkv, G, Dv // 32, 2, 16)
+        out = jnp.swapaxes(out, -1, -2).reshape(B, T, Hkv, G, Dv)
     return out.reshape(B, T, H, Dv)

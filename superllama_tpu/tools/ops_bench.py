@@ -168,37 +168,47 @@ def bench_fa_decode(S=8192, Hkv=8, G=4, D=128, kv="q8"):
     from ..runtime.kv_cache import q4_quantize_rows, q8_quantize_rows
 
     H = Hkv * G
-    key = jax.random.PRNGKey(2)
-    kf = jax.random.normal(key, (1, Hkv, S, D), jnp.float32)
-    vf = jax.random.normal(jax.random.fold_in(key, 1), (1, Hkv, S, D),
-                           jnp.float32)
-    kwargs = {}
-    if kv == "q8":
-        k, ks = q8_quantize_rows(kf)
-        v, vs = q8_quantize_rows(vf)
-        kwargs = {"k_scale": ks, "v_scale": vs}
-        kv_bytes = k.nbytes + v.nbytes + ks.nbytes + vs.nbytes
-    elif kv == "q4":
-        k, ks = q4_quantize_rows(kf)
-        v, vs = q4_quantize_rows(vf)
-        kwargs = {"k_scale": ks, "v_scale": vs}
-        kv_bytes = k.nbytes + v.nbytes + ks.nbytes + vs.nbytes
-    else:
-        k, v = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
-        kv_bytes = k.nbytes + v.nbytes
+    # R distinct KV sets totalling ≳400 MB: a single set fits the 128 MB
+    # VMEM and gets promoted, faking the bandwidth
+    per_set = Hkv * S * D * 2 * {"bf16": 2, "q8": 1, "q4": 0.5}[kv]
+    R = max(2, min(32, int(-(-420e6 // per_set))))
+    sets = []
+    kv_bytes = 0
+    for i in range(R):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+        kf = jax.random.normal(key, (1, Hkv, S, D), jnp.float32)
+        vf = jax.random.normal(jax.random.fold_in(key, 1), (1, Hkv, S, D),
+                               jnp.float32)
+        if kv == "q8":
+            k, ks = q8_quantize_rows(kf)
+            v, vs = q8_quantize_rows(vf)
+            grp = (k, v, ks, vs)
+        elif kv == "q4":
+            k, ks = q4_quantize_rows(kf)
+            v, vs = q4_quantize_rows(vf)
+            grp = (k, v, ks, vs)
+        else:
+            grp = (kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16))
+        kv_bytes += sum(a.nbytes for a in grp)
+        sets.append(grp)
+    kv_bytes //= R
     q_pos = jnp.full((1, 1), S - 1, jnp.int32)
     kv_pos = jnp.arange(S, dtype=jnp.int32)[None]
+    width = len(sets[0])
 
-    def step(q, k_, v_, *sc):
-        kw = dict(zip(("k_scale", "v_scale"), sc))
-        o = flash_decode_attention(q, k_, v_, q_pos, kv_pos, **kw)
-        o = o.astype(jnp.float32)
-        return o / (1.0 + jnp.abs(o))
+    def step(q, *flat):
+        for i in range(0, len(flat), width):
+            k_, v_ = flat[i], flat[i + 1]
+            kw = dict(zip(("k_scale", "v_scale"), flat[i + 2:i + width]))
+            o = flash_decode_attention(q, k_, v_, q_pos, kv_pos, **kw)
+            o = o.astype(jnp.float32)
+            q = o / (1.0 + jnp.abs(o))
+        return q
 
     q0 = jnp.ones((1, 1, H, D), jnp.float32)
-    sc = ((kwargs["k_scale"], kwargs["v_scale"]) if kwargs else ())
-    dt = _scan_time(step, q0, n_lo=32, n_hi=3232,   # ~0.5 s differential
-                    consts=(k, v) + sc)
+    flat = tuple(a for grp in sets for a in grp)
+    n_hi = 16 + max(64, int(0.5 / (R * 150e-6)))    # ~0.5 s differential
+    dt = _scan_time(step, q0, n_lo=16, n_hi=n_hi, consts=flat) / R
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T1 S{S} H{H} D{D} {kv} KV"}
@@ -215,10 +225,15 @@ def bench_paged_attention(S=8192, P=256, Hkv=8, G=4, D=128, B=1):
 
     H = Hkv * G
     n_pages = B * S // P + 1                     # +1: the NULL page at slot 0
-    key = jax.random.PRNGKey(3)
-    k_pages = jax.random.normal(key, (n_pages, Hkv, P, D), jnp.bfloat16)
-    v_pages = jax.random.normal(jax.random.fold_in(key, 1),
-                                (n_pages, Hkv, P, D), jnp.bfloat16)
+    # R distinct page pools (see bench_fa_decode: one pool fits VMEM)
+    R = max(2, min(32, int(-(-420e6 // (n_pages * Hkv * P * D * 4)))))
+    pools = []
+    for i in range(R):
+        key = jax.random.fold_in(jax.random.PRNGKey(3), i)
+        pools.append((
+            jax.random.normal(key, (n_pages, Hkv, P, D), jnp.bfloat16),
+            jax.random.normal(jax.random.fold_in(key, 1),
+                              (n_pages, Hkv, P, D), jnp.bfloat16)))
     # page i+1 holds positions [i*P, (i+1)*P); NULL page all -1
     page_pos = jnp.concatenate([
         jnp.full((1, P), -1, jnp.int32),
@@ -227,14 +242,17 @@ def bench_paged_attention(S=8192, P=256, Hkv=8, G=4, D=128, B=1):
     q_pos = jnp.full((B, 1), S - 1, jnp.int32)
     kv_bytes = ((n_pages - 1) * Hkv * P * D * 2 * 2) // B * B
 
-    def step(q, kp, vp):
-        o = paged_flash_attention(q, kp, vp, q_pos, page_pos,
-                                  table).astype(jnp.float32)
-        return o / (1.0 + jnp.abs(o))
+    def step(q, *flat):
+        for i in range(0, len(flat), 2):
+            o = paged_flash_attention(q, flat[i], flat[i + 1], q_pos,
+                                      page_pos, table).astype(jnp.float32)
+            q = o / (1.0 + jnp.abs(o))
+        return q
 
     q0 = jnp.ones((B, 1, H, D), jnp.float32)
-    dt = _scan_time(step, q0, n_lo=32, n_hi=3232,
-                    consts=(k_pages, v_pages))
+    flat = tuple(a for grp in pools for a in grp)
+    n_hi = 16 + max(64, int(0.5 / (R * 150e-6)))
+    dt = _scan_time(step, q0, n_lo=16, n_hi=n_hi, consts=flat) / R
     return {"GBps": round(kv_bytes / dt / 1e9, 1),
             "us_per_call": round(dt * 1e6, 1),
             "shape": f"T1 S{S} P{P} H{H} D{D} bf16 pages"}
@@ -250,7 +268,8 @@ def main():
     if tiny:
         global _scan_time
         base = _scan_time
-        _scan_time = lambda step, c, n_lo=1, n_hi=3: base(step, c, 1, 3)
+        _scan_time = lambda step, c, n_lo=1, n_hi=3, consts=(): \
+            base(step, c, 1, 3, consts)
         out["qmv_q4k_gemv"] = bench_qmv(N=256, K=512)
         out["qmm_q4k_prefill"] = bench_qmm(M=32, N=256, K=512)
         out["flash_attn_prefill"] = bench_fa_prefill(T=64, S=64, Hkv=2, G=2,
