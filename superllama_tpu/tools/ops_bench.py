@@ -54,12 +54,17 @@ def _scan_time(step, carry0, n_lo=8, n_hi=64, consts=()):
                 eps if jnp.issubdtype(x.dtype, jnp.floating) else 1, x.dtype),
             c)
 
+    # build + MATERIALIZE the perturbed carry before any timing: the eager
+    # add is itself a tunnel compile (~0.4 s) the first time a carry shape
+    # appears, which poisoned the short-length timing when done inline
+    carry1 = perturb(carry0, 2 ** -6)
+    _fetch(jax.tree_util.tree_leaves(carry1)[0].ravel()[0])
     times = {}
     for n in (n_lo, n_hi):
         out = run(carry0, n, *consts)                 # compile + warm
         _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         t0 = time.perf_counter()
-        out = run(perturb(carry0, 2 ** -6), n, *consts)   # fresh: no memo
+        out = run(carry1, n, *consts)                 # fresh input: no memo
         _fetch(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         times[n] = time.perf_counter() - t0
     return max(times[n_hi] - times[n_lo], 1e-9) / (n_hi - n_lo)
