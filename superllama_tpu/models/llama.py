@@ -404,6 +404,7 @@ def llama_forward(
     # 2 B/elem dequantized cache every step (type_k/type_v consumed directly
     # by fattn in the reference, include/llama.h:372-373)
     flash_dec = (not flash
+                 and not hp.extra.get("flash_decode_off")    # A/B escape
                  and (jax.default_backend() == "tpu"
                       or bool(hp.extra.get("flash_decode")))  # tests: interpret
                  and not hp.alibi and attn_mask is None
@@ -619,7 +620,15 @@ def llama_forward(
                 ck, cv, cpos = cache.full.k[li], cache.full.v[li], cache.full.pos
             else:
                 cache = kv_update_layer(cache, il, slots, k, v)
-                fdec = (flash_dec and getattr(cache, "quantized", False)
+                # q8 rides the kernel (measured +4% at depth 8k end-to-end
+                # AND beats the bf16 cache: the bandwidth saving is real).
+                # q4 stays on the materialize path: the per-32-group nibble
+                # unpack is VPU-bound at 126 GB/s and LOSES 4x end-to-end
+                # (15.0 vs 58.4 tok/s at depth 8k) — docs/ops_perf.json.
+                fdec = (flash_dec
+                        and ((getattr(cache, "quantized", False)
+                              and not cache.q4)
+                             or bool(hp.extra.get("flash_decode_float")))
                         and not l4c and Hkv_l == Hkv)
                 ck, cv = (cache.k[il], cache.v[il]) \
                     if ((flash and cache.quantized and not cache.q4) or fdec) \
@@ -631,9 +640,10 @@ def llama_forward(
             if Hkv_l < Hkv:  # strip phantom kv heads (per-layer head counts)
                 ck, cv = ck[:, :Hkv_l], cv[:, :Hkv_l]
             if not iswa and not paged and fdec:
-                qargs = {"k_scale": cache.k_scale[il],
-                         "v_scale": cache.v_scale[il]}
-                if s_window:
+                qargs = ({"k_scale": cache.k_scale[il],
+                          "v_scale": cache.v_scale[il]}
+                         if getattr(cache, "quantized", False) else {})
+                if s_window and qargs:
                     qargs = {kq: vq[:, :, :s_window]
                              for kq, vq in qargs.items()}
                 attn = flash_decode_attention(

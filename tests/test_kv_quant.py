@@ -223,6 +223,8 @@ def test_flash_decode_in_kernel_matches_materialized(model, kvt):
     def run(flash_decode: bool):
         if flash_decode:
             hp.extra["flash_decode"] = True
+            if kvt == "q4_0":     # q4 defaults to materialize (VPU-bound
+                hp.extra["flash_decode_float"] = True   # kernel); force it
         try:
             c = kv_cache_init(hp.n_layer, 1, 128, hp.n_head_kv, hp.head_dim,
                               hp.head_dim_v, dtype=kvt)
@@ -241,6 +243,7 @@ def test_flash_decode_in_kernel_matches_materialized(model, kvt):
                 t = int(jnp.argmax(lg[0, -1]))
         finally:
             hp.extra.pop("flash_decode", None)
+            hp.extra.pop("flash_decode_float", None)
         return seq, np.stack(lgs)
 
     seq_mat, lg_mat = run(False)
