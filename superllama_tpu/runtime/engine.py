@@ -298,6 +298,11 @@ class Engine:
 
             self._d_rollout = jax.jit(d_rollout, donate_argnums=(5,))
         self._truncate = jax.jit(kv_truncate_rows, donate_argnums=(0,))
+        # prefill-finalize helpers as jits so warmup() can AOT them (their
+        # eager forms compiled inside the first request's timed stream —
+        # ~0.4 s/op through the tunnel)
+        self._first_tok = jax.jit(lambda lg, r, c: jnp.argmax(lg[r, c]))
+        self._logit_row = jax.jit(lambda lg, r, c: lg[r, c])
 
         # context shift (evict-oldest + re-rope, server-context.cpp:1976)
         self.ctx_shift = ctx_shift
@@ -388,9 +393,17 @@ class Engine:
         for win in wins:
             self._decode.lower(params_a, tok, pos, cache_a,
                                s_window=win).compile()
+        keep_a = jax.ShapeDtypeStruct((B,), jnp.int32)
+        self._truncate.lower(cache_a, keep_a).compile()
+        i_a = jax.ShapeDtypeStruct((), jnp.int32)
         for P in self.buckets:      # batched in-place prompt-wave prefill
             tp = jax.ShapeDtypeStruct((B, P), jnp.int32)
             self._decode.lower(params_a, tp, tp, cache_a).compile()
+            for rows in (B, 1):     # finalize helpers: wave + scratch paths
+                lg_a = jax.ShapeDtypeStruct((rows, P, self.hp.n_vocab),
+                                            jnp.float32)
+                self._first_tok.lower(lg_a, i_a, i_a).compile()
+                self._logit_row.lower(lg_a, i_a, i_a).compile()
         if self.block_size > 1:
             dsamp = self._dsamp
             sp = {k: jax.ShapeDtypeStruct(np.asarray(v).shape,
@@ -406,6 +419,28 @@ class Engine:
                                       keys, counts, sp,
                                       n_steps=self.block_size, s_window=win,
                                       greedy_only=greedy).compile()
+        # one REAL micro-wave (two 2-token prompts drained together): the
+        # batched prompt-wave path involves small eager programs (transfers,
+        # row-cursor truncate on donated buffers, first-token fetches) that
+        # AOT lowering can't fully enumerate — each costs a compile on first
+        # use (~0.4 s through a remote-compile tunnel), which otherwise lands
+        # inside the first burst's TTFT (the llama-server warmup decode,
+        # server.cpp main, is a real run for the same reason)
+        if self.n_slots >= 2 and self.draft_model is None \
+                and not self.lookup_k:
+            was = self._running
+            reqs = [self.submit(GenRequest(prompt_ids=[1, 2], max_tokens=2,
+                                           stop_eog=False))
+                    for _ in range(2)]
+            if not was:
+                self.run_until_drained()
+            for r in reqs:
+                r.result(timeout=600)
+            for idx in range(min(2, self.n_slots)):
+                try:
+                    self.slot_erase(idx)
+                except Exception:
+                    pass
 
     def run_until_drained(self):
         """Synchronous mode: run steps until all work completes (tests/CLI)."""
@@ -724,8 +759,10 @@ class Engine:
                     greedy = (s.req.grammar is None
                               and (not sm or sm.get("greedy")
                                    or sm.get("temp", 1.0) == 0.0))
-                    val = (jnp.argmax(logits[s.idx, len(chunk) - 1])
-                           if greedy else logits[s.idx, len(chunk) - 1])
+                    # np.int32: weak-typed Python ints would miss the
+                    # AOT-compiled (non-weak) signature and recompile
+                    val = (self._first_tok if greedy else self._logit_row)(
+                        logits, np.int32(s.idx), np.int32(len(chunk) - 1))
                     try:
                         val.copy_to_host_async()
                     except Exception:
@@ -790,8 +827,8 @@ class Engine:
             greedy = (slot.req.grammar is None
                       and (not sm or sm.get("greedy")
                            or sm.get("temp", 1.0) == 0.0))
-            val = (jnp.argmax(logits[row, len(chunk) - 1])
-                   if greedy else logits[row, len(chunk) - 1])
+            val = (self._first_tok if greedy else self._logit_row)(
+                logits, np.int32(row), np.int32(len(chunk) - 1))
             try:
                 val.copy_to_host_async()
             except Exception:
