@@ -305,10 +305,10 @@ OPTIONS: list[Opt] = [
     _o("--yarn-beta-slow", help="YaRN high-correction dim", type=float,
        default=1.0, env="LLAMA_ARG_YARN_BETA_SLOW", tools=GEN),
     # ---- model load (rest)
-    _o("-mu", "--model-url", help="model download URL (unavailable: "
-       "zero-egress build)", env="LLAMA_ARG_MODEL_URL"),
-    _o("-hf", "--hf-repo", help="HuggingFace repo (unavailable: "
-       "zero-egress build)", env="LLAMA_ARG_HF_REPO"),
+    _o("-mu", "--model-url", help="model download URL (cached, resumable)",
+       env="LLAMA_ARG_MODEL_URL"),
+    _o("-hf", "--hf-repo", help="HuggingFace repo user/model[:QUANT]",
+       env="LLAMA_ARG_HF_REPO"),
     _o("-hff", "--hf-file", help="HF file name", env="LLAMA_ARG_HF_FILE"),
     _o("-hfd", "--hf-repo-draft", help="HF repo for the draft model",
        env="LLAMA_ARG_HF_REPO_DRAFT"),

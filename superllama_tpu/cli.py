@@ -50,6 +50,22 @@ def _load(args):
 
     from .models import load_model
 
+    if not getattr(args, "model", None) and (
+            getattr(args, "model_url", None)
+            or getattr(args, "hf_repo", None)):
+        # -mu URL / -hf user/model[:QUANT] → cached download (the
+        # common/download.cpp flow; clear error where egress is absent)
+        from .tools.download import DownloadError, fetch_model
+
+        try:
+            args.model = fetch_model(
+                model_url=getattr(args, "model_url", None),
+                hf_repo=getattr(args, "hf_repo", None),
+                hf_file=getattr(args, "hf_file", None),
+                token=getattr(args, "hf_token", None))
+        except DownloadError as e:
+            print(f"error: {e}", file=sys.stderr)
+            raise SystemExit(2) from e
     if not getattr(args, "model", None):
         print("error: -m/--model is required (or set LLAMA_ARG_MODEL)",
               file=sys.stderr)
