@@ -12,10 +12,11 @@ combines expert outputs — the only collective, riding ICI.
 
 Capacity semantics (the standard TPU MoE tradeoff — XLA needs static
 shapes): each device processes at most ``cap = ceil(S·K/ep · C)`` rows,
-``C = hp.extra["moe_capacity"]`` (default 2.0). Rows routed to a device
-beyond its capacity are dropped (contribute zero), exactly like
-capacity-factor MoE training systems; ``C ≥ ep`` recovers the reference's
-exact no-drop semantics at the cost of proportional FLOPs. Per-device
+``C = hp.extra["moe_capacity"]`` (default ``ep`` → cap = every row: the
+reference's EXACT no-drop ggml_mul_mat_id semantics). Setting ``C < ep``
+opts into capacity-factor MoE: rows routed to a device beyond its
+capacity are dropped (contribute zero), like capacity-bounded training
+systems, trading exactness for K/E-proportional FLOPs. Per-device
 expert FLOPs are 3·cap·D·F/tp = (K/E)·C of the dense formulation's
 3·S·(E/ep)·D·F — the K/E reduction that makes Mixtral-class serving
 viable (BASELINE config 4), now preserved on sharded meshes.
@@ -55,7 +56,10 @@ def sharded_experts_apply(x: jax.Array, top_w: jax.Array, top_i: jax.Array,
     ep = _axis(mesh, "ep")
     dp, sp, tp = _axis(mesh, "dp"), _axis(mesh, "sp"), _axis(mesh, "tp")
     rows_g = (B // dp) * (T // sp) * K          # rows per (dp,sp) shard
-    capf = float(hp.extra.get("moe_capacity", 2.0))
+    # default C = ep → cap = rows_g: EXACT no-drop inference semantics
+    # (matches ggml_mul_mat_id). Users opt into capacity-bounded FLOPs by
+    # setting hp.extra["moe_capacity"] < ep; dropped rows then contribute 0.
+    capf = float(hp.extra.get("moe_capacity", ep))
     cap = min(rows_g, int(math.ceil(rows_g / ep * capf)))
     # sublane-align the row buffer (MXU tiles; also keeps ragged_dot happy)
     cap = min(rows_g, -(-cap // 8) * 8)

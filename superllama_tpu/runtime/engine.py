@@ -603,6 +603,27 @@ class Engine:
         for t in ids[-64:]:
             slot.sampler.ctx.recent_tokens.append(int(t))
 
+    @staticmethod
+    def _greedy_cfg(sm: dict | None) -> bool:
+        """True iff plain argmax is exact for this sampling config: greedy
+        AND no sampler stage that runs BEFORE Greedy in make_chain
+        (LogitBias / Penalties / DRY all at no-op defaults — recent_tokens
+        is seeded from the prompt, so penalties are live at the very first
+        sample)."""
+        sm = sm or {}
+        greedy = (not sm or sm.get("greedy")
+                  or sm.get("temp", 1.0) == 0.0)
+        return bool(greedy) and not (
+            sm.get("logit_bias")
+            or sm.get("dry_multiplier", 0.0) > 0
+            or sm.get("penalty_repeat", 1.0) != 1.0
+            or sm.get("penalty_freq", 0.0) != 0.0
+            or sm.get("penalty_present", 0.0) != 0.0)
+
+    @classmethod
+    def _greedy_fast(cls, req: GenRequest) -> bool:
+        return req.grammar is None and cls._greedy_cfg(req.sampling)
+
     def _start_request(self, slot: _Slot, req: GenRequest):
         ids = list(req.prompt_ids)
         if not ids:
@@ -721,8 +742,13 @@ class Engine:
         worked = False
         finals: list[tuple] = []
         loading = [s for s in self.slots if s.state == SlotState.PREFILL]
+        # mid-scratch slots (in_place=False, prefill_off>0) must stay on the
+        # per-slot path: their prefilled chunks live only in slot.scratch, so
+        # truncating their MAIN row to prefill_off would expose the PREVIOUS
+        # request's KV and the wave would discard the scratch un-inserted.
         batch = ([] if self.paged else
-                 [s for s in loading if s.pending])
+                 [s for s in loading
+                  if s.pending and (s.in_place or s.prefill_off == 0)])
         if len(batch) >= 2:
             # batched prompt wave: one truncate (resets each loading row's
             # cursor to its offset — a no-op for continuing rows) + ONE
@@ -755,10 +781,7 @@ class Engine:
                 s.in_place = True         # later chunks continue in place
                 s.scratch = None
                 if not s.pending:
-                    sm = s.req.sampling or {}
-                    greedy = (s.req.grammar is None
-                              and (not sm or sm.get("greedy")
-                                   or sm.get("temp", 1.0) == 0.0))
+                    greedy = self._greedy_fast(s.req)
                     # np.int32: weak-typed Python ints would miss the
                     # AOT-compiled (non-weak) signature and recompile
                     val = (self._first_tok if greedy else self._logit_row)(
@@ -823,10 +846,7 @@ class Engine:
                 self.cache = self._insert(self.cache, slot.scratch, slot.idx,
                                           slot.n_prompt)
                 slot.scratch = None
-            sm = slot.req.sampling or {}
-            greedy = (slot.req.grammar is None
-                      and (not sm or sm.get("greedy")
-                           or sm.get("temp", 1.0) == 0.0))
+            greedy = self._greedy_fast(slot.req)
             val = (self._first_tok if greedy else self._logit_row)(
                 logits, np.int32(row), np.int32(len(chunk) - 1))
             try:
@@ -1056,8 +1076,7 @@ class Engine:
               for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
         keys = jnp.asarray(base_keys)
         win = self._s_bucket(max(s.n_past for s in active) + 2 * nb + 1)
-        greedy = all(c is None or c.get("greedy")
-                     or (c.get("temp", 1.0) == 0.0) for c in cfgs)
+        greedy = all(c is None or self._greedy_cfg(c) for c in cfgs)
         toks, tok_l, pos_l, ring_d, counts_d, self.cache = self._block(
             self.model.params, jnp.asarray(tok0), jnp.asarray(pos0),
             self.cache, jnp.asarray(ring), keys, jnp.asarray(counts), sp,

@@ -73,13 +73,30 @@ def download_file(url: str, dest: Path | None = None,
             return dest                     # offline or unchanged: reuse
         dest.unlink()                       # stale: re-fetch
     tmp = dest.with_suffix(dest.suffix + ".tmp")
+    tmp_etag_f = dest.with_suffix(dest.suffix + ".tmp.etag")
     start = tmp.stat().st_size if tmp.exists() else 0
+    if start:
+        # a partial may only be resumed against the SAME remote content:
+        # if the server's current ETag differs from the one recorded when
+        # the partial started (or none was recorded), splicing would mix
+        # bytes of two versions — discard and restart (download.cpp does
+        # the same ETag revalidation before resuming).
+        cur = _head_etag(url, token)
+        rec = (tmp_etag_f.read_text().strip()
+               if tmp_etag_f.exists() else None)
+        if cur is not None and (rec is None or rec != cur.strip()):
+            tmp.unlink()
+            if tmp_etag_f.exists():
+                tmp_etag_f.unlink()
+            start = 0
     headers = {"Range": f"bytes={start}-"} if start else {}
     try:
         r = _open(url, token, headers)
     except urllib.error.HTTPError as e:
         if e.code == 416 and start:         # partial is already the whole file
             os.replace(tmp, dest)
+            if tmp_etag_f.exists():
+                os.replace(tmp_etag_f, etag_f)
             return dest
         raise DownloadError(
             f"download failed: HTTP {e.code} for {url}\n"
@@ -91,6 +108,12 @@ def download_file(url: str, dest: Path | None = None,
     with r:
         if start and r.status != 206:       # server ignored Range: restart
             start = 0
+        if not start:                       # fresh stream: pin its version
+            resp_etag = r.headers.get("ETag")
+            if resp_etag:
+                tmp_etag_f.write_text(resp_etag)
+            elif tmp_etag_f.exists():
+                tmp_etag_f.unlink()
         mode = "ab" if start else "wb"
         total = r.headers.get("Content-Length")
         total = (int(total) + start) if total else None
@@ -110,6 +133,8 @@ def download_file(url: str, dest: Path | None = None,
             print(file=sys.stderr)
         etag = r.headers.get("ETag")
     os.replace(tmp, dest)
+    if tmp_etag_f.exists():
+        tmp_etag_f.unlink()
     if etag:
         etag_f.write_text(etag)
     return dest

@@ -81,8 +81,30 @@ def test_resume_from_partial(hf, tmp_path):
     dest = dl.cache_dir() / "model.Q4_0.gguf"
     tmp = dest.with_suffix(dest.suffix + ".tmp")
     tmp.write_bytes(PAYLOAD[:1000])                 # interrupted download
+    # the partial's version sidecar matches the server → resume is legal
+    tmp.with_suffix(tmp.suffix + ".etag").write_text(_Handler.etag)
     p = download_file(f"{base}/r/m/resolve/main/model.Q4_0.gguf", quiet=True)
     assert p.read_bytes() == PAYLOAD                # Range resume completed
+    assert not tmp.with_suffix(tmp.suffix + ".etag").exists()
+
+
+def test_stale_partial_discarded_on_etag_change(hf, tmp_path):
+    """A partial recorded under a DIFFERENT remote version must be thrown
+    away, not spliced with bytes of the new version (download.cpp ETag
+    revalidation; ADVICE r4)."""
+    srv, base = hf
+    dest = dl.cache_dir() / "model.Q4_0.gguf"
+    tmp = dest.with_suffix(dest.suffix + ".tmp")
+    tmp.write_bytes(b"\xff" * 1000)                 # bytes of an OLD version
+    tmp.with_suffix(tmp.suffix + ".etag").write_text('"v0-old"')
+    p = download_file(f"{base}/r/m/resolve/main/model.Q4_0.gguf", quiet=True)
+    assert p.read_bytes() == PAYLOAD                # clean re-download
+
+    # a partial with NO recorded version is equally untrustworthy
+    p.unlink()
+    tmp.write_bytes(b"\xff" * 1000)
+    p = download_file(f"{base}/r/m/resolve/main/model.Q4_0.gguf", quiet=True)
+    assert p.read_bytes() == PAYLOAD
 
 
 def test_resolve_quant_tag(hf):

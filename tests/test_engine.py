@@ -237,3 +237,70 @@ def test_slot_save_restore_roundtrip(model):
     b = eng.generate(p2, max_tokens=5, stop_eog=False)
     assert b["tokens"] == a["tokens"]
     assert eng.metrics["n_prompt_cached"] > cached_a
+
+
+def test_wave_skips_mid_scratch_slots(model):
+    """A slot mid-way through a scratch-path prefill (long prompt, not yet
+    inserted) must NOT join a batched prompt wave: the wave truncates main
+    rows to prefill_off, but the mid-scratch slot's KV lives only in its
+    scratch cache (ADVICE r4 high). Scenario: long prompt A loads chunk-by-
+    chunk into scratch; request B arrives mid-load; both must still match
+    their solo runs — and A's row must not expose the PREVIOUS request's KV."""
+    tok = model.tokenizer
+    eng = Engine(model, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                 prefill_buckets=(16,))      # largest bucket 16 → scratch path
+    # occupy slot A's row with an earlier request so stale KV is present
+    warm = tok.encode("zebra yak xylophone walrus " * 3, add_special=True)
+    eng.generate(warm, max_tokens=2, stop_eog=False)
+
+    pA = tok.encode("alpha beta gamma delta " * 10, add_special=True)
+    assert len(pA) > 16 and pA[:16] != warm[:16]
+    pB = tok.encode("one two three", add_special=True)
+    rA = eng.submit(GenRequest(prompt_ids=pA, max_tokens=6, stop_eog=False))
+    eng.step()                    # admit A + load its first scratch chunk
+    assert any(s.state.name == "PREFILL" and not s.in_place
+               and s.prefill_off > 0 for s in eng.slots)
+    rB = eng.submit(GenRequest(prompt_ids=pB, max_tokens=6, stop_eog=False))
+    eng.run_until_drained()
+
+    ctx = Context(model, n_batch=1, n_ctx=256, kv_dtype=np.float32)
+    refA = ctx.greedy_generate(pA, 6, stop_eog=False)[len(pA):]
+    ctx.reset()
+    refB = ctx.greedy_generate(pB, 6, stop_eog=False)[len(pB):]
+    assert rA.result(1)["tokens"] == refA
+    assert rB.result(1)["tokens"] == refB
+
+
+def test_greedy_fast_path_respects_pre_greedy_samplers(model):
+    """temp=0 + logit_bias/penalties must run the REAL chain (LogitBias and
+    Penalties sit BEFORE Greedy in make_chain) — the device argmax shortcut
+    is only exact when those stages are no-ops (ADVICE r4 medium)."""
+    from superllama_tpu.runtime.sampling import make_chain
+
+    tok = model.tokenizer
+    prompt = tok.encode("The quick brown fox", add_special=True)
+    forced = 1234
+    eng = Engine(model, n_slots=1, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    res = eng.generate(prompt, max_tokens=4, stop_eog=False,
+                       sampling={"temp": 0.0, "logit_bias": {forced: 100.0}})
+    # +100 bias dominates an untrained model's logits: every token = forced
+    assert res["tokens"] == [forced] * 4
+
+    # penalty variant: reference = host chain over Context logits
+    sm = {"temp": 0.0, "penalty_repeat": 1.9, "penalty_last_n": 64}
+    ctx = Context(model, n_batch=1, n_ctx=128, kv_dtype=np.float32)
+    chain = make_chain(**sm)
+    for t in prompt[-64:]:
+        chain.ctx.recent_tokens.append(int(t))
+    logits = ctx.forward(np.asarray(prompt, np.int32))
+    ref, last = [], None
+    for _ in range(4):
+        if last is not None:
+            logits = ctx.forward(np.asarray([last], np.int32))
+        last = chain.sample(np.asarray(logits[0, -1], np.float32))
+        ref.append(int(last))
+    eng2 = Engine(model, n_slots=1, n_ctx=128, kv_dtype=np.float32,
+                  prefill_buckets=(16, 64))
+    res2 = eng2.generate(prompt, max_tokens=4, stop_eog=False, sampling=sm)
+    assert res2["tokens"] == ref

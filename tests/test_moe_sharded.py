@@ -106,3 +106,23 @@ def test_before_ffn_weighting():
     hp.extra.pop("expert_weights_before_ffn")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_default_capacity_is_exact_under_skewed_routing():
+    """With NO moe_capacity override the sharded path must reproduce the
+    reference's exact no-drop semantics even under maximally imbalanced
+    routing (ADVICE r4: the old C=2.0 default silently dropped rows).
+    Zeroed router logits tie-break to experts {0,1} for EVERY token — the
+    worst case for a per-device capacity bound."""
+    hp, layer, x = _setup()
+    layer = dict(layer)
+    layer["ffn_gate_inp"] = jnp.zeros_like(layer["ffn_gate_inp"])
+    ref = moe_ffn_sparse(x, layer, hp)
+    mesh = make_mesh(8, dp=1, sp=1, tp=1, ep=8)
+    with mesh:
+        lay_s = shard_params({"layers": [dict(layer)]}, mesh)["layers"][0]
+        hp.extra["moe_mesh"] = mesh          # note: no moe_capacity set
+        got = moe_ffn(x, lay_s, hp)
+    hp.extra.pop("moe_mesh")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
