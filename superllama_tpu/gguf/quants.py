@@ -1315,9 +1315,15 @@ def dequantize(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...] | No
     return out.reshape(shape) if shape is not None else out
 
 
-def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+def quantize(x: np.ndarray, ggml_type: GGMLType,
+             qw: np.ndarray | None = None) -> np.ndarray:
     """Encode float data (row length = last axis, multiple of block size) to
-    bytes; native C++ fast path when available."""
+    bytes; native C++ fast path when available.
+
+    ``qw``: optional imatrix importance row (n_per_row floats) — routes
+    K-quants through the imatrix-weighted searches (quantize_row_*_K_impl
+    semantics, src/llama-quant.cpp:431-457); other types ignore it (callers
+    apply their own weighted rescale)."""
     fn = QUANTIZERS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"no quantizer for {ggml_type.name}")
@@ -1325,9 +1331,33 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     if x.shape[-1] % tr.block_size != 0:
         raise ValueError(f"row size {x.shape[-1]} not a multiple of {tr.block_size} for {ggml_type.name}")
     xf = np.ascontiguousarray(x, dtype=np.float32)
+    if qw is not None and ggml_type in SEARCH_IMATRIX:
+        return SEARCH_IMATRIX[ggml_type](
+            xf, np.ascontiguousarray(qw, np.float32))
     from .. import native
 
     out = native.quantize(xf, int(ggml_type), tr.block_size, tr.type_size)
     if out is not None:
         return out
     return fn(xf)
+
+
+# --- weighted-search K-quant encoders override the one-shot min/max rounds
+# (quantize_row_*_K_ref run the same searches in the reference; the min/max
+# versions above remain importable for comparison/benchmarks). Bottom import:
+# kquant_search needs the packing helpers defined above.
+from .kquant_search import SEARCH_QUANTIZERS as _SEARCH  # noqa: E402
+
+QUANTIZERS[GGMLType.Q2_K] = _SEARCH["Q2_K"]
+QUANTIZERS[GGMLType.Q3_K] = _SEARCH["Q3_K"]
+QUANTIZERS[GGMLType.Q4_K] = _SEARCH["Q4_K"]
+QUANTIZERS[GGMLType.Q5_K] = _SEARCH["Q5_K"]
+QUANTIZERS[GGMLType.Q6_K] = _SEARCH["Q6_K"]
+# imatrix-weighted impl variants (used by quantize(..., qw=...))
+SEARCH_IMATRIX = {
+    GGMLType.Q2_K: lambda x, qw: _SEARCH["Q2_K"](x, qw),
+    GGMLType.Q3_K: lambda x, qw: _SEARCH["Q3_K"](x, qw),
+    GGMLType.Q4_K: lambda x, qw: _SEARCH["Q4_K"](x, qw),
+    GGMLType.Q5_K: lambda x, qw: _SEARCH["Q5_K"](x, qw),
+    GGMLType.Q6_K: lambda x, qw: _SEARCH["Q6_K"](x, qw),
+}

@@ -45,8 +45,11 @@ def _load() -> ctypes.CDLL | None:
         if not so.exists():
             tmp = so.with_suffix(".so.tmp")
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                 str(_SRC), "-o", str(tmp)],
+                # -ffp-contract=off: the weighted K-quant searches must stay
+                # bit-identical to the numpy reference (FMA contraction would
+                # change accumulation results and flip search decisions)
+                ["g++", "-O3", "-ffp-contract=off", "-std=c++17", "-shared",
+                 "-fPIC", "-pthread", str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=240)
             os.replace(tmp, so)
         lib = ctypes.CDLL(str(so))

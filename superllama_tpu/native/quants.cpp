@@ -668,29 +668,266 @@ void q_iq4_nl(const float* v, uint8_t* b) {
     }
 }
 
+// ------------- weighted K-quant searches (ggml make_q* analogs) -------------
+// Per-group scale/min searches matching gguf/kquant_search.py BIT-FOR-BIT:
+// operation order mirrors the numpy reference (zero-initialized sequential
+// f32 accumulation, left-associated products), and the library is built with
+// -ffp-contract=off so no FMA contraction can change results.
+
+static const float kGroupMaxEps = 1e-15f;
+
+// make_qkx2/qkx3 semantics: grid of candidate inverse scales + weighted LS
+// (scale, min≤0) refit per candidate, accepted on weighted-error improvement
+// evaluated against the incumbent's updated min. L out: ints in [0, nmax].
+inline float qkx_search(const float* x, const float* w, int n, int nmax,
+                        double rmin, double rdelta, int nstep, bool use_mad,
+                        int* L, float* the_min) {
+    float xmin = x[0], xmax = x[0];
+    for (int i = 1; i < n; i++) {
+        xmin = std::min(xmin, x[i]);
+        xmax = std::max(xmax, x[i]);
+    }
+    xmin = std::min(xmin, 0.0f);
+    if (xmax <= xmin) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        *the_min = -xmin;
+        return 0.0f;
+    }
+    float sum_w = 0, sum_x = 0;
+    for (int i = 0; i < n; i++) sum_w = sum_w + w[i];
+    for (int i = 0; i < n; i++) sum_x = sum_x + w[i] * x[i];
+    float rng = xmax - xmin;
+    float nmaxf = (float)nmax;
+    float iscale = nmaxf / rng;
+    float scale = 1.0f / iscale;
+    float cur_min = xmin;
+    float best = 0;
+    for (int i = 0; i < n; i++) {
+        int l = (int)npround(iscale * (x[i] - xmin));
+        L[i] = std::clamp(l, 0, nmax);
+        float diff = (scale * (float)L[i] + cur_min) - x[i];
+        float err = use_mad ? std::fabs(diff) : diff * diff;
+        best = best + w[i] * err;
+    }
+    int laux[64];
+    for (int step = 0; step <= nstep; step++) {
+        float isc = (float)(rmin + rdelta * (double)step) + nmaxf;
+        isc = isc / rng;
+        float sum_l = 0, sum_l2 = 0, sum_xl = 0;
+        for (int i = 0; i < n; i++) {
+            int l = std::clamp((int)npround(isc * (x[i] - cur_min)), 0, nmax);
+            laux[i] = l;
+            float lf = (float)l;
+            sum_l = sum_l + w[i] * lf;
+            sum_l2 = sum_l2 + (w[i] * lf) * lf;
+            sum_xl = sum_xl + (w[i] * lf) * x[i];
+        }
+        float D = sum_w * sum_l2 - sum_l * sum_l;
+        if (!(D > 0)) continue;
+        float this_scale = (sum_w * sum_xl - sum_x * sum_l) / D;
+        float this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D;
+        if (this_min > 0) {
+            this_min = 0;
+            this_scale = sum_xl / sum_l2;
+        }
+        float cur = 0;
+        for (int i = 0; i < n; i++) {
+            float diff = (this_scale * (float)laux[i] + this_min) - x[i];
+            float err = use_mad ? std::fabs(diff) : diff * diff;
+            cur = cur + w[i] * err;
+        }
+        if (cur < best) {
+            for (int i = 0; i < n; i++) L[i] = laux[i];
+            best = cur;
+            scale = this_scale;
+            cur_min = this_min;
+        }
+    }
+    *the_min = -cur_min;
+    return scale;
+}
+
+// make_qx_quants (rmse_type=1) semantics. L out BIASED by +nmax; all-zero
+// groups return 0 with raw L=0.
+inline float qx_search(const float* x, const float* qw, int n, int nmax,
+                       int* L) {
+    float amax = 0, maxv = 0;
+    for (int i = 0; i < n; i++) {
+        float a = std::fabs(x[i]);
+        if (a > amax) { amax = a; maxv = x[i]; }
+    }
+    if (amax < kGroupMaxEps) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        return 0.0f;
+    }
+    float w[64];
+    for (int i = 0; i < n; i++) w[i] = qw ? qw[i] : x[i] * x[i];
+    float iscale = -(float)nmax / maxv;
+    float sumlx = 0, suml2 = 0;
+    for (int i = 0; i < n; i++) {
+        int l = std::clamp((int)npround(iscale * x[i]), -nmax, nmax - 1);
+        L[i] = l;
+        float lf = (float)l;
+        sumlx = sumlx + (w[i] * x[i]) * lf;
+        suml2 = suml2 + (w[i] * lf) * lf;
+    }
+    float scale = suml2 != 0 ? sumlx / suml2 : 0.0f;
+    float best = scale * sumlx;
+    int laux[64];
+    for (int step = -9; step <= 9; step++) {
+        if (step == 0) continue;
+        float isc = -((float)nmax + 0.1f * (float)step) / maxv;
+        float slx = 0, sl2 = 0;
+        for (int i = 0; i < n; i++) {
+            int l = std::clamp((int)npround(isc * x[i]), -nmax, nmax - 1);
+            laux[i] = l;
+            float lf = (float)l;
+            slx = slx + (w[i] * x[i]) * lf;
+            sl2 = sl2 + (w[i] * lf) * lf;
+        }
+        if (sl2 > 0 && slx * slx > best * sl2) {
+            for (int i = 0; i < n; i++) L[i] = laux[i];
+            scale = slx / sl2;
+            best = scale * slx;
+        }
+    }
+    for (int i = 0; i < n; i++) L[i] += nmax;
+    return scale;
+}
+
+// make_qp_quants semantics (non-negative fit + coordinate descent); L out in
+// [0, nmax].
+inline float qp_search(const float* x, const float* sw, int n, int nmax,
+                       int* L) {
+    float maxv = 0;
+    for (int i = 0; i < n; i++) maxv = std::max(maxv, x[i]);
+    if (maxv < kGroupMaxEps) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        return 0.0f;
+    }
+    float iscale = (float)nmax / maxv;
+    float scale = 1.0f / iscale;
+    float best_mse = 0;
+    for (int i = 0; i < n; i++) {
+        int l = (int)npround(iscale * x[i]);
+        float diff = x[i] - scale * (float)l;
+        best_mse = best_mse + (sw[i] * diff) * diff;
+    }
+    for (int step = -4; step <= 4; step++) {
+        if (step == 0) continue;
+        float isc = (0.1f * (float)step + (float)nmax) / maxv;
+        float sc = 1.0f / isc;
+        float mse = 0;
+        for (int i = 0; i < n; i++) {
+            int l = std::min((int)npround(isc * x[i]), nmax);
+            float diff = x[i] - sc * (float)l;
+            mse = mse + (sw[i] * diff) * diff;
+        }
+        if (mse < best_mse) {
+            best_mse = mse;
+            iscale = isc;
+        }
+    }
+    float sumlx = 0, suml2 = 0;
+    for (int i = 0; i < n; i++) {
+        int l = std::min((int)npround(iscale * x[i]), nmax);
+        L[i] = l;
+        float lf = (float)l;
+        sumlx = sumlx + (sw[i] * x[i]) * lf;
+        suml2 = suml2 + (sw[i] * lf) * lf;
+    }
+    for (int itry = 0; itry < 5; itry++) {
+        for (int i = 0; i < n; i++) {
+            float wi = sw[i], xi = x[i], li = (float)L[i];
+            float slx = sumlx - (wi * xi) * li;
+            float sl2 = suml2 - (wi * li) * li;
+            if (!(slx > 0 && sl2 > 0)) continue;
+            int new_l = std::min((int)npround((xi * sl2) / slx), nmax);
+            if (new_l == L[i]) continue;
+            float nf = (float)new_l;
+            float slx2 = slx + (wi * xi) * nf;
+            float sl22 = sl2 + (wi * nf) * nf;
+            if ((slx2 * slx2) * suml2 > (sumlx * sumlx) * sl22) {
+                L[i] = new_l;
+                sumlx = slx2;
+                suml2 = sl22;
+            }
+        }
+    }
+    return suml2 > 0 ? sumlx / suml2 : 0.0f;
+}
+
+// make_q3_quants do_rmse semantics (symmetric x²-weighted + coordinate
+// descent). L out BIASED by +nmax; all-zero groups raw L=0.
+inline float q3_search(const float* x, int n, int nmax, int* L) {
+    float amax = 0, maxv = 0;
+    for (int i = 0; i < n; i++) {
+        float a = std::fabs(x[i]);
+        if (a > amax) { amax = a; maxv = x[i]; }
+    }
+    if (amax < kGroupMaxEps) {
+        for (int i = 0; i < n; i++) L[i] = 0;
+        return 0.0f;
+    }
+    float iscale = -(float)nmax / maxv;
+    float sumlx = 0, suml2 = 0;
+    for (int i = 0; i < n; i++) {
+        int l = std::clamp((int)npround(iscale * x[i]), -nmax, nmax - 1);
+        L[i] = l;
+        float w = x[i] * x[i];
+        float lf = (float)l;
+        sumlx = sumlx + (w * x[i]) * lf;
+        suml2 = suml2 + (w * lf) * lf;
+    }
+    for (int itry = 0; itry < 5; itry++) {
+        for (int i = 0; i < n; i++) {
+            float wi = x[i] * x[i], xi = x[i], li = (float)L[i];
+            float slx = sumlx - (wi * xi) * li;
+            if (!(slx > 0)) continue;
+            float sl2 = suml2 - (wi * li) * li;
+            int new_l = std::clamp((int)npround((xi * sl2) / slx), -nmax, nmax - 1);
+            if (new_l == L[i]) continue;
+            float nf = (float)new_l;
+            float slx2 = slx + (wi * xi) * nf;
+            float sl22 = sl2 + (wi * nf) * nf;
+            if (sl22 > 0 && (slx2 * slx2) * suml2 > (sumlx * sumlx) * sl22) {
+                L[i] = new_l;
+                sumlx = slx2;
+                suml2 = sl22;
+            }
+        }
+    }
+    for (int i = 0; i < n; i++) L[i] += nmax;
+    return suml2 > 0 ? sumlx / suml2 : 0.0f;
+}
+
 void q_q4_k(const float* v, uint8_t* b) {
-    float dg[8], mg[8];
+    // quantize_row_q4_K_ref semantics: weighted qkx2 search per 32-group
+    float scales[8], mins[8];
+    int L[8][32];
     for (int j = 0; j < 8; j++) {
         const float* g = v + j * 32;
-        float gmin = g[0], gmax = g[0];
-        for (int i = 1; i < 32; i++) { gmin = std::min(gmin, g[i]); gmax = std::max(gmax, g[i]); }
-        gmin = std::min(gmin, 0.0f);
-        dg[j] = (gmax - gmin) / 15.0f;
-        mg[j] = -gmin;
+        float sumx2 = 0;
+        for (int i = 0; i < 32; i++) sumx2 = sumx2 + g[i] * g[i];
+        float av = std::sqrt(sumx2 / 32.0f);
+        float w[32];
+        for (int i = 0; i < 32; i++) w[i] = av + std::fabs(g[i]);
+        scales[j] = qkx_search(g, w, 32, 15, -1.0, 0.1, 20, false,
+                               L[j], &mins[j]);
     }
-    // np.max keeps the first of equal elements, preserving -0.0 sign bits —
-    // replicate with strict > so the stored f16 is byte-identical to numpy
-    float dmax = dg[0], mmax = mg[0];
+    float max_scale = scales[0], max_min = mins[0];
     for (int j = 1; j < 8; j++) {
-        if (dg[j] > dmax) dmax = dg[j];
-        if (mg[j] > mmax) mmax = mg[j];
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
     }
-    float d = dmax / 63.0f, dmin = mmax / 63.0f;
+    float inv_scale = max_scale > 0 ? 63.0f / max_scale : 0.0f;
+    float inv_min = max_min > 0 ? 63.0f / max_min : 0.0f;
     uint8_t ls[8], lm[8];
     for (int j = 0; j < 8; j++) {
-        ls[j] = (uint8_t)std::clamp(npround(d > 0 ? dg[j] / d : 0.0f), 0.0f, 63.0f);
-        lm[j] = (uint8_t)std::clamp(npround(dmin > 0 ? mg[j] / dmin : 0.0f), 0.0f, 63.0f);
+        ls[j] = (uint8_t)std::min<int>((uint8_t)(int)npround(inv_scale * scales[j]), 63);
+        lm[j] = (uint8_t)std::min<int>((uint8_t)(int)npround(inv_min * mins[j]), 63);
     }
+    float d = max_scale / 63.0f, dmin = max_min / 63.0f;
     f2h(b, d);
     f2h(b + 2, dmin);
     float d16 = half_to_float(float_to_half(d));
@@ -701,8 +938,12 @@ void q_q4_k(const float* v, uint8_t* b) {
         float dl = d16 * (float)ls[j], ml = m16 * (float)lm[j];
         const float* g = v + j * 32;
         for (int i = 0; i < 32; i++) {
-            float t = dl > 0 ? (g[i] + ml) / dl : 0.0f;
-            q[j][i] = (uint8_t)std::clamp(npround(t), 0.0f, 15.0f);
+            if (dl != 0) {
+                int l = (int)npround((g[i] + ml) / dl);
+                q[j][i] = (uint8_t)std::clamp(l, 0, 15);
+            } else {
+                q[j][i] = (uint8_t)L[j][i];
+            }
         }
     }
     for (int j = 0; j < 4; j++)
@@ -711,26 +952,32 @@ void q_q4_k(const float* v, uint8_t* b) {
 }
 
 void q_q5_k(const float* v, uint8_t* b) {
-    float dg[8], mg[8];
+    // quantize_row_q5_K_ref semantics: weighted qkx2 search per 32-group
+    float scales[8], mins[8];
+    int L[8][32];
     for (int j = 0; j < 8; j++) {
         const float* g = v + j * 32;
-        float gmin = g[0], gmax = g[0];
-        for (int i = 1; i < 32; i++) { gmin = std::min(gmin, g[i]); gmax = std::max(gmax, g[i]); }
-        gmin = std::min(gmin, 0.0f);
-        dg[j] = (gmax - gmin) / 31.0f;
-        mg[j] = -gmin;
+        float sumx2 = 0;
+        for (int i = 0; i < 32; i++) sumx2 = sumx2 + g[i] * g[i];
+        float av = std::sqrt(sumx2 / 32.0f);
+        float w[32];
+        for (int i = 0; i < 32; i++) w[i] = av + std::fabs(g[i]);
+        scales[j] = qkx_search(g, w, 32, 31, -0.5, 0.1, 15, false,
+                               L[j], &mins[j]);
     }
-    float dmax = dg[0], mmax = mg[0];  // strict > keeps numpy's -0.0 bits
+    float max_scale = scales[0], max_min = mins[0];
     for (int j = 1; j < 8; j++) {
-        if (dg[j] > dmax) dmax = dg[j];
-        if (mg[j] > mmax) mmax = mg[j];
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
     }
-    float d = dmax / 63.0f, dmin = mmax / 63.0f;
+    float inv_scale = max_scale > 0 ? 63.0f / max_scale : 0.0f;
+    float inv_min = max_min > 0 ? 63.0f / max_min : 0.0f;
     uint8_t ls[8], lm[8];
     for (int j = 0; j < 8; j++) {
-        ls[j] = (uint8_t)std::clamp(npround(d > 0 ? dg[j] / d : 0.0f), 0.0f, 63.0f);
-        lm[j] = (uint8_t)std::clamp(npround(dmin > 0 ? mg[j] / dmin : 0.0f), 0.0f, 63.0f);
+        ls[j] = (uint8_t)std::min<int>((uint8_t)(int)npround(inv_scale * scales[j]), 63);
+        lm[j] = (uint8_t)std::min<int>((uint8_t)(int)npround(inv_min * mins[j]), 63);
     }
+    float d = max_scale / 63.0f, dmin = max_min / 63.0f;
     f2h(b, d);
     f2h(b + 2, dmin);
     float d16 = half_to_float(float_to_half(d));
@@ -741,8 +988,12 @@ void q_q5_k(const float* v, uint8_t* b) {
         float dl = d16 * (float)ls[j], ml = m16 * (float)lm[j];
         const float* g = v + j * 32;
         for (int i = 0; i < 32; i++) {
-            float t = dl > 0 ? (g[i] + ml) / dl : 0.0f;
-            q[j][i] = (uint8_t)std::clamp(npround(t), 0.0f, 31.0f);
+            if (dl != 0) {
+                int l = (int)npround((g[i] + ml) / dl);
+                q[j][i] = (uint8_t)std::clamp(l, 0, 31);
+            } else {
+                q[j][i] = (uint8_t)L[j][i];
+            }
         }
     }
     uint8_t* qh = b + 16;
@@ -759,32 +1010,39 @@ void q_q5_k(const float* v, uint8_t* b) {
 }
 
 void q_q6_k(const float* v, uint8_t* b) {
-    float sg[16];
+    // quantize_row_q6_K_ref semantics: make_qx weighted search per 16-group
+    float scales[16];
+    int L[16][16];
+    for (int j = 0; j < 16; j++)
+        scales[j] = qx_search(v + j * 16, nullptr, 16, 32, L[j]);
+    float absmax = 0, max_scale = 0;
     for (int j = 0; j < 16; j++) {
-        const float* g = v + j * 16;
-        float amax = 0, mx = 0;
-        for (int i = 0; i < 16; i++) {
-            float a = std::fabs(g[i]);
-            if (a > amax) { amax = a; mx = g[i]; }
-        }
-        sg[j] = mx / -32.0f;
+        float a = std::fabs(scales[j]);
+        if (a > absmax) { absmax = a; max_scale = scales[j]; }
     }
-    float amax_s = 0;
-    for (int j = 0; j < 16; j++) amax_s = std::max(amax_s, std::fabs(sg[j]));
-    float d = amax_s / 127.0f;
+    if (absmax < kGroupMaxEps) {            // dead superblock: all zeros
+        std::memset(b, 0, 210);
+        return;
+    }
+    float iscale = -128.0f / max_scale;
+    float d = 1.0f / iscale;
+    int lsi[16];
+    for (int j = 0; j < 16; j++)
+        lsi[j] = std::min((int)npround(iscale * scales[j]), 127);
     int8_t ls[16];
-    for (int j = 0; j < 16; j++) {
-        float t = d > 0 ? sg[j] / d : 0.0f;
-        ls[j] = (int8_t)std::clamp(npround(t), -128.0f, 127.0f);
-    }
+    for (int j = 0; j < 16; j++) ls[j] = (int8_t)(lsi[j] & 0xFF);
     float d16 = half_to_float(float_to_half(d));
     uint8_t q[256];
     for (int j = 0; j < 16; j++) {
-        float dl = d16 * (float)ls[j];
+        float dl = d16 * (float)lsi[j];
         const float* g = v + j * 16;
         for (int i = 0; i < 16; i++) {
-            float t = std::fabs(dl) > 0 ? g[i] / dl : 0.0f;
-            q[j * 16 + i] = (uint8_t)((int8_t)std::clamp(npround(t), -32.0f, 31.0f) + 32);
+            if (dl != 0) {
+                int l = std::clamp((int)npround(g[i] / dl), -32, 31);
+                q[j * 16 + i] = (uint8_t)(l + 32);
+            } else {
+                q[j * 16 + i] = (uint8_t)L[j][i];
+            }
         }
     }
     uint8_t* ql = b;
@@ -808,41 +1066,46 @@ void q_q6_k(const float* v, uint8_t* b) {
 }
 
 void q_q2_k(const float* v, uint8_t* b) {
-    // mirrors gguf/quants.py quant_q2_k bit-for-bit (per-16 affine groups,
-    // 4-bit scale/min planes)
-    float dg[16], mg[16];
+    // quantize_row_q2_K_ref semantics: |x|-weighted qkx2 MAD search
+    float scales[16], mins[16];
+    int L[16][16];
     for (int g = 0; g < 16; g++) {
         const float* gr = v + g * 16;
-        float gmin = gr[0], gmax = gr[0];
-        for (int i = 1; i < 16; i++) {
-            gmin = std::min(gmin, gr[i]);
-            gmax = std::max(gmax, gr[i]);
-        }
-        gmin = std::min(gmin, 0.0f);
-        dg[g] = (gmax - gmin) / 3.0f;
-        mg[g] = -gmin;
+        float w[16];
+        for (int i = 0; i < 16; i++) w[i] = std::fabs(gr[i]);
+        scales[g] = qkx_search(gr, w, 16, 3, -0.5, 0.1, 15, true,
+                               L[g], &mins[g]);
     }
-    float dmax = dg[0], mmax = mg[0];
+    float max_scale = scales[0], max_min = mins[0];
     for (int g = 1; g < 16; g++) {
-        if (dg[g] > dmax) dmax = dg[g];
-        if (mg[g] > mmax) mmax = mg[g];
+        if (scales[g] > max_scale) max_scale = scales[g];
+        if (mins[g] > max_min) max_min = mins[g];
     }
-    float d = dmax / 15.0f, dmin = mmax / 15.0f;
+    float d = max_scale > 0 ? max_scale / 15.0f : 0.0f;
+    float dmin = max_min > 0 ? max_min / 15.0f : 0.0f;
+    float inv_scale = max_scale > 0 ? 15.0f / max_scale : 0.0f;
+    float inv_min = max_min > 0 ? 15.0f / max_min : 0.0f;
     uint8_t ls[16], lm[16];
     for (int g = 0; g < 16; g++) {
-        ls[g] = (uint8_t)std::clamp(npround(d > 0 ? dg[g] / d : 0.0f), 0.0f, 15.0f);
-        lm[g] = (uint8_t)std::clamp(npround(dmin > 0 ? mg[g] / dmin : 0.0f), 0.0f, 15.0f);
+        ls[g] = max_scale > 0 ? (uint8_t)(int)npround(inv_scale * scales[g]) : 0;
+        lm[g] = max_min > 0 ? (uint8_t)(int)npround(inv_min * mins[g]) : 0;
     }
     float d16 = half_to_float(float_to_half(d));
     float m16 = half_to_float(float_to_half(dmin));
+    // C stores the full ls byte then ORs lm<<4 (a negative searched scale
+    // wraps into the high nibble — kquant_search.py emulates the same)
     for (int g = 0; g < 16; g++) b[g] = (uint8_t)(ls[g] | (lm[g] << 4));
     uint8_t q[16][16];
     for (int g = 0; g < 16; g++) {
-        float dl = d16 * (float)ls[g], ml = m16 * (float)lm[g];
+        float dl = d16 * (float)(b[g] & 0x0F), ml = m16 * (float)(b[g] >> 4);
         const float* gr = v + g * 16;
         for (int i = 0; i < 16; i++) {
-            float t = dl > 0 ? (gr[i] + ml) / dl : 0.0f;
-            q[g][i] = (uint8_t)std::clamp(npround(t), 0.0f, 3.0f);
+            if (dl != 0) {
+                int l = (int)npround((gr[i] + ml) / dl);
+                q[g][i] = (uint8_t)std::clamp(l, 0, 3);
+            } else {
+                q[g][i] = (uint8_t)L[g][i];
+            }
         }
     }
     std::memset(b + 16, 0, 64);
@@ -862,31 +1125,37 @@ void q_q2_k(const float* v, uint8_t* b) {
 }
 
 void q_q3_k(const float* v, uint8_t* b) {
-    // mirrors gguf/quants.py quant_q3_k (per-16 symmetric groups, 6-bit
-    // packed scales, high-bit plane)
-    float sg[16];
+    // quantize_row_q3_K_ref semantics: make_q3 rmse search per 16-group
+    float scales[16];
+    int L[16][16];
+    for (int g = 0; g < 16; g++)
+        scales[g] = q3_search(v + g * 16, 16, 4, L[g]);
+    float absmax = 0, max_scale = 0;
     for (int g = 0; g < 16; g++) {
-        float amax = 0;
-        for (int i = 0; i < 16; i++)
-            amax = std::max(amax, std::fabs(v[g * 16 + i]));
-        sg[g] = amax / 4.0f;
+        float a = std::fabs(scales[g]);
+        if (a > absmax) { absmax = a; max_scale = scales[g]; }
     }
-    float dmax = sg[0];
-    for (int g = 1; g < 16; g++)
-        if (sg[g] > dmax) dmax = sg[g];
-    float d = dmax / 31.0f;
     uint8_t ls[16];
-    for (int g = 0; g < 16; g++) {
-        float r = d > 0 ? sg[g] / d : 0.0f;
-        ls[g] = (uint8_t)std::clamp(npround(r) + 32.0f, 0.0f, 63.0f);
+    float d;
+    if (max_scale != 0) {
+        float iscale = -32.0f / max_scale;
+        for (int g = 0; g < 16; g++)
+            ls[g] = (uint8_t)(std::clamp((int)npround(iscale * scales[g]), -32, 31) + 32);
+        d = 1.0f / iscale;
+    } else {
+        for (int g = 0; g < 16; g++) ls[g] = 0;
+        d = 0.0f;
     }
     float d16 = half_to_float(float_to_half(d));
     int8_t q[16][16];
     for (int g = 0; g < 16; g++) {
-        float dl = d16 * ((float)ls[g] - 32.0f);
+        float dl = d16 * (float)((int)ls[g] - 32);
         for (int i = 0; i < 16; i++) {
-            float t = std::fabs(dl) > 0 ? v[g * 16 + i] / dl : 0.0f;
-            q[g][i] = (int8_t)((int)std::clamp(npround(t), -4.0f, 3.0f) + 4);
+            if (dl != 0) {
+                q[g][i] = (int8_t)(std::clamp((int)npround(v[g * 16 + i] / dl), -4, 3) + 4);
+            } else {
+                q[g][i] = (int8_t)L[g][i];
+            }
         }
     }
     std::memset(b, 0, 96);

@@ -139,7 +139,9 @@ def _weighted_rescale(x: np.ndarray, packed: np.ndarray, t: GGMLType,
     tr = GGML_TYPE_TRAITS[t]
     if t not in (GGMLType.Q4_0, GGMLType.Q5_0, GGMLType.Q8_0, GGMLType.IQ4_NL,
                  GGMLType.MXFP4):
-        return packed  # weighted variants for K-quants: perf follow-up
+        # K-quants already ran the imatrix-weighted search encoders
+        # (gguf/kquant_search.py) inside quantize(); nothing to refine here
+        return packed
     blck, tsz = tr.block_size, tr.type_size
     xb = x.reshape(-1, blck).astype(np.float32)
     wb = np.broadcast_to(weights, x.shape).reshape(-1, blck).astype(np.float32)
@@ -190,8 +192,15 @@ def quantize_model(
             else:
                 if t not in QUANTIZERS:
                     raise ValueError(f"no encoder for {t.name}")
-                packed = quantize(x, t)
+                qw = None
                 if imatrix is not None and name in imatrix:
+                    qw = np.broadcast_to(
+                        np.asarray(imatrix[name], np.float32), (ti.ne[0],))
+                # K-quants run the imatrix-weighted search directly
+                # (quantize_row_*_K_impl); other formats encode plain and
+                # get the clip-factor weighted rescale below
+                packed = quantize(x, t, qw=qw)
+                if qw is not None:
                     packed = _weighted_rescale(x, packed, t, imatrix[name])
                 w.add_tensor(name, packed, t, raw_ne=ti.ne)
         stats[t.name] = stats.get(t.name, 0) + 1

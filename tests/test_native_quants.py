@@ -70,8 +70,8 @@ def test_native_roundtrip_through_public_api():
     x = np.random.default_rng(5).normal(0, 1, (8, 256)).astype(np.float32)
     packed = q.quantize(x, GGMLType.Q4_K)
     deq = q.dequantize(packed, GGMLType.Q4_K)
-    ref_packed = q.quant_q4_k(x)
-    ref_deq = q.dequant_q4_k(np.frombuffer(ref_packed.tobytes(), np.uint8))
+    ref_packed = q.QUANTIZERS[GGMLType.Q4_K](x)
+    ref_deq = q.dequant_q4_k(np.frombuffer(np.asarray(ref_packed).tobytes(), np.uint8))
     np.testing.assert_array_equal(packed, ref_packed)
     np.testing.assert_array_equal(deq, ref_deq)
 

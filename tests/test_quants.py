@@ -174,3 +174,72 @@ def test_block_sizes_consistent():
     assert GGML_TYPE_TRAITS[GGMLType.Q6_K].type_size == 210
     assert GGML_TYPE_TRAITS[GGMLType.Q4_0].type_size == 18
     assert GGML_TYPE_TRAITS[GGMLType.MXFP4].type_size == 17
+
+
+# ---------------------------------------------------------------------------
+# encoder-quality gates: the weighted K-quant searches must match the
+# reference encoder's weighted MSE (ggml-quants.c make_qkx2/qkx3/qx/qp wired
+# per-type at src/llama-quant.cpp:431-457) — VERDICT r4 item 4
+# ---------------------------------------------------------------------------
+
+K_SEARCH_TYPES = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                  GGMLType.Q5_K, GGMLType.Q6_K]
+
+
+def _quality_data(seed=11, rows=48, n=1024):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1.0, (rows, n)).astype(np.float32)
+    x[3, 5] = 37.0                       # outlier channel
+    x[7] *= 0.01                         # tiny-magnitude row
+    qw = (0.05 + rng.random(n).astype(np.float32) ** 2)
+    return x, qw
+
+
+@pytest.mark.parametrize("t", K_SEARCH_TYPES, ids=[t.name for t in K_SEARCH_TYPES])
+def test_kquant_search_quality_vs_oracle(t):
+    """Plain encoder MSE ≤ 1.02× the oracle encoder's on the same data."""
+    if not ggml_oracle.available():
+        pytest.skip("oracle unavailable")
+    x, _ = _quality_data()
+    mine = dequantize(quantize(x, t), t).reshape(x.shape)
+    ref = ggml_oracle.dequantize_ref(
+        ggml_oracle.quantize_ref(x, t), t, x.size).reshape(x.shape)
+    mse_mine = float(((mine - x) ** 2).mean())
+    mse_ref = float(((ref - x) ** 2).mean())
+    assert mse_mine <= mse_ref * 1.02 + 1e-12, (mse_mine, mse_ref)
+
+
+@pytest.mark.parametrize("t", K_SEARCH_TYPES, ids=[t.name for t in K_SEARCH_TYPES])
+def test_kquant_imatrix_quality_vs_oracle(t):
+    """Imatrix-weighted encoder: weighted MSE ≤ 1.02× the oracle's imatrix
+    impl, and strictly better than the plain encoder under those weights."""
+    if not ggml_oracle.available():
+        pytest.skip("oracle unavailable")
+    x, qw = _quality_data()
+    mine = dequantize(quantize(x, t, qw=qw), t).reshape(x.shape)
+    ref = ggml_oracle.dequantize_ref(
+        ggml_oracle.quantize_ref(x, t, qw), t, x.size).reshape(x.shape)
+    plain = dequantize(quantize(x, t), t).reshape(x.shape)
+
+    def wmse(y):
+        return float((((y - x) ** 2) * qw.reshape(1, -1)).mean())
+
+    assert wmse(mine) <= wmse(ref) * 1.02 + 1e-12, (wmse(mine), wmse(ref))
+    assert wmse(mine) < wmse(plain), (wmse(mine), wmse(plain))
+
+
+@pytest.mark.parametrize("t", K_SEARCH_TYPES, ids=[t.name for t in K_SEARCH_TYPES])
+def test_kquant_search_beats_minmax(t):
+    """The searched encoders strictly improve on the one-shot min/max rounds
+    they replaced (the point of the upgrade)."""
+    from superllama_tpu.gguf.quants import (quant_q2_k, quant_q3_k,
+                                            quant_q4_k, quant_q5_k,
+                                            quant_q6_k)
+    minmax = {GGMLType.Q2_K: quant_q2_k, GGMLType.Q3_K: quant_q3_k,
+              GGMLType.Q4_K: quant_q4_k, GGMLType.Q5_K: quant_q5_k,
+              GGMLType.Q6_K: quant_q6_k}
+    x, _ = _quality_data(seed=3)
+    searched = dequantize(quantize(x, t), t).reshape(x.shape)
+    old = dequantize(np.frombuffer(np.asarray(minmax[t](x)).tobytes(),
+                                   np.uint8), t).reshape(x.shape)
+    assert float(((searched - x) ** 2).mean()) < float(((old - x) ** 2).mean())
