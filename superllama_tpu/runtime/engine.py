@@ -35,6 +35,8 @@ import numpy as np
 
 from ..models.loader import LoadedModel
 from ..models.registry import get_forward
+from .cache_policy import (cache_kind, get_row, make_cache, mask_rows,
+                           pow2_chunk, set_row, truncate_rows)
 from .kv_cache import KVCache, kv_cache_init, kv_truncate_rows
 from .sampling import SamplerChain, make_chain
 
@@ -128,6 +130,28 @@ class Engine:
         self.kv_dtype = kv_dtype
         self.block_size = max(1, int(block_size))
 
+        # memory-type policy (create_memory counterpart, src/llama-model.cpp
+        # :7505-7570): mamba/rwkv-family and jamba-family models serve
+        # through the same slot loop with row-masked recurrent state
+        self.kind = cache_kind(hp)
+        if self.kind != "dense":
+            unsupported = [nm for nm, on in [
+                ("paged", paged), ("speculative", draft_model is not None),
+                ("lookup", lookup_ngrams), ("ctx-shift", ctx_shift)] if on]
+            if unsupported:
+                raise ValueError(
+                    f"{self.kind} memory: {'/'.join(unsupported)} not "
+                    f"supported (recurrent state cannot rewind — same "
+                    f"restriction as llama_memory_recurrent::seq_rm p0>0)")
+            if isinstance(kv_dtype, str):
+                raise ValueError("quantized KV requires a dense cache")
+            # multi-token blocks overshoot on stops and roll the cache back;
+            # recurrent state cannot rewind, so non-dense engines decode one
+            # token per scheduling pass (exactly update_slots' cadence) with
+            # no in-flight chained blocks
+            self.block_size = 1
+            pipeline_depth = 1
+
         # paged-KV mode (BASELINE config 3): page-pool cache + HBM⇄host spill
         # with swap-scheduling admission — the integration the reference left
         # dangling (src/llama-context.cpp:333 vs llama-kv-cache-paged.h)
@@ -148,17 +172,26 @@ class Engine:
             self.cache = None
             self._paged_rr = 0         # round-robin admission cursor
         else:
-            self.cache = kv_cache_init(hp.n_layer, n_slots, n_ctx, hp.n_head_kv,
-                                       hp.head_dim, hp.head_dim_v, dtype=kv_dtype)
+            self.cache = make_cache(hp, n_slots, n_ctx, kv_dtype)
 
         import inspect
 
         self._win_ok = "s_window" in inspect.signature(fwd).parameters
 
+        _kind = self.kind
+
         def decode(params, tokens, pos, cache, s_window: int | None = None):
             if s_window and self._win_ok:
-                return fwd(params, hp, tokens, pos, cache, s_window=s_window)
-            return fwd(params, hp, tokens, pos, cache)
+                lg, new = fwd(params, hp, tokens, pos, cache,
+                              s_window=s_window)
+            else:
+                lg, new = fwd(params, hp, tokens, pos, cache)
+            if _kind != "dense":
+                # recurrent state is cumulative: idle/padded rows (pos<0)
+                # must KEEP their old state (ring-KV junk writes are masked
+                # on read; state updates have no such predicate)
+                new = mask_rows(new, cache, pos[:, 0] >= 0)
+            return lg, new
 
         self._decode = jax.jit(decode, donate_argnums=(3,),
                                static_argnames=("s_window",))
@@ -177,10 +210,12 @@ class Engine:
             def body(carry, i):
                 tok, pos, cache, ring = carry
                 if s_window and self._win_ok:
-                    lg, cache = fwd(params, hp, tok, pos, cache,
+                    lg, new_c = fwd(params, hp, tok, pos, cache,
                                     s_window=s_window)
                 else:
-                    lg, cache = fwd(params, hp, tok, pos, cache)
+                    lg, new_c = fwd(params, hp, tok, pos, cache)
+                cache = (new_c if _kind == "dense" else
+                         mask_rows(new_c, cache, pos[:, 0] >= 0))
                 if greedy_only:
                     # static fast path: every row greedy → plain argmax, no
                     # top-k/penalty machinery in the graph (~ms/step saved)
@@ -297,7 +332,7 @@ class Engine:
                 return drafts, cache
 
             self._d_rollout = jax.jit(d_rollout, donate_argnums=(5,))
-        self._truncate = jax.jit(kv_truncate_rows, donate_argnums=(0,))
+        self._truncate = jax.jit(truncate_rows, donate_argnums=(0,))
         # prefill-finalize helpers as jits so warmup() can AOT them (their
         # eager forms compiled inside the first request's timed stream —
         # ~0.4 s/op through the tunnel)
@@ -396,7 +431,15 @@ class Engine:
         keep_a = jax.ShapeDtypeStruct((B,), jnp.int32)
         self._truncate.lower(cache_a, keep_a).compile()
         i_a = jax.ShapeDtypeStruct((), jnp.int32)
-        for P in self.buckets:      # batched in-place prompt-wave prefill
+        if self.kind != "dense":
+            # recurrent prompts load in fully-valid power-of-two chunks
+            warm_P, p = [], 1
+            while p <= self.buckets[-1]:
+                warm_P.append(p)
+                p *= 2
+        else:
+            warm_P = list(self.buckets)
+        for P in warm_P:            # batched in-place prompt-wave prefill
             tp = jax.ShapeDtypeStruct((B, P), jnp.int32)
             self._decode.lower(params_a, tp, tp, cache_a).compile()
             for rows in (B, 1):     # finalize helpers: wave + scratch paths
@@ -515,8 +558,12 @@ class Engine:
                 raise RuntimeError(f"slot {idx} is busy")
             if self.paged:
                 raise NotImplementedError(
-                    "slot save/restore needs the dense cache")
+                    "slot save/restore needs a non-paged cache")
             self._flush_pending()
+            if self.kind != "dense":
+                return {"state": get_row(self.cache, idx),
+                        "n_past": s.n_past,
+                        "cache_tokens": np.asarray(s.cache_tokens, np.int32)}
             return {
                 "k": np.asarray(self.cache.k[:, idx]),
                 "v": np.asarray(self.cache.v[:, idx]),
@@ -533,8 +580,14 @@ class Engine:
                 raise RuntimeError(f"slot {idx} is busy")
             if self.paged:
                 raise NotImplementedError(
-                    "slot save/restore needs the dense cache")
+                    "slot save/restore needs a non-paged cache")
             self._flush_pending()
+            if self.kind != "dense":
+                self.cache = set_row(self.cache, idx, data["state"])
+                s.n_past = int(data["n_past"])
+                s.cache_tokens = [int(t)
+                                  for t in np.asarray(data["cache_tokens"])]
+                return len(s.cache_tokens)
             k = jnp.asarray(np.asarray(data["k"]), self.cache.k.dtype)
             v = jnp.asarray(np.asarray(data["v"]), self.cache.v.dtype)
             pos = jnp.asarray(np.asarray(data["pos"]), jnp.int32)
@@ -559,12 +612,29 @@ class Engine:
                 s.cache_tokens = []
                 return
             self._flush_pending()
-            self.cache = self.cache._replace(
-                pos=self.cache.pos.at[idx].set(-1),
-                cursor=self.cache.cursor.at[idx].set(0),
-            )
+            if self.kind != "dense":
+                keep = self._keep_vector()
+                keep[idx] = 0
+                self.cache = self._truncate(self.cache, jnp.asarray(keep))
+            else:
+                self.cache = self.cache._replace(
+                    pos=self.cache.pos.at[idx].set(-1),
+                    cursor=self.cache.cursor.at[idx].set(0),
+                )
             s.n_past = 0
             s.cache_tokens = []
+
+    def _keep_vector(self) -> np.ndarray:
+        """Per-row 'rows to keep' baseline for truncate_rows: a slot midway
+        through an IN-PLACE prefill owns prefill_off rows in its main cache
+        row even though n_past is still 0 — using n_past there would cut (or,
+        for recurrent state, RESET) the half-loaded prompt."""
+        keep = np.zeros(self.n_slots, np.int32)
+        for s in self.slots:
+            keep[s.idx] = (s.prefill_off
+                           if s.state == SlotState.PREFILL and s.in_place
+                           else s.n_past)
+        return keep
 
     def _vocab_pieces(self) -> tuple[list[bytes], set[int]]:
         """Cached (token→bytes table, EOG ids) for grammar filtering."""
@@ -646,7 +716,9 @@ class Engine:
         # prefill only the suffix IN PLACE (junk writes into other rows land
         # beyond their cursors and are masked/overwritten)
         n_cached = 0
-        if slot.cache_tokens:
+        if slot.cache_tokens and self.kind == "dense":
+            # recurrent state can't rewind to a prefix position — non-dense
+            # memories always reprocess (llama_memory_recurrent semantics)
             for a, b in zip(slot.cache_tokens, ids):
                 if a != b:
                     break
@@ -661,9 +733,7 @@ class Engine:
         slot.text = ""
         slot.t_start = t0
         if n_cached:
-            keep = np.zeros(self.n_slots, np.int32)
-            for s in self.slots:
-                keep[s.idx] = s.n_past
+            keep = self._keep_vector()
             keep[slot.idx] = n_cached
             self.cache = self._truncate(self.cache, jnp.asarray(keep))
             slot.in_place = True
@@ -671,6 +741,16 @@ class Engine:
             slot.prefill_off = n_cached
             slot.scratch = None
             self.metrics["n_prompt_cached"] += n_cached
+        elif self.kind != "dense":
+            # in-place, fully-valid chunks: reset this row's state, keep the
+            # others (truncate_rows resets rows with keep==0)
+            keep = self._keep_vector()
+            keep[slot.idx] = 0
+            self.cache = self._truncate(self.cache, jnp.asarray(keep))
+            slot.in_place = True
+            slot.pending = ids
+            slot.prefill_off = 0
+            slot.scratch = None
         else:
             slot.in_place = False
             slot.pending = ids
@@ -678,7 +758,9 @@ class Engine:
             slot.scratch = kv_cache_init(
                 self.hp.n_layer, 1, self.n_ctx, self.hp.n_head_kv,
                 self.hp.head_dim, self.hp.head_dim_v, dtype=self.kv_dtype)
-        slot.prefill_P = self._bucket(len(slot.pending))
+        slot.prefill_P = (pow2_chunk(len(slot.pending), self.buckets[-1])
+                          if self.kind != "dense"
+                          else self._bucket(len(slot.pending)))
         slot.cache_tokens = list(ids)
         self._setup_sampler(slot, req, ids)
         self.metrics["n_prompt_tokens"] += n
@@ -746,7 +828,7 @@ class Engine:
         # per-slot path: their prefilled chunks live only in slot.scratch, so
         # truncating their MAIN row to prefill_off would expose the PREVIOUS
         # request's KV and the wave would discard the scratch un-inserted.
-        batch = ([] if self.paged else
+        batch = ([] if self.paged or self.kind != "dense" else
                  [s for s in loading
                   if s.pending and (s.in_place or s.prefill_off == 0)])
         if len(batch) >= 2:
@@ -758,9 +840,7 @@ class Engine:
             # whole wave per iteration too).
             t0 = time.perf_counter()
             P = max(s.prefill_P for s in batch)
-            keep = np.zeros(self.n_slots, np.int32)
-            for s in self.slots:
-                keep[s.idx] = s.n_past
+            keep = self._keep_vector()
             for s in batch:
                 keep[s.idx] = s.prefill_off
             self.cache = self._truncate(self.cache, jnp.asarray(keep))
@@ -835,6 +915,9 @@ class Engine:
             self.metrics["prefill_s"] += time.perf_counter() - t0
             worked = True
             if slot.pending:
+                if self.kind != "dense":    # next fully-valid pow2 chunk
+                    slot.prefill_P = pow2_chunk(len(slot.pending),
+                                                self.buckets[-1])
                 continue
             # last chunk: finalize — insert now (device-side) but DEFER the
             # first-token fetch so every finishing slot's copy overlaps (one
@@ -1119,9 +1202,7 @@ class Engine:
         cut those."""
         nb = self.block_size
         toks = np.asarray(pend["toks"])
-        keep = np.zeros(self.n_slots, np.int32)
-        for s in self.slots:
-            keep[s.idx] = s.n_past
+        keep = self._keep_vector()
         overshoot = False
         for idx in pend["ids"]:
             s = self.slots[idx]
