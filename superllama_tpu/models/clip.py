@@ -174,6 +174,7 @@ def load_mmproj(path: str) -> dict:
 
     params = {
         "hp": {
+            "image_size": int(md.get("clip.vision.image_size", 336)),
             "patch_size": int(md["clip.vision.patch_size"]),
             "n_embd": int(md["clip.vision.embedding_length"]),
             "n_head": int(md["clip.vision.attention.head_count"]),

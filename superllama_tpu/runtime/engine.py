@@ -52,6 +52,11 @@ class SlotState(Enum):
 @dataclass
 class GenRequest:
     prompt_ids: list[int]
+    # optional (len(prompt_ids), n_embd) float input-embedding matrix: rows
+    # replace the token-embedding lookup during prefill (mtmd image/audio
+    # chunks spliced between text spans; ids at embed-only positions are
+    # placeholders). tools/mtmd/mtmd.cpp chunk-injection counterpart.
+    prompt_embeds: Any = None
     max_tokens: int = 128
     stop_eog: bool = True
     stop_strings: list[str] = field(default_factory=list)
@@ -99,6 +104,7 @@ class _Slot:
     prefill_P: int = 0               # chunk bucket width
     in_place: bool = False           # prefilling straight into the big cache
     scratch: Any = None              # 1-row scratch cache (JetStream split)
+    pending_embeds: Any = None       # (n_prompt, E) f32 — embed-prefix prefill
     # on-device decode-block fast path
     fast: bool = False               # sampler expressible by the device chain
     seed: int = 0
@@ -177,6 +183,7 @@ class Engine:
         import inspect
 
         self._win_ok = "s_window" in inspect.signature(fwd).parameters
+        self._embd_ok = "embeds" in inspect.signature(fwd).parameters
 
         _kind = self.kind
 
@@ -254,6 +261,10 @@ class Engine:
             return fwd(params, hp, tokens, pos, cache)
 
         self._prefill = jax.jit(prefill, donate_argnums=(3,))
+        if self._embd_ok:
+            self._prefill_e = jax.jit(
+                lambda p, t, po, c, e: fwd(p, hp, t, po, c, embeds=e),
+                donate_argnums=(3,))
 
         def insert(big: KVCache, small: KVCache, row, n_valid):
             k = jax.lax.dynamic_update_slice(
@@ -704,6 +715,18 @@ class Engine:
             )
         if len(ids) + 1 > self.n_ctx:
             raise ValueError(f"prompt ({len(ids)}) exceeds n_ctx ({self.n_ctx})")
+        if req.prompt_embeds is not None:
+            if (not self._embd_ok or self.kind != "dense" or self.paged
+                    or self.draft_model is not None):
+                raise ValueError(
+                    "embedding-prefix prompts (multimodal chunks) need a "
+                    "dense-attention forward with embeds support and a "
+                    "plain engine (no paged/speculative mode)")
+            pe = np.asarray(req.prompt_embeds, np.float32)
+            if pe.shape[0] != len(ids):
+                raise ValueError(
+                    f"prompt_embeds rows ({pe.shape[0]}) must match "
+                    f"prompt_ids ({len(ids)})")
         if self.draft_model is not None:
             return self._start_request_sync(slot, req)
         if self.paged:
@@ -716,7 +739,8 @@ class Engine:
         # prefill only the suffix IN PLACE (junk writes into other rows land
         # beyond their cursors and are masked/overwritten)
         n_cached = 0
-        if slot.cache_tokens and self.kind == "dense":
+        if slot.cache_tokens and self.kind == "dense" \
+                and req.prompt_embeds is None:
             # recurrent state can't rewind to a prefix position — non-dense
             # memories always reprocess (llama_memory_recurrent semantics)
             for a, b in zip(slot.cache_tokens, ids):
@@ -761,7 +785,10 @@ class Engine:
         slot.prefill_P = (pow2_chunk(len(slot.pending), self.buckets[-1])
                           if self.kind != "dense"
                           else self._bucket(len(slot.pending)))
-        slot.cache_tokens = list(ids)
+        slot.pending_embeds = (None if req.prompt_embeds is None
+                               else np.asarray(req.prompt_embeds, np.float32))
+        # placeholder ids under embed chunks must never seed prefix reuse
+        slot.cache_tokens = [] if req.prompt_embeds is not None else list(ids)
         self._setup_sampler(slot, req, ids)
         self.metrics["n_prompt_tokens"] += n
 
@@ -830,7 +857,8 @@ class Engine:
         # request's KV and the wave would discard the scratch un-inserted.
         batch = ([] if self.paged or self.kind != "dense" else
                  [s for s in loading
-                  if s.pending and (s.in_place or s.prefill_off == 0)])
+                  if s.pending and s.pending_embeds is None
+                  and (s.in_place or s.prefill_off == 0)])
         if len(batch) >= 2:
             # batched prompt wave: one truncate (resets each loading row's
             # cursor to its offset — a no-op for continuing rows) + ONE
@@ -906,9 +934,18 @@ class Engine:
                 tok[0, : len(chunk)] = chunk
                 pos[0, : len(chunk)] = np.arange(
                     slot.prefill_off, slot.prefill_off + len(chunk))
-                logits, slot.scratch = self._prefill(
-                    self.model.params, jnp.asarray(tok), jnp.asarray(pos),
-                    slot.scratch)
+                if slot.pending_embeds is not None:
+                    E = slot.pending_embeds.shape[-1]
+                    emb = np.zeros((1, P, E), np.float32)
+                    emb[0, : len(chunk)] = slot.pending_embeds[
+                        slot.prefill_off : slot.prefill_off + len(chunk)]
+                    logits, slot.scratch = self._prefill_e(
+                        self.model.params, jnp.asarray(tok),
+                        jnp.asarray(pos), slot.scratch, jnp.asarray(emb))
+                else:
+                    logits, slot.scratch = self._prefill(
+                        self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                        slot.scratch)
                 row = 0
             slot.pending = slot.pending[len(chunk):]
             slot.prefill_off += len(chunk)
@@ -929,6 +966,7 @@ class Engine:
                 self.cache = self._insert(self.cache, slot.scratch, slot.idx,
                                           slot.n_prompt)
                 slot.scratch = None
+            slot.pending_embeds = None
             greedy = self._greedy_fast(slot.req)
             val = (self._first_tok if greedy else self._logit_row)(
                 logits, np.int32(row), np.int32(len(chunk) - 1))

@@ -46,7 +46,8 @@ class ServerApp:
                  embed_model: "LoadedModel | None" = None,
                  draft_model: "LoadedModel | None" = None, n_draft: int = 8,
                  paged: bool = False, page_size: int = 256,
-                 n_pages: int | None = None):
+                 n_pages: int | None = None,
+                 mmproj_path: str | None = None):
         import jax.numpy as jnp
 
         self.model = model
@@ -59,6 +60,13 @@ class ServerApp:
         if embed_model is not None:
             from ..runtime.embedder import Embedder
             self.embedder = Embedder(embed_model)
+        # multimodal serving (tools/mtmd + server vision path): image parts
+        # on the chat endpoints run through the mmproj tower and reach the
+        # engine as embedding-prefix requests
+        self.mtmd = None
+        if mmproj_path:
+            from ..tools.mtmd import Multimodal
+            self.mtmd = Multimodal(model, mmproj_path)
         self.chat_template = template_for_model(model)
         self.metrics = MetricsRegistry()
         self.metrics.histogram_declare("request_duration_seconds",
@@ -161,12 +169,17 @@ class ServerApp:
 
     def handle_completion(self, body: dict, client: str, stream_cb=None) -> dict:
         tok = self.model.tokenizer
-        prompt = body.get("prompt", "")
-        ids = (prompt if isinstance(prompt, list)
-               else tok.encode(prompt, add_special=True, parse_special=True))
+        embeds = None
+        if "__mm" in body:                   # multimodal chat: prebuilt pair
+            ids, embeds = body["__mm"]
+        else:
+            prompt = body.get("prompt", "")
+            ids = (prompt if isinstance(prompt, list)
+                   else tok.encode(prompt, add_special=True,
+                                   parse_special=True))
         max_tokens = int(body.get("max_tokens") or body.get("n_predict") or 128)
         req = GenRequest(
-            prompt_ids=list(ids), max_tokens=max_tokens,
+            prompt_ids=list(ids), prompt_embeds=embeds, max_tokens=max_tokens,
             stop_strings=self._stops(body),
             sampling=self._sampling_from(body),
             grammar=self._grammar_from(body),
@@ -194,15 +207,65 @@ class ServerApp:
             "timings": {"ttft_s": out["ttft_s"], "total_s": out["total_s"]},
         }
 
+    def _extract_media(self, messages: list[dict]
+                       ) -> tuple[list[dict], list]:
+        """OpenAI content-part lists → flat text with media markers + the
+        decoded pixel arrays, in order (mtmd.cpp marker splicing). Only
+        data: URLs are accepted — this server has no egress."""
+        import base64
+
+        from ..tools.mtmd import MEDIA_MARKER, decode_image
+
+        size = self.mtmd.clip["hp"]["image_size"]
+        out, images = [], []
+        for m in messages:
+            c = m.get("content")
+            if not isinstance(c, list):
+                out.append(m)
+                continue
+            parts = []
+            for p in c:
+                t = p.get("type")
+                if t in ("text", "input_text"):
+                    parts.append(p.get("text", ""))
+                elif t in ("image_url", "input_image", "image"):
+                    url = (p.get("image_url") or {})
+                    url = url.get("url") if isinstance(url, dict) else url
+                    url = url or p.get("url") or ""
+                    if not url.startswith("data:"):
+                        raise ValueError(
+                            "image_url must be a data: URL (no egress)")
+                    raw = base64.b64decode(url.split(",", 1)[1])
+                    images.append(decode_image(raw, size))
+                    parts.append(MEDIA_MARKER)
+                else:
+                    raise ValueError(f"unsupported content part type {t!r}")
+            out.append({**m, "content": "".join(parts)})
+        return out, images
+
     def handle_chat(self, body: dict, client: str, stream_cb=None) -> dict:
         from .toolcall import parse_tool_calls, plan_tools, split_reasoning
 
+        messages = body["messages"]
+        images: list = []
+        if any(isinstance(m.get("content"), list) for m in messages):
+            if self.mtmd is None:
+                raise ValueError(
+                    "multimodal content needs the server started with "
+                    "--mmproj (tools/mtmd vision tower)")
+            messages, images = self._extract_media(messages)
         plan = plan_tools(body, self.chat_template.source)
         prompt = self.chat_template.apply(
-            body["messages"], add_generation_prompt=True,
+            messages, add_generation_prompt=True,
             tools=body.get("tools"))
         inner = dict(body)
         inner["prompt"] = prompt
+        if images:
+            from ..tools.mtmd import build_embed_prompt
+
+            ids, embeds = build_embed_prompt(
+                self.mtmd, self.model.tokenizer, prompt, images)
+            inner["__mm"] = (ids, embeds)
         inner.setdefault("max_tokens", body.get("max_tokens") or 512)
         if plan is not None and plan.grammar:
             inner["grammar"] = plan.grammar

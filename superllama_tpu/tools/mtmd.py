@@ -131,3 +131,67 @@ class AudioMultimodal:
         logits, cache = fwd(self.model.params, hp, tokens, pos, cache,
                             embeds=embeds)
         return logits, cache, int(tokens.shape[1])
+
+
+# ------------------------- serving helpers (mtmd.cpp) -------------------------
+
+# mtmd.cpp's default media marker: chat handlers replace each image content
+# part with this string, render the template, then splice embedding chunks
+# where the markers landed (tools/mtmd/mtmd.cpp input_chunks parsing).
+MEDIA_MARKER = "<__media__>"
+
+# OpenAI-CLIP normalization (clip.cpp defaults when the mmproj carries none)
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def decode_image(data: bytes, image_size: int,
+                 mean: np.ndarray = _CLIP_MEAN,
+                 std: np.ndarray = _CLIP_STD) -> np.ndarray:
+    """Image file bytes → normalized (3, S, S) float32 pixel values
+    (bicubic resize to the tower's input size, CLIP mean/std)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    img = img.resize((image_size, image_size), Image.BICUBIC)
+    x = np.asarray(img, np.float32) / 255.0              # (S, S, 3)
+    x = (x - mean) / std
+    return np.ascontiguousarray(x.transpose(2, 0, 1))
+
+
+def build_embed_prompt(mtmd: "Multimodal", tokenizer, text: str,
+                       images: list[np.ndarray],
+                       marker: str = MEDIA_MARKER
+                       ) -> tuple[list[int], np.ndarray]:
+    """Rendered chat text with media markers + decoded pixel arrays →
+    (prompt_ids, prompt_embeds): text spans tokenize normally and look up
+    token embeddings; each marker becomes that image's projected embedding
+    chunk (ids there are placeholder 0s). The pair feeds GenRequest
+    directly (mtmd.cpp input_chunks → llama_batch embd counterpart)."""
+    segs = text.split(marker)
+    if len(segs) - 1 != len(images):
+        raise ValueError(
+            f"prompt has {len(segs) - 1} media markers but {len(images)} "
+            f"images were supplied")
+    tok_embd = np.asarray(mtmd.model.params["token_embd"], np.float32)
+    ids: list[int] = []
+    chunks: list[np.ndarray] = []
+    for i, seg in enumerate(segs):
+        if seg:
+            s_ids = tokenizer.encode(seg, add_special=(i == 0),
+                                     parse_special=True)
+            ids.extend(int(t) for t in s_ids)
+            chunks.append(tok_embd[np.asarray(s_ids, np.int32)])
+        elif i == 0:
+            b = tokenizer.encode("", add_special=True, parse_special=True)
+            if b:
+                ids.extend(int(t) for t in b)
+                chunks.append(tok_embd[np.asarray(b, np.int32)])
+        if i < len(images):
+            img = np.asarray(mtmd.image_embeds(images[i][None]))[0]
+            ids.extend([0] * img.shape[0])
+            chunks.append(np.asarray(img, np.float32))
+    embeds = np.concatenate(chunks, axis=0)
+    return ids, embeds
