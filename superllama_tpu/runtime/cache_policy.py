@@ -46,10 +46,11 @@ def cache_kind(hp) -> str:
     return "dense"
 
 
-def make_cache(hp, batch: int, n_ctx: int, kv_dtype, iswa: bool = False):
+def make_cache(hp, batch: int, n_ctx: int, kv_dtype, iswa: bool = False,
+               n_ubatch: int = 512):
     """Build the model's memory (create_memory counterpart). Mirrors
-    Context.new_cache; the Engine passes iswa=False until its decode windows
-    understand two-tier rings."""
+    Context.new_cache; n_ubatch sizes the iSWA ring's write headroom
+    (size_swa = window + n_ubatch, src/llama-kv-cache-iswa.cpp)."""
     if hp.is_hybrid:
         from ..models.jamba import hybrid_cache_init
 
@@ -70,7 +71,8 @@ def make_cache(hp, batch: int, n_ctx: int, kv_dtype, iswa: bool = False):
     if iswa:
         from .kv_cache import iswa_cache_init
 
-        return iswa_cache_init(hp, batch, n_ctx, dtype=kv_dtype)
+        return iswa_cache_init(hp, batch, n_ctx, n_ubatch=n_ubatch,
+                               dtype=kv_dtype)
     from .kv_cache import kv_cache_init
 
     return kv_cache_init(hp.n_layer, batch, n_ctx, hp.n_head_kv,
@@ -115,6 +117,10 @@ def truncate_rows(cache, keep: jax.Array):
     are disabled for recurrent engines). Hybrid: both."""
     if isinstance(cache, KVCache):
         return kv_truncate_rows(cache, keep)
+    if isinstance(cache, ISWACache):
+        from .kv_cache import iswa_truncate_pos
+
+        return iswa_truncate_pos(cache, keep)
     if isinstance(cache, (RecurrentCache, RWKVCache)):
         return _rec_reset(cache, keep == 0)
     if isinstance(cache, HybridCache):
@@ -125,6 +131,9 @@ def truncate_rows(cache, keep: jax.Array):
 
 def get_row(cache, idx: int):
     """Device→host slot state blob (llama_state_seq_get_data analog)."""
+    if isinstance(cache, ISWACache):
+        return {"full": _kv_get_row(cache.full, idx),
+                "swa": _kv_get_row(cache.swa, idx)}
     if isinstance(cache, HybridCache):
         return {"attn": _kv_get_row(cache.attn, idx),
                 "rec": get_row(cache.rec, idx)}
@@ -135,6 +144,9 @@ def get_row(cache, idx: int):
 
 
 def set_row(cache, idx: int, blob: dict):
+    if isinstance(cache, ISWACache):
+        return ISWACache(full=_kv_set_row(cache.full, idx, blob["full"]),
+                         swa=_kv_set_row(cache.swa, idx, blob["swa"]))
     if isinstance(cache, HybridCache):
         return HybridCache(attn=_kv_set_row(cache.attn, idx, blob["attn"]),
                            rec=set_row(cache.rec, idx, blob["rec"]))

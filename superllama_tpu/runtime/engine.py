@@ -124,7 +124,8 @@ class Engine:
                  block_size: int = 8, pipeline_depth: int = 2,
                  paged: bool = False,
                  page_size: int = 256, n_pages: int | None = None,
-                 max_pages_per_seq: int | None = None):
+                 max_pages_per_seq: int | None = None,
+                 iswa: bool | None = None):
         self.model = model
         hp = model.hparams
         self.hp = hp
@@ -158,6 +159,24 @@ class Engine:
             self.block_size = 1
             pipeline_depth = 1
 
+        # iSWA two-tier serving cache (llama_kv_cache_iswa counterpart,
+        # src/llama-kv-cache-iswa.h:15-40): sliding-window layers get an
+        # O(window) ring instead of an O(n_ctx) row — auto-on for SWA models
+        # when no incompatible mode is requested
+        incompat = (paged or draft_model is not None or bool(lookup_ngrams)
+                    or ctx_shift or isinstance(kv_dtype, str)
+                    or self.kind != "dense")
+        if iswa is None:
+            from .kv_cache import iswa_layer_split
+
+            iswa = (not incompat and hp.swa_window > 0
+                    and len(iswa_layer_split(hp)[1]) > 0)
+        elif iswa and incompat:
+            raise ValueError(
+                "iswa cache: incompatible with paged/speculative/lookup/"
+                "ctx-shift/quantized-KV modes and non-dense memory")
+        self.iswa = bool(iswa)
+
         # paged-KV mode (BASELINE config 3): page-pool cache + HBM⇄host spill
         # with swap-scheduling admission — the integration the reference left
         # dangling (src/llama-context.cpp:333 vs llama-kv-cache-paged.h)
@@ -178,11 +197,16 @@ class Engine:
             self.cache = None
             self._paged_rr = 0         # round-robin admission cursor
         else:
-            self.cache = make_cache(hp, n_slots, n_ctx, kv_dtype)
+            self.cache = make_cache(hp, n_slots, n_ctx, kv_dtype,
+                                    iswa=self.iswa,
+                                    n_ubatch=self.buckets[-1])
 
         import inspect
 
-        self._win_ok = "s_window" in inspect.signature(fwd).parameters
+        # the s_window read-slice applies to flat ring caches only; the iswa
+        # swa tier is already O(window)
+        self._win_ok = ("s_window" in inspect.signature(fwd).parameters
+                        and not self.iswa)
         self._embd_ok = "embeds" in inspect.signature(fwd).parameters
 
         _kind = self.kind
@@ -265,6 +289,16 @@ class Engine:
             self._prefill_e = jax.jit(
                 lambda p, t, po, c, e: fwd(p, hp, t, po, c, embeds=e),
                 donate_argnums=(3,))
+
+            def prefill_e_ip(p, t, po, c, e1, row):
+                # in-place embed chunk: only `row` carries real inputs;
+                # idle rows (pos −1) read zeros, their writes are masked
+                full = jnp.zeros(t.shape + e1.shape[-1:], e1.dtype)
+                full = jax.lax.dynamic_update_slice(
+                    full, e1, (row, jnp.int32(0), jnp.int32(0)))
+                return fwd(p, hp, t, po, c, embeds=full)
+
+            self._prefill_e_ip = jax.jit(prefill_e_ip, donate_argnums=(3,))
 
         def insert(big: KVCache, small: KVCache, row, n_valid):
             k = jax.lax.dynamic_update_slice(
@@ -571,7 +605,7 @@ class Engine:
                 raise NotImplementedError(
                     "slot save/restore needs a non-paged cache")
             self._flush_pending()
-            if self.kind != "dense":
+            if self.kind != "dense" or self.iswa:
                 return {"state": get_row(self.cache, idx),
                         "n_past": s.n_past,
                         "cache_tokens": np.asarray(s.cache_tokens, np.int32)}
@@ -593,7 +627,7 @@ class Engine:
                 raise NotImplementedError(
                     "slot save/restore needs a non-paged cache")
             self._flush_pending()
-            if self.kind != "dense":
+            if self.kind != "dense" or self.iswa:
                 self.cache = set_row(self.cache, idx, data["state"])
                 s.n_past = int(data["n_past"])
                 s.cache_tokens = [int(t)
@@ -623,7 +657,7 @@ class Engine:
                 s.cache_tokens = []
                 return
             self._flush_pending()
-            if self.kind != "dense":
+            if self.kind != "dense" or self.iswa:
                 keep = self._keep_vector()
                 keep[idx] = 0
                 self.cache = self._truncate(self.cache, jnp.asarray(keep))
@@ -750,6 +784,13 @@ class Engine:
             n_cached = min(n_cached, n - 1)  # keep ≥1 token for logits
             if n_cached < 16:
                 n_cached = 0
+            if n_cached and self.iswa:
+                # the SWA ring only still holds the prefix's window if the
+                # discarded tail didn't wrap over it: positions in
+                # (n_cached, old_n_past] overwrite slot p−S_swa
+                s_swa = self.cache.swa.max_seq
+                if slot.n_past - n_cached > s_swa - self.hp.swa_window:
+                    n_cached = 0
         slot.req = req
         slot.state = SlotState.PREFILL
         slot.n_prompt = n
@@ -765,9 +806,11 @@ class Engine:
             slot.prefill_off = n_cached
             slot.scratch = None
             self.metrics["n_prompt_cached"] += n_cached
-        elif self.kind != "dense":
-            # in-place, fully-valid chunks: reset this row's state, keep the
-            # others (truncate_rows resets rows with keep==0)
+        elif self.kind != "dense" or self.iswa:
+            # in-place prefill: reset this row (truncate_rows resets rows
+            # with keep==0 / invalidates ring positions), keep the others.
+            # Recurrent rows load fully-valid pow2 chunks; iswa rows load
+            # normal padded buckets (ring writes at pos −1 are dropped).
             keep = self._keep_vector()
             keep[slot.idx] = 0
             self.cache = self._truncate(self.cache, jnp.asarray(keep))
@@ -924,9 +967,19 @@ class Engine:
                 tok[slot.idx, : len(chunk)] = chunk
                 pos[slot.idx, : len(chunk)] = np.arange(
                     slot.prefill_off, slot.prefill_off + len(chunk))
-                logits, self.cache = self._decode(
-                    self.model.params, jnp.asarray(tok), jnp.asarray(pos),
-                    self.cache)
+                if slot.pending_embeds is not None:
+                    E = slot.pending_embeds.shape[-1]
+                    emb = np.zeros((1, P, E), np.float32)
+                    emb[0, : len(chunk)] = slot.pending_embeds[
+                        slot.prefill_off : slot.prefill_off + len(chunk)]
+                    logits, self.cache = self._prefill_e_ip(
+                        self.model.params, jnp.asarray(tok),
+                        jnp.asarray(pos), self.cache, jnp.asarray(emb),
+                        np.int32(slot.idx))
+                else:
+                    logits, self.cache = self._decode(
+                        self.model.params, jnp.asarray(tok),
+                        jnp.asarray(pos), self.cache)
                 row = slot.idx
             else:
                 tok = np.zeros((1, P), np.int32)

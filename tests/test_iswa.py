@@ -134,3 +134,119 @@ def test_context_auto_iswa(swa_model):
     out_i = ctx_i.greedy_generate(prompt, 32, stop_eog=False)
     out_f = ctx_f.greedy_generate(prompt, 32, stop_eog=False)
     assert out_i == out_f
+
+
+# --------------------- engine-served iSWA (VERDICT r4 #3) ---------------------
+
+
+def _swa_loaded_model():
+    from superllama_tpu.models.loader import LoadedModel
+
+    hp = tiny_test_hparams(n_layer=4, swa_window=WINDOW, swa_pattern=2)
+    params = synthetic_params(hp, dtype=np.float32, seed=3)
+    params = {
+        k: (v if not isinstance(v, list) else
+            [{lk: jnp.asarray(lv) for lk, lv in l.items()} for l in v])
+        for k, v in params.items()
+    }
+    params = {k: (jnp.asarray(v) if not isinstance(v, list) else v)
+              for k, v in params.items()}
+    return LoadedModel(hparams=hp, params=params, tokenizer=None, metadata={})
+
+
+def test_engine_auto_selects_iswa_ring():
+    """An SWA model served through the Engine gets the two-tier cache with
+    an O(window) ring for SWA layers (src/llama-kv-cache-iswa.h:15-40), not
+    an O(n_ctx) row per layer."""
+    from superllama_tpu.runtime.engine import Engine
+
+    model = _swa_loaded_model()
+    eng = Engine(model, n_slots=2, n_ctx=N_CTX, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    assert eng.iswa and isinstance(eng.cache, ISWACache)
+    assert eng.cache.swa.max_seq < N_CTX
+    assert eng.cache.swa.max_seq >= WINDOW + 64     # window + ubatch headroom
+    assert eng.cache.full.max_seq == N_CTX
+
+
+def test_engine_iswa_matches_dense_past_window():
+    """Generation through the iswa-cached engine == the dense-cached engine
+    == solo Context, with prompts well past the window, two concurrent
+    slots, and slot reuse."""
+    from superllama_tpu.runtime.context import Context
+    from superllama_tpu.runtime.engine import Engine, GenRequest
+
+    model = _swa_loaded_model()
+    rng = np.random.default_rng(5)
+    V = model.hparams.n_vocab
+    p1 = [int(t) for t in rng.integers(0, V, 3 * WINDOW)]   # 48 ≫ window
+    p2 = [int(t) for t in rng.integers(0, V, 20)]
+
+    eng = Engine(model, n_slots=2, n_ctx=N_CTX, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    assert eng.iswa
+    r1 = eng.submit(GenRequest(prompt_ids=p1, max_tokens=8, stop_eog=False))
+    r2 = eng.submit(GenRequest(prompt_ids=p2, max_tokens=8, stop_eog=False))
+    eng.run_until_drained()
+
+    dense = Engine(model, n_slots=2, n_ctx=N_CTX, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64), iswa=False)
+    assert not dense.iswa
+    d1 = dense.generate(p1, max_tokens=8, stop_eog=False)
+    d2 = dense.generate(p2, max_tokens=8, stop_eog=False)
+
+    ctx = Context(model, n_batch=1, n_ctx=N_CTX, kv_dtype=np.float32,
+                  iswa=False)
+    ref1 = ctx.greedy_generate(p1, 8, stop_eog=False)[len(p1):]
+    assert r1.result(1)["tokens"] == d1["tokens"] == ref1
+    assert r2.result(1)["tokens"] == d2["tokens"]
+
+    # slot reuse: a third request must not see leftover ring entries
+    r3 = eng.generate(p2, max_tokens=8, stop_eog=False)
+    assert r3["tokens"] == d2["tokens"]
+
+
+def test_engine_iswa_prefix_reuse_guard():
+    """Prefix reuse stays on while the ring still covers the prefix window
+    and falls back to full reprocess when it doesn't — output must be exact
+    either way."""
+    from superllama_tpu.runtime.engine import Engine
+
+    model = _swa_loaded_model()
+    rng = np.random.default_rng(6)
+    V = model.hparams.n_vocab
+    base = [int(t) for t in rng.integers(0, V, 40)]
+
+    eng = Engine(model, n_slots=1, n_ctx=N_CTX, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    a = eng.generate(base + [1, 2], max_tokens=4, stop_eog=False)
+    b = eng.generate(base + [3, 4], max_tokens=4, stop_eog=False)
+
+    fresh = Engine(model, n_slots=1, n_ctx=N_CTX, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64))
+    assert b["tokens"] == fresh.generate(base + [3, 4], max_tokens=4,
+                                         stop_eog=False)["tokens"]
+
+
+def test_engine_iswa_slot_save_restore():
+    from superllama_tpu.runtime.engine import Engine
+
+    model = _swa_loaded_model()
+    rng = np.random.default_rng(7)
+    V = model.hparams.n_vocab
+    prompt = [int(t) for t in rng.integers(0, V, 30)]
+    eng = Engine(model, n_slots=1, n_ctx=N_CTX, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    eng.generate(prompt, max_tokens=4, stop_eog=False)
+    snap = eng.slot_save(0)
+    eng.generate([int(t) for t in rng.integers(0, V, 9)], max_tokens=3,
+                 stop_eog=False)
+    eng.slot_erase(0)
+    eng.slot_restore(0, snap)
+    # prefix continuation through the restored ring must match a fresh run
+    p2 = [int(t) for t in snap["cache_tokens"]] + [5, 6]
+    a = eng.generate(p2, max_tokens=4, stop_eog=False)
+    fresh = Engine(model, n_slots=1, n_ctx=N_CTX, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64))
+    assert a["tokens"] == fresh.generate(p2, max_tokens=4,
+                                         stop_eog=False)["tokens"]
