@@ -305,8 +305,9 @@ def main():
     # at depth, so this is the recommended deep-context serving mode
     from superllama_tpu.runtime.kv_cache import q8_quantize_rows
 
-    @functools.partial(jax.jit, static_argnames=("n_steps",))
-    def depth_decode_q8(params, key, salt, n_steps: int):
+    @functools.partial(jax.jit, static_argnames=("n_steps", "depth"))
+    def depth_decode_q8(params, key, salt, n_steps: int, depth: int = DD):
+        S8d = depth + 512
         sh = (hp8.n_layer, B, hp8.n_head_kv, S8d, hp8.head_dim)
         kf = jax.random.normal(jax.random.fold_in(key, 1), sh, jnp.bfloat16) * 0.3
         vf = jax.random.normal(jax.random.fold_in(key, 2), sh, jnp.bfloat16) * 0.3
@@ -314,9 +315,9 @@ def main():
         vq, vs = q8_quantize_rows(vf)
         c = KVCache(
             k=kq, v=vq, k_scale=ks, v_scale=vs,
-            pos=jnp.where(jnp.arange(S8d)[None] < DD,
+            pos=jnp.where(jnp.arange(S8d)[None] < depth,
                           jnp.arange(S8d)[None], -1).astype(jnp.int32),
-            cursor=jnp.asarray([DD], jnp.int32))
+            cursor=jnp.asarray([depth], jnp.int32))
 
         def body(carry, _):
             tok, pp, c = carry
@@ -324,7 +325,7 @@ def main():
             nxt = device_sampling.greedy(lg[:, -1])[:, None]
             return (nxt, pp + 1, c), nxt
         (_, _, c), toks = jax.lax.scan(
-            body, (salt[None, None], jnp.asarray([[DD]], jnp.int32), c),
+            body, (salt[None, None], jnp.asarray([[depth]], jnp.int32), c),
             None, length=n_steps)
         return toks[-1]
 
@@ -338,6 +339,22 @@ def main():
             if timed:
                 times8q[n] = time.perf_counter() - t0
     tps8q = (n8_hi - n8_lo) / max(times8q[n8_hi] - times8q[n8_lo], 1e-9)
+
+    # depth-32768 decode with the Q8_0 KV cache (the reference's published
+    # long-context anchor: tg32@d32768 = 62.33 t/s, docs/backend/dgx-spark;
+    # ~2.2 GB int8 KV next to the 6.7 GB of weights). Differential lengths
+    # halved: each step reads ~4× the 8k cell's KV bytes.
+    n32_lo, n32_hi = max(n8_lo // 2, 4), max(n8_hi // 2, 12)
+    times32 = {}
+    for n in (n32_lo, n32_hi):
+        for salt, timed in ((13, False), (29, True)):
+            t0 = time.perf_counter()
+            out = depth_decode_q8(p8, jax.random.fold_in(dkey, salt),
+                                  jnp.int32(salt), n_steps=n, depth=32768)
+            fetch(out)
+            if timed:
+                times32[n] = time.perf_counter() - t0
+    tps32 = (n32_hi - n32_lo) / max(times32[n32_hi] - times32[n32_lo], 1e-9)
 
     # 8B prefill (fused-dequant matmul path), T=2048 chained differential
     T8 = 2048
@@ -366,6 +383,7 @@ def main():
     extra["batched_b8_tok_per_s"] = round(tps8b, 1)
     extra["depth8k_tok_per_s"] = round(tps8d, 2)
     extra["depth8k_q8kv_tok_per_s"] = round(tps8q, 2)
+    extra["depth32k_q8kv_tok_per_s"] = round(tps32, 2)
 
     # ---- Engine-level serving decode (the PRODUCT path, not the scan loop):
     # continuous-batching Engine with pipelined on-device decode blocks —

@@ -232,18 +232,30 @@ def _quantize_acts(x2: jax.Array, gs: int):
     return xq.reshape(M, K), sx, xsum
 
 
-def _qmv_kernel(xq_ref, sx_ref, xs_ref, wrefs, o_ref, *, nibble: bool,
-                hi_bits: int, gs: int, sb: int, offset: int):
+def _qmv_kernel(xq_ref, sx_ref, xs_ref, wrefs, o_ref, acc_ref, *,
+                nibble: bool, hi_bits: int, gs: int, sb: int, offset: int,
+                n_k: int):
+    """One k-tile: per-group integer dots accumulated into the f32 scratch.
+
+    The grid runs over K (full-N output tiles): finer HBM DMA granularity
+    shrinks the pipeline warmup bubble that capped the full-K single-step
+    layout (~525 GB/s), and the per-scale-group dot count G·(N/bn) collapses
+    to G — measured 580 GB/s vs the 650-680 GB/s no-unpack ceiling of the
+    same grid on v5e."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q, _ = _tile_codes(wrefs, nibble=nibble, hi_bits=hi_bits, gs=gs)
-    q = q.astype(jnp.int8)                                  # (G, gs, bn)
-    bn = q.shape[-1]
-    G = q.shape[0]
-    s, a = _tile_scales(wrefs, sb=sb)                       # (G, bn)
-    xq = xq_ref[:]                                          # (bm, K) int8
-    sx = sx_ref[:]                                          # (bm, G)
-    xs = xs_ref[:]                                          # (bm, G)
-    acc = jnp.zeros((xq.shape[0], bn), jnp.float32)
-    for g in range(G):
+    q = q.astype(jnp.int8)                                  # (gk, gs, bn)
+    gk = q.shape[0]
+    s, a = _tile_scales(wrefs, sb=sb)                       # (gk, bn)
+    xq = xq_ref[0]                                          # (bm, bk) int8
+    sx = sx_ref[0]                                          # (bm, gk)
+    acc = acc_ref[:]
+    for g in range(gk):
         ig = jax.lax.dot(xq[:, g * gs:(g + 1) * gs], q[g],
                          preferred_element_type=jnp.int32)  # (bm, bn)
         acc = acc + ig.astype(jnp.float32) * (sx[:, g][:, None] * s[g][None, :])
@@ -253,58 +265,98 @@ def _qmv_kernel(xq_ref, sx_ref, xs_ref, wrefs, o_ref, *, nibble: bool,
         off = -float(offset) * s
         corr = off if corr is None else corr + off
     if corr is not None:
-        acc = acc + jax.lax.dot(xs, corr)                   # (bm,G)@(G,bn)
-    o_ref[:] = acc.astype(o_ref.dtype)
+        acc = acc + jax.lax.dot(xs_ref[0], corr)            # (bm,gk)@(gk,bn)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret", "out_dtype_name", "block_n"))
+@partial(jax.jit, static_argnames=("interpret", "out_dtype_name", "block_k"))
 def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32",
-                block_n: int | None = None):
+                block_k: int | None = None):
     M, K = x.shape
     N = qt.N
     gs = qt.group
     out_dtype = jnp.dtype(out_dtype_name)
     witems = _weight_layout(qt)
     names = tuple(n for n, _ in witems)
-    # full-K tiles (GEMV weights stream once; K/gs scale lanes must be a full
-    # dimension for mosaic tiling); shrink bn to bound VMEM (~16 MB/core,
-    # double-buffered weight tiles must leave room for x/acc)
-    per_n = sum((K * num) // den * getattr(qt, nm).dtype.itemsize
-                for nm, (num, den) in witems)
-    bn = min(N, block_n or 512)
-    while per_n * bn > 6 * 1024 * 1024 and bn > 128:
+    align = _k_align(qt)
+    # widest n tile that fits VMEM (full N when possible — dot count per
+    # scale group is N/bn), then bk ≈ 512 for the k-grid's DMA pipelining
+    per_kn = sum(num / den * getattr(qt, nm).dtype.itemsize
+                 for nm, (num, den) in witems)  # weight bytes per (k, n)
+    bn = min(N, 4096)
+    while per_kn * bn * min(K, 512) > 6 * 1024 * 1024 and bn > 512:
         bn //= 2
     n_n = pl.cdiv(N, bn)
+    bk = align
+    target = min(K, block_k or 512)
+    for cand in range(align, K + 1, align):
+        if K % cand == 0 and cand <= target \
+                and per_kn * bn * cand <= 6 * 1024 * 1024:
+            bk = cand
+    n_k = K // bk
 
     xq, sx, xs = _quantize_acts(x, gs)
-    G = K // gs
+    gk = bk // gs
+    xq3 = xq.reshape(M, n_k, bk).transpose(1, 0, 2)
+    sx3 = sx.reshape(M, n_k, gk).transpose(1, 0, 2)
+    xs3 = xs.reshape(M, n_k, gk).transpose(1, 0, 2)
     in_specs = [
-        pl.BlockSpec((M, K), lambda n: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((M, G), lambda n: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((M, G), lambda n: (0, 0), memory_space=pltpu.VMEM),
-    ] + [
-        pl.BlockSpec(((K * num) // den, bn), lambda n: (0, n),
-                     memory_space=pltpu.VMEM)
-        for _, (num, den) in witems
+        pl.BlockSpec((1, M, bk), lambda n, k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, gk), lambda n, k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, M, gk), lambda n, k: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [xq, sx, xs] + [getattr(qt, n) for n in names]
+    args = [xq3, sx3, xs3]
+    # weight planes tile along (k, n); tiles with non-8-aligned row counts
+    # (superblock scale planes) reshape to a k-leading axis (_qmatmul_2d's
+    # Mosaic workaround)
+    hoisted: set[str] = set()
+    for name, (num, den) in witems:
+        rows = bk * num // den
+        plane = getattr(qt, name)
+        total = plane.shape[0]
+        if rows % 8 == 0 or rows == total:
+            in_specs.append(pl.BlockSpec((rows, bn), lambda n, k: (k, n),
+                                         memory_space=pltpu.VMEM))
+            args.append(plane)
+        else:
+            hoisted.add(name)
+            pad_rows = n_k * rows - total
+            if pad_rows:
+                plane = jnp.pad(plane, ((0, pad_rows), (0, 0)))
+            plane = plane.reshape(n_k, rows, plane.shape[1])
+            in_specs.append(pl.BlockSpec(
+                (1, rows, bn), lambda n, k: (k, 0, n),
+                memory_space=pltpu.VMEM))
+            args.append(plane)
     impl = partial(_qmv_kernel, nibble=qt.nibble, hi_bits=qt.hi_bits,
-                   gs=gs, sb=qt.sb, offset=qt.offset)
+                   gs=gs, sb=qt.sb, offset=qt.offset, n_k=n_k)
 
     def kern(xq_ref, sx_ref, xs_ref, *rest):
-        wrefs = dict(zip(names, rest[: len(names)]))
-        impl(xq_ref, sx_ref, xs_ref, wrefs, rest[len(names)])
+        wrefs = {}
+        for i, nm in enumerate(names):
+            r = rest[i]
+            wrefs[nm] = r[0] if nm in hoisted else r
+        o_ref, acc_ref = rest[len(names):]
+        impl(xq_ref, sx_ref, xs_ref, wrefs, o_ref, acc_ref)
 
     wbytes = sum(getattr(qt, n).nbytes for n in names)
     return pl.pallas_call(
         kern,
-        grid=(n_n,),
+        grid=(n_n, n_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((M, bn), lambda n: (0, n),
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
