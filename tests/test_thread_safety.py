@@ -195,3 +195,109 @@ def test_streaming_callback_cross_thread(model):
         assert [t for t, _ in chunks] == out["tokens"]
     finally:
         eng.stop()
+
+
+def test_randomized_slot_ops_fuzz(model):
+    """Randomized interleaving fuzz (VERDICT r4 #10 — the sanitizer-CI
+    analog): a seeded RNG drives random request shapes (prompt lengths
+    across prefill buckets, block-overshooting max_tokens, mixed samplers)
+    against random slot save/restore/erase and metrics reads under maximal
+    preemption, with faulthandler armed. Semantic invariants, not just
+    no-crash: every request completes with its exact token count, restored
+    snapshots preserve (n_past, cache_tokens), and a restored slot's
+    continuation reproduces the original stream."""
+    import faulthandler
+    import sys
+    import time
+
+    faulthandler.enable()
+    old = sys.getswitchinterval()
+    sys.setswitchinterval(1e-5)
+    rng = np.random.default_rng(0xF2)
+    eng = Engine(model, n_slots=3, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64))
+    eng.start()
+    errors: list = []
+    stop = threading.Event()
+    tok = model.tokenizer
+    snaps: list = []
+
+    def submitter(i):
+        try:
+            r_ = np.random.default_rng(1000 + i)
+            for j in range(8):
+                words = " ".join(
+                    f"w{int(t)}" for t in r_.integers(0, 99, r_.integers(1, 14)))
+                sampling = ({} if r_.random() < 0.5 else
+                            {"temp": 0.8, "top_k": 20, "seed": int(j)})
+                n = int(r_.integers(1, 9))
+                r = GenRequest(prompt_ids=tok.encode(words),
+                               max_tokens=n, stop_eog=False,
+                               sampling=sampling)
+                eng.submit(r)
+                out = r.result(timeout=300)
+                assert out["n_generated"] == n, out
+        except Exception as e:  # noqa: BLE001
+            errors.append(("submit", e))
+
+    def fuzzer():
+        try:
+            r_ = np.random.default_rng(7)
+            while not stop.is_set():
+                idx = int(r_.integers(0, 3))
+                op = r_.random()
+                try:
+                    if op < 0.4:
+                        s = eng.slot_save(idx)
+                        if len(s["cache_tokens"]) and r_.random() < 0.5:
+                            snaps.append((idx, s))
+                    elif op < 0.7 and snaps:
+                        i2, s = snaps[int(r_.integers(0, len(snaps)))]
+                        got = eng.slot_restore(i2, s)
+                        assert got == len(s["cache_tokens"])
+                        assert eng.slots[i2].n_past == int(s["n_past"])
+                    else:
+                        eng.slot_erase(idx)
+                        assert eng.slots[idx].cache_tokens == []
+                except RuntimeError:
+                    pass              # busy slot: the legal refusal path
+                time.sleep(float(r_.random()) * 0.004)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("fuzz", e))
+
+    try:
+        subs = [threading.Thread(target=submitter, args=(i,))
+                for i in range(3)]
+        aux = [threading.Thread(target=fuzzer)]
+        for t in subs + aux:
+            t.start()
+        for t in subs:
+            t.join(timeout=600)
+        stop.set()
+        for t in aux:
+            t.join(timeout=30)
+        assert not errors, errors
+
+        deadline = time.time() + 30
+        while time.time() < deadline and any(
+                s.state.name != "IDLE" for s in eng.slots):
+            time.sleep(0.05)
+        eng.stop()
+
+        # end-to-end semantic check: a snapshot taken mid-fuzz still
+        # reproduces its continuation exactly after restore
+        if snaps:
+            idx, s = snaps[-1]
+            eng2 = Engine(model, n_slots=3, n_ctx=128, kv_dtype=np.float32,
+                          prefill_buckets=(16, 64))
+            eng2.slot_restore(idx, s)
+            p = [int(t) for t in s["cache_tokens"]]
+            a = eng2.generate(p + [9], max_tokens=5, stop_eog=False)
+            fresh = Engine(model, n_slots=1, n_ctx=128,
+                           kv_dtype=np.float32, prefill_buckets=(16, 64))
+            b = fresh.generate(p + [9], max_tokens=5, stop_eog=False)
+            assert a["tokens"] == b["tokens"]
+    finally:
+        stop.set()
+        eng.stop()
+        sys.setswitchinterval(old)
