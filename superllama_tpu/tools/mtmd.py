@@ -16,17 +16,35 @@ from ..runtime.kv_cache import kv_cache_init
 class Multimodal:
     def __init__(self, model: LoadedModel, mmproj_path: str,
                  select_layer: int = 0):
-        self.model = model
-        self.clip = load_mmproj(mmproj_path)
-        self.select_layer = select_layer
-        hp = self.clip["hp"]  # plain-scalar config: closed over as static
-        arrays = {k: v for k, v in self.clip.items() if k != "hp"}
+        from ..gguf import GGUFReader
 
-        def enc(arrs, px):
-            p = dict(arrs)
-            p["hp"] = hp
-            return project_image_features(
-                p, clip_vision_forward(p, px, select_layer))
+        self.model = model
+        r = GGUFReader(mmproj_path)
+        proj_type = str(r.metadata.get("clip.projector_type", "mlp"))
+        r.close()
+        self.select_layer = select_layer
+        if proj_type in ("internvl", "pixtral"):
+            from ..models.vision_extra import (encode_image_extra,
+                                               params_from_mmproj_extra)
+
+            self.clip = params_from_mmproj_extra(mmproj_path)
+            hp = self.clip["hp"]
+            arrays = {k: v for k, v in self.clip.items() if k != "hp"}
+
+            def enc(arrs, px):
+                p = dict(arrs)
+                p["hp"] = hp
+                return encode_image_extra(p, px)
+        else:
+            self.clip = load_mmproj(mmproj_path)
+            hp = self.clip["hp"]  # plain-scalar config: static closure
+            arrays = {k: v for k, v in self.clip.items() if k != "hp"}
+
+            def enc(arrs, px):
+                p = dict(arrs)
+                p["hp"] = hp
+                return project_image_features(
+                    p, clip_vision_forward(p, px, select_layer))
 
         self._clip_arrays = arrays
         self._encode = jax.jit(enc)

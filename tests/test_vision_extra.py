@@ -1,0 +1,220 @@
+"""InternVL + Pixtral vision towers vs HF transformers (VERDICT r4 item 4:
+mtmd tower breadth — tools/mtmd/models/{internvl,pixtral}.cpp analogs)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from superllama_tpu.models.vision_extra import (
+    internvl_project,
+    internvl_vision_forward,
+    params_from_hf_internvl,
+    params_from_hf_pixtral,
+    pixel_shuffle,
+    pixtral_project,
+    pixtral_vision_forward,
+)
+
+
+def _px(seed, size=32):
+    rng = np.random.default_rng(seed)
+    return rng.normal(0, 1, (1, 3, size, size)).astype(np.float32)
+
+
+def test_internvl_tower_parity():
+    from transformers import InternVLVisionConfig, InternVLVisionModel
+
+    cfg = InternVLVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8)
+    torch.manual_seed(0)
+    hf = InternVLVisionModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_internvl(sd, cfg)
+    px = _px(1)
+    with torch.no_grad():
+        ref = hf(torch.tensor(px)).last_hidden_state[0].numpy()
+    got = np.asarray(internvl_vision_forward(params, jnp.asarray(px)))[0]
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-4, err
+
+
+def test_internvl_full_model_parity(tmp_path):
+    """Full InternVL: tower + pixel shuffle + projector vs HF's
+    get_image_features (modeling path the reference mirrors)."""
+    from transformers import (InternVLConfig, InternVLForConditionalGeneration,
+                              InternVLVisionConfig)
+    from transformers import Qwen2Config
+
+    vis = InternVLVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8)
+    txt = Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2)
+    cfg = InternVLConfig(vision_config=vis, text_config=txt,
+                         downsample_ratio=0.5, vision_feature_layer=-1,
+                         vision_feature_select_strategy="default")
+    torch.manual_seed(1)
+    hf = InternVLForConditionalGeneration(cfg).eval()
+    px = _px(2)
+    with torch.no_grad():
+        ref = hf.get_image_features(
+            torch.tensor(px),
+            vision_feature_layer=-1,
+            vision_feature_select_strategy="default")[0].numpy()
+    vis_sd = {k[len("model.vision_tower."):]: v.detach().numpy()
+              for k, v in hf.state_dict().items()
+              if k.startswith("model.vision_tower.")}
+    proj_sd = {k[len("model.multi_modal_projector."):]: v.detach().numpy()
+               for k, v in hf.state_dict().items()
+               if k.startswith("model.multi_modal_projector.")}
+    params = params_from_hf_internvl(vis_sd, vis, proj_sd, n_merge=2)
+    feats = internvl_vision_forward(params, jnp.asarray(px))
+    got = np.asarray(internvl_project(params, feats, 4, 4))[0]
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, err
+
+
+def test_pixtral_tower_parity():
+    from transformers import PixtralVisionConfig, PixtralVisionModel
+
+    cfg = PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8)
+    torch.manual_seed(2)
+    hf = PixtralVisionModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_pixtral(sd, cfg)
+    px = _px(3)
+    with torch.no_grad():
+        ref = hf(torch.tensor(px),
+                 image_sizes=torch.tensor([[32, 32]])).last_hidden_state
+        ref = ref[0].numpy() if ref.ndim == 3 else ref.numpy()
+    got = np.asarray(pixtral_vision_forward(params, jnp.asarray(px)))[0]
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 2e-4, err
+
+
+def test_pixtral_img_break_layout():
+    """[IMG_BREAK] insertion: one break embedding after every patch row
+    except the last (pixtral.cpp:62-84)."""
+    rng = np.random.default_rng(4)
+    E, nh, nw = 8, 3, 4
+    feats = jnp.asarray(rng.normal(0, 1, (1, nh * nw, 16)), jnp.float32)
+    params = {
+        "hp": {"eps": 1e-5, "n_merge": 1},
+        "mm_1": jnp.asarray(rng.normal(0, 0.2, (16, E)), jnp.float32),
+        "mm_2": jnp.asarray(rng.normal(0, 0.2, (E, E)), jnp.float32),
+        "img_break": jnp.asarray(rng.normal(0, 1, (E,)), jnp.float32),
+    }
+    out = np.asarray(pixtral_project(params, feats, nh, nw))[0]
+    assert out.shape[0] == nh * nw + nh - 1
+    brk = np.asarray(params["img_break"])
+    np.testing.assert_allclose(out[nw], brk, rtol=1e-6)      # end of row 0
+    np.testing.assert_allclose(out[2 * nw + 1], brk, rtol=1e-6)
+    assert not np.allclose(out[-1], brk)                     # no final break
+
+
+def test_pixel_shuffle_is_invertible_grouping():
+    """pixel_shuffle groups each scale×scale spatial block's channels —
+    every output row is a permutation of the corresponding input rows."""
+    rng = np.random.default_rng(5)
+    nh = nw = 4
+    D = 6
+    x = jnp.asarray(rng.normal(0, 1, (1, nh * nw, D)), jnp.float32)
+    y = np.asarray(pixel_shuffle(x, nh, nw, 2))[0]
+    assert y.shape == (4, 4 * D)
+    xs = np.asarray(x)[0].reshape(nh, nw, D)
+    blk = {tuple(sorted(np.round(r, 5))) for r in
+           [np.concatenate([xs[i][j] for i in range(2) for j in range(2)])
+            for _ in [0]]}
+    flat = sorted(np.round(y.reshape(-1), 5).tolist())
+    assert flat == sorted(np.round(np.asarray(x).reshape(-1), 5).tolist())
+
+
+def test_internvl_mmproj_roundtrip_and_serving(tmp_path):
+    """HF InternVL → mmproj GGUF → Multimodal dispatch: the GGUF-loaded
+    tower reproduces the HF get_image_features path, through the same
+    Multimodal class the server uses."""
+    from transformers import (InternVLConfig, InternVLForConditionalGeneration,
+                              InternVLVisionConfig, Qwen2Config)
+
+    from superllama_tpu.models.loader import LoadedModel
+    from superllama_tpu.models.vision_extra import convert_internvl_mmproj
+    from superllama_tpu.tools.mtmd import Multimodal
+
+    vis = InternVLVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8)
+    txt = Qwen2Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2)
+    cfg = InternVLConfig(vision_config=vis, text_config=txt,
+                         downsample_ratio=0.5, vision_feature_layer=-1,
+                         vision_feature_select_strategy="default")
+    torch.manual_seed(3)
+    hf = InternVLForConditionalGeneration(cfg).eval()
+    vis_sd = {k[len("model.vision_tower."):]: v.detach().numpy()
+              for k, v in hf.state_dict().items()
+              if k.startswith("model.vision_tower.")}
+    proj_sd = {k[len("model.multi_modal_projector."):]: v.detach().numpy()
+               for k, v in hf.state_dict().items()
+               if k.startswith("model.multi_modal_projector.")}
+    path = tmp_path / "internvl-mmproj.gguf"
+    convert_internvl_mmproj(str(path), vis, vis_sd, proj_sd, n_merge=2)
+
+    import jax.numpy as jnp2
+
+    from superllama_tpu.models.hparams import HParams
+    lm = LoadedModel(
+        hparams=HParams(arch="llama", n_vocab=128, n_ctx_train=64, n_embd=48,
+                        n_layer=1, n_head=4, n_head_kv=2, n_ff=96, n_rot=12,
+                        head_dim=12, head_dim_v=12),
+        params={"token_embd": jnp2.zeros((128, 48), jnp2.float32)},
+        tokenizer=None, metadata={})
+    mtmd = Multimodal(lm, str(path))
+    px = _px(6)
+    got = np.asarray(mtmd.image_embeds(jnp.asarray(px)))[0]
+    with torch.no_grad():
+        ref = hf.get_image_features(
+            torch.tensor(px), vision_feature_layer=-1,
+            vision_feature_select_strategy="default")[0].numpy()
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, err
+
+
+def test_pixtral_mmproj_roundtrip(tmp_path):
+    from transformers import PixtralVisionConfig, PixtralVisionModel
+
+    from superllama_tpu.models.vision_extra import (convert_pixtral_mmproj,
+                                                    encode_image_extra,
+                                                    params_from_mmproj_extra)
+
+    cfg = PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8)
+    torch.manual_seed(4)
+    hf = PixtralVisionModel(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    rng = np.random.default_rng(7)
+    proj_sd = {"linear_1.weight": rng.normal(0, .2, (24, 32)).astype(np.float32),
+               "linear_2.weight": rng.normal(0, .2, (24, 24)).astype(np.float32)}
+    brk = rng.normal(0, 1, 24).astype(np.float32)
+    path = tmp_path / "pixtral-mmproj.gguf"
+    convert_pixtral_mmproj(str(path), cfg, sd, proj_sd, img_break=brk)
+
+    params = params_from_mmproj_extra(str(path))
+    px = _px(8)
+    out = np.asarray(encode_image_extra(params, jnp.asarray(px)))[0]
+    # 4x4 grid + one [IMG_BREAK] per row except the last
+    assert out.shape == (16 + 3, 24)
+    direct = params_from_hf_pixtral(sd, cfg, proj_sd)
+    direct["img_break"] = jnp.asarray(brk)
+    feats = pixtral_vision_forward(direct, jnp.asarray(px))
+    ref = np.asarray(pixtral_project(direct, feats, 4, 4))[0]
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
