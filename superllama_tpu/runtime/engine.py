@@ -193,7 +193,10 @@ class Engine:
             self.pkv = PagedKVManager(paged_cache_init(
                 hp.n_layer, npg, self.page_size, n_slots, mpps, hp.n_head_kv,
                 hp.head_dim, hp.head_dim_v, dtype=kv_dtype))
-            self.block_size = 1        # block scan is dense-cache only (yet)
+            # block decode works on the paged cache too: pages for the whole
+            # block are pre-planned, so the scan appends within a static page
+            # table; stops roll back via PagedKVManager.rollback
+            self.block_size = min(self.block_size, self.page_size)
             self.cache = None
             self._paged_rr = 0         # round-robin admission cursor
         else:
@@ -1139,6 +1142,73 @@ class Engine:
                 f"page pool too small for any sequence (cap {cap} pages)")
         return picked
 
+    def _paged_block_decode_step(self, active: list[_Slot]) -> bool:
+        """Multi-token decode block on the paged cache: pages for the whole
+        block are planned up front (plan_step guarantees one page per row),
+        the on-device block scan appends within that static table, and stops
+        roll back partially through PagedKVManager.rollback — continuous
+        batching + paging without a per-token host round-trip."""
+        t0 = time.perf_counter()
+        mgr = self.pkv
+        picked = self._paged_pick(active)
+        if not picked:
+            return True
+        dsamp = self._dsamp
+        B, nb = self.n_slots, self.block_size
+        tok0 = np.zeros((B, 1), np.int32)
+        pos0 = np.full((B, 1), -1, np.int32)
+        ring = np.full((B, dsamp.RING), -1, np.int32)
+        base_keys = np.zeros((B, 2), np.uint32)
+        counts = np.zeros(B, np.int32)
+        cfgs: list[dict | None] = [None] * B
+        for s in picked:
+            tok0[s.idx, 0] = s.generated[-1]
+            pos0[s.idx, 0] = s.n_past
+            recent = s.sampler.ctx.recent_tokens[-dsamp.RING:]
+            if recent:
+                ring[s.idx, -len(recent):] = recent
+            base_keys[s.idx] = (s.seed >> 32 & 0xFFFFFFFF, s.seed & 0xFFFFFFFF)
+            counts[s.idx] = s.n_sampled
+            cfgs[s.idx] = s.req.sampling or {"greedy": True}
+        sp = {k: jnp.asarray(v)
+              for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
+        greedy = all(c is None or self._greedy_cfg(c) for c in cfgs)
+        saved = {s.idx: mgr.save_cursor(s.idx) for s in picked}
+        try:
+            for s in picked:
+                mgr.ensure_resident(s.idx)
+                mgr.pin(s.idx, True)
+            mgr.plan_step({s.idx: nb for s in picked})
+            toks, _, _, _, _, cache = self._block(
+                self.model.params, jnp.asarray(tok0), jnp.asarray(pos0),
+                mgr.cache, jnp.asarray(ring), jnp.asarray(base_keys),
+                jnp.asarray(counts), sp, n_steps=nb, s_window=None,
+                greedy_only=greedy)
+            mgr.finish_step(cache)
+        finally:
+            for s in picked:
+                mgr.pin(s.idx, False)
+        toks_np = np.asarray(toks)
+        for s in picked:
+            fed0 = int(tok0[s.idx, 0])
+            accepted = 0
+            for i in range(nb):
+                t = int(toks_np[s.idx, i])
+                s.n_past += 1
+                s.cache_tokens.append(fed0 if i == 0
+                                      else int(toks_np[s.idx, i - 1]))
+                s.sampler.accept(t)
+                self._emit(s, t)
+                accepted += 1
+                if s.state != SlotState.GENERATING:
+                    break
+            if accepted < nb:
+                mgr.rollback(s.idx, saved[s.idx], accepted, nb)
+        self.metrics["paged"] = dict(mgr.stats)
+        self.metrics["decode_s"] += time.perf_counter() - t0
+        self.metrics["n_decode_steps"] += 1
+        return True
+
     def _paged_decode_step(self, active: list[_Slot]) -> bool:
         """One decode token for every admitted slot through the paged cache
         (paged_flash_attention over the page tables); host sampling."""
@@ -1177,6 +1247,11 @@ class Engine:
         if not active:
             return False
         if self.paged:
+            if (self.block_size > 1 and all(s.fast for s in active)
+                    and all(s.n_past + nb_ctx <= self.n_ctx
+                            for s in active
+                            for nb_ctx in (self.block_size + 1,))):
+                return self._paged_block_decode_step(active)
             return self._paged_decode_step(active)
         if self.ctx_shift:
             self._maybe_context_shift(active)

@@ -286,6 +286,40 @@ class PagedKVManager:
             cur_page=jnp.asarray(self._cur_page.copy()),
             cur_off=jnp.asarray(self._cur_off.copy()))
 
+    def save_cursor(self, seq: int) -> tuple[int, int]:
+        """(cur_page, cur_off) snapshot for block-overshoot rollback."""
+        return int(self._cur_page[seq]), int(self._cur_off[seq])
+
+    def rollback(self, seq: int, cursor: tuple[int, int], accepted: int,
+                 planned: int) -> None:
+        """Partial-acceptance rewind after a decode block (overshoot on a
+        stop): of the ``planned`` tokens appended from the pre-plan
+        ``cursor``, keep the first ``accepted`` and invalidate the rest
+        (positions → -1 so they are never attended). plan_step guarantees
+        the whole block landed in ONE page (the open page, or a fresh one
+        if it couldn't fit)."""
+        pg0, off0 = cursor
+        P = self.page_size
+        if off0 + planned > P:      # plan opened a fresh page for the block
+            pg, off = pg0 + 1, accepted
+        else:
+            pg, off = pg0, off0 + accepted
+        for g in range(pg, int(self._cur_page[seq]) + 1):
+            slot = int(self._table_np[seq, g])
+            if slot < 0:
+                continue
+            lo = off if g == pg else 0
+            row = self.cache.page_pos[slot]
+            idx = jnp.arange(row.shape[0])
+            self.cache = self.cache._replace(
+                page_pos=self.cache.page_pos.at[slot].set(
+                    jnp.where(idx >= lo, -1, row)))
+        self._cur_page[seq] = pg
+        self._cur_off[seq] = off
+        self.cache = self.cache._replace(
+            cur_page=jnp.asarray(self._cur_page.copy()),
+            cur_off=jnp.asarray(self._cur_off.copy()))
+
     def seq_pages(self, seq: int) -> int:
         """Logical pages a sequence owns (resident + spilled)."""
         n = sum(1 for lg in range(self._table_np.shape[1])
