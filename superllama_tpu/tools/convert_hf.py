@@ -3615,8 +3615,19 @@ def main(argv=None):
         "exaone": "exaone", "exaone4": "exaone4", "minimax_m2": "minimax-m2",
     }
     if tok_fields.get("tokenizer.ggml.model") == "gpt2":
+        # chkhsh fingerprint first (the reference's get_vocab_base_pre
+        # detection; table synced by tools/update_pretok_hashes), then the
+        # model_type fallback for checkpoints the table hasn't seen
+        pre = None
+        try:
+            from .update_pretok_hashes import detect_pre
+
+            pre = detect_pre(a.model_dir)
+        except Exception:
+            pre = None
         mt = getattr(config, "model_type", "")
-        tok_fields["tokenizer.ggml.pre"] = _PRE_BY_TYPE.get(mt, "default")
+        tok_fields["tokenizer.ggml.pre"] = (
+            pre or _PRE_BY_TYPE.get(mt, "default"))
     convert_state_dict(a.outfile, config, sd, ttype,
                        tokenizer_fields=tok_fields, arch=a.arch)
     print(f"wrote {a.outfile}")
