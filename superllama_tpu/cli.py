@@ -448,6 +448,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-tensors", action="store_true")
     p.set_defaults(fn=cmd_gguf_dump)
 
+    p = sub.add_parser("gguf-edit",
+                       help="metadata editor / endian converter / hasher "
+                            "(gguf-py scripts counterpart)")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=lambda a: __import__(
+        "superllama_tpu.tools.gguf_edit", fromlist=["main"]).main(a.rest))
+
     p = sub.add_parser("fit-params", help="fit n_ctx / layer residency to HBM")
     p.add_argument("model")
     p.add_argument("--hbm-gb", type=float, default=16.0)
