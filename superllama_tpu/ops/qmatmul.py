@@ -283,16 +283,27 @@ def _qmatmul_mv(x, qt: QTensor, interpret=False, out_dtype_name="float32",
     witems = _weight_layout(qt)
     names = tuple(n for n, _ in witems)
     align = _k_align(qt)
-    # widest n tile that fits VMEM (full N when possible — dot count per
-    # scale group is N/bn), then bk ≈ 512 for the k-grid's DMA pipelining
+    # Tile policy (all measured on v5e, docs/ops.md): the widest n tile cuts
+    # the per-scale-group dot count (G·N/bn), but a PARTIAL last tile
+    # re-fetches padding — a 4096-tile over N=14336 wasted 12% of HBM
+    # traffic. Admit n tiles whose overfetch ceil(N/bn)·bn/N ≤ 3% and take
+    # the widest; k tiles then target ~1.2 MB DMA steps (small enough to
+    # hide the pipeline warmup, big enough to amortize per-step costs).
     per_kn = sum(num / den * getattr(qt, nm).dtype.itemsize
                  for nm, (num, den) in witems)  # weight bytes per (k, n)
-    bn = min(N, 4096)
-    while per_kn * bn * min(K, 512) > 6 * 1024 * 1024 and bn > 512:
-        bn //= 2
+    bn, best_of = min(N, 512), float("inf")
+    for cand in range(512, min(N, 4096) + 1, 128):
+        of = (pl.cdiv(N, cand) * cand) / N
+        if of <= 1.03 or of < best_of - 1e-9:
+            if of <= 1.03 and bn <= cand:
+                bn, best_of = cand, of
+            elif best_of > 1.03 and of < best_of:
+                bn, best_of = cand, of
     n_n = pl.cdiv(N, bn)
     bk = align
-    target = min(K, block_k or 512)
+    kstep_target = max(align, align * round(
+        1.2e6 / max(per_kn * bn, 1) / align))
+    target = min(K, block_k or kstep_target)
     for cand in range(align, K + 1, align):
         if K % cand == 0 and cand <= target \
                 and per_kn * bn * cand <= 6 * 1024 * 1024:
