@@ -298,6 +298,21 @@ def _nib_lo_hi(c32):
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
+def _nib_planes_swar(c8):
+    """(rows, n) int8 packed bytes → RAW (lo, hi) nibble planes, 0..15.
+
+    SWAR on 4-per-lane packed sublanes: pltpu.bitcast round-trips
+    positionally and the shift+mask is position-independent, so the whole
+    unpack is ~3 lane-ops per 4 bytes instead of the per-element i32
+    detour (~7 per byte) that left the q4 decode kernel VPU-bound. The −8
+    code offset is NOT applied here — callers fold it into the integer
+    dot (Σ q·(c−8) = Σ q·c − 8·Σ q), keeping all arithmetic i8-packed."""
+    t = pltpu.bitcast(c8, jnp.int32)
+    lo = pltpu.bitcast(t & 0x0F0F0F0F, jnp.int8)
+    hi = pltpu.bitcast((t >> 4) & 0x0F0F0F0F, jnp.int8)
+    return lo, hi
+
+
 def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
                ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
                scale: float, n_s: int, swa: int, softcap: float,
@@ -355,19 +370,24 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
             logits = (ii.astype(jnp.float32)
                       * (qs_ref[0, 0] * scale) * ksr)      # (TG,1)·(1,BS)
         else:  # q4: nibble codes, per-32-group scales → per-group dot sums
-            c = k_ref[0, 0].astype(jnp.int32)              # (BS, D//2)
+            lo8, hi8 = _nib_planes_swar(k_ref[0, 0])       # (BS, D//2) raw
             ks = ks_ref[0, 0]                              # (D//32, BS) lane-major
+            # −8 offset folded per group: Σq·(c−8) = Σq·c − 8·Σq
+            qsum = jnp.sum(q2.astype(jnp.int32).reshape(tg, d // 32, 32),
+                           axis=-1)                        # (TG, D//32)
             acc32 = jnp.zeros((tg, bs), jnp.float32)
             for grp in range(d // 32):
-                lo, hi = _nib_lo_hi(c[:, 16 * grp:16 * grp + 16])
-                kg = jnp.concatenate([lo, hi], axis=-1)    # (BS, 32)
+                kg = jnp.concatenate([lo8[:, 16 * grp:16 * grp + 16],
+                                      hi8[:, 16 * grp:16 * grp + 16]],
+                                     axis=-1)              # (BS, 32)
                 # q columns arrive pre-permuted (evens‖odds per group) to
                 # match the nibble unpack order — see flash_decode_attention
                 lg = jax.lax.dot_general(
                     q2[:, 32 * grp:32 * grp + 32], kg,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                acc32 = acc32 + lg.astype(jnp.float32) * ks[grp][None, :]
+                lgf = (lg - 8 * qsum[:, grp][:, None]).astype(jnp.float32)
+                acc32 = acc32 + lgf * ks[grp][None, :]
             logits = acc32 * (qs_ref[0, 0] * scale)
 
         if softcap > 0.0:
@@ -409,13 +429,21 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
             vs = vs_ref[0, 0, 0, 0][None, :]                # (1, BS)
             upd = _p_int8_dot(p * vs, v)
         else:  # q4 V: per-group scales; output columns land nibble-permuted
-            cv = v_ref[0, 0].astype(jnp.int32)              # (BS, Dv//2)
+            lov, hiv = _nib_planes_swar(v_ref[0, 0])        # (BS, Dv//2) raw
             vs = vs_ref[0, 0]                               # (Dv//32, BS)
             parts = []
             for grp in range(dv // 32):
-                lo, hi = _nib_lo_hi(cv[:, 16 * grp:16 * grp + 16])
-                vg = jnp.concatenate([lo, hi], axis=-1)     # (BS, 32)
-                parts.append(_p_int8_dot(p * vs[grp][None, :], vg))
+                vg = jnp.concatenate([lov[:, 16 * grp:16 * grp + 16],
+                                      hiv[:, 16 * grp:16 * grp + 16]],
+                                     axis=-1)               # (BS, 32) raw
+                pv = p * vs[grp][None, :]
+                pmax = jnp.max(jnp.abs(pv), axis=-1, keepdims=True)
+                ps = pmax / 127.0
+                inv = jnp.where(pmax > 0, 127.0 / pmax, 0.0)
+                p8 = jnp.round(pv * inv).astype(jnp.int8)
+                ii = jnp.dot(p8, vg, preferred_element_type=jnp.int32)
+                psum = jnp.sum(p8.astype(jnp.int32), axis=-1, keepdims=True)
+                parts.append((ii - 8 * psum).astype(jnp.float32) * ps)
             upd = jnp.concatenate(parts, axis=-1)           # (TG, Dv) permuted
         acc_ref[:] = acc_ref[:] * alpha + upd
 
