@@ -490,3 +490,54 @@ def encode_image_extra(params: dict, pixel_values: jax.Array) -> jax.Array:
         return internvl_project(params, feats, nh, nw)
     feats = pixtral_vision_forward(params, pixel_values)
     return pixtral_project(params, feats, nh, nw)
+
+
+# --------------------------- MiniCPM-V resampler ------------------------------
+
+def minicpmv_sincos_pos(pos_h: np.ndarray, pos_w: np.ndarray,
+                        n_embd_proj: int) -> jax.Array:
+    """2-D sinusoidal position table for the resampler's K side
+    (minicpmv.cpp:47-68; layout [sin θw ‖ cos θw ‖ sin θh ‖ cos θh])."""
+    q = n_embd_proj // 4
+    omega = 1.0 / (10000.0 ** (np.arange(q, dtype=np.float32) / q))
+    tw = pos_w.astype(np.float32)[:, None] * omega[None, :]
+    th = pos_h.astype(np.float32)[:, None] * omega[None, :]
+    return jnp.asarray(np.concatenate(
+        [np.sin(tw), np.cos(tw), np.sin(th), np.cos(th)], axis=-1))
+
+
+def minicpmv_resample(params: dict, feats: jax.Array, nh: int, nw: int
+                      ) -> jax.Array:
+    """Perceiver resampler (minicpmv.cpp:38-110): learned queries
+    cross-attend the ViT features; sincos 2-D positions add to K only;
+    post-LN + projection into text space."""
+    hp = params["hp"]
+    eps = hp["eps"]
+    B, N, _ = feats.shape
+    E = params["rs_query"].shape[-1]
+    d_head = 128 if E % 128 == 0 else E // max(1, hp.get("rs_heads", 1))
+    n_head = E // d_head
+    nq = params["rs_query"].shape[0]
+
+    q = ops.layer_norm(params["rs_query"], params["rs_ln_q"],
+                       params["rs_ln_q_b"], eps)           # (nq, E)
+    v = mm(feats, params["rs_kv_proj"])                    # (B, N, E)
+    v = ops.layer_norm(v, params["rs_ln_kv"], params["rs_ln_kv_b"], eps)
+    gh = np.repeat(np.arange(nh, dtype=np.float32), nw)
+    gw = np.tile(np.arange(nw, dtype=np.float32), nh)
+    k = v + minicpmv_sincos_pos(gh, gw, E)[None]
+
+    Q = (mm(q, params["rs_wq"]) + params["rs_wq_b"])       # (nq, E)
+    K = (mm(k, params["rs_wk"]) + params["rs_wk_b"])       # (B, N, E)
+    V = (mm(v, params["rs_wv"]) + params["rs_wv_b"])
+    Qh = jnp.broadcast_to(Q.reshape(1, nq, n_head, d_head),
+                          (B, nq, n_head, d_head))
+    mask = jnp.zeros((B, 1, nq, N), jnp.float32)
+    attn = ops.attention_ref(
+        Qh, K.reshape(B, N, n_head, d_head).transpose(0, 2, 1, 3),
+        V.reshape(B, N, n_head, d_head).transpose(0, 2, 1, 3), mask,
+        scale=1.0 / (d_head ** 0.5))
+    out = mm(attn.reshape(B, nq, E), params["rs_wo"]) + params["rs_wo_b"]
+    out = ops.layer_norm(out, params["rs_ln_post"], params["rs_ln_post_b"],
+                         eps)
+    return mm(out, params["rs_proj"])

@@ -218,3 +218,65 @@ def test_pixtral_mmproj_roundtrip(tmp_path):
     feats = pixtral_vision_forward(direct, jnp.asarray(px))
     ref = np.asarray(pixtral_project(direct, feats, 4, 4))[0]
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_minicpmv_resampler_behavior():
+    """MiniCPM-V perceiver resampler (minicpmv.cpp:38-110): fixed query
+    count regardless of input patches, position-sensitivity through the
+    sincos K-side table, and an independent numpy replay of the single
+    cross-attention."""
+    from superllama_tpu.models.vision_extra import (minicpmv_resample,
+                                                    minicpmv_sincos_pos)
+
+    rng = np.random.default_rng(9)
+    E, D_vit, nq = 128, 32, 8       # E: resampler width (1 head of 128)
+    lin = lambda i, o: jnp.asarray(rng.normal(0, 0.2, (i, o)), jnp.float32)
+    vec = lambda n: jnp.asarray(rng.normal(0, 0.2, n), jnp.float32)
+    params = {
+        "hp": {"eps": 1e-6},
+        "rs_query": lin(nq, E) * 1.0,
+        "rs_kv_proj": lin(D_vit, E),
+        "rs_ln_q": jnp.ones(E), "rs_ln_q_b": jnp.zeros(E),
+        "rs_ln_kv": jnp.ones(E), "rs_ln_kv_b": jnp.zeros(E),
+        "rs_wq": lin(E, E), "rs_wq_b": vec(E),
+        "rs_wk": lin(E, E), "rs_wk_b": vec(E),
+        "rs_wv": lin(E, E), "rs_wv_b": vec(E),
+        "rs_wo": lin(E, E), "rs_wo_b": vec(E),
+        "rs_ln_post": jnp.ones(E), "rs_ln_post_b": jnp.zeros(E),
+        "rs_proj": lin(E, 48),
+    }
+    for nh, nw in ((4, 4), (2, 8), (6, 6)):
+        feats = jnp.asarray(rng.normal(0, 1, (1, nh * nw, D_vit)),
+                            jnp.float32)
+        out = np.asarray(minicpmv_resample(params, feats, nh, nw))
+        assert out.shape == (1, nq, 48)      # query count fixed
+
+    # K-side positions matter: permuting patch order changes the output
+    feats = jnp.asarray(rng.normal(0, 1, (1, 16, D_vit)), jnp.float32)
+    a = np.asarray(minicpmv_resample(params, feats, 4, 4))
+    perm = rng.permutation(16)
+    b = np.asarray(minicpmv_resample(params, feats[:, perm], 4, 4))
+    assert np.abs(a - b).max() > 1e-4
+
+    # numpy replay of the cross-attention (independent of the jax path)
+    def np_ln(x, eps=1e-6):
+        m = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - m) / np.sqrt(v + eps)
+
+    f = np.asarray(feats)[0]
+    q = np_ln(np.asarray(params["rs_query"]))
+    v = np_ln(f @ np.asarray(params["rs_kv_proj"]))
+    pos = np.asarray(minicpmv_sincos_pos(
+        np.repeat(np.arange(4), 4).astype(np.float32),
+        np.tile(np.arange(4), 4).astype(np.float32), E))
+    k = v + pos
+    Q = q @ np.asarray(params["rs_wq"]) + np.asarray(params["rs_wq_b"])
+    K = k @ np.asarray(params["rs_wk"]) + np.asarray(params["rs_wk_b"])
+    V = v @ np.asarray(params["rs_wv"]) + np.asarray(params["rs_wv_b"])
+    logits = Q @ K.T / np.sqrt(128.0)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    o = p @ V @ np.asarray(params["rs_wo"]) + np.asarray(params["rs_wo_b"])
+    ref = np_ln(o) @ np.asarray(params["rs_proj"])
+    np.testing.assert_allclose(a[0], ref, rtol=2e-4, atol=2e-4)
