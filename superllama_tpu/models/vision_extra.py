@@ -541,3 +541,59 @@ def minicpmv_resample(params: dict, feats: jax.Array, nh: int, nw: int
     out = ops.layer_norm(out, params["rs_ln_post"], params["rs_ln_post_b"],
                          eps)
     return mm(out, params["rs_proj"])
+
+
+# ------------------------------ Idefics3 connector ----------------------------
+
+def params_from_hf_idefics3_vision(vis_sd: dict, cfg) -> dict:
+    """Idefics3VisionTransformer state dict → siglip-tower params (the
+    reference routes idefics3 through clip_graph_siglip, clip.cpp:780)."""
+    g = lambda k: jnp.asarray(np.asarray(vis_sd[k], np.float32))
+    t = lambda k: g(k).T
+    conv = np.asarray(vis_sd["embeddings.patch_embedding.weight"], np.float32)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layers.{i}."
+        layers.append({
+            "ln1_w": g(p + "layer_norm1.weight"),
+            "ln1_b": g(p + "layer_norm1.bias"),
+            "ln2_w": g(p + "layer_norm2.weight"),
+            "ln2_b": g(p + "layer_norm2.bias"),
+            "wq": t(p + "self_attn.q_proj.weight"),
+            "bq": g(p + "self_attn.q_proj.bias"),
+            "wk": t(p + "self_attn.k_proj.weight"),
+            "bk": g(p + "self_attn.k_proj.bias"),
+            "wv": t(p + "self_attn.v_proj.weight"),
+            "bv": g(p + "self_attn.v_proj.bias"),
+            "wo": t(p + "self_attn.out_proj.weight"),
+            "bo": g(p + "self_attn.out_proj.bias"),
+            "fc1": t(p + "mlp.fc1.weight"), "fc1_b": g(p + "mlp.fc1.bias"),
+            "fc2": t(p + "mlp.fc2.weight"), "fc2_b": g(p + "mlp.fc2.bias"),
+        })
+    # Idefics3 position ids come from torch.bucketize over fractional patch
+    # coords — for an n×n grid that is [searchsorted(arange(1/n,1,1/n), k/n)]
+    # per axis, NOT arange (e.g. [0,0,1,2] at n=4). Bake the gathered table
+    # so the shared siglip tower's plain add matches HF inference.
+    side = cfg.image_size // cfg.patch_size
+    bounds = np.arange(1, side, dtype=np.float64) / side
+    frac = np.arange(side, dtype=np.float64) / side
+    b = np.searchsorted(bounds, frac, side="left")
+    pos_ids = (b[:, None] * side + b[None, :]).reshape(-1)
+    posw = np.asarray(vis_sd["embeddings.position_embedding.weight"],
+                      np.float32)
+    return {
+        "hp": {"patch": cfg.patch_size, "n_head": cfg.num_attention_heads},
+        "patch_w": jnp.asarray(conv.reshape(conv.shape[0], -1).T),
+        "patch_b": g("embeddings.patch_embedding.bias"),
+        "pos_embd": jnp.asarray(posw[pos_ids]),
+        "post_ln_w": g("post_layernorm.weight"),
+        "post_ln_b": g("post_layernorm.bias"),
+        "layers": layers,
+    }
+
+
+def idefics3_project(params: dict, feats: jax.Array, nh: int, nw: int,
+                     scale: int) -> jax.Array:
+    """Idefics3Connector: pixel shuffle by the scale factor then one
+    modality projection (clip.cpp PROJECTOR_TYPE_IDEFICS3 'projection')."""
+    return mm(pixel_shuffle(feats, nh, nw, scale), params["projection"])

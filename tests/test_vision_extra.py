@@ -280,3 +280,43 @@ def test_minicpmv_resampler_behavior():
     o = p @ V @ np.asarray(params["rs_wo"]) + np.asarray(params["rs_wo_b"])
     ref = np_ln(o) @ np.asarray(params["rs_proj"])
     np.testing.assert_allclose(a[0], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_idefics3_connector_parity():
+    """Idefics3 (SmolVLM family): siglip tower + pixel shuffle + single
+    modality projection vs HF's get_image_features."""
+    from transformers import Idefics3Config, Idefics3ForConditionalGeneration
+    from transformers import Idefics3VisionConfig, LlamaConfig
+
+    from superllama_tpu.models.siglip import siglip_vision_forward
+    from superllama_tpu.models.vision_extra import (
+        idefics3_project, params_from_hf_idefics3_vision)
+
+    vis = Idefics3VisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=8)
+    txt = LlamaConfig(vocab_size=128, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=2)
+    cfg = Idefics3Config(vision_config=vis, text_config=txt, scale_factor=2)
+    torch.manual_seed(5)
+    hf = Idefics3ForConditionalGeneration(cfg).eval()
+    px = _px(10)
+    with torch.no_grad():
+        ref = hf.get_image_features(
+            torch.tensor(px)[None],          # (B, num_images, C, H, W)
+            pixel_attention_mask=torch.ones(1, 1, 32, 32, dtype=torch.bool))
+        ref = ref.reshape(-1, ref.shape[-1]).float().numpy()
+    vis_sd = {k[len("model.vision_model."):]: v.detach().numpy()
+              for k, v in hf.state_dict().items()
+              if k.startswith("model.vision_model.")}
+    params = params_from_hf_idefics3_vision(vis_sd, vis)
+    proj_w = [v for k, v in hf.state_dict().items()
+              if "connector" in k and k.endswith("proj.weight")]
+    assert len(proj_w) == 1
+    params["projection"] = jnp.asarray(
+        proj_w[0].detach().numpy().astype(np.float32)).T
+    feats = siglip_vision_forward(params, jnp.asarray(px))
+    got = np.asarray(idefics3_project(params, feats, 4, 4, 2))[0]
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 5e-4, err
