@@ -597,3 +597,32 @@ def idefics3_project(params: dict, feats: jax.Array, nh: int, nw: int,
     """Idefics3Connector: pixel shuffle by the scale factor then one
     modality projection (clip.cpp PROJECTOR_TYPE_IDEFICS3 'projection')."""
     return mm(pixel_shuffle(feats, nh, nw, scale), params["projection"])
+
+
+# ------------------------------ GLM-Edge adapter ------------------------------
+
+def glm_edge_project(params: dict, feats: jax.Array, nh: int, nw: int
+                     ) -> jax.Array:
+    """GLM-Edge adapter (tools/mtmd/models/llava.cpp:337-365): a 2×2/stride-2
+    conv merges each patch quad, then an MLP with an inner LayerNorm, GELU,
+    a split swiglu (silu(mlp_2(h)) ⊙ mlp_1(h)) and a final projection;
+    learned [BOI]/[EOI] embeddings wrap the image tokens (they exist only in
+    the vision weights, not the text vocab)."""
+    hp = params["hp"]
+    B, N, D = feats.shape
+    w = np.asarray(params["adapter_conv"])          # (D_out, D, 2, 2)
+    d_out = w.shape[0]
+    g = feats.reshape(B, nh, nw, D)
+    blocks = g.reshape(B, nh // 2, 2, nw // 2, 2, D)
+    blocks = jnp.transpose(blocks, (0, 1, 3, 5, 2, 4))   # (B,H2,W2,D,2,2)
+    flat = blocks.reshape(B, (nh // 2) * (nw // 2), D * 4)
+    wf = jnp.asarray(w.reshape(d_out, D * 4)).T
+    e = flat @ wf + params["adapter_conv_b"]
+    e = mm(e, params["mlp_0"])
+    e = ops.layer_norm(e, params["ln_q"], params["ln_q_b"], hp["eps"])
+    e = ops.gelu(e)
+    e = ops.silu(mm(e, params["mlp_2"])) * mm(e, params["mlp_1"])
+    e = mm(e, params["mlp_3"])
+    boi = jnp.broadcast_to(params["boi"][None, None], (B, 1, e.shape[-1]))
+    eoi = jnp.broadcast_to(params["eoi"][None, None], (B, 1, e.shape[-1]))
+    return jnp.concatenate([boi, e, eoi], axis=1)

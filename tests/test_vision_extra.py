@@ -320,3 +320,52 @@ def test_idefics3_connector_parity():
     got = np.asarray(idefics3_project(params, feats, 4, 4, 2))[0]
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 5e-4, err
+
+
+def test_glm_edge_adapter_behavior():
+    """GLM-Edge projector (llava.cpp:337-365): 2×2 stride-2 patch-merge
+    conv + LN/GELU/split-swiglu MLP + BOI/EOI wrapping, replayed in numpy."""
+    from superllama_tpu.models.vision_extra import glm_edge_project
+
+    rng = np.random.default_rng(12)
+    D, Do, E = 16, 24, 20
+    nh = nw = 4
+    lin = lambda i, o: jnp.asarray(rng.normal(0, 0.3, (i, o)), jnp.float32)
+    params = {
+        "hp": {"eps": 1e-6},
+        "adapter_conv": rng.normal(0, 0.3, (Do, D, 2, 2)).astype(np.float32),
+        "adapter_conv_b": jnp.asarray(rng.normal(0, 0.1, Do), jnp.float32),
+        "mlp_0": lin(Do, E), "mlp_1": lin(E, E), "mlp_2": lin(E, E),
+        "mlp_3": lin(E, E),
+        "ln_q": jnp.ones(E), "ln_q_b": jnp.zeros(E),
+        "boi": jnp.asarray(rng.normal(0, 1, E), jnp.float32),
+        "eoi": jnp.asarray(rng.normal(0, 1, E), jnp.float32),
+    }
+    feats = jnp.asarray(rng.normal(0, 1, (1, 16, D)), jnp.float32)
+    out = np.asarray(glm_edge_project(params, feats, nh, nw))
+    assert out.shape == (1, 1 + 4 + 1, E)            # 2x2-merged + BOI/EOI
+    np.testing.assert_allclose(out[0, 0], np.asarray(params["boi"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(out[0, -1], np.asarray(params["eoi"]),
+                               rtol=1e-6)
+
+    # numpy conv replay for one output position
+    f = np.asarray(feats)[0].reshape(4, 4, D)
+    w = params["adapter_conv"]
+    y0 = np.einsum("ckl,klc->c", w.transpose(0, 1, 2, 3)[..., 0, 0] * 0 + 0,
+                   np.zeros((1, 1, D))) if False else None
+    quad = f[0:2, 0:2]                               # (2, 2, D)
+    conv0 = np.einsum("ockl,klc->o", w, quad.transpose(0, 1, 2)) \
+        + np.asarray(params["adapter_conv_b"])
+    def ln(x, eps=1e-6):
+        return (x - x.mean()) / np.sqrt(x.var() + eps)
+    import math
+    gelu = lambda x: 0.5 * x * (1.0 + np.tanh(
+        math.sqrt(2 / math.pi) * (x + 0.044715 * x ** 3)))
+    silu = lambda x: x / (1.0 + np.exp(-x))
+    e = conv0 @ np.asarray(params["mlp_0"])
+    e = ln(e) * 1.0 + 0.0
+    e = gelu(e)
+    e = silu(e @ np.asarray(params["mlp_2"])) * (e @ np.asarray(params["mlp_1"]))
+    e = e @ np.asarray(params["mlp_3"])
+    np.testing.assert_allclose(out[0, 1], e, rtol=2e-4, atol=2e-4)
