@@ -182,9 +182,13 @@ class Engine:
         # dangling (src/llama-context.cpp:333 vs llama-kv-cache-paged.h)
         self.paged = bool(paged)
         if self.paged:
-            if draft_model is not None or lookup_ngrams or ctx_shift:
+            if lookup_ngrams or ctx_shift:
                 raise ValueError(
-                    "paged mode: speculative/lookup/ctx-shift not supported")
+                    "paged mode: lookup/ctx-shift not supported")
+            if draft_model is not None and n_draft + 1 > page_size:
+                raise ValueError(
+                    f"speculative window {n_draft}+1 must fit one page "
+                    f"({page_size})")
             from .paged_kv import PagedKVManager, paged_cache_init
 
             self.page_size = int(page_size)
@@ -828,6 +832,8 @@ class Engine:
                     f"prompt_embeds rows ({pe.shape[0]}) must match "
                     f"prompt_ids ({len(ids)})")
         if self.draft_model is not None:
+            if self.paged:
+                return self._start_request_spec_paged(slot, req)
             return self._start_request_sync(slot, req)
         if self.paged:
             return self._start_request_paged(slot, req)
@@ -1145,8 +1151,18 @@ class Engine:
         self.metrics["n_prompt_tokens"] += n
         self.metrics["prefill_s"] += time.perf_counter() - t0
 
-        # draft-model shadow prefill of the same prompt (retokenized into the
-        # draft vocab when translating)
+        self._draft_prefill_prompt(slot, ids, P)
+
+        # sample the first token from the prefill logits
+        self._emit(slot, slot.sampler.sample(last_logits))
+        if slot.state == SlotState.GENERATING:
+            slot.draft_tail = [slot.generated[-1]]
+
+    def _draft_prefill_prompt(self, slot: _Slot, ids: list[int],
+                              P: int) -> None:
+        """Draft-model shadow prefill of the prompt (retokenized into the
+        draft vocab when translating) — the draft cache stays dense even
+        when the target is paged."""
         dhp = self.draft_model.hparams
         d_ids = (self.spec_translator.tgt_to_dft([int(t) for t in ids])
                  if self.spec_translator is not None else ids)
@@ -1167,9 +1183,52 @@ class Engine:
             off += len(chunk)
         self.d_cache = self._d_insert(self.d_cache, d_scratch, slot.idx, dn)
         slot.d_past = dn
-        del d_scratch
 
-        # sample the first token from the prefill logits
+    def _start_request_spec_paged(self, slot: _Slot, req: GenRequest):
+        """Speculative + paged admission: synchronous chunked prompt prefill
+        into the slot's page chain, then the dense draft shadow prefill."""
+        ids = list(req.prompt_ids)
+        t0 = time.perf_counter()
+        n = len(ids)
+        mgr = self.pkv
+        mgr.free_seq(slot.idx)
+        slot.req = req
+        slot.state = SlotState.GENERATING
+        slot.n_past = n
+        slot.n_prompt = n
+        slot.generated = []
+        slot.cache_tokens = list(ids)
+        slot.text = ""
+        slot.t_start = t0
+        self._setup_sampler(slot, req, ids)
+        self.metrics["n_prompt_tokens"] += n
+
+        P = min(self._bucket(n), self.page_size)
+        mgr.ensure_resident(slot.idx)
+        mgr.pin(slot.idx, True)
+        logits = None
+        last_len = 0
+        try:
+            off = 0
+            while off < n:
+                chunk = ids[off : off + P]
+                mgr.plan_step({slot.idx: len(chunk)})
+                tok = np.zeros((self.n_slots, P), np.int32)
+                pos = np.full((self.n_slots, P), -1, np.int32)
+                tok[slot.idx, : len(chunk)] = chunk
+                pos[slot.idx, : len(chunk)] = np.arange(off, off + len(chunk))
+                logits, cache = self._decode(
+                    self.model.params, jnp.asarray(tok), jnp.asarray(pos),
+                    mgr.cache)
+                mgr.finish_step(cache)
+                off += len(chunk)
+                last_len = len(chunk)
+        finally:
+            mgr.pin(slot.idx, False)
+        last_logits = np.asarray(logits[slot.idx, last_len - 1], np.float32)
+        self.metrics["prefill_s"] += time.perf_counter() - t0
+
+        self._draft_prefill_prompt(slot, ids, P)
         self._emit(slot, slot.sampler.sample(last_logits))
         if slot.state == SlotState.GENERATING:
             slot.draft_tail = [slot.generated[-1]]
@@ -1300,6 +1359,10 @@ class Engine:
         if not active:
             return False
         if self.paged:
+            if self.draft_model is not None and all(
+                    s.n_past + self.n_draft + 1 <= self.n_ctx
+                    for s in active):
+                return self._spec_decode_step(active)
             if (self.block_size > 1 and all(s.fast for s in active)
                     and all(s.n_past + nb_ctx <= self.n_ctx
                             for s in active
@@ -1694,8 +1757,26 @@ class Engine:
             vtok[s.idx, 0] = s.generated[-1]
             vtok[s.idx, 1:] = drafts[s.idx]
             vpos[s.idx] = s.n_past + np.arange(K + 1)
-        vlogits, self.cache = self._decode(self.model.params, jnp.asarray(vtok),
-                                           jnp.asarray(vpos), self.cache)
+        saved_cur: dict[int, tuple] = {}
+        if self.paged:
+            mgr = self.pkv
+            try:
+                for s in active:
+                    mgr.ensure_resident(s.idx)
+                    mgr.pin(s.idx, True)
+                saved_cur = {s.idx: mgr.save_cursor(s.idx) for s in active}
+                mgr.plan_step({s.idx: K + 1 for s in active})
+                vlogits, cache = self._decode(
+                    self.model.params, jnp.asarray(vtok), jnp.asarray(vpos),
+                    mgr.cache)
+                mgr.finish_step(cache)
+            finally:
+                for s in active:
+                    mgr.pin(s.idx, False)
+        else:
+            vlogits, self.cache = self._decode(
+                self.model.params, jnp.asarray(vtok), jnp.asarray(vpos),
+                self.cache)
         vlogits = np.asarray(vlogits, np.float32)            # (B, K+1, V)
 
         keep_t = np.zeros(B, np.int32)
@@ -1728,7 +1809,11 @@ class Engine:
                 seq_from = s.d_past - s.n_prompt
                 seq_to = s.n_past + 1 - s.n_prompt
                 s.draft_tail = [int(x) for x in s.generated[seq_from:seq_to]]
-        self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
+            if self.paged:
+                self.pkv.rollback(s.idx, saved_cur[s.idx],
+                                  s.n_past - n_past0, K + 1)
+        if not self.paged:
+            self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
         self.d_cache = self._truncate(self.d_cache, jnp.asarray(keep_d))
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1

@@ -181,3 +181,38 @@ def test_spec_are_compatible():
     assert are_compatible(spm, spm)
     assert not are_compatible(spm, bpe)
     assert not are_compatible(spm, None)
+
+
+def test_spec_on_paged_cache(models):
+    """Speculative decoding over the paged KV cache (VERDICT r4 #6:
+    de-island paged mode): identical output to the dense engine, rejected
+    draft entries rolled back through the page manager, page accounting
+    consistent across slot reuse."""
+    target, draft = models
+    tok = target.tokenizer
+    prompt = tok.encode("The quick brown fox jumps", add_special=True)
+
+    dense = Engine(target, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64))
+    r0 = dense.generate(prompt, max_tokens=14, stop_eog=False)
+
+    eng = Engine(target, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64), draft_model=draft, n_draft=4,
+                 paged=True, page_size=32)
+    r1 = eng.generate(prompt, max_tokens=14, stop_eog=False)
+    assert r1["tokens"] == r0["tokens"]
+    assert eng.metrics["n_spec_drafted"] > 0
+
+    # slot reuse after rollbacks: a second request stays exact
+    p2 = tok.encode("Hello there, friend", add_special=True)
+    r2 = eng.generate(p2, max_tokens=10, stop_eog=False)
+    ref2 = dense.generate(p2, max_tokens=10, stop_eog=False)
+    assert r2["tokens"] == ref2["tokens"]
+
+    # two concurrent speculative streams over pages
+    a = eng.submit(GenRequest(prompt_ids=prompt, max_tokens=8,
+                              stop_eog=False))
+    b = eng.submit(GenRequest(prompt_ids=p2, max_tokens=8, stop_eog=False))
+    eng.run_until_drained()
+    assert a.result(1)["tokens"] == r0["tokens"][:8]
+    assert b.result(1)["tokens"] == ref2["tokens"][:8]
