@@ -182,9 +182,10 @@ class Engine:
         # dangling (src/llama-context.cpp:333 vs llama-kv-cache-paged.h)
         self.paged = bool(paged)
         if self.paged:
-            if lookup_ngrams or ctx_shift:
-                raise ValueError(
-                    "paged mode: lookup/ctx-shift not supported")
+            if ctx_shift:
+                raise ValueError("paged mode: ctx-shift not supported")
+            if lookup_ngrams and lookup_ngrams + 1 > page_size:
+                raise ValueError("lookup window must fit one page")
             if draft_model is not None and n_draft + 1 > page_size:
                 raise ValueError(
                     f"speculative window {n_draft}+1 must fit one page "
@@ -1363,6 +1364,11 @@ class Engine:
                     s.n_past + self.n_draft + 1 <= self.n_ctx
                     for s in active):
                 return self._spec_decode_step(active)
+            if self.lookup_k and all(
+                    s.n_past + self.lookup_k + 1 <= self.n_ctx
+                    for s in active):
+                if self._lookup_decode_step(active):
+                    return True
             if (self.block_size > 1 and all(s.fast for s in active)
                     and all(s.n_past + nb_ctx <= self.n_ctx
                             for s in active
@@ -1600,8 +1606,26 @@ class Engine:
             vtok[s.idx, 0] = s.generated[-1]
             vtok[s.idx, 1:] = drafts[s.idx]
             vpos[s.idx] = s.n_past + np.arange(K + 1)
-        vlogits, self.cache = self._decode(self.model.params, jnp.asarray(vtok),
-                                           jnp.asarray(vpos), self.cache)
+        saved_cur: dict[int, tuple] = {}
+        if self.paged:
+            mgr = self.pkv
+            try:
+                for s in active:
+                    mgr.ensure_resident(s.idx)
+                    mgr.pin(s.idx, True)
+                saved_cur = {s.idx: mgr.save_cursor(s.idx) for s in active}
+                mgr.plan_step({s.idx: K + 1 for s in active})
+                vlogits, cache = self._decode(
+                    self.model.params, jnp.asarray(vtok), jnp.asarray(vpos),
+                    mgr.cache)
+                mgr.finish_step(cache)
+            finally:
+                for s in active:
+                    mgr.pin(s.idx, False)
+        else:
+            vlogits, self.cache = self._decode(
+                self.model.params, jnp.asarray(vtok), jnp.asarray(vpos),
+                self.cache)
         vlogits = np.asarray(vlogits, np.float32)
 
         keep_t = np.zeros(B, np.int32)
@@ -1624,7 +1648,11 @@ class Engine:
             s.n_past = n_past0 + accepted + 1
             s.cache_tokens.extend(int(x) for x in vtok[s.idx, :accepted + 1])
             keep_t[s.idx] = s.n_past
-        self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
+            if self.paged:
+                self.pkv.rollback(s.idx, saved_cur[s.idx], accepted + 1,
+                                  K + 1)
+        if not self.paged:
+            self.cache = self._truncate(self.cache, jnp.asarray(keep_t))
         self.metrics["decode_s"] += time.perf_counter() - t0
         self.metrics["n_decode_steps"] += 1
         return True

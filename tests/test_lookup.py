@@ -99,3 +99,26 @@ def test_lookup_two_slots(model):
     eng.run_until_drained()
     assert a.result(10)["tokens"] == r1
     assert b.result(10)["tokens"] == r2
+
+
+def test_lookup_on_paged_cache(model):
+    """Lookup decoding over the paged cache: n-gram drafts verified and
+    rejected entries rolled back through the page manager; output equals
+    the dense engine's."""
+    tok = model.tokenizer
+    prompt = tok.encode("one two three one two three one two", add_special=True)
+
+    dense = Engine(model, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64))
+    r0 = dense.generate(prompt, max_tokens=14, stop_eog=False)
+
+    eng = Engine(model, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64), lookup_ngrams=4,
+                 paged=True, page_size=32)
+    r1 = eng.generate(prompt, max_tokens=14, stop_eog=False)
+    assert r1["tokens"] == r0["tokens"]
+
+    # slot reuse stays exact after rollbacks
+    p2 = tok.encode("alpha beta gamma", add_special=True)
+    assert eng.generate(p2, max_tokens=8, stop_eog=False)["tokens"] == \
+        dense.generate(p2, max_tokens=8, stop_eog=False)["tokens"]
