@@ -182,8 +182,6 @@ class Engine:
         # dangling (src/llama-context.cpp:333 vs llama-kv-cache-paged.h)
         self.paged = bool(paged)
         if self.paged:
-            if ctx_shift:
-                raise ValueError("paged mode: ctx-shift not supported")
             if lookup_ngrams and lookup_ngrams + 1 > page_size:
                 raise ValueError("lookup window must fit one page")
             if draft_model is not None and n_draft + 1 > page_size:
@@ -1360,6 +1358,8 @@ class Engine:
         if not active:
             return False
         if self.paged:
+            if self.ctx_shift:
+                self._maybe_paged_context_shift(active)
             if self.draft_model is not None and all(
                     s.n_past + self.n_draft + 1 <= self.n_ctx
                     for s in active):
@@ -1568,6 +1568,47 @@ class Engine:
         self.cache = self._shift(self.cache, jnp.asarray(keep),
                                  jnp.asarray(discard))
         for s, n_keep, n_discard in hit:
+            s.n_past -= n_discard
+            s.cache_tokens = (s.cache_tokens[:n_keep]
+                              + s.cache_tokens[n_keep + n_discard:])
+            self.metrics["n_ctx_shifts"] += 1
+
+    def _maybe_paged_context_shift(self, active: list[_Slot]) -> None:
+        """Context shift for paged slots: export the page chain to a dense
+        row, run the same evict+re-rope+compact (kv_context_shift), and
+        re-page the survivors. Rare (once per n_ctx/2 tokens per slot), so
+        the extra host round-trip is acceptable."""
+        from .kv_cache import KVCache
+
+        mgr = self.pkv
+        for s in active:
+            if s.n_past + 1 <= self.n_ctx - 1:
+                continue
+            n_keep = min(s.n_prompt, self.n_ctx // 4)
+            n_discard = max((s.n_past - n_keep) // 2, 1)
+            k, v, pos = mgr.export_row(s.idx)
+            n_cells = pos.shape[0]
+            S = self.n_ctx                      # fixed shape → one compile
+            pad = S - n_cells
+            kd = np.zeros(k.shape[:2] + (S,) + k.shape[3:], np.float32)
+            vd = np.zeros(v.shape[:2] + (S,) + v.shape[3:], np.float32)
+            pd = np.full((S,), -1, np.int32)
+            kd[:, :, :n_cells] = np.asarray(k, np.float32)
+            vd[:, :, :n_cells] = np.asarray(v, np.float32)
+            pd[:n_cells] = pos
+            row = KVCache(
+                k=jnp.asarray(kd[:, None], self.kv_dtype),
+                v=jnp.asarray(vd[:, None], self.kv_dtype),
+                pos=jnp.asarray(pd[None]),
+                cursor=jnp.asarray([int((pd >= 0).sum())], jnp.int32))
+            shifted = self._shift(row, jnp.asarray([n_keep], np.int32),
+                                  jnp.asarray([n_discard], np.int32))
+            n_new = int(np.asarray(shifted.cursor)[0])
+            mgr.import_row(
+                s.idx,
+                np.asarray(shifted.k[:, 0, :, :n_new]),
+                np.asarray(shifted.v[:, 0, :, :n_new]),
+                np.asarray(shifted.pos[0, :n_new]))
             s.n_past -= n_discard
             s.cache_tokens = (s.cache_tokens[:n_keep]
                               + s.cache_tokens[n_keep + n_discard:])

@@ -347,3 +347,64 @@ class PagedKVManager:
         self._cur_page[seq] = 0
         self._cur_off[seq] = 0
         self._sync_table()
+
+
+def _manager_export_row(self, seq: int):
+    """Gather a sequence's resident cells into dense per-layer arrays, in
+    page order: (k (L, Hkv, n_cells, D), v (L, Hkv, n_cells, Dv),
+    pos (n_cells,)). Gap cells (closed-page tails) carry pos −1."""
+    self.ensure_resident(seq)
+    pgs = [int(self._table_np[seq, g])
+           for g in range(int(self._cur_page[seq]) + 1)]
+    pgs = [p for p in pgs if p >= 0]
+    if not pgs:
+        L, _, Hkv, P, D = self.cache.k_pages.shape
+        Dv = self.cache.v_pages.shape[-1]
+        return (np.zeros((L, Hkv, 0, D), np.float32),
+                np.zeros((L, Hkv, 0, Dv), np.float32),
+                np.zeros((0,), np.int32))
+    k = np.concatenate([np.asarray(self.cache.k_pages[:, p]) for p in pgs],
+                       axis=2)
+    v = np.concatenate([np.asarray(self.cache.v_pages[:, p]) for p in pgs],
+                       axis=2)
+    pos = np.concatenate([np.asarray(self.cache.page_pos[p]) for p in pgs])
+    return k, v, pos
+
+
+def _manager_import_row(self, seq: int, k, v, pos) -> None:
+    """Replace a sequence's pages with compacted dense cells (cell i at
+    slot i of the page chain; pos already position-ordered)."""
+    import jax.numpy as jnp
+
+    self.free_seq(seq)
+    n = int(pos.shape[0])
+    P = self.page_size
+    n_pages = max(1, -(-n // P))
+    for g in range(n_pages):
+        slot = self._alloc_slot(seq, g)
+        self._table_np[seq, g] = slot
+        lo, hi = g * P, min((g + 1) * P, n)
+        width = hi - lo
+        kpad = np.zeros(self.cache.k_pages.shape[0:1]
+                        + self.cache.k_pages.shape[2:], self.cache.k_pages.dtype)
+        vpad = np.zeros(self.cache.v_pages.shape[0:1]
+                        + self.cache.v_pages.shape[2:], self.cache.v_pages.dtype)
+        ppad = np.full((P,), -1, np.int32)
+        kpad[:, :, :width] = k[:, :, lo:hi]
+        vpad[:, :, :width] = v[:, :, lo:hi]
+        ppad[:width] = pos[lo:hi]
+        self.cache = self.cache._replace(
+            k_pages=self.cache.k_pages.at[:, slot].set(jnp.asarray(kpad)),
+            v_pages=self.cache.v_pages.at[:, slot].set(jnp.asarray(vpad)),
+            page_pos=self.cache.page_pos.at[slot].set(jnp.asarray(ppad)),
+        )
+    self._cur_page[seq] = n_pages - 1
+    self._cur_off[seq] = n - (n_pages - 1) * P
+    self.cache = self.cache._replace(
+        cur_page=jnp.asarray(self._cur_page.copy()),
+        cur_off=jnp.asarray(self._cur_off.copy()))
+    self._sync_table()
+
+
+PagedKVManager.export_row = _manager_export_row
+PagedKVManager.import_row = _manager_import_row

@@ -132,3 +132,27 @@ def test_paged_block_decode_concurrent(model):
     ctx.reset()
     assert r2.result(1)["tokens"] == ctx.greedy_generate(
         p2, 9, stop_eog=False)[len(p2):]
+
+
+def test_paged_context_shift(model):
+    """Context shift on the paged cache: export → evict+re-rope+compact →
+    re-page; generation continues past n_ctx and matches the dense
+    ctx-shift engine token-for-token."""
+    from superllama_tpu.runtime.context import Context
+
+    rng = np.random.default_rng(13)
+    V = model.hparams.n_vocab
+    prompt = [int(t) for t in rng.integers(1, V, 20)]
+
+    dense = Engine(model, n_slots=1, n_ctx=48, kv_dtype=np.float32,
+                   prefill_buckets=(16,), ctx_shift=True, block_size=1)
+    r0 = dense.generate(prompt, max_tokens=48, stop_eog=False)
+    assert r0["n_generated"] == 48                 # generated past n_ctx
+    assert dense.metrics["n_ctx_shifts"] > 0
+
+    paged = Engine(model, n_slots=1, n_ctx=48, kv_dtype=np.float32,
+                   prefill_buckets=(16,), ctx_shift=True, paged=True,
+                   page_size=16, n_pages=8, block_size=1)
+    r1 = paged.generate(prompt, max_tokens=48, stop_eog=False)
+    assert paged.metrics["n_ctx_shifts"] > 0
+    assert r1["tokens"] == r0["tokens"]
