@@ -174,7 +174,9 @@ def cmd_serve(args):
                     metrics_path=args.metrics_file,
                     draft_model=draft, n_draft=args.draft_n,
                     embed_model=embed, paged=args.paged_kv,
-                    page_size=args.kv_page_size, n_pages=args.kv_pages)
+                    page_size=args.kv_page_size, n_pages=args.kv_pages,
+                    mmproj_path=(None if getattr(args, "no_mmproj", False)
+                                 else getattr(args, "mmproj", None)))
     # register CLI-applied adapters so /lora-adapters can list + rescale
     for spec in getattr(args, "lora", None) or []:
         from .models.lora import load_lora
