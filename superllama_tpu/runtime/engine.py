@@ -459,10 +459,37 @@ class Engine:
         request that outgrows a window bucket pays a full XLA compile inside
         its token stream (20-40 s through the axon AOT tunnel, dwarfing the
         decode itself)."""
-        if self.cache is None:      # paged mode compiles per page topology
-            return
         absify = lambda t: jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        if self.cache is None:
+            # paged mode: the page topology is fixed at init, so the decode
+            # and block jits AOT-lower the same way (first-request compiles
+            # cost 20-40 s each through a remote-compile tunnel)
+            params_a = absify(self.model.params)
+            cache_a = absify(self.pkv.cache)
+            B = self.n_slots
+            tok = jax.ShapeDtypeStruct((B, 1), jnp.int32)
+            pos = jax.ShapeDtypeStruct((B, 1), jnp.int32)
+            self._decode.lower(params_a, tok, pos, cache_a).compile()
+            for P in {min(b, self.page_size) for b in self.buckets}:
+                tp = jax.ShapeDtypeStruct((B, P), jnp.int32)
+                self._decode.lower(params_a, tp, tp, cache_a).compile()
+            if self.block_size > 1:
+                dsamp = self._dsamp
+                sp = {k: jax.ShapeDtypeStruct(np.asarray(v).shape,
+                                              np.asarray(v).dtype)
+                      for k, v in dsamp.chain_params(
+                          [None] * B, self.hp.n_vocab).items()}
+                ring = jax.ShapeDtypeStruct((B, dsamp.RING), jnp.int32)
+                keys = jax.ShapeDtypeStruct((B, 2), jnp.uint32)
+                counts = jax.ShapeDtypeStruct((B,), jnp.int32)
+                for greedy in (True, False):
+                    self._block.lower(params_a, tok, pos, cache_a, ring,
+                                      keys, counts, sp,
+                                      n_steps=self.block_size,
+                                      s_window=None,
+                                      greedy_only=greedy).compile()
+            return
         params_a = absify(self.model.params)
         cache_a = absify(self.cache)
         B = self.n_slots
