@@ -25,6 +25,15 @@
 //              slt_state_save_file/load_file, slt_kv_clear
 //              (llama_state_seq_* tier over engine slots)
 // Embeddings:  slt_embedder_new, slt_embed (pooled, encoder archs)
+//
+// THREADING: every entry point takes the embedded interpreter's GIL, so
+// concurrent host threads SERIALIZE through this ABI (the device work a
+// call dispatches still overlaps asynchronously, but the Python-side
+// prologue/epilogue of one call blocks the others). A multi-threaded host
+// should multiplex requests onto one engine (the Engine batches slots
+// internally and is thread-safe) rather than calling slt_decode from many
+// threads expecting parallel speedup. Measured in
+// tests/test_capi.py::test_threaded_decode_throughput.
 
 #include <Python.h>
 
