@@ -934,10 +934,24 @@ class Engine:
         self.metrics["n_prompt_tokens"] += n
 
     def _start_request_paged(self, slot: _Slot, req: GenRequest):
-        """Paged-mode admission: reclaim the slot's old pages, queue the whole
+        """Paged-mode admission: reuse a cached common prefix (trim the page
+        chain to it) or reclaim the slot's pages, then queue the rest of the
         prompt for chunked in-place prefill (chunks capped at page size)."""
         ids = list(req.prompt_ids)
-        self.pkv.free_seq(slot.idx)
+        n_cached = 0
+        if slot.cache_tokens and req.prompt_embeds is None:
+            for a, b in zip(slot.cache_tokens, ids):
+                if a != b:
+                    break
+                n_cached += 1
+            n_cached = min(n_cached, len(ids) - 1)
+            if n_cached < 16:
+                n_cached = 0
+        if n_cached and self.pkv.trim_to_position(slot.idx, n_cached):
+            self.metrics["n_prompt_cached"] += n_cached
+        else:
+            n_cached = 0
+            self.pkv.free_seq(slot.idx)
         slot.req = req
         slot.state = SlotState.PREFILL
         slot.n_prompt = len(ids)
@@ -945,10 +959,10 @@ class Engine:
         slot.text = ""
         slot.t_start = time.perf_counter()
         slot.in_place = True
-        slot.pending = ids
-        slot.prefill_off = 0
+        slot.pending = ids[n_cached:]
+        slot.prefill_off = n_cached
         slot.scratch = None
-        slot.prefill_P = min(self._bucket(len(ids)), self.page_size)
+        slot.prefill_P = min(self._bucket(len(slot.pending)), self.page_size)
         slot.cache_tokens = list(ids)
         self._setup_sampler(slot, req, ids)
         self.metrics["n_prompt_tokens"] += len(ids)

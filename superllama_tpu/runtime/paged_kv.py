@@ -408,3 +408,53 @@ def _manager_import_row(self, seq: int, k, v, pos) -> None:
 
 PagedKVManager.export_row = _manager_export_row
 PagedKVManager.import_row = _manager_import_row
+
+
+def _manager_trim_to_position(self, seq: int, keep_pos: int) -> bool:
+    """Prompt-cache reuse on pages: invalidate every cell with position ≥
+    keep_pos, park the cursor right after the last kept cell, free pages
+    past it. Returns False when the sequence has no cells to keep."""
+    import jax.numpy as jnp
+
+    self.ensure_resident(seq)
+    last = None                     # (logical page, cell index)
+    n_log = int(self._cur_page[seq]) + 1
+    rows = {}
+    for g in range(n_log):
+        slot = int(self._table_np[seq, g])
+        if slot < 0:
+            continue
+        row = np.asarray(self.cache.page_pos[slot])
+        rows[g] = (slot, row)
+        kept = np.nonzero((row >= 0) & (row < keep_pos))[0]
+        if kept.size:
+            last = (g, int(kept[-1]))
+    if last is None:
+        return False
+    gk, ck = last
+    for g, (slot, row) in rows.items():
+        if g > gk:
+            self._table_np[seq, g] = -1
+            self.cache = self.cache._replace(
+                page_pos=self.cache.page_pos.at[slot].set(-1))
+            m = self.meta[slot]
+            m.seq = m.logical = -1
+            self.free.append(slot)
+            continue
+        cut = ck + 1 if g == gk else self.page_size
+        mask = (np.arange(self.page_size) < cut) & (row < keep_pos)
+        new_row = np.where(mask, row, -1).astype(np.int32)
+        if not np.array_equal(new_row, row):
+            self.cache = self.cache._replace(
+                page_pos=self.cache.page_pos.at[slot].set(
+                    jnp.asarray(new_row)))
+    # spilled copies past the cut are stale now
+    for key in [k for k in self.host if k[0] == seq and k[1] > gk]:
+        del self.host[key]
+    self._cur_page[seq] = gk
+    self._cur_off[seq] = ck + 1
+    self._sync_table()
+    return True
+
+
+PagedKVManager.trim_to_position = _manager_trim_to_position

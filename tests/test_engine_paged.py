@@ -156,3 +156,26 @@ def test_paged_context_shift(model):
     r1 = paged.generate(prompt, max_tokens=48, stop_eog=False)
     assert paged.metrics["n_ctx_shifts"] > 0
     assert r1["tokens"] == r0["tokens"]
+
+
+def test_paged_prompt_prefix_reuse(model):
+    """Prompt-cache prefix reuse over pages: a second request sharing a
+    long prefix trims the page chain instead of reprefilling, with exact
+    output (server-context prompt caching, paged)."""
+    rng = np.random.default_rng(14)
+    V = model.hparams.n_vocab
+    base = [int(t) for t in rng.integers(1, V, 24)]
+    p1 = base + [3]
+    p2 = base + [5]
+
+    eng = Engine(model, n_slots=1, n_ctx=128, kv_dtype=np.float32,
+                 prefill_buckets=(16, 64), paged=True, page_size=16)
+    eng.generate(p1, max_tokens=4, stop_eog=False)
+    assert eng.metrics["n_prompt_cached"] == 0
+    r2 = eng.generate(p2, max_tokens=6, stop_eog=False)
+    assert eng.metrics["n_prompt_cached"] >= 16
+
+    fresh = Engine(model, n_slots=1, n_ctx=128, kv_dtype=np.float32,
+                   prefill_buckets=(16, 64), paged=True, page_size=16)
+    ref = fresh.generate(p2, max_tokens=6, stop_eog=False)
+    assert r2["tokens"] == ref["tokens"]
