@@ -32,6 +32,28 @@ def convert_mmproj(out_path: str, config: Any, state_dict: dict) -> None:
     model_type = getattr(config, "model_type", "qwen2_vl")
     if model_type == "gemma3":
         return _convert_mmproj_gemma3(out_path, config, state_dict)
+    if model_type in ("internvl", "internvl_chat"):
+        from ..models.vision_extra import convert_internvl_mmproj
+
+        vis_sd = {k.split("vision_tower.", 1)[1]: v
+                  for k, v in state_dict.items() if "vision_tower." in k}
+        proj_sd = {k.split("multi_modal_projector.", 1)[1]: v
+                   for k, v in state_dict.items()
+                   if "multi_modal_projector." in k}
+        ratio = float(getattr(config, "downsample_ratio", 0.5))
+        return convert_internvl_mmproj(out_path, vc, vis_sd,
+                                       proj_sd or None,
+                                       n_merge=round(1.0 / ratio))
+    if model_type in ("pixtral", "mistral3", "llava") and \
+            getattr(vc, "model_type", "") == "pixtral":
+        from ..models.vision_extra import convert_pixtral_mmproj
+
+        vis_sd = {k.split("vision_tower.", 1)[1]: v
+                  for k, v in state_dict.items() if "vision_tower." in k}
+        proj_sd = {k.split("multi_modal_projector.", 1)[1]: v
+                   for k, v in state_dict.items()
+                   if "multi_modal_projector." in k}
+        return convert_pixtral_mmproj(out_path, vc, vis_sd, proj_sd or None)
     proj = _PROJ_TYPES.get(model_type)
     if proj is None:
         raise ValueError(f"unsupported mmproj model_type {model_type!r}")
