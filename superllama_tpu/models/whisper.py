@@ -196,6 +196,21 @@ def audio_project(proj: dict, x: jax.Array) -> jax.Array:
     if kind == "voxtral":
         h = ops.gelu_erf(x @ proj["mm_1"])
         return h @ proj["mm_2"]
+    if kind == "music_flamingo":
+        h = ops.gelu_erf(x @ proj["mm_1"] + proj["mm_1_b"])
+        return h @ proj["mm_2"] + proj["mm_2_b"]
+    if kind == "glma":
+        # GLM-4 audio (whisper-enc.cpp GLMA branch): LN·w+b → frame stack →
+        # GELU MLP → learned [BOI]/[EOI] wrapping
+        h = ops.layer_norm(x, proj["norm_pre"], proj["norm_pre_b"], 1e-5)
+        h = stack_audio_frames(h, int(proj["stack_factor"]))
+        h = ops.gelu_erf(h @ proj["mm_1"] + proj["mm_1_b"])
+        h = h @ proj["mm_2"] + proj["mm_2_b"]
+        B = h.shape[0]
+        E = h.shape[-1]
+        boi = jnp.broadcast_to(proj["boi"][None, None], (B, 1, E))
+        eoi = jnp.broadcast_to(proj["eoi"][None, None], (B, 1, E))
+        return jnp.concatenate([boi, h, eoi], axis=1)
     raise NotImplementedError(f"audio projector {kind!r}")
 
 

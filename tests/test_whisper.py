@@ -138,3 +138,42 @@ def test_audio_mmproj_roundtrip_and_prefill(tmp_path):
     logits, cache, n_past = am.prefill([1, 5, 9], audio, n_ctx=256)
     assert logits.shape[1] == n_past and n_past > 3
     assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_audio_projector_glma_and_music_flamingo():
+    """GLMA (LN → stack → GELU MLP → BOI/EOI) and music_flamingo (biased
+    GELU MLP) projector branches (whisper-enc.cpp:88-105)."""
+    import jax.numpy as jnp
+
+    from superllama_tpu.models.whisper import audio_project
+
+    rng = np.random.default_rng(3)
+    D, E = 16, 12
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, D)), jnp.float32)
+
+    mf = {"type": "music_flamingo",
+          "mm_1": jnp.asarray(rng.normal(0, .3, (D, E)), jnp.float32),
+          "mm_1_b": jnp.asarray(rng.normal(0, .1, E), jnp.float32),
+          "mm_2": jnp.asarray(rng.normal(0, .3, (E, E)), jnp.float32),
+          "mm_2_b": jnp.asarray(rng.normal(0, .1, E), jnp.float32)}
+    out = np.asarray(audio_project(mf, x))
+    assert out.shape == (1, 8, E)
+    # replay
+    import math
+    ge = lambda v: 0.5 * v * (1 + np.vectorize(math.erf)(v / np.sqrt(2)))
+    h = ge(np.asarray(x)[0] @ np.asarray(mf["mm_1"]) + np.asarray(mf["mm_1_b"]))
+    ref = h @ np.asarray(mf["mm_2"]) + np.asarray(mf["mm_2_b"])
+    np.testing.assert_allclose(out[0], ref, rtol=2e-4, atol=2e-5)
+
+    gl = {"type": "glma", "stack_factor": 2,
+          "norm_pre": jnp.ones(D), "norm_pre_b": jnp.zeros(D),
+          "mm_1": jnp.asarray(rng.normal(0, .3, (2 * D, E)), jnp.float32),
+          "mm_1_b": jnp.zeros(E),
+          "mm_2": jnp.asarray(rng.normal(0, .3, (E, E)), jnp.float32),
+          "mm_2_b": jnp.zeros(E),
+          "boi": jnp.asarray(rng.normal(0, 1, E), jnp.float32),
+          "eoi": jnp.asarray(rng.normal(0, 1, E), jnp.float32)}
+    out = np.asarray(audio_project(gl, x))
+    assert out.shape == (1, 1 + 4 + 1, E)        # stacked halves + BOI/EOI
+    np.testing.assert_allclose(out[0, 0], np.asarray(gl["boi"]), rtol=1e-6)
+    np.testing.assert_allclose(out[0, -1], np.asarray(gl["eoi"]), rtol=1e-6)
