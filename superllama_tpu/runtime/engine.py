@@ -1484,8 +1484,15 @@ class Engine:
             base_keys[s.idx] = (s.seed >> 32 & 0xFFFFFFFF, s.seed & 0xFFFFFFFF)
             counts[s.idx] = s.n_sampled
             cfgs[s.idx] = s.req.sampling or {"greedy": True}
-        sp = {k: jnp.asarray(v)
-              for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
+        # the device-side chain params only change when the request set
+        # changes — skip the rebuild + H2D transfers on relaunches
+        sp_key = tuple((s.idx, s.req.request_id) for s in active)
+        if getattr(self, "_sp_key", None) == sp_key:
+            sp = self._sp_dev
+        else:
+            sp = {k: jnp.asarray(v)
+                  for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
+            self._sp_key, self._sp_dev = sp_key, sp
         keys = jnp.asarray(base_keys)
         win = self._s_bucket(max(s.n_past for s in active) + 2 * nb + 1)
         greedy = all(c is None or self._greedy_cfg(c) for c in cfgs)
