@@ -1332,8 +1332,13 @@ class Engine:
             base_keys[s.idx] = (s.seed >> 32 & 0xFFFFFFFF, s.seed & 0xFFFFFFFF)
             counts[s.idx] = s.n_sampled
             cfgs[s.idx] = s.req.sampling or {"greedy": True}
-        sp = {k: jnp.asarray(v)
-              for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
+        sp_key = tuple((s.idx, s.req.request_id) for s in picked)
+        if getattr(self, "_sp_key", None) == sp_key:
+            sp = self._sp_dev
+        else:
+            sp = {k: jnp.asarray(v)
+                  for k, v in dsamp.chain_params(cfgs, self.hp.n_vocab).items()}
+            self._sp_key, self._sp_dev = sp_key, sp
         greedy = all(c is None or self._greedy_cfg(c) for c in cfgs)
         saved = {s.idx: mgr.save_cursor(s.idx) for s in picked}
         try:
