@@ -622,6 +622,7 @@ class Engine:
                 slot.req = None
                 slot.pending = []
                 slot.scratch = None
+                slot.pending_embeds = None
                 slot.cache_tokens = []       # row contents are undefined now
         return launched
 
