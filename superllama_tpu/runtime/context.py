@@ -66,31 +66,10 @@ class Context:
             raise ValueError(
                 "q8_0 KV cache is supported for standard attention caches "
                 "only (not iswa/recurrent/hybrid)")
-        if hp.is_hybrid:  # jamba-family: KV for attn layers + SSM state
-            from ..models.jamba import hybrid_cache_init
+        from .cache_policy import make_cache
 
-            return hybrid_cache_init(hp, self.n_batch, self.n_ctx,
-                                     dtype=self.kv_dtype)
-        if hp.recurrent_kind == "rwkv":  # token-shift + wkv matrix state
-            from .recurrent import rwkv_cache_init
-
-            return rwkv_cache_init(hp.n_layer, self.n_batch, hp.n_embd,
-                                   hp.n_embd // hp.wkv_head_size,
-                                   hp.wkv_head_size, dtype=jnp.float32)
-        if hp.is_recurrent:  # mamba-family: conv+ssm state, no KV slots
-            from .recurrent import recurrent_cache_init
-
-            return recurrent_cache_init(hp.n_layer, self.n_batch, hp.ssm_d_conv,
-                                        hp.ssm_d_inner, hp.ssm_d_state,
-                                        dtype=self.kv_dtype,
-                                        conv_dim=hp.ssm_conv_dim)
-        if self.iswa:
-            return iswa_cache_init(hp, self.n_batch, self.n_ctx,
-                                   dtype=self.kv_dtype)
-        return kv_cache_init(
-            hp.n_layer, self.n_batch, self.n_ctx, hp.n_head_kv,
-            hp.head_dim, hp.head_dim_v, dtype=self.kv_dtype,
-        )
+        return make_cache(hp, self.n_batch, self.n_ctx, self.kv_dtype,
+                          iswa=self.iswa)
 
     def reset(self):
         self.cache = self.new_cache()
