@@ -16,13 +16,7 @@ import numpy as np
 
 from ..models.loader import LoadedModel
 from ..models.registry import get_forward
-from .kv_cache import (
-    ISWACache,
-    KVCache,
-    iswa_cache_init,
-    iswa_layer_split,
-    kv_cache_init,
-)
+from .kv_cache import ISWACache, KVCache, iswa_layer_split
 
 
 class Context:
