@@ -36,6 +36,22 @@ from .enterprise import (
 from .metrics import JsonlMetricsLogger, MetricsRegistry
 
 
+def _decode_wav(raw: bytes):
+    """16-bit PCM WAV bytes → mono float32 samples at the file's rate
+    (mtmd-audio.cpp accepts wav input the same way)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw)) as w:
+        n = w.getnframes()
+        data = np.frombuffer(w.readframes(n), np.int16).astype(np.float32)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+    return data / 32768.0
+
+
 class ServerApp:
     """Wires model + engine + enterprise middleware; transport-agnostic."""
 
@@ -64,9 +80,19 @@ class ServerApp:
         # on the chat endpoints run through the mmproj tower and reach the
         # engine as embedding-prefix requests
         self.mtmd = None
+        self.mtmd_audio = None
         if mmproj_path:
-            from ..tools.mtmd import Multimodal
-            self.mtmd = Multimodal(model, mmproj_path)
+            from ..gguf import GGUFReader
+
+            r = GGUFReader(mmproj_path)
+            has_audio = bool(r.metadata.get("clip.has_audio_encoder", False))
+            r.close()
+            if has_audio:
+                from ..tools.mtmd import AudioMultimodal
+                self.mtmd_audio = AudioMultimodal(model, mmproj_path)
+            else:
+                from ..tools.mtmd import Multimodal
+                self.mtmd = Multimodal(model, mmproj_path)
         self.chat_template = template_for_model(model)
         self.metrics = MetricsRegistry()
         self.metrics.histogram_declare("request_duration_seconds",
@@ -216,7 +242,8 @@ class ServerApp:
 
         from ..tools.mtmd import MEDIA_MARKER, decode_image
 
-        size = self.mtmd.clip["hp"]["image_size"]
+        size = (self.mtmd.clip["hp"]["image_size"]
+                if self.mtmd is not None else 0)
         out, images = [], []
         for m in messages:
             c = m.get("content")
@@ -229,6 +256,9 @@ class ServerApp:
                 if t in ("text", "input_text"):
                     parts.append(p.get("text", ""))
                 elif t in ("image_url", "input_image", "image"):
+                    if self.mtmd is None:
+                        raise ValueError("this server's mmproj has no "
+                                         "vision tower")
                     url = (p.get("image_url") or {})
                     url = url.get("url") if isinstance(url, dict) else url
                     url = url or p.get("url") or ""
@@ -237,6 +267,14 @@ class ServerApp:
                             "image_url must be a data: URL (no egress)")
                     raw = base64.b64decode(url.split(",", 1)[1])
                     images.append(decode_image(raw, size))
+                    parts.append(MEDIA_MARKER)
+                elif t == "input_audio":
+                    if self.mtmd_audio is None:
+                        raise ValueError("this server's mmproj has no "
+                                         "audio encoder")
+                    ia = p.get("input_audio") or {}
+                    raw = base64.b64decode(ia.get("data", ""))
+                    images.append(("audio", _decode_wav(raw)))
                     parts.append(MEDIA_MARKER)
                 else:
                     raise ValueError(f"unsupported content part type {t!r}")
@@ -249,10 +287,10 @@ class ServerApp:
         messages = body["messages"]
         images: list = []
         if any(isinstance(m.get("content"), list) for m in messages):
-            if self.mtmd is None:
+            if self.mtmd is None and self.mtmd_audio is None:
                 raise ValueError(
                     "multimodal content needs the server started with "
-                    "--mmproj (tools/mtmd vision tower)")
+                    "--mmproj (tools/mtmd vision/audio tower)")
             messages, images = self._extract_media(messages)
         plan = plan_tools(body, self.chat_template.source)
         prompt = self.chat_template.apply(
@@ -264,7 +302,8 @@ class ServerApp:
             from ..tools.mtmd import build_embed_prompt
 
             ids, embeds = build_embed_prompt(
-                self.mtmd, self.model.tokenizer, prompt, images)
+                self.mtmd, self.model.tokenizer, prompt, images,
+                audio=self.mtmd_audio)
             inner["__mm"] = (ids, embeds)
         inner.setdefault("max_tokens", body.get("max_tokens") or 512)
         if plan is not None and plan.grammar:

@@ -179,21 +179,25 @@ def decode_image(data: bytes, image_size: int,
     return np.ascontiguousarray(x.transpose(2, 0, 1))
 
 
-def build_embed_prompt(mtmd: "Multimodal", tokenizer, text: str,
-                       images: list[np.ndarray],
-                       marker: str = MEDIA_MARKER
+def build_embed_prompt(mtmd: "Multimodal | None", tokenizer, text: str,
+                       media: list,
+                       marker: str = MEDIA_MARKER,
+                       audio: "AudioMultimodal | None" = None
                        ) -> tuple[list[int], np.ndarray]:
-    """Rendered chat text with media markers + decoded pixel arrays →
+    """Rendered chat text with media markers + decoded media →
     (prompt_ids, prompt_embeds): text spans tokenize normally and look up
-    token embeddings; each marker becomes that image's projected embedding
-    chunk (ids there are placeholder 0s). The pair feeds GenRequest
-    directly (mtmd.cpp input_chunks → llama_batch embd counterpart)."""
+    token embeddings; each marker becomes that medium's projected embedding
+    chunk (ids there are placeholder 0s). ``media`` entries are pixel
+    arrays, or ("audio", samples) tuples routed through ``audio``. The
+    pair feeds GenRequest directly (mtmd.cpp input_chunks → llama_batch
+    embd counterpart)."""
     segs = text.split(marker)
-    if len(segs) - 1 != len(images):
+    if len(segs) - 1 != len(media):
         raise ValueError(
-            f"prompt has {len(segs) - 1} media markers but {len(images)} "
-            f"images were supplied")
-    tok_embd = np.asarray(mtmd.model.params["token_embd"], np.float32)
+            f"prompt has {len(segs) - 1} media markers but {len(media)} "
+            f"media items were supplied")
+    base = mtmd if mtmd is not None else audio
+    tok_embd = np.asarray(base.model.params["token_embd"], np.float32)
     ids: list[int] = []
     chunks: list[np.ndarray] = []
     for i, seg in enumerate(segs):
@@ -207,9 +211,13 @@ def build_embed_prompt(mtmd: "Multimodal", tokenizer, text: str,
             if b:
                 ids.extend(int(t) for t in b)
                 chunks.append(tok_embd[np.asarray(b, np.int32)])
-        if i < len(images):
-            img = np.asarray(mtmd.image_embeds(images[i][None]))[0]
-            ids.extend([0] * img.shape[0])
-            chunks.append(np.asarray(img, np.float32))
+        if i < len(media):
+            item = media[i]
+            if isinstance(item, tuple) and item and item[0] == "audio":
+                emb = np.asarray(audio.audio_embeds(item[1]))[0]
+            else:
+                emb = np.asarray(mtmd.image_embeds(item[None]))[0]
+            ids.extend([0] * emb.shape[0])
+            chunks.append(np.asarray(emb, np.float32))
     embeds = np.concatenate(chunks, axis=0)
     return ids, embeds

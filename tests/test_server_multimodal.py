@@ -171,3 +171,79 @@ def test_remote_url_rejected(mm_server):
                 {"type": "image_url",
                  "image_url": {"url": "http://example.com/x.png"}}]}],
             "max_tokens": 4})
+
+
+def test_chat_audio_input(tmp_path):
+    """input_audio content parts (OpenAI audio format): base64 WAV through
+    the whisper/ultravox tower into an embedding-prefix request."""
+    import wave
+
+    from transformers import (LlamaConfig, LlamaForCausalLM, WhisperConfig,
+                              WhisperModel)
+
+    from superllama_tpu.models.whisper import write_audio_mmproj
+
+    wcfg = WhisperConfig(
+        vocab_size=64, d_model=32, encoder_layers=1,
+        encoder_attention_heads=2, decoder_layers=1,
+        decoder_attention_heads=2, encoder_ffn_dim=64, decoder_ffn_dim=64,
+        num_mel_bins=80, max_source_positions=120, max_target_positions=32,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1)
+    torch.manual_seed(0)
+    wsd = {k: v.detach().numpy()
+           for k, v in WhisperModel(wcfg).eval().state_dict().items()}
+    rng = np.random.default_rng(6)
+    E_txt = 48
+    proj = {
+        "norm_pre": rng.normal(1, 0.05, (32 * 8,)).astype(np.float32),
+        "norm_mid": rng.normal(1, 0.05, (32,)).astype(np.float32),
+        "mm_1": rng.normal(0, 0.05, (64, 32 * 8)).astype(np.float32),
+        "mm_2": rng.normal(0, 0.05, (E_txt, 32)).astype(np.float32),
+    }
+    mmp = tmp_path / "audio_mmproj.gguf"
+    write_audio_mmproj(str(mmp), wsd, n_head=2, projector=proj)
+
+    lcfg = LlamaConfig(vocab_size=32000, hidden_size=E_txt,
+                       intermediate_size=64, num_hidden_layers=1,
+                       num_attention_heads=4, num_key_value_heads=2,
+                       max_position_embeddings=512,
+                       architectures=["LlamaForCausalLM"],
+                       tie_word_embeddings=False)
+    lsd = {k: v.detach().numpy()
+           for k, v in LlamaForCausalLM(lcfg).eval().state_dict().items()}
+    r = GGUFReader("/root/reference/models/ggml-vocab-llama-spm.gguf")
+    tokf = {k: v for k, v in r.metadata.items()
+            if k.startswith("tokenizer.")}
+    r.close()
+    mpath = tmp_path / "llm.gguf"
+    convert_state_dict(str(mpath), lcfg, lsd, GGMLType.F32,
+                       tokenizer_fields=tokf)
+    model = load_model(str(mpath))
+
+    app = ServerApp(model, n_slots=2, n_ctx=256, kv_dtype=np.float32,
+                    mmproj_path=str(mmp))
+    assert app.mtmd_audio is not None and app.mtmd is None
+    srv = Server(app, port=0)
+    srv.start()
+    try:
+        # 0.5 s 16 kHz sine as 16-bit PCM wav
+        samples = (0.2 * np.sin(np.arange(8000) * 0.05) * 32767).astype(
+            np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(samples.tobytes())
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        out = _post(srv.port, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "Transcribe:"},
+                {"type": "input_audio",
+                 "input_audio": {"data": b64, "format": "wav"}}]}],
+            "max_tokens": 5, "temperature": 0})
+        assert out["usage"]["completion_tokens"] == 5
+        assert out["usage"]["prompt_tokens"] > 10   # audio chunk included
+    finally:
+        srv.stop()
