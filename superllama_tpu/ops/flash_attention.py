@@ -313,6 +313,16 @@ def _nib_planes_swar(c8):
     return lo, hi
 
 
+def _gsel(gn: int, d: int):
+    """(gn, d) 0/1 selector: row g lights the lanes whose packed [lo‖hi]
+    column belongs to 32-group g (col c ↦ group (c mod d/2)//16). A dot
+    with this expands per-group scales to lanes on the MXU — Mosaic has no
+    cheap lane-repeat, and 16-wide lane slices each cost a relayout."""
+    colg = (jax.lax.broadcasted_iota(jnp.int32, (gn, d), 1) % (d // 2)) // 16
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (gn, d), 0)
+    return (colg == rowg).astype(jnp.float32)
+
+
 def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
                ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
                scale: float, n_s: int, swa: int, softcap: float,
@@ -369,26 +379,26 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
             ksr = ks_ref[0, 0, 0, 0][None, :]              # (1, BS)
             logits = (ii.astype(jnp.float32)
                       * (qs_ref[0, 0] * scale) * ksr)      # (TG,1)·(1,BS)
-        else:  # q4: nibble codes, per-32-group scales → per-group dot sums
+        else:  # q4: nibble codes → bf16 dequant in VMEM, ONE full-D dot.
+            # Per-group lane-slice dots (K=32) were VPU-bound at ~125 GB/s
+            # (lane relayouts per 16-col slice). Instead: expand the
+            # (D//32, BS) group scales to (BS, D) lanes with a tiny 0/1
+            # selector matmul (an MXU op, no lane shuffles), dequantize the
+            # packed planes in two elementwise ops, and dot at full D.
+            # q arrives pre-permuted host-side to the [lo‖hi] column order
+            # (see flash_decode_attention), so no nibble interleave occurs.
             lo8, hi8 = _nib_planes_swar(k_ref[0, 0])       # (BS, D//2) raw
-            ks = ks_ref[0, 0]                              # (D//32, BS) lane-major
-            # −8 offset folded per group: Σq·(c−8) = Σq·c − 8·Σq
-            qsum = jnp.sum(q2.astype(jnp.int32).reshape(tg, d // 32, 32),
-                           axis=-1)                        # (TG, D//32)
-            acc32 = jnp.zeros((tg, bs), jnp.float32)
-            for grp in range(d // 32):
-                kg = jnp.concatenate([lo8[:, 16 * grp:16 * grp + 16],
-                                      hi8[:, 16 * grp:16 * grp + 16]],
-                                     axis=-1)              # (BS, 32)
-                # q columns arrive pre-permuted (evens‖odds per group) to
-                # match the nibble unpack order — see flash_decode_attention
-                lg = jax.lax.dot_general(
-                    q2[:, 32 * grp:32 * grp + 32], kg,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                lgf = (lg - 8 * qsum[:, grp][:, None]).astype(jnp.float32)
-                acc32 = acc32 + lgf * ks[grp][None, :]
-            logits = acc32 * (qs_ref[0, 0] * scale)
+            ks = ks_ref[0, 0]                              # (D//32, BS)
+            cat = jnp.concatenate([lo8, hi8], axis=-1)     # (BS, D) permuted
+            ks_exp = jax.lax.dot_general(
+                ks, _gsel(d // 32, d), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (BS, D)
+            kdeq = ((cat.astype(jnp.bfloat16) - jnp.bfloat16(8.0))
+                    * ks_exp.astype(jnp.bfloat16))
+            logits = jax.lax.dot_general(
+                q2.astype(jnp.bfloat16), kdeq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
 
         if softcap > 0.0:
             logits = softcap * jnp.tanh(logits / softcap)
@@ -428,23 +438,19 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
             v = v_ref[0, 0]                  # (BS, Dv) int8
             vs = vs_ref[0, 0, 0, 0][None, :]                # (1, BS)
             upd = _p_int8_dot(p * vs, v)
-        else:  # q4 V: per-group scales; output columns land nibble-permuted
+        else:  # q4 V: bf16 dequant in VMEM (same scheme as K); output
+            # columns land in the permuted [lo‖hi] order, un-permuted
+            # host-side after the pallas_call
             lov, hiv = _nib_planes_swar(v_ref[0, 0])        # (BS, Dv//2) raw
             vs = vs_ref[0, 0]                               # (Dv//32, BS)
-            parts = []
-            for grp in range(dv // 32):
-                vg = jnp.concatenate([lov[:, 16 * grp:16 * grp + 16],
-                                      hiv[:, 16 * grp:16 * grp + 16]],
-                                     axis=-1)               # (BS, 32) raw
-                pv = p * vs[grp][None, :]
-                pmax = jnp.max(jnp.abs(pv), axis=-1, keepdims=True)
-                ps = pmax / 127.0
-                inv = jnp.where(pmax > 0, 127.0 / pmax, 0.0)
-                p8 = jnp.round(pv * inv).astype(jnp.int8)
-                ii = jnp.dot(p8, vg, preferred_element_type=jnp.int32)
-                psum = jnp.sum(p8.astype(jnp.int32), axis=-1, keepdims=True)
-                parts.append((ii - 8 * psum).astype(jnp.float32) * ps)
-            upd = jnp.concatenate(parts, axis=-1)           # (TG, Dv) permuted
+            catv = jnp.concatenate([lov, hiv], axis=-1)     # (BS, Dv)
+            vs_exp = jax.lax.dot_general(
+                vs, _gsel(dv // 32, dv), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (BS, Dv)
+            vdeq = ((catv.astype(jnp.bfloat16) - jnp.bfloat16(8.0))
+                    * vs_exp.astype(jnp.bfloat16))
+            upd = jnp.dot(p.astype(jnp.bfloat16), vdeq,
+                          preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + upd
 
     @pl.when(s_idx == n_s - 1)
@@ -459,10 +465,11 @@ def _fd_kernel(qpos_ref, kpos_ref, sinks_ref, q_ref, qs_ref, k_ref, v_ref,
 
 
 def _q4_perm(x):
-    """Permute the last dim to the nibble unpack order: within every
-    32-group, evens first then odds."""
+    """Permute the last dim to the nibble unpack order [all evens ‖ all
+    odds] — the column order of concat(lo_plane, hi_plane) for the
+    interleaved packing (byte j = e_2j lo, e_2j+1 hi)."""
     *lead, D = x.shape
-    g = x.reshape(*lead, D // 32, 16, 2)       # [(e0,o0), (e1,o1), ...]
+    g = x.reshape(*lead, D // 2, 2)            # [(e0,o0), (e1,o1), ...]
     return jnp.swapaxes(g, -1, -2).reshape(*lead, D)
 
 
@@ -513,9 +520,12 @@ def flash_decode_attention(
     qg = q.reshape(B, T, Hkv, G, D)
     if mode == "f":
         q_in, qs = qg, jnp.zeros((B, Hkv, T * G, 1), jnp.float32)
+    elif mode == "q4":
+        # q stays float, columns permuted to the packed [lo‖hi] order; the
+        # kernel dequantizes K/V to bf16 in VMEM (no int8-activation dot)
+        q_in = _q4_perm(qg)
+        qs = jnp.zeros((B, Hkv, T * G, 1), jnp.float32)
     else:
-        if mode == "q4":
-            qg = _q4_perm(qg)
         qf = qg.astype(jnp.float32)
         amax = jnp.max(jnp.abs(qf), axis=-1)               # (B,T,Hkv,G)
         inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
@@ -624,7 +634,7 @@ def flash_decode_attention(
         interpret=interpret,
     )(*args)
     if mode == "q4":
-        # invert the nibble permutation (evens‖odds per 32-group → natural)
-        out = out.reshape(B, T, Hkv, G, Dv // 32, 2, 16)
+        # invert the nibble permutation ([evens ‖ odds] → natural)
+        out = out.reshape(B, T, Hkv, G, 2, Dv // 2)
         out = jnp.swapaxes(out, -1, -2).reshape(B, T, Hkv, G, Dv)
     return out.reshape(B, T, H, Dv)

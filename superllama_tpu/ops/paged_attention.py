@@ -7,8 +7,14 @@ input and the kernel DMAs exactly the pages each sequence owns):
 
  - KV lives in a global page pool ``(N_pages, H_kv, P, D)`` shared by all
    sequences; a per-sequence page table maps logical page s → pool slot.
- - The grid's kv dimension iterates logical pages; the BlockSpec index_map
-   reads the prefetched table so only owned pages are fetched from HBM.
+ - The pools stay in HBM (``pl.ANY``); the kernel issues its own whole-page
+   async copies (ALL heads of a page in one contiguous DMA) into a
+   double-buffered VMEM scratch, prefetching the next chunk — including
+   across batch/row-block grid boundaries — while the current one computes.
+   Earlier designs kept the head axis in the grid and fetched each page
+   H_kv times as small per-head copies; at decode shapes the compute is
+   negligible, so the run was bound by DMA-issue overhead (measured 199-281
+   GB/s). One 8×-bigger copy per page removes that wall.
  - Page slot 0 is the NULL page (all positions −1): absent table entries map
    to it and are masked arithmetically — no branches, no gathers.
  - Online softmax carries across pages exactly as across kv blocks; sinks and
@@ -68,56 +74,48 @@ def paged_flash_attention(
     else:
         sinks_exp = jnp.zeros((Hkv, bt * G, 1), jnp.float32)
 
-    # multi-page grid steps (VERDICT r4 #6): one grid step per page made
-    # each DMA ~P·D·4 bytes (~130 KB) — per-step fixed costs capped the
-    # kernel at ~280 GB/s vs 610-710 for the contiguous decode kernel's
-    # 2048-row chunks. Fetch NP logical pages per step through NP separate
-    # scalar-prefetched BlockSpecs (pages live anywhere in the pool) and
-    # run the same per-page online-softmax updates back to back.
-    NP = max(1, min(8, MAXP))
-    n_sp = pl.cdiv(MAXP, NP)
-    MAXP2 = n_sp * NP
+    # NP whole pages per chunk (each one contiguous (Hkv, P, D) copy);
+    # double-buffered VMEM budget: 2 slots × NP × Hkv·P·(D+Dv) elements
+    NP = max(1, min(4, MAXP))
+    n_ch = pl.cdiv(MAXP, NP)
+    MAXP2 = n_ch * NP
     # absent/overhang pages route to the NULL page (slot 0, positions -1)
     table = jnp.maximum(page_table, 0).astype(jnp.int32)
     if MAXP2 != MAXP:
         table = jnp.pad(table, ((0, 0), (0, MAXP2 - MAXP)))
+    # per-chunk page positions, gathered host-side (tiny: MAXP2·P int32) —
+    # pre-flattened to (NP·P,) lanes: the kernel treats a chunk's NP pages
+    # as one (NP·P, D) operand, and a (NP, P)→(NP·P,) reshape in-kernel
+    # would be a lane-expanding shape cast Mosaic rejects
+    pos_g = page_pos[table].reshape(B, n_ch, 1, NP * P)
 
     kern = functools.partial(
-        _paged_mp_kernel, scale=float(scale), n_sp=n_sp, NP=NP,
-        swa=int(swa_window), softcap=float(logit_softcap),
+        _paged_dma_kernel, scale=float(scale), NP=NP, n_ch=n_ch, n_t=n_t,
+        B=B, Hkv=Hkv, swa=int(swa_window), softcap=float(logit_softcap),
         has_sinks=has_sinks)
-
-    page_specs = []
-    for j in range(NP):
-        jj = j   # bind
-        page_specs.append(pl.BlockSpec(
-            (1, P, 1), lambda b, h, t, s, tbl, jj=jj: (tbl[b, s * NP + jj], 0, 0)))
-    for j in range(NP):
-        jj = j
-        page_specs.append(pl.BlockSpec(
-            (1, 1, P, D),
-            lambda b, h, t, s, tbl, jj=jj: (tbl[b, s * NP + jj], h, 0, 0)))
-    for j in range(NP):
-        jj = j
-        page_specs.append(pl.BlockSpec(
-            (1, 1, P, Dv),
-            lambda b, h, t, s, tbl, jj=jj: (tbl[b, s * NP + jj], h, 0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, n_t, n_sp),
+        grid=(B, n_t, n_ch),
         in_specs=[
-            pl.BlockSpec((1, bt * G, 1), lambda b, h, t, s, tbl: (b, t, 0)),
-            pl.BlockSpec((1, bt * G, 1), lambda b, h, t, s, tbl: (h, 0, 0)),
-            pl.BlockSpec((1, bt, 1, G, D),
-                         lambda b, h, t, s, tbl: (b, t, h, 0, 0)),
-        ] + page_specs,
-        out_specs=pl.BlockSpec((1, bt, 1, G, Dv),
-                               lambda b, h, t, s, tbl: (b, t, h, 0, 0)),
+            pl.BlockSpec((1, bt * G, 1), lambda b, t, c, tbl: (b, t, 0)),
+            pl.BlockSpec((Hkv, bt * G, 1), lambda b, t, c, tbl: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 1, NP * P), lambda b, t, c, tbl: (b, c, 0, 0)),
+            pl.BlockSpec((1, bt, Hkv, G, D),
+                         lambda b, t, c, tbl: (b, t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, bt, Hkv, G, Dv),
+                               lambda b, t, c, tbl: (b, t, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bt * G, 1), jnp.float32),
-            pltpu.VMEM((bt * G, 1), jnp.float32),
-            pltpu.VMEM((bt * G, Dv), jnp.float32),
+            pltpu.VMEM((Hkv, bt * G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, bt * G, 1), jnp.float32),
+            pltpu.VMEM((Hkv, bt * G, Dv), jnp.float32),
+            pltpu.VMEM((2, NP, Hkv, P, D), k_pages.dtype),
+            pltpu.VMEM((2, NP, Hkv, P, Dv), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, NP)),
+            pltpu.SemaphoreType.DMA((2, NP)),
         ],
     )
     out = pl.pallas_call(
@@ -125,8 +123,7 @@ def paged_flash_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, Hkv, G, Dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * MAXP * P * D,
@@ -134,79 +131,119 @@ def paged_flash_attention(
             transcendentals=B * H * T * MAXP * P,
         ),
         interpret=interpret,
-    )(table, qpos_exp, sinks_exp, qg,
-      *([page_pos[:, :, None]] * NP), *([k_pages] * NP), *([v_pages] * NP))
+    )(table, qpos_exp, sinks_exp, pos_g, qg, k_pages, v_pages)
     return out.reshape(B, T, H, Dv)
 
 
-def _paged_mp_kernel(tbl_ref, qpos_ref, sinks_ref, q_ref, *rest, scale: float,
-                     n_sp: int, NP: int, swa: int, softcap: float,
-                     has_sinks: bool):
-    """NP pages per grid step, each processed with the identical per-page
-    online-softmax update the single-page kernel ran (same numerics; the
-    page sub-loop only changes DMA granularity)."""
-    kpos = rest[:NP]
-    kref = rest[NP:2 * NP]
-    vref = rest[2 * NP:3 * NP]
-    o_ref, m_ref, l_ref, acc_ref = rest[3 * NP:]
-    s = pl.program_id(3)
+def _paged_dma_kernel(tbl_ref, qpos_ref, sinks_ref, pgpos_ref, q_ref,
+                      k_hbm, v_hbm, o_ref, m_ref, l_ref, acc_ref,
+                      kbuf, vbuf, ksem, vsem, *, scale: float, NP: int,
+                      n_ch: int, n_t: int, B: int, Hkv: int, swa: int,
+                      softcap: float, has_sinks: bool):
+    """NP whole pages per chunk with manual double-buffered DMA: at chunk
+    step g, start the fetches for global step g+1 (which may belong to the
+    next (b, t) block — the prefetch rides across grid boundaries), then
+    wait on g's semaphores and run the per-page, per-head online-softmax
+    updates."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    c = pl.program_id(2)
+    g = (b * n_t + t) * n_ch + c
+    total = B * n_t * n_ch
 
-    @pl.when(s == 0)
+    def start_fetch(gi, slot):
+        ci = gi % n_ch
+        b2 = (gi // n_ch) // n_t
+        for j in range(NP):
+            pg = tbl_ref[b2, ci * NP + j]
+            pltpu.make_async_copy(k_hbm.at[pg], kbuf.at[slot, j],
+                                  ksem.at[slot, j]).start()
+            pltpu.make_async_copy(v_hbm.at[pg], vbuf.at[slot, j],
+                                  vsem.at[slot, j]).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(jnp.int32(0), jnp.int32(0))
+
+    @pl.when(g + 1 < total)
+    def _():
+        start_fetch(g + 1, (g + 1) % 2)
+
+    @pl.when(c == 0)
     def _():
         if has_sinks:
-            m_ref[:] = sinks_ref[0].astype(jnp.float32)
+            m_ref[:] = sinks_ref[:].astype(jnp.float32)
             l_ref[:] = jnp.ones_like(l_ref)
         else:
             m_ref[:] = jnp.full_like(m_ref, -1e30)
             l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    slot = g % 2
+    # wait for this chunk's pages (descriptors re-built only for their
+    # shape — the wait is on the semaphore)
+    for j in range(NP):
+        pg = tbl_ref[b, c * NP + j]
+        pltpu.make_async_copy(k_hbm.at[pg], kbuf.at[slot, j],
+                              ksem.at[slot, j]).wait()
+        pltpu.make_async_copy(v_hbm.at[pg], vbuf.at[slot, j],
+                              vsem.at[slot, j]).wait()
+
     qpi = qpos_ref[0]                          # (btG, 1) int32
-    q = q_ref[0, :, 0]                         # (bt, G, D)
-    bt, G, D = q.shape
-    q2 = q.reshape(bt * G, D)
+    bt = q_ref.shape[1]
+    G = q_ref.shape[3]
+    D = q_ref.shape[4]
+    Dv = o_ref.shape[-1]
     _BIG = jnp.int32(1 << 30)
     qp_max = jnp.max(qpi)
     qp_min = jnp.min(jnp.where(qpi < 0, _BIG, qpi))
+    qpf = qpi.astype(jnp.float32)
 
-    for j in range(NP):
-        kpi = kpos[j][0, :, 0][None, :]        # (1, P)
-        kp_min = jnp.min(jnp.where(kpi < 0, _BIG, kpi))
-        vis = kp_min <= qp_max
+    # the chunk's NP pages form ONE (NP·P, D) operand per head — per-page
+    # per-head dots were 4·Hkv small MXU ops per step and their fixed costs
+    # bounded the kernel; NULL/absent pages mask arithmetically (pos −1)
+    kpi = pgpos_ref[0, 0]                      # (1, NP·P)
+    kp_min = jnp.min(jnp.where(kpi < 0, _BIG, kpi))
+    vis = kp_min <= qp_max
+    if swa > 0:
+        kp_max = jnp.max(jnp.where(kpi < 0, -_BIG, kpi))
+        vis = jnp.logical_and(vis, kp_max > qp_min - swa)
+
+    @pl.when(vis)
+    def _():
+        kpf = kpi.astype(jnp.float32)
+        pen = jnp.minimum(0.0, qpf - kpf) + jnp.minimum(0.0, kpf)
         if swa > 0:
-            kp_max = jnp.max(jnp.where(kpi < 0, -_BIG, kpi))
-            vis = jnp.logical_and(vis, kp_max > qp_min - swa)
-
-        @pl.when(vis)
-        def _(j=j, kpi=kpi):
-            k = kref[j][0, 0]                  # (P, D)
-            v = vref[j][0, 0]                  # (P, Dv)
-            cdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+            pen = pen + jnp.minimum(0.0, kpf - qpf + float(swa) - 1.0)
+        pen = pen * _NEG
+        for hh in range(Hkv):
+            q2 = q_ref[0, :, hh].reshape(bt * G, D)
+            k = kbuf[slot, :, hh].reshape(NP * kbuf.shape[3], D)
+            v = vbuf[slot, :, hh].reshape(NP * vbuf.shape[3], Dv)
+            cdt = (jnp.bfloat16 if q2.dtype == jnp.bfloat16
+                   else jnp.float32)
             logits = jax.lax.dot_general(
                 q2.astype(cdt), k.astype(cdt),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             if softcap > 0.0:
                 logits = softcap * jnp.tanh(logits / softcap)
-            qpf = qpi.astype(jnp.float32)
-            kpf = kpi.astype(jnp.float32)
-            pen = jnp.minimum(0.0, qpf - kpf) + jnp.minimum(0.0, kpf)
-            if swa > 0:
-                pen = pen + jnp.minimum(0.0, kpf - qpf + float(swa) - 1.0)
-            logits = logits + pen * _NEG
-            m_prev = m_ref[:]
-            m_new = jnp.maximum(m_prev,
-                                jnp.max(logits, axis=-1, keepdims=True))
+            logits = logits + pen
+            m_prev = m_ref[hh]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(logits, axis=-1, keepdims=True))
             p = jnp.exp(logits - m_new)
             alpha = jnp.exp(m_prev - m_new)
-            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            m_ref[:] = m_new
+            l_ref[hh] = l_ref[hh] * alpha + jnp.sum(p, axis=-1,
+                                                    keepdims=True)
+            m_ref[hh] = m_new
             upd = jnp.dot(p.astype(v.dtype), v,
                           preferred_element_type=jnp.float32)
-            acc_ref[:] = acc_ref[:] * alpha + upd
+            acc_ref[hh] = acc_ref[hh] * alpha + upd
 
-    @pl.when(s == n_sp - 1)
+    @pl.when(c == n_ch - 1)
     def _():
-        denom = jnp.maximum(l_ref[:], 1e-30)
-        out = acc_ref[:] / denom
-        o_ref[0, :, 0] = out.reshape(bt, G, o_ref.shape[-1]).astype(o_ref.dtype)
+        for hh in range(Hkv):
+            denom = jnp.maximum(l_ref[hh], 1e-30)
+            out = acc_ref[hh] / denom
+            o_ref[0, :, hh] = out.reshape(bt, G, Dv).astype(o_ref.dtype)

@@ -1586,8 +1586,14 @@ class Engine:
         else:
             if not q:
                 q.append(self._launch_block(active))
-            # top up the pipeline while the window covers the extra depth
-            while len(q) < self.pipeline_depth:
+            # top up the pipeline while the window covers the extra depth —
+            # but never past every slot's max_tokens budget: a block no slot
+            # can use computes nb full steps and then rolls back (pure waste;
+            # it made the drain tail 2 blocks deep on every request).
+            # EOG/stop-string stops stay speculative (unknowable host-side);
+            # max_tokens is deterministic.
+            need = max(s.req.max_tokens - len(s.generated) for s in active)
+            while len(q) < self.pipeline_depth and need > len(q) * nb:
                 last_win = q[-1]["win"]
                 if (last_win is not None
                         and max_past + (len(q) + 1) * nb + 1 > last_win):
